@@ -1,0 +1,59 @@
+"""Fixture-table catalog: scans (SURVEY.md §2 A1) and SQL registration (A6).
+
+All ten driver-generated tables (TESTDATA.md, FIXTURES.md) load as plain
+parquet scans — Spark's vectorized reader with predicate pushdown and
+column pruning applies automatically because callers express filters /
+projections as Column expressions, never inside UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always be broadcast in joins at any scale:
+# region is 5 rows, nation 25 at every sf (FIXTURES.md row counts).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A1 Parquet scan for one fixture table.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects outright. We read nanos as long
+    (legacy conf) and truncate to microseconds — exactly what DuckDB does
+    when it surfaces the same column as TIMESTAMP (µs), so oracle
+    comparisons stay bit-identical.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """A6: expose every fixture table to ``spark.sql`` under its own name."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

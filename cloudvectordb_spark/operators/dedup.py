@@ -1,0 +1,137 @@
+"""Near-duplicate detection (SURVEY.md §2 G5, plus the exact-Jaccard
+baseline; [SCOPE] BASELINE.json:6 "dedup" in the LLM-data-pipeline sense).
+
+Two paths:
+  - exact n-gram Jaccard over shingle sets: pure Column expressions with a
+    DuckDB oracle twin — the correctness baseline.
+  - MinHash-LSH (pyspark.ml) banding: the 100 TB path — shingle ->
+    minhash signature -> band bucket equi-join, which replaces the
+    quadratic all-pairs comparison with a shuffle on bucket ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.functions import text as TX
+from cloudvectordb_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# G5 exact baseline: pairwise n-gram Jaccard over a bounded doc set
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' ')
+             )) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE doc_id < 30
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+    """,
+    operators=("G5", "C7", "H7", "H8"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sh = docs.select(
+        "doc_id", F.array_distinct(TX.word_shingles("text", 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sa", "sb"))).cast("double")
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(F.try_divide(inter, union), 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5 scale path: MinHash-LSH candidate pairs (token-set Jaccard)
+# ---------------------------------------------------------------------------
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    dist_threshold: float = 0.9,
+    num_hash_tables: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded MinHash join: returns (a_id, b_id, jaccard_dist) candidate
+    pairs with Jaccard distance under the threshold. The
+    approxSimilarityJoin is an equi-join on (table, band hash) under the
+    hood — linear shuffle, no all-pairs blowup at 100 TB."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(toks)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    ).fit(feat)
+    joined = mh.approxSimilarityJoin(feat, feat, dist_threshold, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@query(
+    "minhash_dedup_pairs",
+    oracle=None,  # LSH banding is seeded/approximate; invariants pytest-gated
+    operators=("G5", "K1", "L3"),
+)
+def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return minhash_candidate_pairs(docs, dist_threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints: 64-bit signature from token hashes — pure
+# expressions (xxhash64 + bit ops), no UDF. Hamming-near signatures are
+# dedup candidates; at scale, band the signature bytes for the equi-join.
+# ---------------------------------------------------------------------------
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash bigint) via explode -> per-bit vote -> reassemble."""
+    toks = docs.select(
+        F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bits = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("th"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )
+
+
+@query(
+    "simhash_signatures",
+    oracle=None,  # xxhash64 has no DuckDB twin; determinism pytest-gated
+    operators=("G5", "H4"),
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash(docs)

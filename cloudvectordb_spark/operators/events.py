@@ -1,0 +1,257 @@
+"""Event-stream semantics in batch-checkable form (SURVEY.md §2 group J,
+C8 as-of join, H10 JSON).
+
+Each query here is written so the SAME groupBy/window shape runs unchanged
+on a streaming DataFrame (see ``cloudvectordb_spark.streaming``); the
+batch forms are what the DuckDB oracle verifies. Window bucketing uses
+epoch-aligned origins so Spark's ``F.window`` and DuckDB's ``time_bucket``
+agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# J1: tumbling window aggregate (1 hour)
+# ---------------------------------------------------------------------------
+@query(
+    "events_tumbling_hour",
+    oracle="""
+    SELECT date_trunc('hour', ts)     AS ws,
+           event_type,
+           count(*)                   AS n,
+           round(sum(value), 2)       AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    operators=("J1", "D1"),
+    bench=True,
+)
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: sliding window aggregate (10 min window, 5 min slide) — each event
+# lands in exactly two windows; the oracle materializes both via UNION ALL
+# of epoch-aligned 5-minute buckets (time_bucket origin 2000-01-01 is a
+# multiple of 5 min from Spark's 1970-01-01 origin, so buckets coincide).
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_10m",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws,
+             event_type, value FROM events
+    )
+    SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM b
+    GROUP BY ws, event_type
+    """,
+    operators=("J2", "D1"),
+)
+def events_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: session window (30-minute gap) — oracle twin via lag-gap islands
+# ---------------------------------------------------------------------------
+@query(
+    "events_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)              AS session_start,
+           max(ts)              AS session_last,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    operators=("J3",),
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: watermark semantics, batch-checkable form — keep only events within
+# the watermark horizon of the observed max event time.
+# ---------------------------------------------------------------------------
+@query(
+    "events_within_watermark",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '24 hours'
+    """,
+    operators=("J4",),
+)
+def events_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("cutoff")
+    )
+    return (
+        ev.crossJoin(F.broadcast(horizon))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 (batch twin = G4): exactly-once event ids
+# ---------------------------------------------------------------------------
+@query(
+    "events_dedup_ids",
+    oracle="""
+    SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_unique
+    FROM events
+    """,
+    operators=("J5", "G4", "D3"),
+)
+def events_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # dropDuplicates is the batch twin of dropDuplicatesWithinWatermark
+    deduped = ev.dropDuplicates(["event_id"])
+    return ev.agg(F.count("*").alias("n_rows")).crossJoin(
+        deduped.agg(F.count("*").alias("n_unique"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7: stream-static enrichment join (batch twin) — events x customer dim
+# ---------------------------------------------------------------------------
+@query(
+    "events_enriched_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)              AS n_events,
+           round(sum(value), 2)  AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    operators=("J7", "C1"),
+)
+def events_enriched_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# H10: JSON extraction from the props payload
+# ---------------------------------------------------------------------------
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*)                                            AS n,
+           min(CAST(json_extract(props, '$.k') AS BIGINT))     AS min_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT))     AS max_k,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("H10", "D1"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C8: as-of join — for each purchase, the latest click at-or-before it,
+# per user. Spark has no native as-of join: implemented as the classic
+# union + ordered window "last non-null carry-forward", which is a single
+# shuffle on (user_id) — scales linearly, no range explosion at 100 TB.
+# DuckDB oracle uses its native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    operators=("C8", "E2"),
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"), F.lit(None).cast("bigint").alias("event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    # clicks sort before purchases at equal ts (side 0 < 1) => inclusive asof
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )

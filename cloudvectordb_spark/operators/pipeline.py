@@ -1,0 +1,284 @@
+"""The CloudVectorDB pipeline, S1-S4 (SURVEY.md §3.1; reference
+/root/reference/README.md:2 — "building a very large dataset of triplets,
+then training encoders, then building the embeddings with the encoder,
+then building the vectordb with the encoder").
+
+Spark-first decomposition:
+  S1 triplet mining  -> deterministic window/join program (oracle-checkable)
+  S2 encoder training-> TorchDistributor boundary (documented, not a DF op)
+  S3 batch embedding -> mapInPandas with a per-worker model (stub encoder
+                        here; real encoder is a drop-in load_fn swap)
+  S4 index build     -> KMeans-IVF / random-projection-LSH bucket
+                        assignment + partitionBy parquet layout, so probe
+                        queries prune partitions (the "vectordb" is a data
+                        LAYOUT + built-in partition pruning, no serving code)
+
+Triplet negatives use modular-arithmetic sampling instead of F.rand so
+the query is fully deterministic AND SQL-expressible — the DuckDB oracle
+verifies the mining logic end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.registry import query
+
+EMBED_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# S1 / K3: triplet mining (anchor, positive, negative)
+# ---------------------------------------------------------------------------
+@query(
+    "triplet_mining",
+    oracle="""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label,
+             lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS pos_id
+      FROM embeddings
+    ), cand AS (
+      SELECT l.label AS anchor_label, e.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY l.label ORDER BY e.vec_id) AS rn,
+             count(*)    OVER (PARTITION BY l.label)                    AS cnt
+      FROM (SELECT DISTINCT label FROM embeddings) l
+      JOIN embeddings e ON e.label <> l.label
+    )
+    SELECT a.anchor_id, a.label, a.pos_id, c.cand_id AS neg_id
+    FROM anchors a
+    JOIN cand c
+      ON c.anchor_label = a.label AND c.rn = 1 + (a.anchor_id % c.cnt)
+    WHERE a.pos_id IS NOT NULL
+    """,
+    operators=("K3", "C9", "E2", "C1"),
+)
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positives: next same-label vector (C9 self-pairing via window —
+    avoids the quadratic self-join). Negatives: deterministic modular pick
+    from the label-complement, which at 100 TB is a broadcast of the tiny
+    (label, rn) candidate index — no skewed self-join (SURVEY.md §7 hard
+    part 4)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    anchors = (
+        e.select(
+            F.col("vec_id").alias("anchor_id"),
+            "label",
+            F.lead("vec_id").over(w).alias("pos_id"),
+        )
+        .filter(F.col("pos_id").isNotNull())
+    )
+    labels = e.select("label").distinct().withColumnRenamed("label", "anchor_label")
+    wc = Window.partitionBy("anchor_label").orderBy("vec_id")
+    cand = (
+        F.broadcast(labels)
+        .join(e, F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            F.row_number().over(wc).alias("rn"),
+            F.count("*").over(Window.partitionBy("anchor_label")).alias("cnt"),
+        )
+    )
+    return (
+        anchors.join(
+            cand,
+            (F.col("anchor_label") == F.col("label"))
+            & (F.col("rn") == 1 + F.col("anchor_id") % F.col("cnt")),
+        )
+        .select("anchor_id", "label", "pos_id", F.col("cand_id").alias("neg_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 / K5: batch embedding inference via mapInPandas (stub encoder)
+# ---------------------------------------------------------------------------
+def stub_encode(ids: np.ndarray, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic stand-in for the trained encoder (S2 artifact):
+    row i -> L2-normalized sin-wave keyed by doc_id. Replace with a real
+    model's forward pass; the Spark plumbing is identical."""
+    m = np.sin((ids[:, None] + 1.0) * (np.arange(dim)[None, :] + 1.0) * 0.01)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return m.astype(np.float32)
+
+
+def embed_documents(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """K5: corpus -> (doc_id, embedding array<float>). The encoder loads
+    once per Python worker (here: nothing to load); batches cross the
+    boundary as Arrow columns."""
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            vecs = stub_encode(ids, dim)
+            yield pd.DataFrame({"doc_id": ids, "embedding": list(vecs)})
+
+    return docs.select("doc_id").mapInPandas(run, schema="doc_id long, embedding array<float>")
+
+
+@query(
+    "embed_documents_stub",
+    oracle=None,  # float-array generation is not SQL-expressible; rows-only
+    operators=("K5", "L5"),
+)
+def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = embed_documents(docs)
+    # project a deterministic summary so even the rows-only check pins
+    # count + dim + finite values
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("sq_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 / K9: IVF index build — KMeans centroids + partitioned layout
+# ---------------------------------------------------------------------------
+def build_ivf_assignments(
+    emb: DataFrame, k: int = 8, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Assign every vector to a centroid partition (K9).
+
+    Returns (assignments, centroids): assignments carries the original
+    columns + centroid_id; centroids is (centroid_id, centroid array<double>).
+    At 100 TB: fit on a sample, transform the full corpus — one narrow
+    pass, then a partitionBy write gives the prunable layout.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = emb.withColumn("features", array_to_vector("embedding"))
+    model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="centroid_id").fit(feat)
+    assigned = model.transform(feat).drop("features")
+    centroids = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="centroid_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def write_ivf_index(assigned: DataFrame, path: str) -> None:
+    """A3: persist the vectordb layout partitioned by centroid — probe-side
+    filters on centroid_id then prune partitions at scan time."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+@query(
+    "ivf_assignment_counts",
+    oracle=None,  # KMeans is seed-deterministic but not SQL-replayable
+    operators=("K9", "A3", "L4"),
+)
+def ivf_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = build_ivf_assignments(emb, k=8, seed=42)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("centroid_id")
+    )
+
+
+@query(
+    "ivf_topk_search",
+    oracle=None,  # depends on KMeans layout; recall-vs-exact is pytest-gated
+    operators=("K9", "K8", "E4"),
+)
+def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN search over the IVF layout: probe -> nearest nprobe
+    centroids -> score only those partitions' vectors (partition pruning
+    on disk; a semi-join here) -> exact top-k within candidates."""
+    from cloudvectordb_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf_assignments(emb, k=8, seed=42)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    # nearest 2 centroids per probe
+    pc = (
+        probes.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", V.l2_distance("probe_vec", "centroid"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy("cdist", "centroid_id")
+    probe_buckets = (
+        pc.withColumn("crank", F.row_number().over(wp))
+        .filter(F.col("crank") <= 2)
+        .select("probe_id", "probe_vec", "centroid_id")
+    )
+    cands = assigned.join(
+        probe_buckets, on="centroid_id"
+    ).filter(F.col("vec_id") != F.col("probe_id"))
+    scored = cands.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 alternative / K10: random-projection LSH bucket layout
+# ---------------------------------------------------------------------------
+@query(
+    "lsh_bucket_counts",
+    oracle=None,  # seeded LSH; bucket histogram is the deterministic summary
+    operators=("K10", "A3"),
+)
+def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector("embedding")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    ).fit(emb)
+    from pyspark.ml.functions import vector_to_array
+
+    hashed = lsh.transform(emb)
+    exploded = hashed.select(
+        "vec_id", F.posexplode("hashes").alias("table_id", "h")
+    ).select(
+        "vec_id",
+        "table_id",
+        F.element_at(vector_to_array(F.col("h")), 1).cast("long").alias("bucket"),
+    )
+    return (
+        exploded.groupBy("table_id", "bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("table_id", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 boundary note (K4): encoder training is NOT a DataFrame op. The
+# engine exports triplet shards (write_ivf_index-style A3 sink on
+# triplet_mining output) and hands off to
+# pyspark.ml.torch.distributor.TorchDistributor(...).run(train_fn).
+# No GPU in CI — documented, unit-tested only for the export step.
+# ---------------------------------------------------------------------------
+def export_triplet_shards(triplets: DataFrame, path: str, num_shards: int = 8) -> None:
+    """S1->S2 handoff: balanced parquet shards for the training job."""
+    triplets.repartition(num_shards).write.mode("overwrite").parquet(path)

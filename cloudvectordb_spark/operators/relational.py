@@ -1,0 +1,477 @@
+"""Relational core (SURVEY.md §2 groups B, C, D, G partial; build plan M1).
+
+The harness contract ([HARNESS] in SURVEY.md §0) makes the standard
+relational operator set mandatory; the reference itself ships prose only
+(/root/reference/README.md:1-2). Every query here is declarative DataFrame
+API — Catalyst gets full freedom for pushdown, pruning, join selection —
+with explicit ``F.broadcast`` on the always-tiny dims (region 5 rows,
+nation 25 rows at every sf) so the plan is broadcast-hash-join at any
+scale, never a shuffle of the fact table against a 5-row table.
+
+Float-output discipline (SURVEY.md §5.3): every COMPUTED double column is
+rounded identically on both sides (sums → 2 decimals, avgs/ratios → 6);
+raw parquet doubles pass through bit-exact and are never rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# D1/D2: hash aggregate — TPC-H Q1 shape (pricing summary)
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                            AS sum_qty,
+           round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+           round(avg(l_quantity), 6)                                            AS avg_qty,
+           round(avg(l_extendedprice), 6)                                       AS avg_price,
+           round(avg(l_discount), 6)                                            AS avg_disc,
+           count(*)                                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    operators=("D1", "B2", "H6"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1 join + D1 + F2 top-k — TPC-H Q3 shape
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    operators=("C1", "D1", "F2", "B2"),
+    bench=True,
+)
+def revenue_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1/C2 multi-join star query — TPC-H Q5 shape (broadcast dims)
+# ---------------------------------------------------------------------------
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    operators=("C1", "C2", "D1", "B3"),
+    bench=True,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B2/B3: range filter — raw row passthrough (bit-exact, no rounding needed)
+# ---------------------------------------------------------------------------
+@query(
+    "filter_range_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 10
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+    """,
+    operators=("B2", "B3", "B1"),
+)
+def filter_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(5, 10)
+        & F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+
+# ---------------------------------------------------------------------------
+# B4/B5/B7: IN-list + LIKE + boolean combinators
+# ---------------------------------------------------------------------------
+@query(
+    "filter_in_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_type LIKE 'PROMO%'
+      AND NOT (p_size < 10)
+    """,
+    operators=("B4", "B5", "B7", "B1"),
+)
+def filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_type").like("PROMO%")
+        & ~(F.col("p_size") < 10)
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# B8: CASE WHEN bucketing
+# ---------------------------------------------------------------------------
+@query(
+    "case_bucket_orders",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END                                   AS price_bucket,
+           count(*)                                                AS n_orders,
+           round(sum(o_totalprice), 2)                             AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    operators=("B8", "D1"),
+)
+def case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.withColumn("price_bucket", bucket)
+        .groupBy("price_bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3: left outer join (customers with zero orders kept)
+# ---------------------------------------------------------------------------
+@query(
+    "customer_order_counts",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                         AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2)  AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    operators=("C3", "D1", "B6"),
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4: left semi join (EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    operators=("C4",),
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# C5: left anti join (NOT EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "parts_never_ordered",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey NOT IN (
+      SELECT l_partkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    )
+    """,
+    operators=("C5", "B3"),
+)
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never shipped before 1996 (anti-join; date-bounded so the
+    result is non-empty at every sf)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1996-01-01")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3: COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+@query(
+    "event_type_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("D3", "D1"),
+)
+def event_type_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2/D5: global + per-group statistical aggregates
+# ---------------------------------------------------------------------------
+@query(
+    "price_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                                 AS n,
+           round(avg(l_extendedprice), 4)           AS avg_price,
+           round(stddev_samp(l_extendedprice), 2)   AS std_price,
+           round(median(l_extendedprice), 4)        AS med_price,
+           min(l_extendedprice)                     AS min_price,
+           max(l_extendedprice)                     AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    operators=("D5", "D2", "D1"),
+)
+def price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D7: ROLLUP (multi-granularity totals); subtotal keys coalesced to 'ALL'
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*)                AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    operators=("D7", "C1", "C2"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D8: pivot (event_type counts -> columns)
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "event_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+    operators=("D8",),
+)
+def event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pivoted = ev.groupBy("user_id").pivot("event_type", list(_EVENT_TYPES)).count()
+    # pivot leaves NULL where a (user, type) pair is absent; SQL FILTER yields 0
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1/G2/G3: set operations over two derived key sets
+# ---------------------------------------------------------------------------
+def _building_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+def _big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+
+
+_SET_A = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SET_B = "SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000"
+
+
+@query(
+    "set_union",
+    oracle=f"{_SET_A} UNION {_SET_B}",
+    operators=("G1",),
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _building_customers(spark, sf_dir), _big_spenders(spark, sf_dir)
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle=f"{_SET_A} INTERSECT {_SET_B}",
+    operators=("G2",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _building_customers(spark, sf_dir), _big_spenders(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle=f"{_SET_A} EXCEPT {_SET_B}",
+    operators=("G3",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _building_customers(spark, sf_dir), _big_spenders(spark, sf_dir)
+    return a.subtract(b)

@@ -1,0 +1,177 @@
+"""Text analysis & exact dedup over the document corpus (SURVEY.md §2
+K1, K2, G4, H1-H4; reference S1 "building a very large dataset",
+/root/reference/README.md:2).
+
+Everything is Column-expression-only (JVM-side): tokenization, shingling,
+quality scoring, and content hashing all run inside whole-stage codegen,
+so the same plan streams through 100 TB of text with no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.functions import text as TX
+from cloudvectordb_spark.registry import query
+
+_STOPLIST_SQL = "['" + "', '".join(TX.STOPWORDS) + "']"
+
+
+# ---------------------------------------------------------------------------
+# K2/D1: corpus stats per language
+# ---------------------------------------------------------------------------
+@query(
+    "doc_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                                       AS n_docs,
+           round(avg(len(string_split(text, ' '))), 4)    AS avg_tokens,
+           round(avg(n_chars), 4)                         AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    operators=("K2", "H1", "D1"),
+    bench=True,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ntok = TX.token_count("text").cast("bigint")
+    return (
+        docs.withColumn("ntok", ntok)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ntok"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("ntok").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2: per-document quality score (stopword ratio + token count gates)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+           (len(toks) >= 10 AND
+            CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) < 0.5) AS is_quality
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE doc_id < 100
+    """,
+    operators=("K2", "H7", "H8", "B2"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ratio = TX.stopword_ratio("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+        F.round(ratio, 6).alias("stop_ratio"),
+        ((TX.token_count("text") >= 10) & (ratio < 0.5)).alias("is_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4/H4: exact dedup by normalized content hash
+# ---------------------------------------------------------------------------
+@query(
+    "doc_exact_dedup_stats",
+    oracle=r"""
+    SELECT source,
+           count(*)                                                          AS n_docs,
+           count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique
+    FROM documents
+    GROUP BY source
+    """,
+    operators=("G4", "H4", "H1", "D3"),
+)
+def doc_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("h", TX.content_hash("text"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# H4: document fingerprints (content-hash prefix)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    operators=("H4", "H2", "B2"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# K1/H7: word-shingle statistics (the MinHash input representation)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_shingle_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(sh) AS BIGINT)                 AS n_shingles,
+           CAST(len(list_distinct(sh)) AS BIGINT)  AS n_distinct_shingles
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' ')
+             ) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    WHERE doc_id < 100
+    """,
+    operators=("K1", "H7", "H8"),
+)
+def doc_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = TX.word_shingles("text", 3)
+    return docs.select(
+        "doc_id",
+        F.size(sh).cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct(sh)).cast("bigint").alias("n_distinct_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# H3/C7: string-distance matrix (bounded cross join)
+# ---------------------------------------------------------------------------
+@query(
+    "name_edit_distances",
+    oracle="""
+    SELECT s_suppkey, c_custkey, levenshtein(s_name, c_name) AS edit_dist
+    FROM supplier, customer
+    WHERE s_suppkey <= 10 AND c_custkey <= 10
+    """,
+    operators=("H3", "C7"),
+)
+def name_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 10)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 10)
+    return supp.crossJoin(F.broadcast(cust)).select(
+        "s_suppkey",
+        "c_custkey",
+        F.levenshtein("s_name", "c_name").cast("bigint").alias("edit_dist"),
+    )

@@ -1,0 +1,242 @@
+"""Vector similarity operators (SURVEY.md §2 K6-K8, K12, C7, C10, E4;
+reference S3/S4: "building the embeddings ... building the vectordb",
+/root/reference/README.md:2).
+
+Exact kNN here is the correctness baseline: broadcast the (small) probe
+set against the corpus, score with the JVM-side higher-order cosine
+expression, take top-k per probe with a rank window. At 100 TB the same
+plan holds — probes broadcast, the corpus never shuffles, and the window
+runs after an (probe_id)-partitioned exchange of only (probe, id, score)
+triples. The approximate / partitioned-index path lives in
+``operators.pipeline`` (K9/K10).
+
+Scores are computed in DOUBLE and rounded to 6 decimals BEFORE ranking on
+both sides so Spark and the DuckDB oracle order identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.functions import vector as V
+from cloudvectordb_spark.registry import query
+
+
+def exact_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K8 exact kNN: broadcast probes x corpus, cosine top-k per probe.
+
+    Returns (probe_id, neighbor_id, score, rank). Deterministic: rank on
+    (rounded score DESC, neighbor_id ASC).
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(p))
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(V.cosine(vec_col, "probe_vec"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# K8/E4/C10: exact kNN, 5 probes, top-10
+# ---------------------------------------------------------------------------
+@query(
+    "knn_exact_cosine",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT p.probe_id,
+             e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe_vec), 6) AS score
+      FROM embeddings e, p
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K8", "K7", "E4", "C10", "C2"),
+    bench=True,
+)
+def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return exact_knn(emb, probes, k=10)
+
+
+# ---------------------------------------------------------------------------
+# K6/K12: norm statistics & embedding quality gates per label
+# ---------------------------------------------------------------------------
+@query(
+    "vector_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 6)
+             AS avg_norm,
+           count(*) FILTER (WHERE len(embedding) = 64) AS n_dim_ok
+    FROM embeddings
+    GROUP BY label
+    """,
+    operators=("K6", "K12", "H8", "D1"),
+)
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("norm", V.l2_norm("embedding"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.count(F.when(F.size("embedding") == 64, 1)).alias("n_dim_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K7/C7: pairwise similarity metrics over a bounded probe set
+# ---------------------------------------------------------------------------
+@query(
+    "vector_pair_metrics",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+           round(list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)     AS dot_prod,
+           round(list_distance(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6)          AS l2_dist
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id
+    """,
+    operators=("K7", "C7", "H8"),
+)
+def vector_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(V.cosine("va", "vb"), 6).alias("cos_sim"),
+            F.round(V.dot("va", "vb"), 6).alias("dot_prod"),
+            F.round(V.l2_distance("va", "vb"), 6).alias("l2_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G6/C10: semantic near-duplicate pairs (cosine over threshold).
+# All-pairs is bounded here; the scale path is the LSH/IVF bucket join
+# (operators.pipeline) which turns this into an equi-join on bucket id.
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    """,
+    operators=("G6", "C10", "K7"),
+)
+def semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(V.cosine("va", "vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4-shape (oracle-checkable): per-label centroid in long form
+# ---------------------------------------------------------------------------
+@query(
+    "label_centroids_long",
+    oracle="""
+    SELECT label, i AS dim_idx, round(avg(v), 6) AS centroid_val
+    FROM (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[]))        AS v,
+             generate_subscripts(embedding, 1)          AS i
+      FROM embeddings
+    )
+    GROUP BY label, i
+    """,
+    operators=("L4", "H7", "D1"),
+)
+def label_centroids_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("bigint").alias("dim_idx"),
+            F.col("v").cast("double").alias("v"),
+        )
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_val"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# K6: L2 normalization invariant — unit norm after normalize
+# ---------------------------------------------------------------------------
+@query(
+    "vector_normalize_check",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))),
+             z -> z * z))), 6) AS unit_norm
+    FROM embeddings
+    WHERE vec_id < 10
+    """,
+    operators=("K6", "H8"),
+)
+def vector_normalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    n = V.l2_norm("embedding")
+    unit = F.transform("embedding", lambda x: x.cast("double") / n)
+    unit_norm = F.sqrt(
+        F.aggregate(
+            F.transform(unit, lambda z: z * z), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return emb.select("vec_id", F.round(unit_norm, 6).alias("unit_norm"))

@@ -1,0 +1,186 @@
+"""Window functions, sorts, top-k (SURVEY.md §2 groups E and F).
+
+All ranking windows carry an explicit deterministic tie-break key
+(SURVEY.md §5.3.2 determinism discipline) so Spark and the DuckDB oracle
+rank identically. Global top-k uses ``orderBy().limit()`` which Spark
+plans as ``TakeOrderedAndProject`` — a per-partition heap + driver merge,
+no full sort even at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# E1: ranking — top 3 orders per customer
+# ---------------------------------------------------------------------------
+@query(
+    "rank_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    operators=("E1", "E4"),
+)
+def rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 variants: rank / dense_rank / ntile over a global ordering per group
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_balance_ranks",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           rank()       OVER (ORDER BY s_acctbal DESC, s_suppkey) AS bal_rank,
+           dense_rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS bal_dense_rank,
+           ntile(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+    FROM supplier
+    """,
+    operators=("E1",),
+)
+def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2: lag/lead — inter-event gap per user (exact microsecond arithmetic
+# on both sides: unix_micros in Spark, epoch_us in DuckDB)
+# ---------------------------------------------------------------------------
+@query(
+    "event_gaps",
+    oracle="""
+    SELECT user_id,
+           count(*)                                          AS n_events,
+           round(avg(gap_sec), 4)                            AS avg_gap_sec,
+           round(max(gap_sec), 4)                            AS max_gap_sec
+    FROM (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 AS gap_sec
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+    operators=("E2", "H5"),
+)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    ) / 1000000.0
+    return (
+        ev.withColumn("gap_sec", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
+            F.round(F.max("gap_sec"), 4).alias("max_gap_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3: frame aggregate — running total per customer (same accumulation
+# order on both sides -> identical floats; rounded anyway)
+# ---------------------------------------------------------------------------
+@query(
+    "running_order_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    operators=("E3",),
+)
+def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2: global top-k (TakeOrderedAndProject — no full sort)
+# ---------------------------------------------------------------------------
+@query(
+    "topk_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    operators=("F2", "F1"),
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F3: multi-key global sort + limit/offset pagination
+# ---------------------------------------------------------------------------
+@query(
+    "sort_page_offset",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+    LIMIT 50 OFFSET 100
+    """,
+    operators=("F1", "F3"),
+)
+def sort_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy(
+            F.asc("c_mktsegment"), F.desc("c_acctbal"), F.asc("c_custkey")
+        )
+        .offset(100)
+        .limit(50)
+    )
