@@ -1,0 +1,277 @@
+"""Scalar-function surface + remaining aggregate/join forms
+(SURVEY.md §2 H5, H9, D4, D6, D7-cube, C6, L6, K2-langid).
+
+Each query exercises one function family end-to-end with an oracle twin
+where the function is SQL-expressible in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# H5: date/time functions — order-year rollup + shipping delay
+# ---------------------------------------------------------------------------
+@query(
+    "order_year_stats",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS order_year,
+           count(*)                            AS n_lineitems,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_ship_delay_days,
+           min(date_trunc('quarter', o_orderdate))                  AS first_quarter
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+    operators=("H5", "C1", "D1"),
+)
+def order_year_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 4).alias(
+                "avg_ship_delay_days"
+            ),
+            F.min(F.date_trunc("quarter", "o_orderdate")).alias("first_quarter"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# H9: map functions over the JSON props payload
+# ---------------------------------------------------------------------------
+@query(
+    "events_map_props",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL) AS n_with_k,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6)      AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT))                AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("H9", "H10", "D1"),
+)
+def events_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.withColumn("m", m)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.map_contains_key("m", F.lit("k")), 1)).alias("n_with_k"),
+            F.round(F.avg(F.element_at("m", F.lit("k"))), 6).alias("avg_k"),
+            F.max(F.element_at("m", F.lit("k"))).alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6: collect_list / collect_set (deterministic via sort_array -> string)
+# ---------------------------------------------------------------------------
+@query(
+    "user_event_collections",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+           array_to_string(list_sort(list(event_id)), ',')            AS event_ids
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+    operators=("D6",),
+)
+def user_event_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types_seen"),
+        F.concat_ws(",", F.sort_array(F.collect_list("event_id"))).alias("event_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D7: CUBE (rollup's sibling) over two independent dimensions
+# ---------------------------------------------------------------------------
+@query(
+    "cube_order_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                         AS n_orders,
+           round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    operators=("D7",),
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6: theta / band (range) join — acctbal proximity pairs
+# ---------------------------------------------------------------------------
+@query(
+    "acctbal_band_join",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_close_customers
+    FROM supplier
+    JOIN customer
+      ON c_custkey <= 200
+     AND s_acctbal BETWEEN c_acctbal - 100 AND c_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+    operators=("C6", "D1"),
+)
+def acctbal_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join: Spark plans broadcast-nested-loop with the
+    small side broadcast — the only sane physical shape for a pure range
+    predicate. At 100 TB you'd bucketize the band key first (turn it into
+    equi-join on bucket +/- 1); this query keeps the pure form honest."""
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    cond = (F.col("s_acctbal") >= F.col("c_acctbal") - 100) & (
+        F.col("s_acctbal") <= F.col("c_acctbal") + 100
+    )
+    return (
+        supp.join(F.broadcast(cust), cond)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4: approximate distinct (HLL) — rows-only; pytest pins the 5% envelope
+# ---------------------------------------------------------------------------
+@query(
+    "approx_distinct_users",
+    oracle=None,  # Spark HLL++ != DuckDB HLL estimates; invariant-tested
+    operators=("D4",),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2: language-ID heuristic (marker-word overlap, argmax)
+# ---------------------------------------------------------------------------
+_EN = ("the", "and", "of", "to", "in", "a")
+_ES = ("el", "la", "de", "en", "y", "los")
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains(['{"', '".join(_EN)}'], x))) AS BIGINT) AS en_score,
+           CAST(len(list_filter(toks, x -> list_contains(['{"', '".join(_ES)}'], x))) AS BIGINT) AS es_score,
+           CASE WHEN len(list_filter(toks, x -> list_contains(['{"', '".join(_EN)}'], x)))
+                  >= len(list_filter(toks, x -> list_contains(['{"', '".join(_ES)}'], x)))
+                THEN 'en' ELSE 'es' END AS pred_lang
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    WHERE doc_id < 100
+    """,
+    operators=("K2", "H8"),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.lower("text"), " ")
+    en = F.size(F.filter(toks, lambda x: x.isin(*_EN))).cast("bigint")
+    es = F.size(F.filter(toks, lambda x: x.isin(*_ES))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        en.alias("en_score"),
+        es.alias("es_score"),
+        F.when(en >= es, "en").otherwise("es").alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2: BPE-ish subword token counting via regex (both engines share the
+# pattern; greedy left-to-right matching is identical)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]{1,4}')) AS BIGINT) AS n_subwords,
+           CAST(len(string_split(text, ' ')) AS BIGINT)                       AS n_words
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    operators=("K2", "H2"),
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{1,4}"), 0))
+        .cast("bigint")
+        .alias("n_subwords"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: UDTF — chunk long documents into fixed-width segments
+# ---------------------------------------------------------------------------
+_CHUNK = 100
+
+
+@query(
+    "doc_chunks_udtf",
+    oracle=f"""
+    SELECT doc_id, i AS chunk_idx,
+           substr(text, 1 + (CAST(i AS INTEGER) - 1) * {_CHUNK}, {_CHUNK}) AS chunk
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, CAST(ceil(length(text) / {_CHUNK}.0) AS BIGINT))) AS i
+        FROM documents
+        WHERE doc_id < 50
+    )
+    """,
+    operators=("L6", "H1"),
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx bigint, chunk string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            for i in range(0, len(text), _CHUNK):
+                yield doc_id, i // _CHUNK + 1, text[i : i + _CHUNK]
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk
+        FROM documents_v d, LATERAL chunk_doc(d.doc_id, d.text) c
+        WHERE d.doc_id < 50
+        """
+    )

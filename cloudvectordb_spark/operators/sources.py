@@ -1,0 +1,113 @@
+"""Sources & sinks beyond plain parquet scans (SURVEY.md §2 A2, A3).
+
+S1 ingests a raw corpus from heterogeneous formats
+(/root/reference/README.md:2 "building a very large dataset"); these
+queries prove format fidelity as ROUNDTRIPS: fixture table -> JSONL/CSV/
+partitioned-parquet under /tmp -> read back with an explicit schema ->
+aggregate. The oracle computes the same aggregate from the original
+table, so any loss in the write/read path (types, encoding, partition
+values) fails the hash match.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.registry import query
+
+_IO_ROOT = os.path.join(tempfile.gettempdir(), "cloudvectordb_spark_io")
+
+_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# A2: JSONL ingest (schema-explicit, no inference in the read path)
+# ---------------------------------------------------------------------------
+@query(
+    "jsonl_ingest_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    operators=("A2", "A3"),
+)
+def jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(_IO_ROOT, "docs_jsonl")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(_DOC_SCHEMA).json(path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: CSV ingest (header + explicit schema)
+# ---------------------------------------------------------------------------
+@query(
+    "csv_ingest_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    operators=("A2",),
+)
+def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    path = os.path.join(_IO_ROOT, "orders_csv")
+    orders.write.mode("overwrite").option("header", True).csv(path)
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: partitioned parquet sink (the index-layout write path) + readback
+# with partition pruning
+# ---------------------------------------------------------------------------
+@query(
+    "partitioned_sink_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+    operators=("A3", "A1"),
+)
+def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    path = os.path.join(_IO_ROOT, "lineitem_by_flag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    # the filter prunes whole partitions at file-listing time (A3's point)
+    return (
+        back.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        # partition column comes back as the written type (string here)
+        .select(F.col("l_returnflag").cast("string").alias("l_returnflag"), "n", "sum_qty")
+    )

@@ -53,9 +53,11 @@ def all_queries() -> dict[str, QuerySpec]:
     from cloudvectordb_spark.operators import (  # noqa: F401
         dedup,
         events,
+        functions_ops,
         multimodal,
         pipeline,
         relational,
+        sources,
         text_ops,
         vector_ops,
         windows,
