@@ -30,7 +30,8 @@ from cloudvectordb_spark.registry import query
     FROM events
     GROUP BY 1, 2
     """,
-    operators=("J1", "D1"),
+    operators=("J1", "D1", "A5"),  # A5: streaming twin reads the same
+    # schema via readStream (streaming.jobs.read_events_stream)
     bench=True,
 )
 def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,170 @@
+"""UDF-surface queries (SURVEY.md §2 L1-L3, A6, J6-batch-twin).
+
+The reference pipeline (/root/reference/README.md:2, S3 "building the
+embeddings with the encoder") forces Python crossings; this module pins
+the three crossing styles against the oracle so the slow path stays
+honest:
+
+- L1 row-at-a-time UDF — registered once to prove the API, deliberately
+  on a filtered slice (the hot path uses built-ins; see doc_quality in
+  operators.text_ops for the JVM-side equivalent).
+- L2 Arrow-vectorized pandas UDF — the sanctioned fast path for numpy
+  vector math; batch-for-batch ~10-100x the L1 form.
+- L3 grouped-map applyInPandas — per-key imperative logic; its result is
+  oracle-checked against the pure-SQL window twin, which is also the
+  batch twin of J6 (applyInPandasWithState) in streaming.jobs.
+- A6 — a query expressed ENTIRELY as spark.sql over registered views,
+  proving the SQL entry point end-to-end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load, register_views
+from cloudvectordb_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# L1: scalar row-at-a-time Python UDF (bounded slice; API-proof, not hot path)
+# ---------------------------------------------------------------------------
+@query(
+    "udf_priority_score",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE
+             WHEN o_orderpriority LIKE '1%' THEN 100
+             WHEN o_orderpriority LIKE '2%' THEN 80
+             WHEN o_orderpriority LIKE '3%' THEN 60
+             WHEN o_orderpriority LIKE '4%' THEN 40
+             ELSE 20
+           END + CASE WHEN o_totalprice > 200000 THEN 5 ELSE 0 END AS BIGINT)
+             AS priority_score
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    operators=("L1",),
+)
+def udf_priority_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("bigint")
+    def score(priority: str, total: float) -> int:
+        base = {"1": 100, "2": 80, "3": 60, "4": 40}.get(priority[:1], 20)
+        return base + (5 if total > 200000 else 0)
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey", score("o_orderpriority", "o_totalprice").alias("priority_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2: Arrow-vectorized pandas UDF — numpy cosine against a broadcast probe.
+# The fast path for K7 when expression trees get too deep; one Arrow batch
+# in, one numpy matmul out.
+# ---------------------------------------------------------------------------
+@query(
+    "pandas_udf_cosine_vs_probe",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
+             AS cos_to_probe
+    FROM embeddings e, p
+    WHERE e.vec_id < 500
+    """,
+    operators=("L2", "K7"),
+)
+def pandas_udf_cosine_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    pnorm = float(np.sqrt((probe * probe).sum()))
+
+    @F.pandas_udf("double")
+    def cos_to_probe(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        dots = m @ probe
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * pnorm))
+
+    return (
+        emb.filter(F.col("vec_id") < 500)
+        .select("vec_id", F.round(cos_to_probe("embedding"), 6).alias("cos_to_probe"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 grouped-map == batch twin of J6 (applyInPandasWithState): per-user
+# running cumulative value over event time. The streaming-native form is
+# streaming.jobs.running_user_totals_stream; tests assert all three agree.
+# ---------------------------------------------------------------------------
+@query(
+    "user_running_total_grouped_map",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_value
+    FROM events
+    WHERE user_id < 10
+    """,
+    operators=("L3", "J6", "E3"),
+)
+def user_running_total_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+
+    def running(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = pdf[["user_id", "event_id"]].copy()
+        out["running_value"] = pdf["value"].cumsum().round(2)
+        return out
+
+    return ev.select("user_id", "event_id", "ts", "value").groupBy("user_id").applyInPandas(
+        running, "user_id bigint, event_id bigint, running_value double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: pure-SQL entry point over registered views (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "sql_returned_revenue_by_customer",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    operators=("A6", "C1", "D1", "F2"),
+)
+def sql_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )

@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         sources,
         text_ops,
+        udfs,
         vector_ops,
         windows,
     )

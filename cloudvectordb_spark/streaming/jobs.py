@@ -66,6 +66,45 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on_left: str, on_right: s
     return events.join(dim, events[on_left] == dim[on_right], "inner")
 
 
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """J6 streaming-native: per-user running value via arbitrary stateful
+    processing (``applyInPandasWithState``). State = one double (the
+    user's cumulative value so far); each micro-batch appends rows
+    (user_id, event_id, running_value).
+
+    Batch twin (oracle-checked): ``operators.udfs.user_running_total_
+    grouped_map`` — a window running-sum. Tests assert stream == batch on
+    the bounded fixture. At scale, state is partitioned by user_id across
+    executors and bounded by the watermark.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        total = state.get[0] if state.exists else 0.0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            running = pdf["value"].cumsum() + total
+            total = float(running.iloc[-1]) if len(running) else total
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "running_value": running.round(2),
+                }
+            )
+        state.update((total,))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, event_id bigint, running_value double",
+        stateStructType="total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drive a (bounded) stream to completion into a memory sink and
     return the materialized result as a batch DataFrame."""

@@ -41,3 +41,16 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     )
     n_batch = load(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
     assert got.count() == n_batch
+
+
+def test_streaming_stateful_running_totals_matches_batch(spark, sf_dir):
+    """J6: applyInPandasWithState stream == grouped-map batch twin."""
+    from cloudvectordb_spark.operators.udfs import user_running_total_grouped_map
+    from cloudvectordb_spark.streaming.jobs import running_user_totals_stream
+
+    stream = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 10)
+    got = run_to_memory(running_user_totals_stream(stream), "t_stateful", mode="append")
+    batch = user_running_total_grouped_map(spark, sf_dir)
+    g = {(r.user_id, r.event_id): r.running_value for r in got.collect()}
+    b = {(r.user_id, r.event_id): r.running_value for r in batch.collect()}
+    assert len(g) > 0 and g == b
