@@ -93,6 +93,7 @@ def minhash_candidate_pairs(
     "minhash_dedup_pairs",
     oracle=None,  # LSH banding is seeded/approximate; invariants pytest-gated
     operators=("G5", "K1", "L3"),
+    bench=True,
 )
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)

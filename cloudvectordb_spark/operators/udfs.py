@@ -151,6 +151,7 @@ def user_running_total_grouped_map(spark: SparkSession, sf_dir: str) -> DataFram
     LIMIT 20
     """,
     operators=("A6", "C1", "D1", "F2"),
+    bench=True,
 )
 def sql_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)

@@ -51,9 +51,10 @@ def test_ivf_layout_complete_and_written(spark, sf_dir, tmp_path):
     assert assigned.select("vec_id").distinct().count() == n
     assert centroids.count() == 4
     out = str(tmp_path / "ivf")
-    write_ivf_index(assigned, out)
-    back = spark.read.parquet(out)
+    write_ivf_index(assigned, centroids, out)
+    back = spark.read.parquet(out + "/vectors")
     assert back.count() == n
+    assert spark.read.parquet(out + "/centroids").count() == 4
     # layout is partitioned by centroid_id => partition pruning applies
     pruned = back.filter(F.col("centroid_id") == 0)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
@@ -117,3 +118,33 @@ def test_stub_encoder_unit_norm():
     m = stub_encode(np.arange(10))
     assert m.shape == (10, 64)
     assert np.allclose(np.linalg.norm(m, axis=1), 1.0, atol=1e-5)
+
+
+def test_ensure_ivf_index_builds_once(spark, sf_dir):
+    import os
+    from cloudvectordb_spark.operators.pipeline import ensure_ivf_index, read_ivf_index
+
+    p1 = ensure_ivf_index(spark, sf_dir)
+    marker_mtime = os.path.getmtime(os.path.join(p1, "_BUILT"))
+    p2 = ensure_ivf_index(spark, sf_dir)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "_BUILT")) == marker_mtime  # no rebuild
+    vectors, centroids = read_ivf_index(spark, p1)
+    n = load(spark, sf_dir, "embeddings").count()
+    assert vectors.count() == n and vectors.select("vec_id").distinct().count() == n
+    assert centroids.count() == 8
+
+
+def test_semantic_dup_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF-bucketed near-dup must recover a solid share of the exact
+    tau=0.3 pairs (multi-probe assignment, nprobe=2). Precision must be
+    perfect: every reported pair really clears tau."""
+    from cloudvectordb_spark.operators.pipeline import semantic_dup_pairs_ivf
+    from cloudvectordb_spark.operators.vector_ops import semantic_dup_pairs
+
+    exact = {(r.a_id, r.b_id) for r in semantic_dup_pairs(spark, sf_dir).collect()}
+    approx_rows = semantic_dup_pairs_ivf(spark, sf_dir).collect()
+    approx = {(r.a_id, r.b_id) for r in approx_rows}
+    assert approx <= exact, "IVF path reported a pair below tau (precision break)"
+    assert exact, "fixture should contain pairs above tau"
+    assert len(approx & exact) / len(exact) >= 0.35
