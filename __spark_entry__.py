@@ -30,8 +30,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cloudvectordb_spark.registry import all_queries
+    from cloudvectordb_spark.session import configure_for_oracle
 
-    return {name: spec.fn for name, spec in all_queries().items()}
+    def self_configuring(fn: Callable) -> Callable:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver hands us ITS session; pin the confs (UTC, Arrow,
+            # nanos-as-long) and ship the package zip to executors before
+            # any plan references our Python closures
+            configure_for_oracle(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: self_configuring(spec.fn) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -49,6 +49,187 @@ def binary_metadata(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema="doc_id long, byte_len long, sha_hex string")
 
 
+# ---------------------------------------------------------------------------
+# A4: real binaryFile-format ingestion. Fixture docs are materialized as
+# files on disk (one per doc, payload = utf-8 text), read back through
+# spark.read.format("binaryFile"), and the oracle recomputes byte length
+# + sha256 from the documents table — an end-to-end file-ingest proof.
+# ---------------------------------------------------------------------------
+def _materialize_binary_corpus(spark: SparkSession, sf_dir: str, limit: int = 50) -> str:
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), "cloudvectordb_blobs", sf_dir.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < limit)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(out, f"{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+@query(
+    "multimodal_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text)               AS sha_hex
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    operators=("A4", "K11", "H4"),
+)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _materialize_binary_corpus(spark, sf_dir, limit=50)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("byte_len"),
+            F.sha2("content", 256).alias("sha_hex"),
+        )
+    )
+    return blobs
+
+
+# ---------------------------------------------------------------------------
+# K11: modality feature extraction with a DETERMINISTIC FAKE decode.
+# Real deployments swap fake_decode_image for PIL/ffmpeg inside the same
+# mapInPandas body — schema, batching, and partitioning are unchanged.
+# ---------------------------------------------------------------------------
+def fake_decode_image(payload: bytes, width: int = 16) -> "object":
+    """Deterministic stand-in for an image decoder: interpret the raw
+    bytes as a row-major grayscale bitmap (pad/truncate to width*width).
+    Replace with PIL.Image.open in production; the container has no
+    codec libraries (see decode_stub)."""
+    import numpy as np
+
+    buf = np.frombuffer(payload[: width * width], dtype=np.uint8)
+    img = np.zeros(width * width, dtype=np.uint8)
+    img[: len(buf)] = buf
+    return img.reshape(width, width)
+
+
+def image_features(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """K11: binary -> fixed-shape feature struct (mean/std/p99 'pixel'
+    stats + a 4-bin histogram) via Arrow-batched mapInPandas."""
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for b in pdf[binary_col]:
+                img = fake_decode_image(bytes(b)).astype(np.float64)
+                hist, _ = np.histogram(img, bins=4, range=(0, 256))
+                feats.append(
+                    (
+                        round(float(img.mean()), 4),
+                        round(float(img.std()), 4),
+                        [int(h) for h in hist],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "px_mean": [f[0] for f in feats],
+                    "px_std": [f[1] for f in feats],
+                    "hist4": [f[2] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="doc_id long, px_mean double, px_std double, hist4 array<bigint>"
+    )
+
+
+@query(
+    "multimodal_image_features",
+    oracle=None,  # fake decode has no SQL twin; determinism pytest-gated
+    operators=("K11", "L5"),
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return image_features(with_payload).select(
+        "doc_id", "px_mean", "px_std", F.concat_ws(",", "hist4").alias("hist4_csv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K11: frame sampling — "video" payload -> every k-th fixed-size frame.
+# One row in, many rows out (the multimodal analogue of L6 chunking);
+# oracle recomputes the same frames with substr arithmetic over the text.
+# ---------------------------------------------------------------------------
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 4  # sample every 4th frame
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           octet_length(encode(substr(text, 1 + CAST(i AS INTEGER) * {_FRAME_BYTES * _FRAME_STRIDE},
+                                      {_FRAME_BYTES}))) AS frame_len,
+           sha256(substr(text, 1 + CAST(i AS INTEGER) * {_FRAME_BYTES * _FRAME_STRIDE},
+                         {_FRAME_BYTES})) AS frame_sha
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+               CAST(floor((length(text) - 1) / {_FRAME_BYTES * _FRAME_STRIDE}.0) AS BIGINT))) AS i
+      FROM documents
+      WHERE doc_id < 30
+    )
+    """,
+    operators=("K11", "L5", "L6"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASCII fixture text => byte offsets == char offsets, so the oracle's
+    substr twin checks the frame extraction byte-for-byte."""
+
+    def run(batches):
+        step = _FRAME_BYTES * _FRAME_STRIDE
+        for pdf in batches:
+            out_ids, out_idx, out_len, out_sha = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for fi, off in enumerate(range(0, len(b), step)):
+                    frame = b[off : off + _FRAME_BYTES]
+                    out_ids.append(doc_id)
+                    out_idx.append(fi)
+                    out_len.append(len(frame))
+                    out_sha.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "frame_idx": out_idx,
+                    "frame_len": out_len,
+                    "frame_sha": out_sha,
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return with_payload.mapInPandas(
+        run, schema="doc_id long, frame_idx bigint, frame_len bigint, frame_sha string"
+    )
+
+
 @query(
     "multimodal_binary_meta",
     oracle="""

@@ -50,6 +50,34 @@ def get_session(
     return spark
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``cloudvectordb_spark`` importable inside executor Python
+    workers regardless of the driver process's cwd/sys.path: zip the
+    package once per session and ``addPyFile`` it. Without this, any
+    mapInPandas/applyInPandas closure that references a module-level
+    function dies with ModuleNotFoundError when the driver runs from a
+    foreign directory (exactly how the verification harness runs us)."""
+    if getattr(spark, "_cvdb_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import cloudvectordb_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(cloudvectordb_spark.__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(prefix="cloudvectordb_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    spark._cvdb_pkg_shipped = True
+
+
 def configure_for_oracle(spark: SparkSession) -> SparkSession:
     """Apply the session settings the DuckDB-oracle comparison depends on
     to an externally-provided session (the driver passes its own)."""
@@ -57,4 +85,5 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ship_package(spark)
     return spark

@@ -31,3 +31,34 @@ def test_binary_metadata_handles_real_binary(spark):
     got = {r.doc_id: (r.byte_len, r.sha_hex) for r in binary_metadata(df).collect()}
     assert got[1] == (4, hashlib.sha256(b"\x00\x01\xff\xfe").hexdigest())
     assert got[2] == (0, hashlib.sha256(b"").hexdigest())
+
+
+def test_image_features_deterministic_and_shaped(spark, sf_dir):
+    from cloudvectordb_spark.operators.multimodal import multimodal_image_features
+
+    r1 = {r.doc_id: (r.px_mean, r.px_std, r.hist4_csv)
+          for r in multimodal_image_features(spark, sf_dir).collect()}
+    r2 = {r.doc_id: (r.px_mean, r.px_std, r.hist4_csv)
+          for r in multimodal_image_features(spark, sf_dir).collect()}
+    assert r1 == r2 and len(r1) > 0
+    for mean, std, hist in r1.values():
+        assert 0 <= mean <= 255 and std >= 0
+        assert len(hist.split(",")) == 4
+
+
+def test_fake_decode_shape():
+    from cloudvectordb_spark.operators.multimodal import fake_decode_image
+
+    img = fake_decode_image(b"abc" * 100, width=16)
+    assert img.shape == (16, 16)
+    # short payload zero-pads deterministically
+    img2 = fake_decode_image(b"xy", width=16)
+    assert img2.shape == (16, 16) and img2[0, 0] == ord(b"x") and img2[15, 15] == 0
+
+
+def test_decode_stub_raises():
+    import pytest as _pytest
+    from cloudvectordb_spark.operators.multimodal import decode_stub
+
+    with _pytest.raises(NotImplementedError):
+        decode_stub(b"payload")
