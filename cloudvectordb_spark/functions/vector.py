@@ -46,10 +46,14 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_normalize(a: Column | str) -> Column:
-    """Unit-normalize an array column (K6); keeps float element type."""
+    """Unit-normalize an array column (K6); keeps float element type.
+    A zero vector normalizes to itself (try_divide -> NULL would poison
+    downstream dots; ANSI plain division would throw DIVIDE_BY_ZERO)."""
     a = F.col(a) if isinstance(a, str) else a
     n = l2_norm(a)
-    return F.transform(a, lambda x: (x.cast("double") / n).cast("float"))
+    return F.when(n == 0.0, a).otherwise(
+        F.transform(a, lambda x: (x.cast("double") / n).cast("float"))
+    )
 
 
 def has_nan(a: Column | str) -> Column:

@@ -11,7 +11,7 @@ Two paths:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudvectordb_spark.catalog import load
@@ -136,3 +136,137 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return simhash(docs)
+
+
+# ---------------------------------------------------------------------------
+# G5 canonicalization: connected components over near-dup pairs.
+# Pregel-style min-label propagation — each round is one equi-join +
+# groupBy-min; rounds needed = graph diameter (tiny for dup clusters).
+# At 100 TB the edge list comes from the MinHash banding above instead of
+# exact all-pairs; the propagation loop is unchanged. Oracle replays the
+# same closure with a recursive CTE.
+# ---------------------------------------------------------------------------
+_CC_TAU = 0.5
+
+_CC_PAIRS_SQL = """
+    WITH RECURSIVE s AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= {tau}
+    )
+"""
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Min-label propagation over an undirected edge list; returns
+    (node bigint, component bigint) for every node with >= 1 edge.
+    Deterministic; converges in diameter rounds."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+    # materialize once: every propagation round + its convergence check
+    # would otherwise re-execute the full upstream edge derivation
+    sym = sym.localCheckpoint()
+    labels = sym.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("component")
+    )
+    while True:
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # cut the growing lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+@query(
+    "dedup_canonical_clusters",
+    oracle=f"""
+    {_CC_PAIRS_SQL.format(tau=_CC_TAU)},
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach (src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    members AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+      FROM reach GROUP BY src
+    )
+    SELECT doc_id, canonical_id,
+           CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+    FROM members
+    """,
+    operators=("G5", "G4", "C1", "D1"),
+)
+def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each near-dup doc mapped to its cluster's min doc_id (the canonical
+    keeper). WITH RECURSIVE needs DuckDB to seed the recursion, so the
+    oracle uses transitive closure; Spark uses the scalable propagation."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(TX.word_shingles("text", 3)).alias("sh")
+    )
+    # inverted-index candidate generation: only pairs SHARING a shingle can
+    # clear any Jaccard threshold — turns O(n^2) scoring into an equi-join
+    # on shingle (1-band exact banding; MinHash banding is the lossy
+    # version of this same shape). Hot shingles would skew the join at
+    # scale; AQE skew-split handles it, and a df-cap prefilter is the
+    # standard lossy escalation.
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        inv.alias("x")
+        .join(inv.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sa", "sb"))).cast("double")
+    edges = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("j", F.try_divide(inter, union))
+        .filter(F.col("j") >= _CC_TAU)
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    comp = connected_components(edges)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+    )

@@ -9,7 +9,7 @@ so the same plan streams through 100 TB of text with no Python boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudvectordb_spark.catalog import load
@@ -174,4 +174,61 @@ def name_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         "c_custkey",
         F.levenshtein("s_name", "c_name").cast("bigint").alias("edit_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2: TF-IDF top terms per document — pure DataFrame (explode -> tf ->
+# df -> idf join), fully oracle-checkable unlike the HashingTF path.
+# Map-side combine shrinks the tf shuffle; the per-term df table is tiny
+# (vocabulary-sized) and broadcasts into the scoring join at any corpus
+# size.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents WHERE doc_id < 100
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n_docs.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf, n_docs
+      JOIN dfreq ON tf.term = dfreq.term
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    operators=("K2", "K1", "D1", "E4", "C2"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = tok.select("doc_id").distinct().count()
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
     )

@@ -1,0 +1,121 @@
+"""Property-based tests (SURVEY.md §5.3.3): vector algebra laws and
+dedup invariants hold for arbitrary inputs, not just fixtures.
+
+Strategy: hypothesis generates the data; ONE Spark DataFrame per example
+batch is too slow, so examples are collected into a single frame per
+property (deterministic derandomized profile) and checked in bulk.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.functions import text as TX
+from cloudvectordb_spark.functions import vector as V
+
+DIM = 8
+
+finite_f = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False, width=32
+)
+vec = st.lists(finite_f, min_size=DIM, max_size=DIM)
+
+
+def _vector_frame(spark, pairs):
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        schema="id long, va array<float>, vb array<float>",
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=30))
+def test_cosine_symmetry_and_bounds(spark, pairs):
+    df = _vector_frame(spark, pairs)
+    rows = df.select(
+        V.cosine("va", "vb").alias("ab"), V.cosine("vb", "va").alias("ba")
+    ).collect()
+    for r in rows:
+        if r.ab is None:  # zero-norm input -> NULL by contract
+            assert r.ba is None
+            continue
+        assert math.isclose(r.ab, r.ba, rel_tol=0, abs_tol=0), "cosine must be symmetric"
+        assert -1.0 - 1e-9 <= r.ab <= 1.0 + 1e-9, "cosine out of [-1, 1]"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(vec, min_size=1, max_size=30))
+def test_self_cosine_is_one_and_normalize_idempotent(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], schema="id long, va array<float>"
+    )
+    out = df.select(
+        "id",
+        V.cosine("va", "va").alias("self_cos"),
+        V.l2_norm(V.l2_normalize("va")).alias("unit_norm"),
+        V.l2_norm(V.l2_normalize(V.l2_normalize("va"))).alias("unit_norm2"),
+        V.l2_norm("va").alias("norm"),
+    ).collect()
+    for r in out:
+        if r.norm == 0.0:
+            assert r.self_cos is None
+            continue
+        assert math.isclose(r.self_cos, 1.0, abs_tol=1e-6), "cos(v, v) == 1"
+        # float32 storage of normalized elements costs ~1e-7 per element
+        assert math.isclose(r.unit_norm, 1.0, abs_tol=1e-5), "||normalize(v)|| == 1"
+        assert math.isclose(
+            r.unit_norm2, r.unit_norm, abs_tol=1e-5
+        ), "normalize is idempotent"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=30))
+def test_l2_distance_matches_numpy_and_triangle_zero(spark, pairs):
+    df = _vector_frame(spark, pairs)
+    rows = df.select("id", V.l2_distance("va", "vb").alias("d")).collect()
+    for r in rows:
+        a, b = pairs[r.id]
+        expect = float(np.linalg.norm(np.array(a, dtype=np.float64) - np.array(b, dtype=np.float64)))
+        # JVM sums sequentially over float32-stored elements; numpy float64
+        # over the same post-storage values can differ only by accumulation
+        assert math.isclose(r.d, expect, rel_tol=1e-5, abs_tol=1e-4)
+        assert r.d >= 0.0
+
+
+texts = st.lists(
+    st.text(alphabet="abcdef ", min_size=0, max_size=40), min_size=1, max_size=25
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts)
+def test_exact_dedup_never_drops_distinct_normalized(spark, docs):
+    """G4 invariant: hash-dedup keeps exactly one row per distinct
+    normalized text — never fewer (no false merges beyond normalization,
+    sha2-256 collisions out of scope)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], schema="id long, text string"
+    )
+    normed = df.withColumn("h", F.sha2(TX.normalize_text("text"), 256))
+    kept = normed.dropDuplicates(["h"]).count()
+    distinct_normed = {
+        r.n for r in df.select(TX.normalize_text("text").alias("n")).collect()
+    }
+    assert kept == len(distinct_normed)
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts)
+def test_stopword_ratio_in_unit_interval(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], schema="id long, text string"
+    )
+    rows = df.select(TX.stopword_ratio("text").alias("r")).collect()
+    for r in rows:
+        if r.r is not None:
+            assert 0.0 <= r.r <= 1.0

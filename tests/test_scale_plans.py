@@ -1,0 +1,106 @@
+"""Plan-shape regression guards for the scale claims in SCALE.md:
+bucketed co-located joins, broadcast dims, pushdown/pruning, and
+partition pruning on the IVF index layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_explain(df) -> str:
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both join sides on the key removes the per-query
+    exchange entirely — the 100 TB recipe for repeated fact-fact joins.
+    (bucketBy needs a table; external tables keep tmp_path as LOCATION.)"""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(tmp_path / "b_orders")
+    ).mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(tmp_path / "b_lineitem")
+    ).mode("overwrite").saveAsTable("b_lineitem")
+
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+        "o_orderstatus"
+    ).agg(F.count("*").alias("n"))
+    # disable auto-broadcast so the join genuinely exercises the bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # neither side may need an exchange before the join: bucket layout
+        # already co-locates the keys (only the groupBy exchanges after)
+        assert plan.count("Exchange hashpartitioning(o_orderkey") == 0
+        assert plan.count("Exchange hashpartitioning(l_orderkey") == 0
+        # and the answer matches the plain (shuffled) join
+        plain = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_star_join_broadcasts_dims_and_pushes_filters(spark, sf_dir):
+    from cloudvectordb_spark.operators.relational import regional_revenue
+
+    txt = _optimized_explain(regional_revenue(spark, sf_dir))
+    assert "BroadcastExchange" in txt, "dimension tables must broadcast"
+    assert "PushedFilters: [" in txt, "scan filters must push into parquet"
+    assert "ReadSchema" in txt
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark, sf_dir):
+    from cloudvectordb_spark.operators.relational import revenue_topk_orders
+
+    plan = _executed_plan(revenue_topk_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "orderBy().limit() must plan top-k"
+
+
+def test_ivf_search_prunes_partitions(spark, sf_dir):
+    """The probe path must read only the selected centroid partitions of
+    the persisted index — shown by a partition filter on centroid_id."""
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        read_ivf_index,
+    )
+
+    vectors, _ = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    pruned = vectors.filter(F.col("centroid_id").isin(1, 3))
+    plan = _executed_plan(pruned)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_knn_exact_corpus_never_shuffles_before_scoring(spark, sf_dir):
+    """Exact kNN: probes broadcast; the only exchange is the (probe_id)
+    window partitioning AFTER scoring+projection to 3 columns."""
+    from cloudvectordb_spark.operators.vector_ops import knn_exact_cosine
+
+    txt = _optimized_explain(knn_exact_cosine(spark, sf_dir))
+    assert "BroadcastExchange" in txt
+    assert txt.count("Exchange hashpartitioning") <= 1
