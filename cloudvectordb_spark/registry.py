@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline,
         relational,
         sources,
+        subqueries,
         text_ops,
         udfs,
         vector_ops,

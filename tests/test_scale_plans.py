@@ -104,3 +104,21 @@ def test_knn_exact_corpus_never_shuffles_before_scoring(spark, sf_dir):
     txt = _optimized_explain(knn_exact_cosine(spark, sf_dir))
     assert "BroadcastExchange" in txt
     assert txt.count("Exchange hashpartitioning") <= 1
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must be a pure physical rewrite: same rows out."""
+    from cloudvectordb_spark.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(cust, "user_id").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+    )
+    salted = salted_join(ev, cust, on="user_id", n_salts=4, salt_source="event_id")
+    salted_agg = salted.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted_agg.collect()))
