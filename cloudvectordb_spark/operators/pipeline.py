@@ -393,3 +393,49 @@ def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def export_triplet_shards(triplets: DataFrame, path: str, num_shards: int = 8) -> None:
     """S1->S2 handoff: balanced parquet shards for the training job."""
     triplets.repartition(num_shards).write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# K10 search side: ANN via the random-projection LSH layout. Probes and
+# corpus hash through the SAME fitted model; approxSimilarityJoin is an
+# equi-join on (hash table, bucket) under the hood — candidate volume is
+# bucket-bounded, never all-pairs. Completes K10: lsh_bucket_counts is
+# the build/layout view, this is the probe view.
+# ---------------------------------------------------------------------------
+@query(
+    "lsh_topk_search",
+    oracle=None,  # seeded LSH layout; recall-vs-exact is pytest-gated
+    operators=("K10", "K8", "E4"),
+)
+def lsh_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector("embedding")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    ).fit(emb)
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("features").alias("features")
+    )
+    joined = lsh.approxSimilarityJoin(
+        probes, emb, threshold=float("inf"), distCol="l2_dist"
+    )
+    scored = joined.filter(
+        F.col("datasetA.probe_id") != F.col("datasetB.vec_id")
+    ).select(
+        F.col("datasetA.probe_id").alias("probe_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.round("l2_dist", 6).alias("l2_dist"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

@@ -105,6 +105,38 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet_sink(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    mode: str = "append",
+) -> None:
+    """Production sink shape: foreachBatch -> idempotent parquet append
+    with a checkpoint. Restarting with the same checkpoint reprocesses
+    nothing (offsets are committed per micro-batch) — the exactly-once
+    story for file sources. Bounded input: runs to completion and stops."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # partition by micro-batch so replays after failure overwrite
+        # their own batch directory instead of duplicating rows
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy("_batch_id").parquet(
+            out_path
+        )
+
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drive a (bounded) stream to completion into a memory sink and
     return the materialized result as a batch DataFrame."""

@@ -54,3 +54,25 @@ def test_streaming_stateful_running_totals_matches_batch(spark, sf_dir):
     g = {(r.user_id, r.event_id): r.running_value for r in got.collect()}
     b = {(r.user_id, r.event_id): r.running_value for r in batch.collect()}
     assert len(g) > 0 and g == b
+
+
+def test_streaming_parquet_sink_checkpoint_no_duplicates(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: bounded run lands every row exactly
+    once; a RESTART from the same checkpoint must be a no-op (no new
+    rows, no duplicates) because all source offsets are committed."""
+    from cloudvectordb_spark.streaming.jobs import run_to_parquet_sink
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    run_to_parquet_sink(stream, out, ckpt)
+    first = spark.read.parquet(out).drop("_batch_id")
+    n_expected = load(spark, sf_dir, "events").filter(F.col("user_id") < 20).count()
+    assert first.count() == n_expected
+    assert first.select("event_id").distinct().count() == n_expected
+
+    # restart with the same checkpoint: nothing to reprocess
+    stream2 = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    run_to_parquet_sink(stream2, out, ckpt)
+    again = spark.read.parquet(out).drop("_batch_id")
+    assert again.count() == n_expected, "restart duplicated rows"

@@ -148,3 +148,39 @@ def test_semantic_dup_ivf_recall_vs_exact(spark, sf_dir):
     assert approx <= exact, "IVF path reported a pair below tau (precision break)"
     assert exact, "fixture should contain pairs above tau"
     assert len(approx & exact) / len(exact) >= 0.35
+
+
+def test_lsh_search_recall_vs_exact(spark, sf_dir):
+    """K10 probe path: LSH candidates must recover most of the exact
+    L2 top-10 (4 hash tables, unbounded radius => high recall here)."""
+    from pyspark.sql import Window
+    from cloudvectordb_spark.operators.pipeline import lsh_topk_search
+    from cloudvectordb_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.l2_distance("embedding", "probe_vec"), 6).alias("d"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    )
+    approx = lsh_topk_search(spark, sf_dir).collect()
+    e, a = {}, {}
+    for r in exact:
+        e.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    for r in approx:
+        a.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recalls = [len(e[p] & a.get(p, set())) / len(e[p]) for p in e]
+    assert sum(recalls) / len(recalls) >= 0.6
