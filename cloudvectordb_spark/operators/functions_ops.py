@@ -275,3 +275,36 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# D7 completion: GROUPING SETS with grouping_id — independent aggregation
+# granularities in one pass (rollup/cube's general form)
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')               AS status,
+           coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+           count(*)                                     AS n_orders,
+           round(sum(o_totalprice), 2)                  AS total,
+           CAST(grouping(o_orderstatus) * 2 + grouping(year(o_orderdate)) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+    """,
+    operators=("D7", "H5"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')                      AS status,
+               coalesce(CAST(year(o_orderdate) AS STRING), 'ALL')  AS yr,
+               count(*)                                            AS n_orders,
+               round(sum(o_totalprice), 2)                         AS total,
+               CAST(grouping(o_orderstatus) * 2 + grouping(year(o_orderdate)) AS BIGINT) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+        """
+    )

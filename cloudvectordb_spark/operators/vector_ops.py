@@ -240,3 +240,88 @@ def vector_normalize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return emb.select("vec_id", F.round(unit_norm, 6).alias("unit_norm"))
+
+
+# ---------------------------------------------------------------------------
+# K8 fast path: numpy-matmul exact kNN with per-partition partial top-k.
+# Each Arrow batch scores ALL probes at once (one BLAS matmul) and emits
+# only its local top-k per probe, so the exchange carries at most
+# k x n_probes rows PER PARTITION instead of the full n_corpus x n_probes
+# score matrix — the map-side-combine idea applied to kNN. Exact, not
+# approximate: global top-k of unioned local top-ks == true top-k.
+# ---------------------------------------------------------------------------
+def exact_knn_fast(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    rows = probes.select(id_col, vec_col).collect()  # bounded probe set
+    probe_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    pm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    pm /= np.linalg.norm(pm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ pm.T  # (batch, n_probes)
+            out_p, out_n, out_s = [], [], []
+            for j, pid in enumerate(probe_ids):
+                col = sims[:, j]
+                mask = ids != pid
+                cand = np.flatnonzero(mask)
+                if len(cand) > k:
+                    top = cand[np.argpartition(-col[cand], k)[:k]]
+                else:
+                    top = cand
+                out_p.extend([pid] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(np.round(col[top], 6))
+            yield pd.DataFrame(
+                {"probe_id": out_p, "neighbor_id": out_n, "score": out_s}
+            )
+
+    local = corpus.mapInPandas(
+        score, schema="probe_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@query(
+    "knn_exact_fast",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT p.probe_id,
+             e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe_vec), 6) AS score
+      FROM embeddings e, p
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K8", "L2", "L5", "E4"),
+    bench=True,
+)
+def knn_exact_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as knn_exact_cosine (same oracle SQL), different
+    physical path: BLAS batch scoring + partial top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return exact_knn_fast(emb, probes, k=10)

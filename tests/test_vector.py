@@ -79,3 +79,17 @@ def test_knn_plan_broadcasts_probes(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < 3)
     plan = exact_knn(emb, probes, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_exact_knn_fast_matches_slow(spark, sf_dir):
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.vector_ops import exact_knn, exact_knn_fast
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    slow = {(r.probe_id, r.rank): (r.neighbor_id, r.score)
+            for r in exact_knn(emb, probes, k=10).collect()}
+    fast = {(r.probe_id, r.rank): (r.neighbor_id, r.score)
+            for r in exact_knn_fast(emb, probes, k=10).collect()}
+    assert slow == fast and len(slow) == 50
