@@ -245,42 +245,36 @@ def ivf_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch ANN search over the PERSISTED IVF layout: probe -> nearest
-    nprobe centroids -> scan only those centroid partitions (pushed
-    partition filter on disk) -> exact top-k within candidates."""
+    """Batch ANN search over the PERSISTED IVF layout:
+    1. probe -> nearest nprobe centroids (tiny broadcast crossJoin)
+    2. the selected centroid ids become a LITERAL isin filter -> genuine
+       partition pruning: non-selected partitions never leave disk
+    3. BLAS-batch exact top-k (exact_knn_fast) over the pruned candidates
+    Candidates are the union of all probes' cells — a superset per probe,
+    which only improves recall; cost is |union cells| x n_probes in one
+    matmul per Arrow batch instead of per-pair interpreted lambdas."""
     from cloudvectordb_spark.functions import vector as V
+    from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
 
     vectors, centroids = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
-    probes = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
-    )
-    # nearest 2 centroids per probe (tiny: nprobe x k rows on the driver side
-    # of a broadcast — at scale this is the only part that touches all probes)
+    probes = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
     pc = (
-        probes.crossJoin(F.broadcast(centroids))
-        .withColumn("cdist", V.l2_distance("probe_vec", "centroid"))
+        probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", V.l2_distance("pv", "centroid"))
     )
     wp = Window.partitionBy("probe_id").orderBy("cdist", "centroid_id")
-    probe_buckets = (
-        pc.withColumn("crank", F.row_number().over(wp))
-        .filter(F.col("crank") <= 2)
-        .select("probe_id", "probe_vec", "centroid_id")
+    cell_ids = sorted(
+        {
+            r.centroid_id
+            for r in pc.withColumn("crank", F.row_number().over(wp))
+            .filter(F.col("crank") <= 2)
+            .select("centroid_id")
+            .collect()
+        }
     )
-    # equi-join on centroid_id: with probe_buckets broadcast, only the
-    # selected centroid partitions of the index are ever read
-    cands = vectors.join(
-        F.broadcast(probe_buckets), on="centroid_id"
-    ).filter(F.col("vec_id") != F.col("probe_id"))
-    scored = cands.select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
-    )
+    pruned = vectors.filter(F.col("centroid_id").isin(cell_ids))
+    return exact_knn_fast(pruned, probes, k=10)
 
 
 # ---------------------------------------------------------------------------
