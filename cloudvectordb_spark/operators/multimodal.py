@@ -59,8 +59,13 @@ def _materialize_binary_corpus(spark: SparkSession, sf_dir: str, limit: int = 50
     import os
     import tempfile
 
+    # key the cache on the fixture's mtime too: regenerated testdata must
+    # re-materialize or the oracle (which reads the live table) mismatches
+    src_mtime = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
     out = os.path.join(
-        tempfile.gettempdir(), "cloudvectordb_blobs", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "cloudvectordb_blobs",
+        f"{sf_dir.strip('/').replace('/', '_')}_{src_mtime}",
     )
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
