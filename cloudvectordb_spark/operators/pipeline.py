@@ -464,3 +464,65 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("centroid_id").parquet(
         f"{index_path}/vectors"
     )
+
+
+# ---------------------------------------------------------------------------
+# S2 -> S3 artifact loop: embed with the TRAINED encoder artifact, loaded
+# once per Python worker process and cached in a module-level dict (the
+# production pattern for model-per-worker inference). Local mode shares
+# the filesystem; on a cluster the artifact dir ships via
+# SparkContext.addFile / a shared store — the worker code is identical.
+# ---------------------------------------------------------------------------
+_WORKER_ENCODER_CACHE: dict = {}
+
+
+def embed_with_artifact(docs: DataFrame, artifact_dir: str) -> DataFrame:
+    def run(batches):
+        from cloudvectordb_spark.training import encode_texts_stub, load_encoder_stub
+
+        proj = _WORKER_ENCODER_CACHE.get(artifact_dir)
+        if proj is None:
+            proj = load_encoder_stub(artifact_dir)
+            _WORKER_ENCODER_CACHE[artifact_dir] = proj
+        for pdf in batches:
+            vecs = encode_texts_stub(list(pdf["text"]), proj)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": list(vecs)})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, embedding array<float>"
+    )
+
+
+@query(
+    "embed_documents_trained_artifact",
+    oracle=None,  # projection encoder has no SQL twin; determinism pytest-gated
+    operators=("K5", "K4", "L5"),
+)
+def embed_documents_trained_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full S1->S3 hand-off in one query: ensure the (stub) encoder
+    artifact exists for this sf_dir, then batch-embed through it."""
+    import os
+    import tempfile
+
+    from cloudvectordb_spark.training import train_encoder_stub
+
+    src_mtime = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    art = os.path.join(
+        tempfile.gettempdir(),
+        "cloudvectordb_artifact",
+        f"{sf_dir.strip('/').replace('/', '_')}_{src_mtime}",
+    )
+    if not os.path.exists(os.path.join(art, "encoder.npz")):
+        shards = os.path.join(art, "_shards")
+        os.makedirs(shards, exist_ok=True)
+        train_encoder_stub(shards, art)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = embed_with_artifact(docs, art)
+    # deterministic projection summary: dim + first components, rounded
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 5).alias("c1"),
+        F.round(F.element_at("embedding", 2).cast("double"), 5).alias("c2"),
+    )

@@ -219,3 +219,16 @@ def test_ivf_incremental_append_and_search(spark, sf_dir, tmp_path):
     # itself (self-match excluded by construction, so check membership)
     ids_in_index = {r.vec_id for r in after.select("vec_id").collect()}
     assert 0 in ids_in_index and len(hits) == 5
+
+
+def test_embed_with_trained_artifact_deterministic(spark, sf_dir):
+    from cloudvectordb_spark.operators.pipeline import (
+        embed_documents_trained_artifact,
+    )
+
+    r1 = {(r.doc_id): (r.dim, r.c1, r.c2)
+          for r in embed_documents_trained_artifact(spark, sf_dir).collect()}
+    r2 = {(r.doc_id): (r.dim, r.c1, r.c2)
+          for r in embed_documents_trained_artifact(spark, sf_dir).collect()}
+    assert r1 == r2 and len(r1) > 0
+    assert all(dim == 64 for dim, _, _ in r1.values())
