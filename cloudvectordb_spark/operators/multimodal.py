@@ -69,7 +69,8 @@ def _materialize_binary_corpus(spark: SparkSession, sf_dir: str, limit: int = 50
     )
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
-        os.makedirs(out, exist_ok=True)
+        build = f"{out}.build{os.getpid()}"
+        os.makedirs(build, exist_ok=True)
         rows = (
             load(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < limit)
@@ -77,10 +78,16 @@ def _materialize_binary_corpus(spark: SparkSession, sf_dir: str, limit: int = 50
             .collect()
         )
         for r in rows:
-            with open(os.path.join(out, f"{r.doc_id}.bin"), "wb") as f:
+            with open(os.path.join(build, f"{r.doc_id}.bin"), "wb") as f:
                 f.write(r.text.encode("utf-8"))
-        with open(marker, "w") as f:
+        with open(os.path.join(build, "_DONE"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(build, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
     return out
 
 

@@ -210,11 +210,20 @@ def ensure_ivf_index(
     path = os.path.join(tempfile.gettempdir(), "cloudvectordb_ivf", tag)
     marker = os.path.join(path, "_BUILT")
     if not os.path.exists(marker):
+        # build privately, then publish with an atomic rename so a
+        # concurrent process never reads a half-written index
+        build_dir = f"{path}.build{os.getpid()}"
         emb = load(spark, sf_dir, "embeddings")
         assigned, centroids = build_ivf_assignments(emb, k=k, seed=seed)
-        write_ivf_index(assigned, centroids, path)
-        with open(marker, "w") as f:
+        write_ivf_index(assigned, centroids, build_dir)
+        with open(os.path.join(build_dir, "_BUILT"), "w") as f:
             f.write("ok")
+        try:
+            os.rename(build_dir, path)
+        except OSError:  # another process published first — use theirs
+            import shutil
+
+            shutil.rmtree(build_dir, ignore_errors=True)
     return path
 
 
@@ -513,9 +522,16 @@ def embed_documents_trained_artifact(spark: SparkSession, sf_dir: str) -> DataFr
         f"{sf_dir.strip('/').replace('/', '_')}_{src_mtime}",
     )
     if not os.path.exists(os.path.join(art, "encoder.npz")):
-        shards = os.path.join(art, "_shards")
+        build = f"{art}.build{os.getpid()}"
+        shards = os.path.join(build, "_shards")
         os.makedirs(shards, exist_ok=True)
-        train_encoder_stub(shards, art)
+        train_encoder_stub(shards, build)
+        try:
+            os.rename(build, art)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     out = embed_with_artifact(docs, art)

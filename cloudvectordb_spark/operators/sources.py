@@ -21,7 +21,11 @@ from pyspark.sql import types as T
 from cloudvectordb_spark.catalog import load
 from cloudvectordb_spark.registry import query
 
-_IO_ROOT = os.path.join(tempfile.gettempdir(), "cloudvectordb_spark_io")
+# per-process root: concurrent engine processes (e.g. a parallel bench
+# while the gate runs) must not clobber each other's roundtrip files
+_IO_ROOT = os.path.join(
+    tempfile.gettempdir(), f"cloudvectordb_spark_io_{os.getpid()}"
+)
 
 _DOC_SCHEMA = T.StructType(
     [
