@@ -232,3 +232,57 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# The LLM-data-curation composition: language filter -> quality gates
+# (length + stopword ratio) -> exact near-dup removal (normalized-hash
+# keep-first) -> per-source acceptance stats. One declarative plan:
+# Catalyst fuses the filters into the scan; the only shuffles are the
+# dedup window and the final small aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "curated_corpus_stats",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, source, n_chars,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+      WHERE lang IN ('en', 'es')
+        AND n_chars BETWEEN 50 AND 10000
+        AND len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['the','a','of','and','to','in','is','for'], x)))
+            >= 0.05 * len(string_split(text, ' '))
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           count(*)                      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS total_chars
+    FROM kept
+    GROUP BY source
+    """,
+    operators=("K2", "G4", "B4", "B3", "D1", "E1"),
+)
+def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    gated = (
+        docs.filter(F.col("lang").isin("en", "es"))
+        .filter(F.col("n_chars").between(50, 10000))
+        .filter(
+            TX.stopword_ratio("text") >= 0.05
+        )
+        .withColumn("h", F.md5(TX.normalize_text("text")))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -76,3 +76,22 @@ def test_streaming_parquet_sink_checkpoint_no_duplicates(spark, sf_dir, tmp_path
     run_to_parquet_sink(stream2, out, ckpt)
     again = spark.read.parquet(out).drop("_batch_id")
     assert again.count() == n_expected, "restart duplicated rows"
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    """J2 streaming-native: 10-min/5-min sliding windows through the
+    micro-batch engine equal the batch shape."""
+    from pyspark.sql import functions as F2
+
+    def sliding(df):
+        return (
+            df.groupBy(F2.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+            .agg(F2.count("*").alias("n"))
+            .select(F2.col("w.start").alias("ws"), "event_type", "n")
+        )
+
+    got = run_to_memory(sliding(read_events_stream(spark, sf_dir)), "t_sliding", "complete")
+    batch = sliding(load(spark, sf_dir, "events"))
+    g = {(r.ws, r.event_type): r.n for r in got.collect()}
+    b = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    assert g == b and len(g) > 0
