@@ -325,3 +325,52 @@ def knn_exact_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     return exact_knn_fast(emb, probes, k=10)
+
+
+# ---------------------------------------------------------------------------
+# K6 storage path: int8 scalar quantization. At 100 TB the index holds
+# 4x fewer bytes if vectors store as int8 + one scale per vector; search
+# dequantizes on the fly. Pure higher-order expressions (no UDF) so the
+# oracle verifies the quantize -> dequantize -> fidelity loop exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_int8_quant_error",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+      FROM embeddings WHERE vec_id < 200
+    ),
+    d AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> round(x / scale) * scale) AS vq
+      FROM q
+    )
+    SELECT vec_id,
+           round(scale, 8) AS scale,
+           round(list_cosine_similarity(v, vq), 6) AS cos_fidelity,
+           round(sqrt(list_sum(list_transform(
+             list_zip(v, vq), p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS l2_err
+    FROM d
+    """,
+    operators=("K6", "H8", "K12"),
+)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / 127.0
+    q = emb.select("vec_id", v.alias("v"), scale.alias("scale"))
+    vq = F.transform("v", lambda x: F.round(x / F.col("scale")) * F.col("scale"))
+    d = q.select("vec_id", "v", "scale", vq.alias("vq"))
+    diff_sq = F.aggregate(
+        F.zip_with("v", "vq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.round(V.cosine("v", "vq"), 6).alias("cos_fidelity"),
+        F.round(F.sqrt(diff_sq), 6).alias("l2_err"),
+    )

@@ -93,3 +93,17 @@ def test_exact_knn_fast_matches_slow(spark, sf_dir):
     fast = {(r.probe_id, r.rank): (r.neighbor_id, r.score)
             for r in exact_knn_fast(emb, probes, k=10).collect()}
     assert slow == fast and len(slow) == 50
+
+
+def test_int8_quantization_fidelity(spark, sf_dir):
+    """int8 quantization must stay within its theoretical error budget:
+    per-element error <= scale/2, so l2_err <= sqrt(dim)*scale/2 and
+    cosine fidelity stays ~1 for unit-ish vectors."""
+    import math
+    from cloudvectordb_spark.registry import all_queries
+
+    rows = all_queries()["embedding_int8_quant_error"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cos_fidelity >= 0.999, f"vec {r.vec_id} fidelity {r.cos_fidelity}"
+        assert r.l2_err <= math.sqrt(64) * r.scale / 2 + 1e-9
