@@ -95,3 +95,50 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     g = {(r.ws, r.event_type): r.n for r in got.collect()}
     b = {(r.ws, r.event_type): r.n for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_streaming_multi_microbatch_incremental_state(spark, sf_dir, tmp_path):
+    """Split events into 8 files and rate-limit to 2 files per trigger:
+    the windowed aggregate must accumulate across ~4 micro-batches and
+    still equal the batch answer — true incremental-state verification
+    (a single-file source collapses to one batch and proves little)."""
+    from pyspark.sql import functions as F2
+
+    src = str(tmp_path / "events_split")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = (
+        stream.groupBy(F2.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F2.count("*").alias("n"), F2.round(F2.sum("value"), 2).alias("s"))
+        .select(F2.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_microbatches")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 3, f"expected multiple micro-batches, got {n_batches}"
+
+    got = {
+        (r.ws, r.event_type): (r.n, r.s)
+        for r in spark.sql("SELECT * FROM t_microbatches").collect()
+    }
+    batch = (
+        ev.groupBy(F2.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F2.count("*").alias("n"), F2.round(F2.sum("value"), 2).alias("s"))
+        .select(F2.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    b = {(r.ws, r.event_type): (r.n, r.s) for r in batch.collect()}
+    assert got == b and len(got) > 0

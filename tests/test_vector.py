@@ -107,3 +107,31 @@ def test_int8_quantization_fidelity(spark, sf_dir):
     for r in rows:
         assert r.cos_fidelity >= 0.999, f"vec {r.vec_id} fidelity {r.cos_fidelity}"
         assert r.l2_err <= math.sqrt(64) * r.scale / 2 + 1e-9
+
+
+def test_search_over_quantized_corpus_preserves_topk(spark, sf_dir):
+    """kNN over the int8-dequantized corpus must recover nearly all of
+    the full-precision top-10 — the end-to-end check that a 4x-smaller
+    index layout doesn't cost meaningful recall."""
+    from pyspark.sql import functions as F
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / 127.0
+    dequant = emb.select(
+        "vec_id",
+        F.transform(v, lambda x: (F.round(x / scale) * scale).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    probes = emb.filter(F.col("vec_id") < 5)
+    full = {}
+    for r in exact_knn_fast(emb, probes, k=10).collect():
+        full.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    quant = {}
+    for r in exact_knn_fast(dequant, probes, k=10).collect():
+        quant.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recalls = [len(full[p] & quant.get(p, set())) / len(full[p]) for p in full]
+    assert sum(recalls) / len(recalls) >= 0.8
