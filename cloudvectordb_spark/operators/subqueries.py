@@ -205,3 +205,34 @@ def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-decorrelated form: the SAME correlated EXISTS + scalar
+# subquery text runs through spark.sql — proving the engine's SQL entry
+# decorrelates automatically (SURVEY.md §4), not just our hand-rolled
+# DataFrame forms above.
+# ---------------------------------------------------------------------------
+_CORRELATED_SQL = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity >= 45
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "sql_correlated_exists",
+    oracle=_CORRELATED_SQL,
+    operators=("A6", "C4", "D2", "B2"),
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORRELATED_SQL)
