@@ -1,0 +1,222 @@
+"""Training-corpus curation operators (SURVEY.md §2 K2/G4/G5 extensions;
+[SCOPE] BASELINE.json:6 — "add the LLM-data-pipeline operators").
+
+The reference's S1 stage builds "a very large dataset"
+(/root/reference/README.md:2); these are the corpus-management steps a
+100 TB text pipeline runs between raw ingest and training: deterministic
+splits, repetition-based quality gates, benchmark decontamination, and
+budgeted corpus mixing. Everything is Column-expression / groupBy only —
+no UDFs — so each query is one declarative plan with DuckDB oracle twins.
+
+Scale notes per query are inline; the common theme: the only shuffles are
+per-doc-key aggregations (map-side combine applies) and the benchmark
+side of decontamination is broadcast-sized by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.functions import text as TX
+from cloudvectordb_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: bucket on the first hex digit of
+# md5(doc_id). Content-free, reproducible across engines and reruns, no
+# seeded RNG — the standard way to split a corpus that keeps growing
+# (a new doc lands in a stable split forever). Pure projection + one
+# tiny aggregate; at 100 TB the split column is computed in the scan
+# stage and the groupBy reduces map-side to 3 rows per task.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_split_counts",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                ELSE 'test' END                                AS split,
+           count(*)                                            AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)   AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    operators=("K2", "B8", "D1", "H4"),
+)
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(bucket < "c", "train").when(bucket < "e", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), TX.token_count("text").alias("ntok"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scores (Gopher-style quality rules): fraction of duplicated
+# bigrams and mass of the single most frequent unigram. High values flag
+# boilerplate / degenerate text for removal before training. The bigram
+# side is a pure array expression (zero shuffle); the unigram side is an
+# explode -> per-(doc,term) count -> per-doc max/sum — two key-local
+# aggregations that combine map-side, then one join on doc_id.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_repetition_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 100
+    ),
+    bi AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS bg
+      FROM t
+    ),
+    bigram AS (
+      SELECT doc_id,
+             round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+               AS dup_bigram_frac
+      FROM bi
+    ),
+    cnt AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id < 100)
+      GROUP BY doc_id, term
+    ),
+    uni AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_unigram_frac
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT bigram.doc_id, dup_bigram_frac, top_unigram_frac
+    FROM bigram JOIN uni USING (doc_id)
+    """,
+    operators=("K2", "H7", "H8", "D1", "C1"),
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    bg = TX.word_shingles("text", 2)
+    bigram = docs.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    uni = cnt.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_unigram_frac")
+    )
+    return bigram.join(uni, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs sharing any word-trigram
+# with the held-out eval set (here: doc_id % 97 == 0 stands in for the
+# benchmark). The eval side is benchmark-sized — thousands of docs, not
+# terabytes — so its distinct trigram set is broadcast; the training side
+# streams through an explode + broadcast-hash-join + per-doc count with
+# no all-pairs comparison. This is the exact shape of 13-gram
+# decontamination runs on production corpora (trigrams here because the
+# fixture vocabulary is tiny).
+# ---------------------------------------------------------------------------
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS g
+      FROM documents
+    ),
+    ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, count(*) AS n_shared_trigrams
+    FROM tr JOIN ev USING (g)
+    GROUP BY tr.doc_id
+    """,
+    operators=("K2", "G5", "H7", "C1", "D1"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),
+    )
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    tr = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_trigrams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Budgeted corpus mixing: per language, rank docs by a quality proxy and
+# keep documents until a per-language token budget is exhausted — the
+# "sample X tokens of lang Y at quality-descending order" step of corpus
+# composition. One window (partitioned by lang — parallel across
+# languages) computes the running token total; the final aggregate is
+# tiny. At 100 TB the per-lang ordering is the only big sort, and it is
+# range-partitioned by Spark's window exchange.
+# ---------------------------------------------------------------------------
+_TOKEN_BUDGET = 2000
+
+
+@query(
+    "token_budget_mixture",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok, n_chars
+      FROM documents
+    ),
+    cum AS (
+      SELECT lang, doc_id, ntok,
+             sum(ntok) OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running_tokens
+      FROM scored
+    )
+    SELECT lang,
+           count(*)                    AS n_docs_kept,
+           CAST(sum(ntok) AS BIGINT)   AS tokens_kept
+    FROM cum
+    WHERE running_tokens <= {_TOKEN_BUDGET}
+    GROUP BY lang
+    """,
+    operators=("K2", "E3", "E1", "D1", "B3"),
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", "doc_id", TX.token_count("text").alias("ntok"), "n_chars"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = scored.withColumn("running_tokens", F.sum("ntok").over(w))
+    return (
+        cum.filter(F.col("running_tokens") <= _TOKEN_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("ntok").cast("bigint").alias("tokens_kept"),
+        )
+    )

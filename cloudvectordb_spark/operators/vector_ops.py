@@ -374,3 +374,67 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(V.cosine("v", "vq"), 6).alias("cos_fidelity"),
         F.round(F.sqrt(diff_sq), 6).alias("l2_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT-style maxsim) retrieval: documents are bags of
+# chunk vectors; score(query, doc) = sum over query chunks of the max
+# cosine against any doc chunk. The fixture has no chunk table, so vec_id
+# % 50 partitions the embeddings into 50 pseudo-documents (deterministic,
+# oracle-replayable); pseudo-doc 0's first 10 chunks act as the query.
+#
+# Scale shape: the query side is broadcast (a query is tens of chunks);
+# the corpus streams through one cross-score projection, then two
+# key-local aggregations — max per (doc, query_chunk), sum per doc — both
+# combine map-side, so the only shuffled rows are (doc, chunk, sim)
+# triples already reduced per input partition. Per-pair cosines are
+# rounded to 6 BEFORE max/sum so both engines rank identically.
+# ---------------------------------------------------------------------------
+@query(
+    "maxsim_late_interaction",
+    oracle="""
+    WITH chunks AS (
+      SELECT vec_id % 50 AS pdoc, vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    probe AS (
+      SELECT vec_id AS probe_chunk, v FROM chunks WHERE pdoc = 0
+      ORDER BY vec_id LIMIT 10
+    ),
+    best AS (
+      SELECT c.pdoc, p.probe_chunk,
+             max(round(list_cosine_similarity(p.v, c.v), 6)) AS best_sim
+      FROM chunks c CROSS JOIN probe p
+      WHERE c.pdoc <> 0
+      GROUP BY 1, 2
+    ),
+    scored AS (SELECT pdoc, round(sum(best_sim), 6) AS maxsim FROM best GROUP BY 1)
+    SELECT pdoc, maxsim,
+           CAST(row_number() OVER (ORDER BY maxsim DESC, pdoc) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    operators=("K8", "K7", "E4", "C10", "L6"),
+)
+def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "pdoc", F.col("vec_id") % 50
+    )
+    probe = (
+        emb.filter(F.col("pdoc") == 0)
+        .orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("probe_chunk"), F.col("embedding").alias("pv"))
+    )
+    best = (
+        emb.filter(F.col("pdoc") != 0)
+        .crossJoin(F.broadcast(probe))
+        .groupBy("pdoc", "probe_chunk")
+        .agg(F.max(F.round(V.cosine("embedding", "pv"), 6)).alias("best_sim"))
+    )
+    scored = best.groupBy("pdoc").agg(F.round(F.sum("best_sim"), 6).alias("maxsim"))
+    w = Window.orderBy(F.desc("maxsim"), F.asc("pdoc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     the full registry."""
     # Imports are deferred so `import cloudvectordb_spark` stays cheap.
     from cloudvectordb_spark.operators import (  # noqa: F401
+        curation,
         dedup,
         events,
         functions_ops,
