@@ -1,0 +1,301 @@
+"""Search-surface operators: keyword relevance, hybrid fusion, filtered
+ANN, and CDC-style index maintenance (SURVEY.md §2 K8/E4/C10 extensions;
+reference S4 "building the vectordb", /root/reference/README.md:2 — the
+query-side surface a vector-DB user actually calls).
+
+All four are single declarative plans with DuckDB oracle twins:
+
+- ``bm25_keyword_search``: full BM25 (k1=1.2, b=0.75) from explode ->
+  tf/df/dl aggregates. The df and corpus-stats sides are
+  vocabulary-sized / scalar — broadcast; the tf side reduces map-side.
+- ``hybrid_rrf_search``: reciprocal-rank fusion of the BM25 ranking and
+  an embedding-cosine ranking — the standard hybrid-search scoring.
+- ``filtered_knn_search``: exact kNN under a metadata predicate; the
+  filter lands in the parquet scan (pushdown) BEFORE any scoring, which
+  is what makes filtered ANN cheap at 100 TB.
+- ``vector_upsert_merge``: last-wins merge of a change log (upserts +
+  deletes, sequenced) into a base vector table — one window over the
+  unioned log, the maintenance primitive behind incremental indexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.functions import text as TX
+from cloudvectordb_spark.functions import vector as V
+from cloudvectordb_spark.registry import query
+
+_QUERY_TERMS = ("data", "query", "fast")
+_TERMS_SQL = "('" + "', '".join(_QUERY_TERMS) + "')"
+_K1, _B = 1.2, 0.75
+
+_BM25_SCORED_SQL = f"""
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN {_TERMS_SQL} GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_K1} + 1.0)
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+"""
+
+
+def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = _QUERY_TERMS) -> DataFrame:
+    """(doc_id, bm25) for docs containing >= 1 query term.
+
+    Corpus stats (N, avgdl) are a 1-row aggregate and df is
+    query-term-sized — both broadcast into the scoring join, so the only
+    large shuffle is the per-(doc, term) tf reduction, which combines
+    map-side. Scores rounded to 6 before any ranking (oracle parity).
+    """
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+    operators=("K2", "E4", "D1", "C2", "F2"),
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = bm25_scores(docs)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: RRF over (BM25 rank, cosine rank). Each ranking is
+# top-heavy and cheap to produce; the fusion join is keyed on doc_id.
+# The global rank windows are single-partition over ALREADY-REDUCED
+# (doc_id, score) rows — at 100 TB you'd cap each side with a per-
+# partition top-k (as knn_exact_fast does) before the global window.
+# ---------------------------------------------------------------------------
+@query(
+    "hybrid_rrf_search",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL},
+    bm AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS krank
+      FROM scored
+    ),
+    vec AS (
+      SELECT d.vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY round(list_cosine_similarity(CAST(d.embedding AS DOUBLE[]),
+                                                     CAST(p.embedding AS DOUBLE[])), 6) DESC,
+                        d.vec_id) AS BIGINT) AS vrank
+      FROM embeddings d
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+      WHERE d.vec_id < (SELECT count(*) FROM documents)
+    ),
+    fused AS (
+      SELECT bm.doc_id,
+             round(1.0 / (60 + bm.krank) + 1.0 / (60 + vec.vrank), 6) AS rrf_score
+      FROM bm JOIN vec USING (doc_id)
+    )
+    SELECT doc_id, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= 10
+    """,
+    operators=("K8", "K7", "E4", "C1", "C2", "F2"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    n_docs = docs.count()
+
+    kw = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm = bm25_scores(docs).select(
+        "doc_id", F.row_number().over(kw).cast("bigint").alias("krank")
+    )
+
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    vw = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    vec = (
+        emb.filter(F.col("vec_id") < n_docs)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("sim"),
+        )
+        .select("doc_id", F.row_number().over(vw).cast("bigint").alias("vrank"))
+    )
+
+    fused = bm.join(vec, "doc_id").select(
+        "doc_id",
+        F.round(
+            1.0 / (60 + F.col("krank")) + 1.0 / (60 + F.col("vrank")), 6
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: metadata predicate + exact kNN. The predicate is a plain
+# Column filter, so Catalyst pushes it into the parquet scan (PushedFilters)
+# — the corpus is pre-shrunk BEFORE any vector math, the pre-filter
+# strategy every vector DB uses for selective metadata.
+# ---------------------------------------------------------------------------
+@query(
+    "filtered_knn_search",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe_vec), 6) AS score
+      FROM embeddings e, p
+      WHERE e.label IN (1, 3) AND e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, label, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K8", "K7", "E4", "C10", "B1"),
+)
+def filtered_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        emb.filter(F.col("label").isin(1, 3))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge: apply a sequenced change log (upsert/delete) onto a base
+# vector table, last-wins per key. The log here is derived
+# deterministically from the fixtures (so the oracle can replay it):
+#   seq 0: base       = vec_id < 400
+#   seq 1: deletes    = vec_id % 7 == 0
+#   seq 2: upserts    = vec_id in [350, 450) with the vector doubled
+# One union + one (key)-partitioned window — the standard Spark shape for
+# applying a day's worth of index deltas; at scale the window exchange is
+# the only shuffle and partitions by the merge key.
+# ---------------------------------------------------------------------------
+@query(
+    "vector_upsert_merge",
+    oracle="""
+    WITH log AS (
+      SELECT vec_id, 0 AS seq, 'upsert' AS op, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 400
+      UNION ALL
+      SELECT vec_id, 1, 'delete', NULL
+      FROM embeddings WHERE vec_id < 400 AND vec_id % 7 = 0
+      UNION ALL
+      SELECT vec_id, 2, 'upsert', list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+      FROM embeddings WHERE vec_id >= 350 AND vec_id < 450
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(seq AS BIGINT) AS version, round(v[1], 6) AS v0
+    FROM latest
+    WHERE op <> 'delete' AND vec_id < 60
+    """,
+    operators=("G1", "E1", "D3", "K6", "C1"),
+)
+def vector_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v_dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.filter(F.col("vec_id") < 400).select(
+        "vec_id", F.lit(0).alias("seq"), F.lit("upsert").alias("op"), v_dbl.alias("v")
+    )
+    deletes = emb.filter((F.col("vec_id") < 400) & (F.col("vec_id") % 7 == 0)).select(
+        "vec_id",
+        F.lit(1).alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("array<double>").alias("v"),
+    )
+    upserts = emb.filter(F.col("vec_id").between(350, 449)).select(
+        "vec_id",
+        F.lit(2).alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.transform(v_dbl, lambda x: x * 2.0).alias("v"),
+    )
+    log = base.unionByName(deletes).unionByName(upserts)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("seq"))
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        latest.filter((F.col("op") != "delete") & (F.col("vec_id") < 60))
+        .select(
+            "vec_id",
+            F.col("seq").cast("bigint").alias("version"),
+            F.round(F.element_at("v", 1), 6).alias("v0"),
+        )
+    )

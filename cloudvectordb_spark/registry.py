@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         pipeline,
         relational,
+        search,
         sources,
         subqueries,
         text_ops,

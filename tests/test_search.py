@@ -1,0 +1,73 @@
+"""Invariant tests for the search-surface operators (operators/search.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.operators.search import (
+    bm25_keyword_search,
+    filtered_knn_search,
+    hybrid_rrf_search,
+    vector_upsert_merge,
+    _QUERY_TERMS,
+)
+
+
+def test_bm25_only_matching_docs_scored(spark, sf_dir):
+    rows = bm25_keyword_search(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 20
+    assert all(r["bm25"] > 0 for r in rows)
+    scores = [r["bm25"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+    # every returned doc really contains >= 1 query term
+    ids = [r["doc_id"] for r in rows]
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .select(
+            "doc_id",
+            F.arrays_overlap(
+                F.split("text", " "), F.array(*[F.lit(t) for t in _QUERY_TERMS])
+            ).alias("hit"),
+        )
+        .collect()
+    )
+    assert all(r["hit"] for r in docs)
+
+
+def test_rrf_bounded_and_ranked(spark, sf_dir):
+    rows = hybrid_rrf_search(spark, sf_dir).orderBy("rank").collect()
+    assert len(rows) == 10
+    # rrf of two rankings with k=60: each component in (0, 1/61]
+    assert all(0 < r["rrf_score"] <= 2 / 61 for r in rows)
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_filtered_knn_respects_predicate(spark, sf_dir):
+    rows = filtered_knn_search(spark, sf_dir).collect()
+    assert rows
+    assert all(r["label"] in (1, 3) for r in rows)
+    assert all(r["neighbor_id"] != r["probe_id"] for r in rows)
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    for ranks in per_probe.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_upsert_merge_last_wins(spark, sf_dir):
+    rows = {r["vec_id"]: r for r in vector_upsert_merge(spark, sf_dir).collect()}
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 60)
+        .collect()
+    }
+    for vid, r in rows.items():
+        assert vid % 7 != 0, "deleted keys must not survive"
+        assert r["version"] == 0, "no upsert touches vec_id < 60"
+        assert abs(r["v0"] - emb[vid][0]) < 1e-4
+    # every non-deleted base key < 60 survives
+    assert set(rows) == {v for v in emb if v % 7 != 0}
