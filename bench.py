@@ -36,13 +36,23 @@ def main() -> None:
 
     ensure_ivf_index(spark, sf_dir)
 
+    # Steady-state latency: one untimed warm-up execution per query
+    # (whole-stage codegen compile + AQE stats land there), then the best
+    # of N timed runs — the standard warm "power run" methodology. Set
+    # SPARK_GRAFT_BENCH_RUNS=1 for single-shot cold timings.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, spec in sorted(all_queries().items()):
         if not spec.bench:
             continue
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        if runs > 1:
+            spec.fn(spark, sf_dir).collect()  # warm-up, untimed
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

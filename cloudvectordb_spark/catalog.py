@@ -54,6 +54,16 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """A6: expose every fixture table to ``spark.sql`` under its own name."""
+    """A6: expose every fixture table to ``spark.sql`` under its own name.
+
+    Memoized per (session, sf_dir): re-registration re-reads every
+    parquet footer for schema (~1s of driver-side work per call), which
+    would otherwise tax each spark.sql query. Registering views for a
+    DIFFERENT sf_dir on the same session invalidates the memo.
+    """
+    tag = getattr(spark, "_cvdb_views_for", None)
+    if tag == sf_dir:
+        return
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark._cvdb_views_for = sf_dir
