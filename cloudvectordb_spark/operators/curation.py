@@ -150,6 +150,7 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY tr.doc_id
     """,
     operators=("K2", "G5", "H7", "C1", "D1"),
+    bench=True,
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

@@ -258,3 +258,29 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("side") == 1).select(
         "event_id", "user_id", "ts", "last_click_ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# C6/E2 + streaming J-column: purchase<-clicks interval (range) join —
+# every click by the same user in the 30 minutes before a purchase. The
+# SAME code (streaming/jobs.py:interval_join_purchase_clicks) runs
+# stream-stream under the micro-batch engine with watermarked, evictable
+# state; driven by tests/test_events_streaming.py. Batch form here is the
+# oracle-checked twin.
+# ---------------------------------------------------------------------------
+@query(
+    "purchase_click_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+           c.event_id AS click_id, c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+    """,
+    operators=("C6", "E2", "C8"),
+)
+def purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.streaming.jobs import interval_join_purchase_clicks
+
+    return interval_join_purchase_clicks(load(spark, sf_dir, "events"))

@@ -101,6 +101,7 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = _QUERY_TERMS) -> DataF
     FROM scored QUALIFY rank <= 20
     """,
     operators=("K2", "E4", "D1", "C2", "F2"),
+    bench=True,
 )
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -147,6 +148,7 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fused QUALIFY rank <= 10
     """,
     operators=("K8", "K7", "E4", "C1", "C2", "F2"),
+    bench=True,
 )
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

@@ -415,6 +415,7 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rank <= 5
     """,
     operators=("K8", "K7", "E4", "C10", "L6"),
+    bench=True,
 )
 def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(

@@ -66,6 +66,45 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, on_left: str, on_right: s
     return events.join(dim, events[on_left] == dim[on_right], "inner")
 
 
+def interval_join_purchase_clicks(events: DataFrame, window: str = "30 minutes") -> DataFrame:
+    """Stream-stream interval join: every click by the same user within
+    ``window`` BEFORE a purchase (inclusive). The time-range predicate
+    bounds each side's event time relative to the other, so with
+    watermarks on BOTH inputs the join state is evictable — the
+    streaming-native attribution join. On batch frames ``withWatermark``
+    is a no-op and the same code is a plain range join (C6/E2).
+    State scales with events-per-watermark-horizon per user, not with
+    history — the 100 TB-stream shape.
+    """
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(
+        "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id", "c_ts"
+    )
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """J6 streaming-native: per-user running value via arbitrary stateful
     processing (``applyInPandasWithState``). State = one double (the

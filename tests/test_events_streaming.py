@@ -142,3 +142,19 @@ def test_streaming_multi_microbatch_incremental_state(spark, sf_dir, tmp_path):
     )
     b = {(r.ws, r.event_type): (r.n, r.s) for r in batch.collect()}
     assert got == b and len(got) > 0
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides) == batch twin."""
+    from cloudvectordb_spark.streaming.jobs import interval_join_purchase_clicks
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_to_memory(
+        interval_join_purchase_clicks(stream), "t_interval_join", mode="append"
+    )
+    batch = interval_join_purchase_clicks(load(spark, sf_dir, "events"))
+    g = {(r.purchase_id, r.click_id) for r in got.collect()}
+    b = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    # append-mode emission is watermark-gated: every emitted pair must be
+    # correct, and the bounded replay must surface the full batch answer
+    assert len(b) > 0 and g == b
