@@ -1,0 +1,216 @@
+"""Product quantization (K9-family compression path; reference S4
+"building the vectordb", /root/reference/README.md:2).
+
+The memory-bound half of a vector index at 100 TB: vectors compressed
+M-subspace x K-centroid codes (here 8 x 16 over dim-64 => 8 bytes per
+vector, 32x smaller than float32), searched with an ADC (asymmetric
+distance computation) scan against per-probe lookup tables, then
+exact-rescored on a small candidate buffer — the FAISS IVF-PQ recipe
+re-expressed in Spark terms:
+
+- codebook TRAINING is sample-bounded (like any ANN library: train on a
+  capped sample regardless of corpus size) — seeded Lloyd iterations on
+  the driver, broadcast to workers;
+- ENCODING is distributed (mapInPandas, Arrow batches, one argmin per
+  subspace per vector — pure numpy);
+- the ADC SCAN is distributed (each worker sums table lookups over its
+  partition's codes; probes' tables ride along as a broadcast closure);
+- RESCORE joins the top-C ADC candidates back to the float vectors and
+  re-ranks with exact cosine — candidates shrink per-partition BEFORE
+  the join, so the expensive exact math touches C rows per probe, not
+  the corpus.
+
+Vectors are unit-normalized before quantization so ADC's L2^2 ranks
+identically to cosine (||a-b||^2 = 2 - 2*cos on the unit sphere).
+Seeded + sample-order pinned => deterministic, but KMeans itself has no
+SQL twin: the query is rows-only; fidelity is pytest-gated by recall@10
+vs the exact-kNN oracle path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.registry import query
+
+_M = 8          # subspaces
+_K = 16         # centroids per subspace (4-bit codes)
+_SAMPLE_CAP = 4096
+_SEED = 42
+_ITERS = 15
+_RESCORE_C = 100
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return x / n
+
+
+def train_pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = _M,
+    k: int = _K,
+    sample_cap: int = _SAMPLE_CAP,
+    seed: int = _SEED,
+    iters: int = _ITERS,
+) -> np.ndarray:
+    """(m, k, dim/m) codebooks from seeded Lloyd on a bounded, ordered
+    sample. Sample order is pinned (ORDER BY vec_id) so retraining is
+    bit-reproducible run to run — the determinism discipline every
+    seeded component in this engine follows."""
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < sample_cap)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    x = _normalize_rows(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    dim = x.shape[1]
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
+    """Distributed encode: (vec_id, code array<int>) — argmin per
+    subspace per vector, one Arrow batch at a time. The codebook is tiny
+    (m*k*dsub doubles) and ships inside the closure."""
+    m, _, dsub = books.shape
+
+    def run(batches):
+        for pdf in batches:
+            x = _normalize_rows(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "code": list(codes)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, code array<int>"
+    )
+
+
+def adc_scores(encoded: DataFrame, probes: list[tuple[int, np.ndarray]], books: np.ndarray) -> DataFrame:
+    """ADC scan: for each probe, a (m, k) table of squared sub-distances
+    is precomputed once; each corpus vector's approximate distance is m
+    table lookups summed. Emits (probe_id, vec_id, adc_dist)."""
+    m, k, dsub = books.shape
+    tables = []
+    for pid, pv in probes:
+        t = np.empty((m, k))
+        for s in range(m):
+            t[s] = (((books[s] - pv[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(axis=1))
+        tables.append((pid, t))
+
+    def run(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["code"].to_numpy())  # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            out_pid, out_vid, out_d = [], [], []
+            for pid, t in tables:
+                d = t[np.arange(m)[None, :], codes].sum(axis=1)  # (n,)
+                out_pid.append(np.full(len(ids), pid, dtype=np.int64))
+                out_vid.append(ids)
+                out_d.append(d)
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.concatenate(out_pid),
+                    "vec_id": np.concatenate(out_vid),
+                    "adc_dist": np.round(np.concatenate(out_d), 9),
+                }
+            )
+
+    return encoded.mapInPandas(run, schema="probe_id long, vec_id long, adc_dist double")
+
+
+@query(
+    "pq_topk_search",
+    oracle=None,  # seeded KMeans codebooks aren't SQL-replayable; recall pytest-gated
+    operators=("K9", "K8", "K6", "L2", "L3", "E4"),
+    bench=True,
+)
+def pq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC candidate generation + exact cosine rescore, top-10 for 3
+    probes. Output matches the exact-kNN shape (probe_id, neighbor_id,
+    score, rank) so recall is directly measurable against it."""
+    from cloudvectordb_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(spark, sf_dir)
+    probe_rows = (
+        emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    )
+    probes = [
+        (r["vec_id"], _normalize_rows(np.array([r["embedding"]], dtype=np.float64))[0])
+        for r in probe_rows
+    ]
+
+    encoded = pq_encode(emb, books)
+    scores = adc_scores(encoded, probes, books).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    wc = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    cands = (
+        scores.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= _RESCORE_C)
+        .select("probe_id", "vec_id")
+    )
+    pv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    rescored = (
+        cands.join(emb, "vec_id")
+        .join(F.broadcast(pv), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@query(
+    "pq_code_histogram",
+    oracle=None,  # codes derive from seeded KMeans; shape invariants pytest-gated
+    operators=("K9", "K12", "D1", "L5"),
+)
+def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression diagnostics: per (subspace, centroid) assignment
+    counts — the balance check that catches dead/overloaded codewords
+    (K12-style quality gate for the compressed index)."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(spark, sf_dir)
+    encoded = pq_encode(emb, books)
+    return (
+        encoded.select(F.posexplode("code").alias("subspace", "centroid"))
+        .groupBy("subspace", "centroid")
+        .agg(F.count("*").alias("n"))
+    )

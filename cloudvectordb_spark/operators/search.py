@@ -301,3 +301,111 @@ def vector_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("v", 1), 6).alias("v0"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Radius (range) search: every neighbor with cosine >= tau — the "find
+# all sufficiently similar" form of K8 (vector DBs expose it alongside
+# top-k). Same broadcast-probes shape as exact kNN, but the threshold
+# filter replaces the rank window entirely: no global sort, no window
+# exchange — the scan emits qualifying pairs and is done. The cheapest
+# possible plan at 100 TB.
+# ---------------------------------------------------------------------------
+_RADIUS_TAU = 0.25
+
+
+@query(
+    "radius_search",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+      FROM embeddings WHERE vec_id < 3
+    )
+    SELECT p.probe_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe_vec), 6) AS score
+    FROM embeddings e, p
+    WHERE e.vec_id <> p.probe_id
+      AND round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe_vec), 6) >= {_RADIUS_TAU}
+    """,
+    operators=("K8", "K7", "C10", "B2"),
+)
+def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+        )
+        .filter(F.col("score") >= _RADIUS_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diversified top-k: at most 2 results per label per probe, best 6
+# overall — the "don't return 10 near-identical hits" result shaping
+# every retrieval UI applies. Two stacked windows: the per-(probe,label)
+# cap runs on (probe, label)-partitioned exchanges, and the global
+# per-probe rank then sees <= 2*n_labels rows per probe — tiny.
+# ---------------------------------------------------------------------------
+@query(
+    "diversified_topk_search",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe_vec), 6) AS score
+      FROM embeddings e, p
+      WHERE e.vec_id <> p.probe_id
+    ), capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id, label
+                                     ORDER BY score DESC, neighbor_id) AS label_rank
+        FROM scored
+      ) WHERE label_rank <= 2
+    )
+    SELECT probe_id, neighbor_id, label, score,
+           CAST(label_rank AS BIGINT) AS label_rank, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+      FROM capped
+    ) WHERE rank <= 6
+    """,
+    operators=("K8", "E4", "E1", "C10"),
+)
+def diversified_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+        )
+    )
+    wl = Window.partitionBy("probe_id", "label").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    capped = (
+        scored.withColumn("label_rank", F.row_number().over(wl))
+        .filter(F.col("label_rank") <= 2)
+    )
+    wg = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        capped.withColumn("label_rank", F.col("label_rank").cast("bigint"))
+        .withColumn("rank", F.row_number().over(wg).cast("bigint"))
+        .filter(F.col("rank") <= 6)
+    )

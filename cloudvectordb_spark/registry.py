@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         functions_ops,
         multimodal,
         pipeline,
+        pq,
         relational,
         search,
         sources,

@@ -1,0 +1,50 @@
+"""PQ compression path: recall gate vs exact kNN, determinism, and
+code-balance diagnostics (operators/pq.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.operators.pq import (
+    _K,
+    _M,
+    pq_code_histogram,
+    pq_topk_search,
+    train_pq_codebooks,
+)
+from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    exact = {}
+    for r in exact_knn(emb, probes, k=10).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in pq_topk_search(spark, sf_dir).collect():
+        got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(exact)
+    recalls = [len(exact[p] & got[p]) / 10 for p in exact]
+    assert min(recalls) >= 0.5, f"per-probe recall collapsed: {recalls}"
+    assert sum(recalls) / len(recalls) >= 0.6, f"mean recall too low: {recalls}"
+
+
+def test_pq_codebooks_deterministic(spark, sf_dir):
+    a = train_pq_codebooks(spark, sf_dir)
+    b = train_pq_codebooks(spark, sf_dir)
+    assert a.shape == (_M, _K, 64 // _M)
+    assert (a == b).all(), "seeded + order-pinned training must be bit-stable"
+
+
+def test_pq_code_histogram_complete(spark, sf_dir):
+    n = load(spark, sf_dir, "embeddings").count()
+    rows = pq_code_histogram(spark, sf_dir).collect()
+    assert len(rows) <= _M * _K
+    per_sub = {}
+    for r in rows:
+        assert 0 <= r["centroid"] < _K
+        per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + r["n"]
+    # every vector got exactly one code per subspace
+    assert per_sub == {s: n for s in range(_M)}

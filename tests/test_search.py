@@ -71,3 +71,32 @@ def test_upsert_merge_last_wins(spark, sf_dir):
         assert abs(r["v0"] - emb[vid][0]) < 1e-4
     # every non-deleted base key < 60 survives
     assert set(rows) == {v for v in emb if v % 7 != 0}
+
+
+def test_radius_search_threshold(spark, sf_dir):
+    from cloudvectordb_spark.operators.search import radius_search, _RADIUS_TAU
+
+    rows = radius_search(spark, sf_dir).collect()
+    assert rows
+    assert all(r["score"] >= _RADIUS_TAU for r in rows)
+    assert all(r["neighbor_id"] != r["probe_id"] for r in rows)
+
+
+def test_diversified_topk_label_cap(spark, sf_dir):
+    from cloudvectordb_spark.operators.search import diversified_topk_search
+
+    rows = diversified_topk_search(spark, sf_dir).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault((r["probe_id"], r["label"]), 0)
+        per[(r["probe_id"], r["label"])] += 1
+    assert max(per.values()) <= 2, "at most 2 hits per label per probe"
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for rs in by_probe.values():
+        rs.sort(key=lambda r: r["rank"])
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rs) <= 6
