@@ -284,3 +284,29 @@ def purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudvectordb_spark.streaming.jobs import interval_join_purchase_clicks
 
     return interval_join_purchase_clicks(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# D4 mergeable-sketch form: per-day HLL sketches of distinct users,
+# union-merged into a total estimate. The capability this adds over
+# approx_count_distinct is REAGGREGATABILITY: daily sketch rows are a
+# rollup table you can store and later union across any date range
+# without touching raw events — the only way distinct-count rollups work
+# at 100 TB (exact distincts don't compose; sketches do). Deterministic
+# (no RNG in the sketch), but no DuckDB twin -> rows-only; accuracy is
+# pytest-gated against the exact distinct.
+# ---------------------------------------------------------------------------
+@query(
+    "hll_daily_rollup_union",
+    oracle=None,  # sketch binary/estimator is engine-specific; accuracy pytest-gated
+    operators=("D4", "D3", "H5"),
+)
+def hll_daily_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return daily.agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union_users"),
+    )

@@ -475,6 +475,39 @@ def append_to_ivf_index(
     )
 
 
+def compact_ivf_index(spark: SparkSession, index_path: str, out_path: str) -> None:
+    """Rewrite the vectors layout so each centroid cell is one file.
+
+    Every ``append_to_ivf_index`` delta adds task-count files per touched
+    cell; after enough increments the scan pays per-file open/footer cost
+    (the classic small-files death at 100 TB). Compaction is one
+    partition-local rewrite: ``repartition(centroid_id)`` hashes each
+    cell's rows to a single task, so the write emits exactly one file per
+    cell with no change to the probe-side pruning contract. Published
+    atomically (build-then-rename) like the initial build.
+    """
+    import os
+    import shutil
+
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    build_dir = f"{out_path}.build{os.getpid()}"
+    n_cells = centroids.count()
+    (
+        vectors.repartition(n_cells, "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{build_dir}/vectors")
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{build_dir}/centroids")
+    with open(os.path.join(build_dir, "_BUILT"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(build_dir, out_path)
+    except OSError:
+        shutil.rmtree(build_dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # S2 -> S3 artifact loop: embed with the TRAINED encoder artifact, loaded
 # once per Python worker process and cached in a module-level dict (the

@@ -475,3 +475,36 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _building_customers(spark, sf_dir), _big_spenders(spark, sf_dir)
     return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# D5-family: higher statistical moments & bivariate aggregates per group —
+# the data-profiling pass a curation pipeline runs before training. All
+# partially-aggregatable (sum-of-powers decompositions), so the shuffle
+# carries one small state per (group, partition): scales like any
+# pricing_summary-style agg. Moments rounded to 4 (cross-engine summation
+# order moves the 6th decimal of kurtosis on ~15k-row groups).
+# ---------------------------------------------------------------------------
+@query(
+    "stat_moments_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)     AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6)    AS covar_qty_disc,
+           round(stddev_samp(l_extendedprice), 4)          AS sd_price,
+           round(skewness(l_extendedprice), 4)             AS skew_price,
+           round(kurtosis(l_extendedprice), 4)             AS kurt_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    operators=("D5", "D1", "K2"),
+)
+def stat_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+    )

@@ -158,3 +158,15 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     # append-mode emission is watermark-gated: every emitted pair must be
     # correct, and the bounded replay must surface the full batch answer
     assert len(b) > 0 and g == b
+
+
+def test_hll_rollup_union_accuracy(spark, sf_dir):
+    """Unioned daily sketches estimate total distinct users within 5%."""
+    from cloudvectordb_spark.operators.events import hll_daily_rollup_union
+
+    row = hll_daily_rollup_union(spark, sf_dir).collect()[0]
+    exact = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert row["n_days"] >= 1
+    assert abs(row["est_union_users"] - exact) / exact <= 0.05

@@ -232,3 +232,45 @@ def test_embed_with_trained_artifact_deterministic(spark, sf_dir):
           for r in embed_documents_trained_artifact(spark, sf_dir).collect()}
     assert r1 == r2 and len(r1) > 0
     assert all(dim == 64 for dim, _, _ in r1.values())
+
+def test_ivf_compaction_one_file_per_cell(spark, sf_dir, tmp_path):
+    """After appends fragment the layout, compaction rewrites each cell
+    to a single file with identical contents and search behavior."""
+    import glob
+
+    from pyspark.sql import functions as F2
+    from cloudvectordb_spark.operators.pipeline import (
+        append_to_ivf_index,
+        build_ivf_assignments,
+        compact_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F2.col("vec_id") >= 100)
+    out = str(tmp_path / "ivf")
+    assigned, cents = build_ivf_assignments(base, k=4, seed=42)
+    write_ivf_index(assigned, cents, out)
+    # two delta increments -> multiple files per touched cell
+    append_to_ivf_index(emb.filter(F2.col("vec_id") < 50).select("vec_id", "embedding", "label"), out)
+    append_to_ivf_index(
+        emb.filter((F2.col("vec_id") >= 50) & (F2.col("vec_id") < 100)).select("vec_id", "embedding", "label"), out
+    )
+    frag_files = glob.glob(out + "/vectors/centroid_id=*/*.parquet")
+
+    compacted = str(tmp_path / "ivf_compacted")
+    compact_ivf_index(spark, out, compacted)
+    comp_files = glob.glob(compacted + "/vectors/centroid_id=*/*.parquet")
+    cells = {f.split("centroid_id=")[1].split("/")[0] for f in comp_files}
+    assert len(comp_files) == len(cells), "exactly one file per cell"
+    assert len(comp_files) < len(frag_files), "compaction reduced file count"
+
+    before = {r.vec_id for r in spark.read.parquet(out + "/vectors").collect()}
+    after = spark.read.parquet(compacted + "/vectors")
+    assert {r.vec_id for r in after.collect()} == before == {
+        r.vec_id for r in emb.select("vec_id").collect()
+    }
+    # pruning contract intact: per-cell counts unchanged
+    a = {r.centroid_id: r.n for r in spark.read.parquet(out + "/vectors").groupBy("centroid_id").agg(F2.count("*").alias("n")).collect()}
+    b = {r.centroid_id: r.n for r in after.groupBy("centroid_id").agg(F2.count("*").alias("n")).collect()}
+    assert a == b
