@@ -15,7 +15,7 @@ raw parquet doubles pass through bit-exact and are never rounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudvectordb_spark.catalog import load
@@ -507,4 +507,47 @@ def stat_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
         F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1/D1: equi-depth quartiles via ntile — the spend-segmentation shape
+# (assign every key to a quantile bucket, then profile each bucket).
+# ntile needs a global order: fine here because the window input is the
+# ALREADY-AGGREGATED per-customer spend (one row per customer), not raw
+# lineitems. At 100 TB you'd range-partition on spend first; the
+# bucket-profile aggregate after it is tiny either way.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    bucketed AS (
+      SELECT o_custkey, spend,
+             CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS quartile
+      FROM spend
+    )
+    SELECT quartile, count(*) AS n_customers,
+           round(min(spend), 2) AS min_spend,
+           round(max(spend), 2) AS max_spend,
+           round(avg(spend), 2) AS avg_spend
+    FROM bucketed GROUP BY quartile
+    """,
+    operators=("E1", "D1", "C1"),
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    bucketed = spend.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+    return bucketed.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.min("spend"), 2).alias("min_spend"),
+        F.round(F.max("spend"), 2).alias("max_spend"),
+        F.round(F.avg("spend"), 2).alias("avg_spend"),
     )

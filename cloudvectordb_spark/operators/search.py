@@ -409,3 +409,76 @@ def diversified_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wg).cast("bigint"))
         .filter(F.col("rank") <= 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: cheap first-stage recall (exact/ANN top-C) then a
+# cross-encoder RERANK of only C pairs per probe. The encoder here is a
+# deterministic stub (this container ships no model runtime — see
+# operators/multimodal.py for the same convention); the Spark-side
+# plumbing is the production shape: candidates shrink BEFORE the Python
+# crossing, pairs batch through mapInPandas (Arrow), the model loads
+# once per worker, and the final window re-ranks C rows per probe. Swap
+# `_stub_cross_encoder` for a real model and nothing else changes.
+# ---------------------------------------------------------------------------
+_RERANK_C = 30
+
+
+def _stub_cross_encoder(probe_ids, neighbor_ids, first_scores) -> "np.ndarray":
+    """Deterministic fake: monotone-ish in the retrieval score plus a
+    pair-keyed perturbation (crc32 — never Python hash(), which is
+    process-salted). Stands in for model.predict(pairs)."""
+    import zlib
+
+    import numpy as np
+
+    noise = np.array(
+        [
+            (zlib.crc32(f"{p}:{n}".encode()) % 1000) / 1000.0 - 0.5
+            for p, n in zip(probe_ids, neighbor_ids)
+        ]
+    )
+    logits = 8.0 * np.asarray(first_scores, dtype=np.float64) + 0.2 * noise
+    return 1.0 / (1.0 + np.exp(-logits))
+
+
+@query(
+    "rerank_cross_encoder_topk",
+    oracle=None,  # stub model scores aren't SQL-expressible; shape pytest-gated
+    operators=("K8", "E4", "L2", "L5"),
+)
+def rerank_cross_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    cands = exact_knn(emb, probes, k=_RERANK_C).select(
+        "probe_id", "neighbor_id", "score"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[["probe_id", "neighbor_id"]].copy()
+            out["ce_score"] = np.round(
+                _stub_cross_encoder(
+                    pdf["probe_id"].to_numpy(),
+                    pdf["neighbor_id"].to_numpy(),
+                    pdf["score"].to_numpy(),
+                ),
+                6,
+            )
+            yield out
+
+    scored = cands.mapInPandas(
+        run, schema="probe_id long, neighbor_id long, ce_score double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("ce_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

@@ -115,3 +115,40 @@ def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partition column comes back as the written type (string here)
         .select(F.col("l_returnflag").cast("string").alias("l_returnflag"), "n", "sum_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3: schema evolution — older files lack columns later batches carry.
+# Ingest pipelines live with this permanently (a new metadata field shows
+# up mid-corpus); parquet handles it via per-file schemas + mergeSchema
+# read. The roundtrip writes two generations into one dataset dir and
+# proves the merged read: old rows surface NULL for the new column, new
+# rows keep values — all verified against the original table's oracle.
+# At 100 TB, mergeSchema's footer sampling is the cost; production pins
+# the evolved schema explicitly once known (as the read here could).
+# ---------------------------------------------------------------------------
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(CASE WHEN doc_id >= 250 THEN 1 END) AS n_with_chars,
+           CAST(sum(CASE WHEN doc_id >= 250 THEN n_chars END) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    operators=("A2", "A3", "A4"),
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(_IO_ROOT, "docs_evolved")
+    gen1 = docs.filter(F.col("doc_id") < 250).select("doc_id", "lang")
+    gen2 = docs.filter(F.col("doc_id") >= 250).select("doc_id", "lang", "n_chars")
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -100,3 +100,33 @@ def test_diversified_topk_label_cap(spark, sf_dir):
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert len(rs) <= 6
+
+
+def test_rerank_subset_of_candidates_and_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from cloudvectordb_spark.catalog import load as load2
+    from cloudvectordb_spark.operators.search import (
+        _RERANK_C,
+        rerank_cross_encoder_topk,
+    )
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    a = rerank_cross_encoder_topk(spark, sf_dir).collect()
+    b = rerank_cross_encoder_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)), "stub must be deterministic"
+
+    emb = load2(spark, sf_dir, "embeddings")
+    cands = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in exact_knn(emb, emb.filter(F2.col("vec_id") < 3), k=_RERANK_C).collect()
+    }
+    assert {(r["probe_id"], r["neighbor_id"]) for r in a} <= cands
+    per_probe = {}
+    for r in a:
+        per_probe.setdefault(r["probe_id"], []).append(r)
+    for rs in per_probe.values():
+        assert len(rs) == 10
+        rs.sort(key=lambda r: r["rank"])
+        scores = [r["ce_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
