@@ -51,9 +51,8 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
     return x / n
 
 
-def train_pq_codebooks(
-    spark: SparkSession,
-    sf_dir: str,
+def train_pq_codebooks_from_df(
+    emb: DataFrame,
     m: int = _M,
     k: int = _K,
     sample_cap: int = _SAMPLE_CAP,
@@ -65,8 +64,7 @@ def train_pq_codebooks(
     bit-reproducible run to run — the determinism discipline every
     seeded component in this engine follows."""
     rows = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < sample_cap)
+        emb.filter(F.col("vec_id") < sample_cap)
         .orderBy("vec_id")
         .select("embedding")
         .collect()
@@ -88,6 +86,21 @@ def train_pq_codebooks(
                     cent[c] = sub[mask].mean(axis=0)
         books[s] = cent
     return books
+
+
+def train_pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = _M,
+    k: int = _K,
+    sample_cap: int = _SAMPLE_CAP,
+    seed: int = _SEED,
+    iters: int = _ITERS,
+) -> np.ndarray:
+    """Fixture-table convenience wrapper over train_pq_codebooks_from_df."""
+    return train_pq_codebooks_from_df(
+        load(spark, sf_dir, "embeddings"), m, k, sample_cap, seed, iters
+    )
 
 
 def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:

@@ -152,3 +152,57 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").alias("n_with_chars"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3 + index lifecycle: manifest-versioned snapshots (versioning.py).
+# One call walks the whole lifecycle — build v1, append v2, compact v3 —
+# then reads EVERY version back time-travel style and reports its
+# per-version row count and file count. Deterministic (fixture-derived
+# commits), so the oracle recomputes the expected counts straight from
+# the embeddings table.
+# ---------------------------------------------------------------------------
+@query(
+    "versioned_index_time_travel",
+    oracle="""
+    SELECT 1 AS version, 'build' AS op,
+           count(CASE WHEN vec_id < 400 THEN 1 END) AS n_rows
+    FROM embeddings
+    UNION ALL
+    SELECT 2, 'append', count(CASE WHEN vec_id < 500 THEN 1 END)
+    FROM embeddings
+    UNION ALL
+    SELECT 3, 'compact', count(CASE WHEN vec_id < 500 THEN 1 END)
+    FROM embeddings
+    """,
+    operators=("A3", "A1", "G1"),
+)
+def versioned_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from pyspark.sql import Row
+
+    from cloudvectordb_spark.versioning import (
+        commit_append,
+        commit_build,
+        commit_compact,
+        read_manifest,
+        read_version,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    root = os.path.join(_IO_ROOT, f"versioned_{_uuid.uuid4().hex[:8]}")
+    commit_build(emb.filter(F.col("vec_id") < 400), root)
+    commit_append(
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500)), root
+    )
+    commit_compact(spark, root)
+    rows = [
+        Row(
+            version=v,
+            op=read_manifest(root, v)["op"],
+            n_rows=read_version(spark, root, v).count(),
+        )
+        for v in (1, 2, 3)
+    ]
+    return spark.createDataFrame(rows, schema="version int, op string, n_rows bigint")

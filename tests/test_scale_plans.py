@@ -122,3 +122,39 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted_agg.collect()))
+
+
+def test_filtered_knn_pushes_label_predicate(spark, sf_dir):
+    """filtered_knn_search's metadata filter must reach the parquet scan
+    (PushedFilters), shrinking the corpus BEFORE vector math."""
+    from cloudvectordb_spark.operators.search import filtered_knn_search
+
+    plan = _optimized_explain(filtered_knn_search(spark, sf_dir))
+    assert "In(label, [1,3])" in plan
+
+
+def test_radius_search_has_no_sort_or_window(spark, sf_dir):
+    """Radius search is a pure scan+filter: no global sort, no window
+    exchange anywhere in the plan."""
+    from cloudvectordb_spark.operators.search import radius_search
+
+    plan = _executed_plan(radius_search(spark, sf_dir))
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_bm25_broadcasts_aux_tables(spark, sf_dir):
+    """df + corpus stats must broadcast into the scoring join — the
+    corpus-sized tf side never lands in a broadcast exchange."""
+    from cloudvectordb_spark.operators.search import bm25_keyword_search
+
+    plan = _optimized_explain(bm25_keyword_search(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """Decontamination joins the corpus against a broadcast of the
+    benchmark-sized trigram set, never a shuffled all-pairs."""
+    from cloudvectordb_spark.operators.curation import benchmark_contamination
+
+    plan = _optimized_explain(benchmark_contamination(spark, sf_dir))
+    assert "BroadcastExchange" in plan

@@ -1,0 +1,102 @@
+"""Versioned index snapshots: time-travel reads, append/compact commits,
+vacuum retention (cloudvectordb_spark/versioning.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.versioning import (
+    commit_append,
+    commit_build,
+    commit_compact,
+    latest_version,
+    read_manifest,
+    read_version,
+    vacuum,
+)
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+
+def _ids(df):
+    return {r.vec_id for r in df.collect()}
+
+
+def test_build_append_compact_lineage(spark, emb, tmp_path):
+    root = str(tmp_path / "vidx")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+
+    assert commit_build(base, root) == 1
+    assert commit_append(delta, root) == 2
+    assert commit_compact(spark, root, num_files=1) == 3
+    assert latest_version(root) == 3
+
+    # every version stays readable with exactly its own contents
+    assert _ids(read_version(spark, root, 1)) == _ids(base)
+    assert _ids(read_version(spark, root, 2)) == _ids(base) | _ids(delta)
+    assert _ids(read_version(spark, root, 3)) == _ids(base) | _ids(delta)
+    # LATEST pointer resolves to v3
+    assert _ids(read_version(spark, root)) == _ids(read_version(spark, root, 3))
+    # compaction healed the layout to one file
+    assert len(read_manifest(root, 3)["files"]) == 1
+    assert read_manifest(root, 3)["op"] == "compact"
+
+
+def test_pinned_reader_immune_to_later_commits(spark, emb, tmp_path):
+    root = str(tmp_path / "vidx")
+    base = emb.filter(F.col("vec_id") < 100)
+    commit_build(base, root)
+    pinned = read_version(spark, root, 1)  # reader pins v1
+    commit_append(emb.filter(F.col("vec_id") >= 500), root)
+    commit_compact(spark, root)
+    # the pinned plan still reads only v1's files
+    assert _ids(pinned) == _ids(base)
+
+
+def test_vacuum_keeps_recent_versions_only(spark, emb, tmp_path):
+    root = str(tmp_path / "vidx")
+    commit_build(emb.filter(F.col("vec_id") < 100), root)
+    commit_append(emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)), root)
+    commit_compact(spark, root)
+
+    # keep_last=2 retains v2+v3; v2 (an append) still references v1's
+    # build files, so nothing is reclaimable yet
+    assert vacuum(root, keep_last=2) == []
+    assert len(_ids(read_version(spark, root, 2))) == 200
+
+    # keep only the compacted v3: the pre-compaction files become garbage
+    deleted = vacuum(root, keep_last=1)
+    assert deleted, "files superseded by compaction should be reclaimed"
+    assert len(_ids(read_version(spark, root, 3))) == 200
+    # older manifests are gone
+    assert not os.path.exists(os.path.join(root, "manifests", "v00001.json"))
+    assert not os.path.exists(os.path.join(root, "manifests", "v00002.json"))
+    # no dangling files: everything on disk is referenced by v3
+    referenced = set(read_manifest(root, 3)["files"])
+    on_disk = {
+        os.path.relpath(p, root)
+        for p in glob.glob(os.path.join(root, "data", "*", "*.parquet"))
+    }
+    assert on_disk <= referenced
+
+
+def test_concurrent_commit_collision_raises(spark, emb, tmp_path):
+    import json
+
+    root = str(tmp_path / "vidx")
+    commit_build(emb.filter(F.col("vec_id") < 50), root)
+    # simulate a racing writer that already published v2
+    m = dict(read_manifest(root, 1), version=2, parent=1, op="append")
+    with open(os.path.join(root, "manifests", "v00002.json"), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(FileExistsError):
+        commit_append(emb.filter(F.col("vec_id") >= 50), root)

@@ -146,6 +146,50 @@ def main() -> None:
     results["neardup_ivf_s"] = round(time.perf_counter() - t0, 2)
     results["neardup_pairs"] = n_dups
 
+    # PQ: sample-trained codebooks, distributed encode (8-byte codes),
+    # ADC table-lookup scan + top-C window — the 32x-compressed scan path
+    from cloudvectordb_spark.operators.pq import (
+        _RESCORE_C,
+        adc_scores,
+        pq_encode,
+        train_pq_codebooks_from_df,
+    )
+
+    t0 = time.perf_counter()
+    books = train_pq_codebooks_from_df(corpus)
+    results["pq_train_s"] = round(time.perf_counter() - t0, 2)
+
+    codes_path = os.path.join(work, "pq_codes")
+    t0 = time.perf_counter()
+    pq_encode(corpus, books).write.mode("overwrite").parquet(codes_path)
+    dt = time.perf_counter() - t0
+    results["pq_encode_s"] = round(dt, 2)
+    results["pq_encode_vec_per_s"] = int(args.n / dt)
+
+    encoded = spark.read.parquet(codes_path)
+    probe_rows = probes.orderBy("vec_id").collect()
+    plist = [
+        (
+            r["vec_id"],
+            (lambda v: v / (np.linalg.norm(v) or 1.0))(
+                np.array(r["embedding"], dtype=np.float64)
+            ),
+        )
+        for r in probe_rows
+    ]
+    t0 = time.perf_counter()
+    wc = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    n_cand = (
+        adc_scores(encoded, plist, books)
+        .withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= _RESCORE_C)
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    results["pq_adc_scan_s"] = round(dt, 2)
+    results["pq_adc_scored_vec_per_s"] = int(args.n * args.probes / dt)
+    assert n_cand == args.probes * _RESCORE_C
+
     results.update({"n": args.n, "dim": args.dim, "probes": args.probes})
     print(json.dumps(results))
     shutil.rmtree(work, ignore_errors=True)
