@@ -270,3 +270,66 @@ def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("canonical_id"),
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G5 SimHash banding: complete the SimHash dedup path (simhash() above
+# computes signatures; this finds the candidate pairs). Split the 64-bit
+# signature into 4 x 16-bit bands -> equi-join per band -> exact hamming
+# (bit_count(xor)) <= threshold filter. Pigeonhole gives PROVABLE recall:
+# any pair within hamming distance 3 differs in <= 3 bands, so at least
+# one band matches exactly — the banded equi-join cannot miss it (the
+# pytest asserts this against brute-force hamming). All pure bit-op
+# Column expressions; the only shuffle is the per-band equi-join, linear
+# in corpus size like the MinHash path.
+# ---------------------------------------------------------------------------
+_SIMHASH_HAM_T = 3
+
+
+def simhash_band_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", sig_col: str = "simhash",
+    bands: int = 4, max_hamming: int = _SIMHASH_HAM_T,
+) -> DataFrame:
+    """(a_id, b_id, hamming) candidate pairs from banded signatures.
+    Guaranteed to contain every pair with hamming <= bands - 1."""
+    width = 64 // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"(CAST({sig_col} AS BIGINT) >> {b * width}) "
+                        f"& {(1 << width) - 1}"
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, sig_col, "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.bit_count(
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+@query(
+    "simhash_band_dedup_pairs",
+    oracle=None,  # xxhash64 signatures have no DuckDB twin; recall pytest-gated
+    operators=("G5", "H4", "C7"),
+)
+def simhash_band_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_band_pairs(simhash(docs))

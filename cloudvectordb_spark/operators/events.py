@@ -310,3 +310,76 @@ def hll_daily_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E2/D1: event-type transition matrix — per-user lead() then a global
+# count per (from, to): the Markov-chain summary behind funnel and
+# journey analysis. One (user_id) window exchange + one small aggregate;
+# the matrix itself is |types|^2 rows at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    operators=("E2", "D1", "C1"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1/D3/H5: retention cohorts — users grouped by first-seen date, counted
+# distinct on each subsequent day offset. Two shuffles total (first-seen
+# agg on user_id; cohort-cell agg), with the firsts side reusable as a
+# broadcast when the user dimension is small relative to events (it is:
+# |users| << |events| by definition here).
+# ---------------------------------------------------------------------------
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(cohort_date AS TIMESTAMP) AS cohort_ts,
+           CAST(CAST(e.ts AS DATE) - cohort_date AS BIGINT) AS day_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts USING (user_id)
+    GROUP BY cohort_ts, day_offset
+    """,
+    operators=("C1", "D3", "H5", "D1"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            F.col("cohort_date").cast("timestamp").alias("cohort_ts"),
+            F.datediff(F.to_date("ts"), F.col("cohort_date"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_ts", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

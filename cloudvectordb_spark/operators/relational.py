@@ -482,8 +482,9 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the data-profiling pass a curation pipeline runs before training. All
 # partially-aggregatable (sum-of-powers decompositions), so the shuffle
 # carries one small state per (group, partition): scales like any
-# pricing_summary-style agg. Moments rounded to 4 (cross-engine summation
-# order moves the 6th decimal of kurtosis on ~15k-row groups).
+# pricing_summary-style agg. corr/covar/stddev rounded to 4-6; skew/kurt
+# to 2 (one-pass moment updates diverge ~1e-4 across engines on small
+# groups — the cancellation-prone statistics get the coarse contract).
 # ---------------------------------------------------------------------------
 @query(
     "stat_moments_by_flag",
@@ -492,8 +493,8 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(corr(l_quantity, l_extendedprice), 6)     AS corr_qty_price,
            round(covar_samp(l_quantity, l_discount), 6)    AS covar_qty_disc,
            round(stddev_samp(l_extendedprice), 4)          AS sd_price,
-           round(skewness(l_extendedprice), 4)             AS skew_price,
-           round(kurtosis(l_extendedprice), 4)             AS kurt_price
+           round(skewness(l_extendedprice), 2)             AS skew_price,
+           round(kurtosis(l_extendedprice), 2)             AS kurt_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -505,8 +506,8 @@ def stat_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
-        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+        F.round(F.skewness("l_extendedprice"), 2).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 2).alias("kurt_price"),
     )
 
 

@@ -59,3 +59,34 @@ def test_simhash_deterministic_across_runs(spark, sf_dir):
     a = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     b = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert a == b and len(a) == 20
+
+
+def test_simhash_banding_provable_recall(spark, sf_dir):
+    """Pigeonhole guarantee: 4 bands catch EVERY pair with hamming <= 3.
+    Compare the banded equi-join against brute-force over signatures."""
+    from pyspark.sql import functions as F2
+
+    from cloudvectordb_spark.catalog import load as load2
+    from cloudvectordb_spark.operators.dedup import (
+        _SIMHASH_HAM_T,
+        simhash,
+        simhash_band_pairs,
+    )
+
+    docs = load2(spark, sf_dir, "documents").filter(F2.col("doc_id") < 200)
+    sigs = simhash(docs)
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_band_pairs(sigs).collect()
+    }
+
+    local = sorted((r["doc_id"], r["simhash"]) for r in sigs.collect())
+    want = {}
+    for i in range(len(local)):
+        for j in range(i + 1, len(local)):
+            h = bin(local[i][1] ^ local[j][1]).count("1")
+            if h <= _SIMHASH_HAM_T:
+                want[(local[i][0], local[j][0])] = h
+    assert got == want
+    for h in got.values():
+        assert 0 <= h <= _SIMHASH_HAM_T
