@@ -552,3 +552,78 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("spend"), 2).alias("max_spend"),
         F.round(F.avg("spend"), 2).alias("avg_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D1/B8 + K12-style monitoring: population stability index between two
+# periods of the same metric — the standard drift gate a data pipeline
+# runs before retraining on a new snapshot. Fixed bucket edges (so the
+# contract is deterministic), two small histograms full-outer-joined,
+# one scalar out. Each histogram is a map-side-combined aggregate over
+# its period's partition-pruned scan; everything after is broadcast-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "order_price_drift_psi",
+    oracle="""
+    WITH ref AS (
+      SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 11) AS bucket,
+             count(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    ),
+    cur AS (
+      SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 11) AS bucket,
+             count(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    ),
+    tot AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM ref) AS rn,
+                   (SELECT CAST(sum(n) AS DOUBLE) FROM cur) AS cn),
+    joined AS (
+      SELECT CAST(coalesce(ref.n, 0) AS DOUBLE) / tot.rn + 1e-6 AS p,
+             CAST(coalesce(cur.n, 0) AS DOUBLE) / tot.cn + 1e-6 AS q
+      FROM ref FULL OUTER JOIN cur USING (bucket) CROSS JOIN tot
+    )
+    SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+           count(*) AS n_buckets
+    FROM joined
+    """,
+    operators=("D1", "B8", "C5", "H6"),
+)
+def order_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(11)
+    ).alias("bucket")
+
+    def hist(lo: str, hi: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            )
+            .select(bucket)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+        )
+
+    ref, cur = hist("1996-01-01", "1997-01-01"), hist("1997-01-01", "1998-01-01")
+    rn = ref.agg(F.sum("n").cast("double").alias("rn"))
+    cn = cur.agg(F.sum("n").cast("double").alias("cn"))
+    joined = (
+        ref.withColumnRenamed("n", "ref_n")
+        .join(cur.withColumnRenamed("n", "cur_n"), "bucket", "full_outer")
+        .crossJoin(F.broadcast(rn))
+        .crossJoin(F.broadcast(cn))
+        .select(
+            (F.coalesce("ref_n", F.lit(0)).cast("double") / F.col("rn") + 1e-6).alias("p"),
+            (F.coalesce("cur_n", F.lit(0)).cast("double") / F.col("cn") + 1e-6).alias("q"),
+        )
+    )
+    return joined.agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+        F.count("*").alias("n_buckets"),
+    )
