@@ -46,10 +46,14 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     Pure SQL expression: slide a window of n over the token array.
     """
     t = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
+    # Guard the short-doc case: sequence(1, 0) DESCENDS in Spark (step
+    # defaults to -1 when start > stop) and slice(t, 0, n) then throws
+    # INVALID_PARAMETER_VALUE.START. Docs with < n tokens get [] — the same
+    # result DuckDB's generate_series(1, 0) yields in the oracle twins.
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
 
 
 def content_hash(col: Column | str) -> Column:

@@ -81,8 +81,11 @@ def events_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, value,
+             -- >= (not >) matches Spark's half-open session_window: a gap
+             -- of exactly 30 minutes STARTS a new session (session spans
+             -- [start, last+gap) exclusive of the right edge).
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.ranking import ntile_from_row_number, with_global_row_number
 from cloudvectordb_spark.registry import query
 
 
@@ -544,8 +545,15 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
-    bucketed = spend.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+    # Exact global ntile WITHOUT a single-partition window: value-bucketed
+    # distributed row_number (ranking.py), then the ntile arithmetic —
+    # bit-identical to `ntile(4) OVER (ORDER BY spend DESC, o_custkey)`.
+    ranked = with_global_row_number(
+        spend, "spend", [F.asc("o_custkey")], descending=True, rn_col="_rn"
+    )
+    bucketed = ranked.withColumn(
+        "quartile", ntile_from_row_number(F.col("_rn"), F.col("_total_rows"), 4)
+    )
     return bucketed.groupBy("quartile").agg(
         F.count("*").alias("n_customers"),
         F.round(F.min("spend"), 2).alias("min_spend"),

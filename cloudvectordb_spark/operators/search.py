@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from cloudvectordb_spark.catalog import load
 from cloudvectordb_spark.functions import text as TX
 from cloudvectordb_spark.functions import vector as V
+from cloudvectordb_spark.ranking import global_topk_ranked
 from cloudvectordb_spark.registry import query
 
 _QUERY_TERMS = ("data", "query", "fast")
@@ -106,27 +107,33 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = _QUERY_TERMS) -> DataF
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     scored = bm25_scores(docs)
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
+    # TakeOrderedAndProject top-20, then rank the 20 survivors — no
+    # single-partition window over the corpus-sized score table.
+    return global_topk_ranked(
+        scored, [F.desc("bm25"), F.asc("doc_id")], 20
     )
 
 
 # ---------------------------------------------------------------------------
-# Hybrid search: RRF over (BM25 rank, cosine rank). Each ranking is
-# top-heavy and cheap to produce; the fusion join is keyed on doc_id.
-# The global rank windows are single-partition over ALREADY-REDUCED
-# (doc_id, score) rows — at 100 TB you'd cap each side with a per-
-# partition top-k (as knn_exact_fast does) before the global window.
+# Hybrid search: reciprocal-rank fusion of the BM25 top-N and the
+# embedding-cosine top-N lists (capped RRF — the standard formulation:
+# each retriever contributes its top-N, fusion scores only those lists).
+# Each top-N is a TakeOrderedAndProject (per-partition heap + driver merge
+# of n_parts x N rows), the fusion join is N-row broadcast-sized, and the
+# final rank window sees <= N rows — no single-partition window anywhere,
+# and no driver-side count(): the "embeddings that are documents"
+# restriction is an in-plan left-semi join.
 # ---------------------------------------------------------------------------
+_RRF_N = 60
+
+
 @query(
     "hybrid_rrf_search",
     oracle=f"""
     WITH {_BM25_SCORED_SQL},
     bm AS (
       SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS krank
-      FROM scored
+      FROM scored QUALIFY krank <= {_RRF_N}
     ),
     vec AS (
       SELECT d.vec_id AS doc_id,
@@ -136,54 +143,59 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                         d.vec_id) AS BIGINT) AS vrank
       FROM embeddings d
       CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
-      WHERE d.vec_id < (SELECT count(*) FROM documents)
+      WHERE d.vec_id IN (SELECT doc_id FROM documents)
+      QUALIFY vrank <= {_RRF_N}
     ),
     fused AS (
-      SELECT bm.doc_id,
-             round(1.0 / (60 + bm.krank) + 1.0 / (60 + vec.vrank), 6) AS rrf_score
-      FROM bm JOIN vec USING (doc_id)
+      -- union semantics: a doc in either top-N list scores; a missing
+      -- ranking contributes 0 (the standard RRF-over-lists definition)
+      SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + bm.krank), 0)
+                 + COALESCE(1.0 / (60 + vec.vrank), 0), 6) AS rrf_score
+      FROM bm FULL OUTER JOIN vec USING (doc_id)
     )
     SELECT doc_id, rrf_score,
            CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
     FROM fused QUALIFY rank <= 10
     """,
-    operators=("K8", "K7", "E4", "C1", "C2", "F2"),
+    operators=("K8", "K7", "E4", "C1", "C2", "C4", "F2"),
     bench=True,
 )
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    n_docs = docs.count()
 
-    kw = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    bm = bm25_scores(docs).select(
-        "doc_id", F.row_number().over(kw).cast("bigint").alias("krank")
-    )
+    bm = global_topk_ranked(
+        bm25_scores(docs), [F.desc("bm25"), F.asc("doc_id")], _RRF_N, "krank"
+    ).select("doc_id", "krank")
 
     probe = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("probe_vec")
     )
-    vw = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
-    vec = (
-        emb.filter(F.col("vec_id") < n_docs)
+    sims = (
+        emb.join(
+            docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
         .crossJoin(F.broadcast(probe))
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(V.cosine("embedding", "probe_vec"), 6).alias("sim"),
         )
-        .select("doc_id", F.row_number().over(vw).cast("bigint").alias("vrank"))
     )
+    vec = global_topk_ranked(
+        sims, [F.desc("sim"), F.asc("doc_id")], _RRF_N, "vrank"
+    ).select("doc_id", "vrank")
 
-    fused = bm.join(vec, "doc_id").select(
+    fused = bm.join(vec, ["doc_id"], "full_outer").select(
         "doc_id",
         F.round(
-            1.0 / (60 + F.col("krank")) + 1.0 / (60 + F.col("vrank")), 6
+            F.coalesce(1.0 / (60 + F.col("krank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vrank")), F.lit(0.0)),
+            6,
         ).alias("rrf_score"),
     )
-    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
+    return global_topk_ranked(
+        fused, [F.desc("rrf_score"), F.asc("doc_id")], 10
     )
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from cloudvectordb_spark.catalog import load
 from cloudvectordb_spark.functions import vector as V
+from cloudvectordb_spark.ranking import global_topk_ranked
 from cloudvectordb_spark.registry import query
 
 
@@ -274,15 +275,23 @@ def exact_knn_fast(
             out_p, out_n, out_s = [], [], []
             for j, pid in enumerate(probe_ids):
                 col = sims[:, j]
-                mask = ids != pid
-                cand = np.flatnonzero(mask)
+                cand = np.flatnonzero(ids != pid)
+                # Local selection must use the SAME total order as the final
+                # global rank (rounded score DESC, neighbor_id ASC), else a
+                # raw-score near-tie straddling the local-k boundary can drop
+                # the row the oracle ranks first. Threshold-select on the
+                # rounded score (keeping boundary ties), then exact-sort.
+                r = np.round(col[cand], 6)
                 if len(cand) > k:
-                    top = cand[np.argpartition(-col[cand], k)[:k]]
+                    thr = np.partition(r, len(r) - k)[len(r) - k]
+                    keep = np.flatnonzero(r >= thr)
                 else:
-                    top = cand
+                    keep = np.arange(len(cand))
+                order = np.lexsort((ids[cand[keep]], -r[keep]))[:k]
+                top = cand[keep[order]]
                 out_p.extend([pid] * len(top))
                 out_n.extend(ids[top])
-                out_s.extend(np.round(col[top], 6))
+                out_s.extend(r[keep[order]])
             yield pd.DataFrame(
                 {"probe_id": out_p, "neighbor_id": out_n, "score": out_s}
             )
@@ -434,8 +443,6 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.round(V.cosine("embedding", "pv"), 6)).alias("best_sim"))
     )
     scored = best.groupBy("pdoc").agg(F.round(F.sum("best_sim"), 6).alias("maxsim"))
-    w = Window.orderBy(F.desc("maxsim"), F.asc("pdoc"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 5)
-    )
+    # Top-5 via TakeOrderedAndProject; at real scale `scored` is one row
+    # per document, so a bare global rank window would single-partition it.
+    return global_topk_ranked(scored, [F.desc("maxsim"), F.asc("pdoc")], 5)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.ranking import ntile_from_row_number, with_global_row_number
 from cloudvectordb_spark.registry import query
 
 
@@ -61,14 +62,22 @@ def rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    return supp.select(
+    # The ordering (s_acctbal DESC, s_suppkey) is a TOTAL order (suppkey is
+    # unique), so rank == dense_rank == row_number; compute ONE exact
+    # distributed global row_number (ranking.py — value-bucketed, no
+    # single-partition window) and derive all three outputs from it.
+    ranked = with_global_row_number(
+        supp, "s_acctbal", [F.asc("s_suppkey")], descending=True, rn_col="_rn"
+    )
+    return ranked.select(
         "s_suppkey",
         "s_nationkey",
         "s_acctbal",
-        F.rank().over(w).cast("bigint").alias("bal_rank"),
-        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.col("_rn").alias("bal_rank"),
+        F.col("_rn").alias("bal_dense_rank"),
+        ntile_from_row_number(F.col("_rn"), F.col("_total_rows"), 4).alias(
+            "quartile"
+        ),
     )
 
 

@@ -1,0 +1,143 @@
+"""Scale-safe global ranking primitives (SURVEY.md §2 E1/E4/F1/F2).
+
+A bare ``Window.orderBy(...)`` with no partition spec funnels the ENTIRE
+input through one task (Spark warns ``WindowExec: No Partition Defined``)
+— the classic 100-TB scale-killer. Two replacements cover every global
+ranking shape this engine uses:
+
+- ``global_topk_ranked``: when only the top-k survive, plan
+  ``orderBy().limit(k)`` — Catalyst emits ``TakeOrderedAndProject``
+  (per-partition heap top-k, driver merge of n_partitions x k rows) —
+  then rank the <= k survivors with a constant-partitioned window.
+
+- ``with_global_row_number``: when every row needs its exact global
+  position (full-table rank / ntile), bucket rows by VALUE RANGE with a
+  broadcast (min, max), count per bucket (tiny), turn counts into
+  cumulative offsets, and add the bucket-local row_number. Global row
+  number = bucket offset + local row number — exact for any bucket
+  boundaries because bucketing is monotone in the order value. All
+  exchanges are keyed (no single-partition stage); the only caveat is
+  value skew concentrating one bucket, the same caveat AQE skew-split
+  already mitigates for joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKETS = 256
+
+
+def _zero(col: Column) -> Column:
+    """A constant-0 partition key the optimizer can NOT constant-fold away.
+
+    ``partitionBy(F.lit(0))`` is stripped by Catalyst (foldable partition
+    expressions are eliminated), which turns the window back into the
+    warned "No Partition Defined" single-partition form. pmod(hash(col), 1)
+    is 0 for every row but non-foldable, so the explicit partitioning — and
+    the planner's knowledge that the input is already bounded — survives.
+    """
+    return F.pmod(F.xxhash64(col), F.lit(1))
+
+
+def global_topk_ranked(
+    df: DataFrame,
+    order: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows under ``order`` with a 1..k bigint rank, without a
+    single-partition window over the full input.
+
+    ``order`` must be a deterministic TOTAL order (include a unique
+    tiebreak column) so the result is replayable and oracle-matchable.
+    """
+    w = Window.partitionBy(_zero(F.col(df.columns[0]))).orderBy(*order)
+    return (
+        df.orderBy(*order)
+        .limit(k)
+        .withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+    )
+
+
+def with_global_row_number(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: list[Column],
+    descending: bool = False,
+    rn_col: str = "global_rn",
+    total_col: str = "_total_rows",
+    n_buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Add the exact global row number under (value_col [DESC], *tiebreaks)
+    plus the total row count, with no single-partition exchange.
+
+    (value_col, *tiebreaks) must be a total order — equal values must be
+    broken by a unique key, else the assigned positions are ambiguous.
+    """
+    val = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.min(val).alias("_vmin"), F.max(val).alias("_vmax")
+    )
+    span = F.col("_vmax") - F.col("_vmin")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((val - F.col("_vmin")) / span * n_buckets),
+            F.lit(n_buckets - 1),
+        )
+    )
+    tagged = df.crossJoin(F.broadcast(stats)).withColumn("_bucket", bucket)
+
+    # Tiny side: one row per non-empty bucket -> cumulative offsets in
+    # global traversal order. n_buckets rows at most, so the constant
+    # partition is explicit and trivially cheap.
+    bucket_order = F.desc("_bucket") if descending else F.asc("_bucket")
+    wo = Window.partitionBy(_zero(F.col("_bucket"))).orderBy(bucket_order)
+    offsets = (
+        tagged.groupBy("_bucket")
+        .agg(F.count("*").alias("_bn"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_bn").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_tot",
+            F.sum("_bn").over(
+                Window.partitionBy(_zero(F.col("_bucket"))).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select("_bucket", "_offset", "_tot")
+    )
+
+    value_order = F.desc(value_col) if descending else F.asc(value_col)
+    wl = Window.partitionBy("_bucket").orderBy(value_order, *tiebreaks)
+    return (
+        tagged.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            rn_col,
+            (F.col("_offset") + F.row_number().over(wl)).cast("bigint"),
+        )
+        .withColumn(total_col, F.col("_tot").cast("bigint"))
+        .drop("_bucket", "_vmin", "_vmax", "_offset", "_bn", "_tot")
+    )
+
+
+def ntile_from_row_number(rn: Column, total: Column, n: int) -> Column:
+    """SQL ``ntile(n)`` from a precomputed global row number: the first
+    ``total % n`` buckets take ``ceil(total/n)`` rows, the rest take
+    ``floor(total/n)`` — bit-for-bit the Spark/DuckDB ntile contract."""
+    q = F.floor(total / n)
+    rem = total % n
+    big = q + 1
+    in_big = rn <= rem * big
+    return (
+        F.when(in_big, F.floor((rn - 1) / big) + 1)
+        .otherwise(rem + F.floor((rn - rem * big - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("bigint")
+    )

@@ -25,15 +25,19 @@ def salted_join(
     """Equi-join a skew-prone frame against a modest one on ``on``,
     spreading each hot key over ``n_salts`` shuffle partitions.
 
-    - ``skewed`` rows get salt = hash(salt_source or whole-row id) mod n
-      (deterministic — no F.rand, so plans replay identically).
+    - ``skewed`` rows get salt = hash(salt_source, or all columns) mod n —
+      derived from row CONTENT, never from partition layout, so the salt
+      assignment is stable across runs and repartitionings. Caveat: exact
+      duplicate rows share a salt; pass ``salt_source`` (a high-cardinality
+      column) when duplicates are common.
     - ``small`` is exploded n_salts x (bounded, it's the small side).
     - Join key becomes (on, salt); result drops the salt column.
     """
-    salt_col = (
-        F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
+    salt_col = F.pmod(
+        F.hash(F.col(salt_source))
         if salt_source
-        else F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+        else F.hash(*[F.col(c) for c in skewed.columns]),
+        F.lit(n_salts),
     )
     left = skewed.withColumn("_salt", salt_col)
     right = small.withColumn(

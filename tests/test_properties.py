@@ -111,6 +111,27 @@ def test_exact_dedup_never_drops_distinct_normalized(spark, docs):
 
 @settings(max_examples=25, deadline=None)
 @given(texts)
+def test_word_shingles_short_docs_yield_empty_not_error(spark, docs):
+    """Regression (ADVICE r1): docs with fewer than n tokens must produce an
+    empty shingle array, not SparkRuntimeException INVALID_PARAMETER_VALUE
+    from a descending sequence(1, 0). Real corpora contain empty/short docs."""
+    docs = list(docs) + ["", "one", "two words"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], schema="id long, text string"
+    )
+    rows = df.select(
+        F.size(TX.tokens("text")).alias("ntok"),
+        TX.word_shingles("text", 3).alias("sh"),
+    ).collect()
+    for r in rows:
+        expected = max(r.ntok - 2, 0)
+        assert len(r.sh) == expected
+        for s in r.sh:
+            assert len(s.split(" ")) == 3
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts)
 def test_stopword_ratio_in_unit_interval(spark, docs):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], schema="id long, text string"

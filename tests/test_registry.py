@@ -1,0 +1,56 @@
+"""Registry ordering invariants.
+
+The correctness driver samples only the first ``DRIVER_SAMPLE`` entries of
+``queries()`` (CORRECTNESS_r01 checked 50 of 109). These tests pin the
+covering-set property so a future registration can't silently push an
+operator ID or a bench query outside the driver's window.
+"""
+
+from cloudvectordb_spark.registry import DRIVER_SAMPLE, all_queries
+
+
+def test_first_window_covers_every_operator_id():
+    qs = all_queries()
+    first = list(qs)[:DRIVER_SAMPLE]
+    all_ids = {op for s in qs.values() for op in s.operators}
+    window_ids = {op for n in first for op in qs[n].operators}
+    assert all_ids <= window_ids, f"uncovered in driver window: {all_ids - window_ids}"
+
+
+def test_first_window_contains_every_bench_query():
+    qs = all_queries()
+    first = set(list(qs)[:DRIVER_SAMPLE])
+    missing = [n for n, s in qs.items() if s.bench and n not in first]
+    assert not missing, f"bench queries outside driver window: {missing}"
+
+
+def test_window_prefers_oracle_backed_queries():
+    # Rows-only queries may sit in the window only if they are bench queries
+    # or the sole cover for some operator ID; everything else oracle-first.
+    qs = all_queries()
+    names = list(qs)
+    first = names[:DRIVER_SAMPLE]
+    oracle_outside = [n for n in names[DRIVER_SAMPLE:] if qs[n].oracle]
+    for n in first:
+        if qs[n].oracle or qs[n].bench:
+            continue
+        # a rows-only, non-bench pick must be pulling its weight: it covers
+        # some ID that no oracle-backed query covers
+        oracle_ids = {
+            op for m, s in qs.items() if s.oracle for op in s.operators
+        }
+        assert not set(qs[n].operators) <= oracle_ids or not oracle_outside, (
+            f"rows-only {n} occupies a window slot while oracle-backed "
+            f"queries wait outside"
+        )
+
+
+def test_ordering_is_deterministic():
+    assert list(all_queries()) == list(all_queries())
+
+
+def test_every_query_callable_and_named():
+    qs = all_queries()
+    for name, spec in qs.items():
+        assert callable(spec.fn)
+        assert spec.name == name
