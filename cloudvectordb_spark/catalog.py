@@ -49,6 +49,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_narrow_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a scan whose split count is far below cluster parallelism.
+
+    Parquet scans parallelize per row group; a small fixture file with ONE
+    row group caps every downstream narrow stage (tokenize/shingle/UDF) at
+    one task regardless of core count. Production-scale inputs arrive in
+    thousands of splits and take the no-op branch — the repartition only
+    fires when the input is so narrow that shuffling it is trivially cheap
+    (fewer splits than cores implies a small scan by construction, given
+    ``spark.sql.files.maxPartitionBytes`` bounds bytes per split).
+
+    Call this before CPU-heavy per-row work, never before joins/aggs
+    (those repartition on their keys anyway).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(target // 2, 2):
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 

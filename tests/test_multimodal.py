@@ -62,3 +62,35 @@ def test_decode_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_stub(b"payload")
+
+
+def test_decode_image_works_with_or_without_pil():
+    """decode_image must be deterministic for NON-image payloads in every
+    environment: with PIL, a text payload fails to parse and falls back;
+    without PIL, the fallback runs directly — same result either way.
+    With PIL present it must also decode a real image."""
+    from cloudvectordb_spark.operators.multimodal import (
+        _HAS_PIL,
+        decode_image,
+        fake_decode_image,
+    )
+
+    payload = b"not an image, just text " * 20
+    img = decode_image(payload, width=16)
+    assert img.shape == (16, 16)
+    assert (img == fake_decode_image(payload, width=16)).all()
+
+    if _HAS_PIL:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.arange(64, dtype="uint8").reshape(8, 8), mode="L"
+        ).save(buf, format="PNG")
+        real = decode_image(buf.getvalue(), width=16)
+        assert real.shape == (16, 16)
+        # a real decode must NOT equal the byte-reinterpretation fallback
+        assert not (real == fake_decode_image(buf.getvalue(), width=16)).all()

@@ -150,6 +150,41 @@ def test_semantic_dup_ivf_recall_vs_exact(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.35
 
 
+def test_semantic_canonical_clusters_end_to_end(spark, sf_dir):
+    """G6 end-to-end gate: the IVF-bucketed clustering must (a) only merge
+    vectors the EXACT pair set also connects (no false merges beyond exact
+    transitivity), and (b) canonical ids must be each cluster's min member
+    with consistent sizes."""
+    from cloudvectordb_spark.operators.pipeline import semantic_canonical_clusters
+    from cloudvectordb_spark.operators.vector_ops import semantic_dup_pairs
+    from cloudvectordb_spark.operators.dedup import connected_components
+
+    rows = semantic_canonical_clusters(spark, sf_dir).collect()
+    assert rows, "fixture should produce at least one semantic cluster"
+    by_comp = {}
+    for r in rows:
+        assert r.canonical_id <= r.vec_id  # min-label canonical
+        by_comp.setdefault(r.canonical_id, []).append(r)
+    for comp_id, members in by_comp.items():
+        assert comp_id == min(m.vec_id for m in members)
+        assert all(m.cluster_size == len(members) for m in members)
+
+    # no false merges: IVF components must refine the EXACT components
+    exact_edges = semantic_dup_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    exact_comp = {
+        r.node: r.component for r in connected_components(exact_edges).collect()
+    }
+    for r in rows:
+        assert exact_comp.get(r.vec_id) is not None
+        # two vectors in one IVF cluster must share an exact component
+    comp_of = {r.vec_id: r.canonical_id for r in rows}
+    for comp_id, members in by_comp.items():
+        exact_ids = {exact_comp[m.vec_id] for m in members}
+        assert len(exact_ids) == 1, "IVF clustering merged across exact clusters"
+
+
 def test_lsh_search_recall_vs_exact(spark, sf_dir):
     """K10 probe path: LSH candidates must recover most of the exact
     L2 top-10 (4 hash tables, unbounded radius => high recall here)."""
