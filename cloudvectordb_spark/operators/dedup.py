@@ -101,18 +101,36 @@ def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash fingerprints: 64-bit signature from token hashes — pure
-# expressions (xxhash64 + bit ops), no UDF. Hamming-near signatures are
-# dedup candidates; at scale, band the signature bytes for the equi-join.
+# SimHash fingerprints: signature from token hashes — pure expressions
+# (hash + bit ops), no UDF. Hamming-near signatures are dedup candidates;
+# at scale, band the signature bits for the equi-join.
+#
+# Two token-hash modes:
+# - "xxhash64" (default, 64-bit): the fast scale path.
+# - "md5" (60-bit): bit-for-bit reproducible in DuckDB (md5_number_upper
+#   byteswapped == Spark conv(substr(md5, 1, 15), 16, 10)), which is what
+#   lets the registered queries carry FULL value-level oracles instead of
+#   rows-only checks. ~3x slower per token than xxhash64; use for audits.
 # ---------------------------------------------------------------------------
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """(id, simhash bigint) via explode -> per-bit vote -> reassemble."""
+    if hash_fn == "md5":
+        nbits = 60  # 15 hex chars stay < 2^63 under ANSI bigint cast
+        th = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    else:
+        nbits = 64
+        th = F.xxhash64("tok")
     toks = docs.select(
         F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
+    ).withColumn("th", th)
     bits = toks.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("bit"),
         F.col("th"),
     ).withColumn(
         "vote",
@@ -128,14 +146,54 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+# DuckDB twin of the md5-mode simhash over docs with doc_id < {lim}:
+# md5_number_upper is the FIRST 8 md5 bytes little-endian; the HUGEINT
+# byteswap + //16 reconstructs Spark's conv(substr(md5_hex, 1, 15), 16, 10).
+_SIMHASH_MD5_SIGS_SQL = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < {lim}
+    ),
+    th AS (
+      SELECT doc_id,
+        CAST((
+          (CAST((u >> 0)  & 255 AS HUGEINT) * 72057594037927936) +
+          (CAST((u >> 8)  & 255 AS HUGEINT) * 281474976710656) +
+          (CAST((u >> 16) & 255 AS HUGEINT) * 1099511627776) +
+          (CAST((u >> 24) & 255 AS HUGEINT) * 4294967296) +
+          (CAST((u >> 32) & 255 AS HUGEINT) * 16777216) +
+          (CAST((u >> 40) & 255 AS HUGEINT) * 65536) +
+          (CAST((u >> 48) & 255 AS HUGEINT) * 256) +
+          CAST((u >> 56) & 255 AS HUGEINT)
+        ) // 16 AS BIGINT) AS th
+      FROM (SELECT doc_id, md5_number_upper(tok) AS u FROM toks)
+    ),
+    bits AS (
+      SELECT doc_id, b.i AS bit,
+             CASE WHEN (th >> b.i) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) b
+    ),
+    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2),
+    sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
 @query(
     "simhash_signatures",
-    oracle=None,  # xxhash64 has no DuckDB twin; determinism pytest-gated
+    oracle=f"""
+    WITH {_SIMHASH_MD5_SIGS_SQL.format(lim=100)}
+    SELECT doc_id, simhash FROM sigs
+    """,
     operators=("G5", "H4"),
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return simhash(docs)
+    return simhash(docs, hash_fn="md5")
 
 
 # ---------------------------------------------------------------------------
@@ -288,11 +346,11 @@ _SIMHASH_HAM_T = 3
 
 def simhash_band_pairs(
     signatures: DataFrame, id_col: str = "doc_id", sig_col: str = "simhash",
-    bands: int = 4, max_hamming: int = _SIMHASH_HAM_T,
+    bands: int = 4, max_hamming: int = _SIMHASH_HAM_T, nbits: int = 64,
 ) -> DataFrame:
     """(a_id, b_id, hamming) candidate pairs from banded signatures.
     Guaranteed to contain every pair with hamming <= bands - 1."""
-    width = 64 // bands
+    width = nbits // bands
     banded = signatures.select(
         F.col(id_col),
         F.col(sig_col),
@@ -327,9 +385,25 @@ def simhash_band_pairs(
 
 @query(
     "simhash_band_dedup_pairs",
-    oracle=None,  # xxhash64 signatures have no DuckDB twin; recall pytest-gated
+    # md5-mode signatures are DuckDB-replayable, so the WHOLE banded path
+    # (band equi-join + xor/bit_count hamming) carries a value-level
+    # oracle. 60-bit sigs -> 4 bands x 15 bits; pigeonhole recall holds
+    # identically (hamming <= 3 differs in <= 3 of 4 bands).
+    oracle=f"""
+    WITH {_SIMHASH_MD5_SIGS_SQL.format(lim=200)},
+    banded AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (b.band * 15)) & 32767 AS key
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b USING (band, key)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAM_T}
+    """,
     operators=("G5", "H4", "C7"),
 )
 def simhash_band_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_band_pairs(simhash(docs))
+    return simhash_band_pairs(simhash(docs, hash_fn="md5"), nbits=60)

@@ -175,6 +175,14 @@ def image_features(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     stats + a 4-bin histogram) via Arrow-batched mapInPandas."""
     import numpy as np
 
+    def half_up4(x: float) -> float:
+        # Python round() is half-EVEN; Spark/DuckDB round half-UP. Pixel
+        # means are exact multiples of 2^-8, which DO land on .00005
+        # boundaries (e.g. 8/256 = 0.03125), so the convention matters.
+        import math
+
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
     def run(batches):
         for pdf in batches:
             feats = []
@@ -183,8 +191,8 @@ def image_features(df: DataFrame, binary_col: str = "payload") -> DataFrame:
                 hist, _ = np.histogram(img, bins=4, range=(0, 256))
                 feats.append(
                     (
-                        round(float(img.mean()), 4),
-                        round(float(img.std()), 4),
+                        half_up4(float(img.mean())),
+                        half_up4(float(img.std())),
                         [int(h) for h in hist],
                     )
                 )
@@ -204,7 +212,36 @@ def image_features(df: DataFrame, binary_col: str = "payload") -> DataFrame:
 
 @query(
     "multimodal_image_features",
-    oracle=None,  # fake decode has no SQL twin; determinism pytest-gated
+    # The fallback decode is a deterministic byte reinterpretation of the
+    # (ASCII) payload — 16x16 grid from the first 256 bytes, zero-padded —
+    # so DuckDB replays the whole feature extraction: byte i ==
+    # ascii(substr(text, i, 1)). Means are exact (integer sums / 2^8);
+    # std uses the same mean-of-squared-deviations form as numpy.
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    slots AS (
+      SELECT doc_id,
+             CASE WHEN b.i <= length(text)
+                  THEN ascii(substr(text, CAST(b.i AS INTEGER), 1))
+                  ELSE 0 END AS v
+      FROM base CROSS JOIN (SELECT unnest(generate_series(1, 256)) AS i) b
+    ),
+    m AS (SELECT doc_id, avg(v) AS mu FROM slots GROUP BY doc_id),
+    stats AS (
+      SELECT s.doc_id,
+             round(max(mu), 4) AS px_mean,
+             round(sqrt(greatest(avg((s.v - mu) * (s.v - mu)), 0)), 4) AS px_std,
+             CAST(sum(CASE WHEN s.v < 64 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN s.v >= 64  AND s.v < 128 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+             CAST(sum(CASE WHEN s.v >= 128 AND s.v < 192 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+             CAST(sum(CASE WHEN s.v >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+      FROM slots s JOIN m USING (doc_id)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, px_mean, px_std,
+           h0 || ',' || h1 || ',' || h2 || ',' || h3 AS hist4_csv
+    FROM stats
+    """,
     operators=("K11", "L5"),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
