@@ -635,3 +635,127 @@ def order_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
         F.count("*").alias("n_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D5 at scale: EXACT interpolated percentiles (R-7, the quantile_cont /
+# percentile definition) computed DISTRIBUTED via the value-bucketed
+# global row_number — no single-partition sort and no per-group value
+# collection (Spark's builtin exact percentile holds a group's values in
+# memory; this shape never does). Each target p needs only the two rows
+# at positions floor(h)+1 / ceil(h)+1 where h = (N-1)*p. The query also
+# validates approx_percentile — the operator you'd actually run at
+# 100 TB — against the exact value with a 1% envelope boolean.
+# ---------------------------------------------------------------------------
+_PCTS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "price_percentiles_exact",
+    oracle="""
+    SELECT 0.5 AS p, round(quantile_cont(l_extendedprice, 0.5), 4) AS value,
+           true AS approx_within_1pct FROM lineitem
+    UNION ALL
+    SELECT 0.9, round(quantile_cont(l_extendedprice, 0.9), 4), true FROM lineitem
+    UNION ALL
+    SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 4), true FROM lineitem
+    """,
+    operators=("D5", "D2", "E1", "F1"),
+)
+def price_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    ranked = with_global_row_number(
+        li,
+        "l_extendedprice",
+        [F.asc("l_orderkey"), F.asc("l_linenumber")],
+        rn_col="_rn",
+    )
+    p_df = spark.createDataFrame([(i, p) for i, p in enumerate(_PCTS)], "idx int, p double")
+    h = (F.col("_total_rows") - 1) * F.col("p")
+    lo = (F.floor(h) + 1).cast("bigint")
+    hi = (F.ceil(h) + 1).cast("bigint")
+    picked = (
+        ranked.crossJoin(F.broadcast(p_df))
+        .filter((F.col("_rn") == lo) | (F.col("_rn") == hi))
+        .groupBy("idx", "p")
+        .agg(
+            F.min(F.when(F.col("_rn") == lo, F.col("l_extendedprice"))).alias("v_lo"),
+            F.min(F.when(F.col("_rn") == hi, F.col("l_extendedprice"))).alias("v_hi"),
+            F.first(h - F.floor(h)).alias("frac"),
+        )
+        .select(
+            "idx",
+            "p",
+            (F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))).alias(
+                "exact"
+            ),
+        )
+    )
+    approx = (
+        load(spark, sf_dir, "lineitem")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.array(*[F.lit(p) for p in _PCTS]), 10000
+            ).alias("ap")
+        )
+        .select(F.posexplode("ap").alias("idx", "approx"))
+    )
+    return (
+        picked.join(F.broadcast(approx), "idx")
+        .select(
+            "p",
+            F.round("exact", 4).alias("value"),
+            (
+                F.abs(F.col("approx") - F.col("exact"))
+                <= 0.01 * F.abs(F.col("exact"))
+            ).alias("approx_within_1pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2/D3/B6: column profile — null and distinct counts per column, the
+# data-quality summary a pipeline materializes before training ingest.
+# One pass over the table; Spark expands the multi-DISTINCT into a
+# single Expand+agg plan. (At 100 TB swap countDistinct for
+# approx_count_distinct — same query shape, sketch-merge combine.)
+# ---------------------------------------------------------------------------
+@query(
+    "orders_column_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)   AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+    """,
+    operators=("D2", "D3", "B6", "G1"),
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cols = ("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}_nulls")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}_distinct"))
+    wide = orders.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS (column_name, n_nulls, n_distinct)"
+        )
+    )

@@ -206,3 +206,79 @@ def versioned_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (1, 2, 3)
     ]
     return spark.createDataFrame(rows, schema="version int, op string, n_rows bigint")
+
+
+# ---------------------------------------------------------------------------
+# A3/C1 at 100 TB: BUCKETED co-located join. Both fact tables are written
+# `bucketBy(8, key).sortBy(key)` so a sort-merge join on the key needs NO
+# exchange on either side — the single biggest shuffle eliminated on a
+# repeated-join workload (write once, join shuffle-free forever). The
+# `.hint("merge")` pins SMJ so the demonstration doesn't silently degrade
+# to a broadcast join at fixture scale; tests/test_scale_plans.py asserts
+# the join subtree is Exchange-free.
+#
+# Bucketed tables require a catalog; the driver's vanilla session points
+# its warehouse at ITS cwd, so we create a database with an explicit /tmp
+# LOCATION at runtime and register tables there.
+# ---------------------------------------------------------------------------
+_BUCKET_DB = "cvdb_buckets"
+_N_BUCKETS = 8
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders + customer bucketed by custkey; returns table names.
+    Cache key = sf_dir + source mtime (same convention as the IVF index);
+    a fresh session re-registers from the catalog or rewrites."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(src))}".encode()
+    ).hexdigest()[:10]
+    loc = os.path.join(tempfile.gettempdir(), "cloudvectordb_buckets")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB} LOCATION '{loc}'"
+    )
+    orders_t = f"{_BUCKET_DB}.orders_b_{tag}"
+    cust_t = f"{_BUCKET_DB}.customer_b_{tag}"
+    # EXTERNAL tables (explicit path): a fresh session's in-memory catalog
+    # doesn't know about files a previous process left at the managed
+    # location, and managed CREATE refuses an existing dir. External
+    # overwrite re-registers + rewrites idempotently.
+    if not spark.catalog.tableExists(orders_t):
+        load(spark, sf_dir, "orders").write.bucketBy(
+            _N_BUCKETS, "o_custkey"
+        ).sortBy("o_custkey").mode("overwrite").format("parquet").option(
+            "path", os.path.join(loc, f"orders_b_{tag}")
+        ).saveAsTable(orders_t)
+    if not spark.catalog.tableExists(cust_t):
+        load(spark, sf_dir, "customer").write.bucketBy(
+            _N_BUCKETS, "c_custkey"
+        ).sortBy("c_custkey").mode("overwrite").format("parquet").option(
+            "path", os.path.join(loc, f"customer_b_{tag}")
+        ).saveAsTable(cust_t)
+    return orders_t, cust_t
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                       AS n_orders,
+           round(sum(o_totalprice), 2)    AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    operators=("A3", "C1", "D1", "A1"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_t, cust_t = ensure_bucketed_tables(spark, sf_dir)
+    orders = spark.table(orders_t)
+    cust = spark.table(cust_t)
+    joined = orders.hint("merge").join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -286,3 +286,130 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K2: Gopher-style composite quality gate — the multi-signal document
+# filter every pretraining pipeline runs (token-count bounds, mean word
+# length, stopword mass). All Column expressions over the token array;
+# the scan computes everything in one narrow pass, no shuffle at all
+# until the (tiny) downstream consumer aggregates survivors.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_quality_gate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS ntok,
+           round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / len(toks), 6) AS mean_word_len,
+           round(CAST(len(list_filter(toks,
+                        x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                 / len(toks), 6) AS stop_ratio,
+           (len(toks) BETWEEN 20 AND 400)
+             AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                    / len(toks) BETWEEN 2 AND 8)
+             AND (CAST(len(list_filter(toks,
+                          x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+                    / len(toks) <= 0.3) AS passes
+    FROM t
+    """,
+    operators=("K2", "H8", "B7", "B8"),
+)
+def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = TX.tokens("text")
+    ntok = F.size(t).cast("bigint")
+    char_sum = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.try_divide(char_sum.cast("double"), ntok)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*TX.STOPWORDS)))
+    stop_ratio = F.try_divide(n_stop.cast("double"), ntok)
+    passes = (
+        ntok.between(20, 400) & mean_wl.between(2, 8) & (stop_ratio <= 0.3)
+    )
+    return docs.select(
+        "doc_id",
+        ntok.alias("ntok"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        passes.alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2/D1/F2: corpus vocabulary head — top-20 terms by frequency with rank
+# (the Zipf profile a tokenizer-training run inspects first). explode ->
+# map-side-combined count -> TakeOrderedAndProject top-k via
+# ranking.global_topk_ranked: no single-partition window even though the
+# vocabulary at 100 TB is itself huge.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_head_zipf",
+    oracle="""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    )
+    SELECT term, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+    FROM tf QUALIFY rank <= 20
+    """,
+    operators=("K2", "K1", "D1", "F2"),
+)
+def vocab_head_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.ranking import global_topk_ranked
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    return global_topk_ranked(tf, [F.desc("freq"), F.asc("term")], 20)
+
+
+# ---------------------------------------------------------------------------
+# K2/H1: stopword scrubbing — the remove-and-measure cleaning shape (same
+# plumbing as PII redaction: filter the token stream, reassemble, report
+# the compression). Pure per-row expressions; verified end-to-end by the
+# oracle recomputing the scrub from the raw text.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_stopword_scrub",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS chars_before,
+           CAST(length(array_to_string(list_filter(toks,
+                  x -> NOT list_contains({_STOPLIST_SQL}, x)), ' '))
+                AS BIGINT) AS chars_after,
+           round(CAST(length(array_to_string(list_filter(toks,
+                  x -> NOT list_contains({_STOPLIST_SQL}, x)), ' '))
+                AS DOUBLE) / length(text), 6) AS keep_ratio
+    FROM t
+    """,
+    operators=("K2", "H1", "H8", "B1"),
+)
+def doc_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    kept = F.array_join(
+        F.filter(TX.tokens("text"), lambda x: ~x.isin(*TX.STOPWORDS)), " "
+    )
+    before = F.length("text").cast("bigint")
+    after = F.length(kept).cast("bigint")
+    return docs.select(
+        "doc_id",
+        before.alias("chars_before"),
+        after.alias("chars_after"),
+        F.round(F.try_divide(after.cast("double"), before), 6).alias(
+            "keep_ratio"
+        ),
+    )

@@ -446,3 +446,192 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Top-5 via TakeOrderedAndProject; at real scale `scored` is one row
     # per document, so a bare global rank window would single-partition it.
     return global_topk_ranked(scored, [F.desc("maxsim"), F.asc("pdoc")], 5)
+
+
+# ---------------------------------------------------------------------------
+# K6/K8: binary (sign) quantization + Hamming-distance search — the 1-bit
+# compression tier below PQ (32x less I/O than float32; Hamming is a few
+# xor+popcount instructions). Signatures pack into two 32-bit words held
+# in bigints so neither engine hits signed-shift overflow at bit 63, and
+# the WHOLE path — packing, xor/popcount distance, per-probe top-k — is
+# value-level oracle-checked. Corpus scan is map-only; candidates then
+# rank under a keyed (per-probe) window. At 100 TB the binary scan is the
+# cheap first stage; exact rescore of survivors follows the PQ pattern.
+# ---------------------------------------------------------------------------
+def _pack_sign_word(vec_col: str, offset: int):
+    """Bits offset..offset+31 of the sign pattern as a bigint word."""
+    return F.expr(
+        f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + IF(element_at({vec_col}, i + {offset} + 1) > 0, "
+        f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    )
+
+
+_BINQ_PACK_SQL = """
+    packed AS (
+      SELECT vec_id,
+             list_sum(list_transform(generate_series(1, 32),
+               i -> CASE WHEN embedding[i] > 0
+                         THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS w0,
+             list_sum(list_transform(generate_series(33, 64),
+               i -> CASE WHEN embedding[i] > 0
+                         THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)) AS w1
+      FROM embeddings
+    )
+"""
+
+
+@query(
+    "binary_quant_hamming_topk",
+    oracle=f"""
+    WITH {_BINQ_PACK_SQL}
+    SELECT probe_id, neighbor_id, hamming, rank FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(p.w0, c.w0))
+                + bit_count(xor(p.w1, c.w1)) AS BIGINT) AS hamming,
+             CAST(row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY bit_count(xor(p.w0, c.w0)) + bit_count(xor(p.w1, c.w1)),
+                        c.vec_id) AS BIGINT) AS rank
+      FROM packed p JOIN packed c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id < 3
+    ) WHERE rank <= 10
+    """,
+    operators=("K6", "K8", "K12", "E4", "H4"),
+)
+def binary_quant_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        _pack_sign_word("embedding", 0).alias("w0"),
+        _pack_sign_word("embedding", 32).alias("w1"),
+    )
+    probes = packed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("w0").alias("p0"),
+        F.col("w1").alias("p1"),
+    )
+    hamming = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("p0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("p1")))
+    ).cast("bigint")
+    scored = (
+        packed.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            hamming.alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# K6/K8: Matryoshka-style truncated-dimension retrieval — rank by cosine
+# over only the FIRST 16 of 64 dims (4x less compute/IO, the "adaptive
+# dimensionality" serving trick), flagging which truncated hits survive
+# in the full-dim top-10. Cosine is scale-invariant, so truncation needs
+# no renormalization for ranking. Entirely Column expressions; the
+# overlap flag joins two bounded top-k sets.
+# ---------------------------------------------------------------------------
+_MATRYOSHKA_DIM = 16
+
+
+@query(
+    "matryoshka_truncated_knn",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    t16 AS (
+      SELECT probe_id, neighbor_id, score16, rank16 FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[])[1:{_MATRYOSHKA_DIM}],
+                 p.pv[1:{_MATRYOSHKA_DIM}]), 6) AS score16,
+               CAST(row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[])[1:{_MATRYOSHKA_DIM}],
+                            p.pv[1:{_MATRYOSHKA_DIM}]), 6) DESC,
+                          e.vec_id) AS BIGINT) AS rank16
+        FROM embeddings e, p WHERE e.vec_id <> p.probe_id
+      ) WHERE rank16 <= 10
+    ),
+    tfull AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]), p.pv), 6) DESC,
+                          e.vec_id) AS r
+        FROM embeddings e, p WHERE e.vec_id <> p.probe_id
+      ) WHERE r <= 10
+    )
+    SELECT t16.probe_id, t16.neighbor_id, t16.score16, t16.rank16,
+           tfull.neighbor_id IS NOT NULL AS in_full_top10
+    FROM t16 LEFT JOIN tfull
+      ON t16.probe_id = tfull.probe_id AND t16.neighbor_id = tfull.neighbor_id
+    """,
+    operators=("K6", "K8", "K12", "E4", "H7"),
+)
+def matryoshka_truncated_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    short = emb.select(
+        "vec_id", F.slice("embedding", 1, _MATRYOSHKA_DIM).alias("v16"), "embedding"
+    )
+    probes = short.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v16").alias("p16"),
+        F.col("embedding").alias("pfull"),
+    )
+    scored = (
+        short.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.cosine("v16", "p16"), 6).alias("score16"),
+            F.round(V.cosine("embedding", "pfull"), 6).alias("score_full"),
+        )
+    )
+    w16 = Window.partitionBy("probe_id").orderBy(
+        F.desc("score16"), F.asc("neighbor_id")
+    )
+    wfull = Window.partitionBy("probe_id").orderBy(
+        F.desc("score_full"), F.asc("neighbor_id")
+    )
+    t16 = (
+        scored.withColumn("rank16", F.row_number().over(w16).cast("bigint"))
+        .filter(F.col("rank16") <= 10)
+        .select("probe_id", "neighbor_id", "score16", "rank16")
+    )
+    tfull = (
+        scored.withColumn("rf", F.row_number().over(wfull))
+        .filter(F.col("rf") <= 10)
+        .select("probe_id", F.col("neighbor_id").alias("full_neighbor"))
+    )
+    return (
+        t16.join(
+            tfull,
+            (t16.probe_id == tfull.probe_id)
+            & (t16.neighbor_id == tfull.full_neighbor),
+            "left",
+        )
+        .select(
+            t16.probe_id,
+            "neighbor_id",
+            "score16",
+            "rank16",
+            F.col("full_neighbor").isNotNull().alias("in_full_top10"),
+        )
+    )

@@ -158,3 +158,15 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
 
     plan = _optimized_explain(benchmark_contamination(spark, sf_dir))
     assert "BroadcastExchange" in plan
+
+
+def test_registered_bucketed_query_join_is_exchange_free(spark, sf_dir):
+    """The REGISTERED bucketed_colocated_join must sort-merge-join the two
+    bucketed tables with no exchange on either join side (only the final
+    mktsegment aggregate shuffles)."""
+    from cloudvectordb_spark.operators.sources import bucketed_colocated_join
+
+    plan = _executed_plan(bucketed_colocated_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 0
+    assert plan.count("Exchange hashpartitioning(c_custkey") == 0
