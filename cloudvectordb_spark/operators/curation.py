@@ -227,3 +227,186 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").cast("bigint").alias("tokens_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K2/E3 at scale: SEQUENCE PACKING — concatenate the corpus in doc_id
+# order and chunk it into fixed 512-token training sequences. Each doc's
+# start offset is the exclusive global prefix sum of token counts,
+# computed DISTRIBUTED by ranking.with_global_prefix_sum (value-bucketed
+# offsets + bucket-local cumsum — no single-partition window; the naive
+# `sum() OVER (ORDER BY ...)` form funnels 100 TB through one task).
+# The bin assignment and boundary-crossing flag are then per-row math.
+# ---------------------------------------------------------------------------
+_PACK_BIN = 512
+
+
+@query(
+    "sequence_packing_offsets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ntok,
+             CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, ntok, start_offset,
+           start_offset // {_PACK_BIN}                AS bin_first,
+           (start_offset + ntok - 1) // {_PACK_BIN}   AS bin_last,
+           (start_offset // {_PACK_BIN})
+             <> ((start_offset + ntok - 1) // {_PACK_BIN}) AS spans_boundary
+    FROM c
+    """,
+    operators=("K2", "E3", "F1", "D1"),
+)
+def sequence_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.ranking import with_global_prefix_sum
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").cast("bigint").alias("ntok")
+    )
+    packed = with_global_prefix_sum(docs, "doc_id", "ntok", cum_col="start_offset")
+    bin_first = F.expr(f"start_offset div {_PACK_BIN}")
+    bin_last = F.expr(f"(start_offset + ntok - 1) div {_PACK_BIN}")
+    return packed.select(
+        "doc_id",
+        "ntok",
+        "start_offset",
+        bin_first.alias("bin_first"),
+        bin_last.alias("bin_last"),
+        (bin_first != bin_last).alias("spans_boundary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2/H4: stratified deterministic sampling — per-language keep rates via
+# an md5 threshold on doc_id (en keeps 50%, de 75%, fr/es 25%, zh 12.5%).
+# Content-free and engine-replayable: a fixed-width hex prefix compares
+# lexicographically == numerically, so `substr(md5(id),1,2) < 'c0'` IS
+# the 75% Bernoulli draw, reproducible forever (a re-run or a late-
+# arriving shard keeps exactly the same docs — the property seeded RNG
+# sampling loses when partitioning changes). One narrow scan, one tiny
+# groupBy(lang); the sample predicate is a pushable scan-stage column.
+# ---------------------------------------------------------------------------
+_LANG_THRESH = {"en": "80", "de": "c0", "fr": "40", "es": "40", "zh": "20"}
+
+
+@query(
+    "stratified_hash_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+               CASE lang {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in _LANG_THRESH.items())}
+                         ELSE '00' END AS keep
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN len(string_split(text, ' '))
+                         ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM t GROUP BY lang
+    """,
+    operators=("K2", "H4", "D1", "B8"),
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    thresh = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _LANG_THRESH.items()
+        ],
+        F.lit("00"),
+    )
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thresh
+    return (
+        docs.select("lang", keep.alias("keep"), TX.token_count("text").alias("ntok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("ntok")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2/D1: distribution drift between the train and val splits — add-one-
+# smoothed unigram KL divergence per language (the drift monitor a data
+# pipeline runs when a new crawl lands; complements order_price_drift_psi
+# which buckets a numeric column). Single explode pass with conditional
+# aggregation per (lang, term); per-lang totals are a 5-row broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "split_unigram_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train' ELSE 'val' END AS split,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+    ),
+    counts AS (
+      SELECT lang, term,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ctr,
+             sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)   AS cva
+      FROM tok GROUP BY lang, term
+    ),
+    tot AS (
+      SELECT lang, sum(ctr) AS ttr, sum(cva) AS tva, count(*) AS v
+      FROM counts GROUP BY lang
+    )
+    SELECT c.lang,
+           CAST(t.v AS BIGINT)   AS n_terms,
+           CAST(t.ttr AS BIGINT) AS train_tokens,
+           CAST(t.tva AS BIGINT) AS val_tokens,
+           round(sum(((c.ctr + 1.0) / (t.ttr + t.v))
+                 * ln(((c.ctr + 1.0) / (t.ttr + t.v))
+                    / ((c.cva + 1.0) / (t.tva + t.v)))), 6) AS kl
+    FROM counts c JOIN tot t USING (lang)
+    GROUP BY c.lang, t.v, t.ttr, t.tva
+    """,
+    operators=("K2", "K1", "D1", "B8"),
+)
+def split_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    tok = (
+        docs.filter(bucket < "e")
+        .select(
+            "lang",
+            F.when(bucket < "c", "train").otherwise("val").alias("split"),
+            F.explode(TX.tokens("text")).alias("term"),
+        )
+    )
+    counts = tok.groupBy("lang", "term").agg(
+        F.sum((F.col("split") == "train").cast("bigint")).alias("ctr"),
+        F.sum((F.col("split") == "val").cast("bigint")).alias("cva"),
+    )
+    tot = counts.groupBy("lang").agg(
+        F.sum("ctr").alias("ttr"),
+        F.sum("cva").alias("tva"),
+        F.count("*").alias("v"),
+    )
+    joined = counts.join(F.broadcast(tot), "lang")
+    p = (F.col("ctr") + 1.0) / (F.col("ttr") + F.col("v"))
+    q = (F.col("cva") + 1.0) / (F.col("tva") + F.col("v"))
+    return joined.groupBy("lang", "v", "ttr", "tva").agg(
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl")
+    ).select(
+        "lang",
+        F.col("v").cast("bigint").alias("n_terms"),
+        F.col("ttr").cast("bigint").alias("train_tokens"),
+        F.col("tva").cast("bigint").alias("val_tokens"),
+        "kl",
+    )

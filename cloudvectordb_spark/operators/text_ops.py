@@ -413,3 +413,59 @@ def doc_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# K2/H2: PII redaction — regex-scrub emails and phone-shaped numbers,
+# reporting per-doc match counts and the redacted length. The fixture
+# text is synthetic word soup with no real PII, so a deterministic
+# contact suffix derived from doc_id is appended first (the plumbing —
+# regexp_count + global regexp_replace in one scan-stage pass — is what
+# a real pipeline points at raw crawl text; patterns are deliberately in
+# the RE2/Java-regex common subset so the oracle replays them exactly).
+# Pure per-row expressions: zero shuffle, pushes through the scan.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(contact, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(contact,
+                  '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM t
+    """,
+    operators=("K2", "H2", "H1", "B1"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(contact, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(contact, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )

@@ -128,6 +128,72 @@ def with_global_row_number(
     )
 
 
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    cum_col: str = "cum_before",
+    total_col: str = "_total_weight",
+    n_buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Add the exact EXCLUSIVE prefix sum of ``weight_col`` under the
+    global ``order_col`` ascending order (plus the grand total), with no
+    single-partition exchange — the distributed scan primitive behind
+    sequence packing / offset assignment.
+
+    ``order_col`` must be unique (a total order by itself). Same shape as
+    ``with_global_row_number``: bucket rows by value range (monotone, so
+    bucket order == global order), reduce each bucket to its weight sum
+    (tiny table), turn bucket sums into cumulative offsets, then add the
+    bucket-local running sum. cum_before = bucket offset + local exclusive
+    cumsum — exact for any bucket boundaries.
+    """
+    val = F.col(order_col).cast("double")
+    stats = df.agg(F.min(val).alias("_vmin"), F.max(val).alias("_vmax"))
+    span = F.col("_vmax") - F.col("_vmin")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((val - F.col("_vmin")) / span * n_buckets),
+            F.lit(n_buckets - 1),
+        )
+    )
+    tagged = df.crossJoin(F.broadcast(stats)).withColumn("_bucket", bucket)
+
+    wo = Window.partitionBy(_zero(F.col("_bucket"))).orderBy(F.asc("_bucket"))
+    offsets = (
+        tagged.groupBy("_bucket")
+        .agg(F.sum(F.col(weight_col)).alias("_bw"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_bw").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_tot",
+            F.sum("_bw").over(
+                Window.partitionBy(_zero(F.col("_bucket"))).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select("_bucket", "_offset", "_tot")
+    )
+
+    wl = Window.partitionBy("_bucket").orderBy(F.asc(order_col))
+    local_cum = F.coalesce(
+        F.sum(weight_col).over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "_bucket")
+        .withColumn(cum_col, (F.col("_offset") + local_cum).cast("bigint"))
+        .withColumn(total_col, F.col("_tot").cast("bigint"))
+        .drop("_bucket", "_vmin", "_vmax", "_offset", "_bw", "_tot")
+    )
+
+
 def ntile_from_row_number(rn: Column, total: Column, n: int) -> Column:
     """SQL ``ntile(n)`` from a precomputed global row number: the first
     ``total % n`` buckets take ``ceil(total/n)`` rows, the rest take

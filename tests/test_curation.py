@@ -65,3 +65,49 @@ def test_maxsim_ranking_shape(spark, sf_dir):
     assert all(r["pdoc"] != 0 for r in rows)  # query doc never retrieves itself
     # maxsim over 10 query chunks of unit-bounded cosines
     assert all(-10.0 <= s <= 10.0 for s in sims)
+
+
+def test_sequence_packing_offsets_contiguous(spark, sf_dir):
+    from cloudvectordb_spark.operators.curation import sequence_packing_offsets
+
+    df = sequence_packing_offsets(spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r["doc_id"])
+    assert rows[0]["start_offset"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_offset"] == a["start_offset"] + a["ntok"]
+        assert a["bin_first"] <= a["bin_last"]
+        assert a["spans_boundary"] == (a["bin_first"] != a["bin_last"])
+    # The distributed prefix sum must not funnel row data through one
+    # task: the only single-partition exchange allowed is the scalar
+    # min/max stats aggregate (merges one 2-value row per task), and no
+    # window may sort the full input globally (a global window plans as
+    # Exchange SinglePartition + Sort over the row data).
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1 : i + 4])
+            assert "partial_min" in below, f"row-data funnel at plan line {i}"
+
+
+def test_stratified_sample_hits_target_rates(spark, sf_dir):
+    from cloudvectordb_spark.operators.curation import (
+        _LANG_THRESH,
+        stratified_hash_sample,
+    )
+
+    rows = {r["lang"]: r for r in stratified_hash_sample(spark, sf_dir).collect()}
+    assert set(rows) == set(_LANG_THRESH)
+    for lang, r in rows.items():
+        target = int(_LANG_THRESH[lang], 16) / 256.0
+        observed = r["n_kept"] / r["n_total"]
+        assert abs(observed - target) < 0.2, (lang, observed, target)
+
+
+def test_split_unigram_kl_nonnegative(spark, sf_dir):
+    from cloudvectordb_spark.operators.curation import split_unigram_kl
+
+    rows = split_unigram_kl(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["kl"] >= 0.0
+        assert r["train_tokens"] > r["val_tokens"] > 0

@@ -170,3 +170,11 @@ def test_registered_bucketed_query_join_is_exchange_free(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning(o_custkey") == 0
     assert plan.count("Exchange hashpartitioning(c_custkey") == 0
+
+
+def test_pii_redaction_is_scan_stage_only(spark, sf_dir):
+    """Redaction is pure per-row regex work: no exchange of any kind."""
+    from cloudvectordb_spark.operators.text_ops import pii_redaction_stats
+
+    plan = _executed_plan(pii_redaction_stats(spark, sf_dir))
+    assert "Exchange" not in plan
