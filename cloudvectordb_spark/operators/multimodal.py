@@ -330,3 +330,79 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return binary_metadata(with_payload)
+
+
+# ---------------------------------------------------------------------------
+# K11: audio-shaped feature extraction — interpret the payload as 8-bit
+# unsigned PCM centered at 128 and compute per-window RMS + peak over
+# 64-sample frames (the standard loudness/clipping profile an audio
+# ingest computes before resampling). Same deterministic byte
+# reinterpretation as the image fallback, so the oracle replays the DSP
+# exactly: sample i == ascii(substr(text, i, 1)) - 128, missing samples
+# are silence (0). One row in, one row per window out, via the same
+# Arrow-batched mapInPandas plumbing a real decoder would use.
+# ---------------------------------------------------------------------------
+_AUDIO_WIN = 64
+_AUDIO_N_WIN = 4  # profile the first 256 "samples"
+
+
+def audio_features(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    import math
+
+    import numpy as np
+
+    def run(batches):
+        n = _AUDIO_WIN * _AUDIO_N_WIN
+        for pdf in batches:
+            out_ids, out_win, out_rms, out_peak = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[binary_col]):
+                buf = np.frombuffer(bytes(payload)[:n], dtype=np.uint8)
+                x = np.zeros(n, dtype=np.float64)
+                x[: len(buf)] = buf.astype(np.float64) - 128.0
+                for w in range(_AUDIO_N_WIN):
+                    seg = x[w * _AUDIO_WIN : (w + 1) * _AUDIO_WIN]
+                    rms = math.sqrt(float(np.mean(seg * seg)))
+                    out_ids.append(doc_id)
+                    out_win.append(w)
+                    # half-up to match SQL round() (see image_features)
+                    out_rms.append(math.floor(rms * 1e4 + 0.5) / 1e4)
+                    out_peak.append(int(np.abs(seg).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "win": out_win,
+                    "rms": out_rms,
+                    "peak": out_peak,
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="doc_id long, win bigint, rms double, peak bigint"
+    )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    slots AS (
+      SELECT doc_id,
+             (b.i - 1) // {_AUDIO_WIN} AS win,
+             CASE WHEN b.i <= length(text)
+                  THEN ascii(substr(text, CAST(b.i AS INTEGER), 1)) - 128.0
+                  ELSE 0.0 END AS x
+      FROM base CROSS JOIN
+           (SELECT unnest(generate_series(1, {_AUDIO_WIN * _AUDIO_N_WIN})) AS i) b
+    )
+    SELECT doc_id,
+           CAST(win AS BIGINT)                 AS win,
+           round(sqrt(avg(x * x)), 4)          AS rms,
+           CAST(max(abs(x)) AS BIGINT)         AS peak
+    FROM slots GROUP BY doc_id, win
+    """,
+    operators=("K11", "L5", "H4"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return audio_features(with_payload)

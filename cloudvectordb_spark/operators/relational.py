@@ -85,9 +85,12 @@ def revenue_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    # shuffle_hash pins the fact-fact join to a keyed shuffle: Catalyst's
+    # fixture-scale estimate would broadcast the shipdate-filtered
+    # lineitem, which at 100 TB is still fact-sized.
+    co = cust.join(orders, cust.c_custkey == orders.o_custkey)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(co.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -129,11 +132,16 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Fact-fact join: pin SHUFFLE HASH with the (date-filtered) orders
+    # side as build. Catalyst's size estimate otherwise flips to
+    # broadcasting LINEITEM (under-threshold at fixture scale) — 40%
+    # slower locally and an OOM at 100 TB; facts must shuffle on the
+    # join key, never broadcast.
+    co = cust.join(orders, cust.c_custkey == orders.o_custkey)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(co.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            supp,
+            F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -757,5 +765,89 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.expr(
             f"stack({len(cols)}, {stack_expr}) AS (column_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5/E1: per-group z-score outlier flagging — the robust-stats gate a
+# feature pipeline runs per entity (here: each customer's order values).
+# Mean/stddev come from an unbounded window over the customer partition
+# (one keyed exchange; at 100 TB this is the same shuffle the per-entity
+# feature aggregation already pays), outliers = |z| > 2. Customers with
+# a single order (stddev undefined) are excluded by the NULLIF/try_divide
+# guard on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "order_value_outliers",
+    oracle="""
+    SELECT o_orderkey, o_custkey, z FROM (
+      SELECT o_orderkey, o_custkey,
+             round((o_totalprice - avg(o_totalprice) OVER w)
+                   / NULLIF(stddev_samp(o_totalprice) OVER w, 0), 4) AS z
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey)
+    ) WHERE abs(z) > 2
+    """,
+    operators=("D5", "E1", "E3", "B2"),
+)
+def order_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    z = F.round(
+        F.try_divide(
+            F.col("o_totalprice") - F.avg("o_totalprice").over(w),
+            F.nullif(F.stddev_samp("o_totalprice").over(w), F.lit(0.0)),
+        ),
+        4,
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1/B8: equi-width histogram of order values — fixed arithmetic buckets
+# (floor(x / width), portable to any engine) rather than width_bucket, so
+# the oracle replays bit-identically. One map-side-combined groupBy over
+# ~20 keys; the distribution profile every ingest run materializes.
+# ---------------------------------------------------------------------------
+_HIST_WIDTH = 30_000
+_HIST_BUCKETS = 20
+
+
+@query(
+    "order_price_histogram",
+    oracle=f"""
+    SELECT least(CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT),
+                 {_HIST_BUCKETS - 1})                      AS bucket,
+           least(CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT),
+                 {_HIST_BUCKETS - 1}) * {_HIST_WIDTH}      AS lo,
+           count(*)                                        AS n,
+           round(count(*) * 1.0 / (SELECT count(*) FROM orders), 6) AS frac
+    FROM orders GROUP BY 1, 2
+    """,
+    operators=("D1", "B8", "D2", "H6"),
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("bigint"),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    counts = (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    total = orders.agg(F.count("*").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH).alias("lo"),
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("_t"), 6).alias("frac"),
         )
     )

@@ -282,3 +282,83 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3/F1: Z-ORDER layout — interleave the bits of two range-bucketed
+# dimensions (customer, order day) into one sort key so a file/row-group
+# layout sorted by it clusters BOTH dimensions at once: a range predicate
+# on either column prunes most z-ranges (the multi-dimensional data-
+# skipping trick single-column sorting can't give you). The interleave is
+# pure integer arithmetic (floor-div/mod — no engine bit intrinsics) so
+# the DuckDB twin replays it bit-identically; the query reports per
+# z-range row counts and the min/max envelope of each dimension, i.e.
+# exactly the footer stats a scan would prune on. tests/test_scale_plans
+# asserts the envelopes are genuinely narrow in both dimensions.
+# ---------------------------------------------------------------------------
+def _z_interleave(bx: str, by: str, idiv: str) -> str:
+    """16-bit Morton code from two 8-bit buckets, dialect ``idiv`` for
+    integer division ('div' = Spark, '//' = DuckDB)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(({bx}) {idiv} {1 << i}) % 2 * {1 << (2 * i + 1)}")
+        terms.append(f"(({by}) {idiv} {1 << i}) % 2 * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_layout_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+             min(CAST(o_orderdate AS DATE)) AS mnd,
+             max(CAST(o_orderdate AS DATE)) AS mxd
+      FROM orders
+    ),
+    b AS (
+      SELECT ((o_custkey - mnc) * 256) // (mxc - mnc + 1) AS bx,
+             (date_diff('day', mnd, CAST(o_orderdate AS DATE)) * 256)
+               // (date_diff('day', mnd, mxd) + 1)        AS by,
+             o_custkey,
+             date_diff('day', mnd, CAST(o_orderdate AS DATE)) AS day_ord
+      FROM orders, s
+    )
+    SELECT CAST(({_z_interleave('bx', 'by', '//')}) // 4096 AS BIGINT) AS z_range,
+           count(*)                    AS n,
+           CAST(min(o_custkey) AS BIGINT) AS min_ck,
+           CAST(max(o_custkey) AS BIGINT) AS max_ck,
+           CAST(min(day_ord) AS BIGINT)   AS min_day,
+           CAST(max(day_ord) AS BIGINT)   AS max_day
+    FROM b GROUP BY 1
+    """,
+    operators=("A3", "F1", "D1", "H6"),
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("o_day")
+    )
+    stats = orders.agg(
+        F.min("o_custkey").alias("mnc"),
+        F.max("o_custkey").alias("mxc"),
+        F.min("o_day").alias("mnd"),
+        F.max("o_day").alias("mxd"),
+    )
+    b = orders.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        F.expr("(o_custkey - mnc) * 256 div (mxc - mnc + 1)").alias("bx"),
+        F.expr(
+            "datediff(o_day, mnd) * 256 div (datediff(mxd, mnd) + 1)"
+        ).alias("by"),
+        F.datediff("o_day", "mnd").alias("day_ord"),
+    )
+    return (
+        b.withColumn("z_range", F.expr(f"({_z_interleave('bx', 'by', 'div')}) div 4096").cast("bigint"))
+        .groupBy("z_range")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_custkey").cast("bigint").alias("min_ck"),
+            F.max("o_custkey").cast("bigint").alias("max_ck"),
+            F.min("day_ord").cast("bigint").alias("min_day"),
+            F.max("day_ord").cast("bigint").alias("max_day"),
+        )
+    )

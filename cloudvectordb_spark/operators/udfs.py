@@ -155,9 +155,13 @@ def user_running_total_grouped_map(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def sql_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    # SHUFFLE_HASH(lineitem): keyed shuffle for the fact-fact join — the
+    # returnflag filter keeps ~25% of lineitem, which Catalyst's fixture
+    # estimate would otherwise broadcast (fact-sized at 100 TB).
     return spark.sql(
         """
-        SELECT c_custkey, c_name, n_name,
+        SELECT /*+ SHUFFLE_HASH(lineitem) */
+               c_custkey, c_name, n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey

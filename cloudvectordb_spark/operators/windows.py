@@ -193,3 +193,56 @@ def sort_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# E3 with a RANGE frame: 7-day rolling event volume per type. Raw events
+# first reduce to (type, day) counts — map-side combine collapses 100 TB
+# of events to ~types x days rows BEFORE any window — then the RANGE
+# frame (value-based, so gap days weigh correctly, unlike a ROWS frame)
+# runs over that tiny keyed aggregate. Day ordinal is an int on both
+# engines so the frame bounds are engine-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_ord,
+             CAST(min(CAST(ts AS DATE)) AS TIMESTAMP)              AS day,
+             count(*)                                              AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_events,
+           CAST(sum(n_events) OVER (
+             PARTITION BY event_type ORDER BY day_ord
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d
+    FROM daily
+    """,
+    operators=("E3", "E1", "D1", "H5"),
+)
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_ord"),
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("event_type", "day_ord")
+        .agg(
+            F.min("day").cast("timestamp").alias("day"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_ord")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("rolling_7d"),
+    )

@@ -73,6 +73,11 @@ def test_star_join_broadcasts_dims_and_pushes_filters(spark, sf_dir):
     assert "BroadcastExchange" in txt, "dimension tables must broadcast"
     assert "PushedFilters: [" in txt, "scan filters must push into parquet"
     assert "ReadSchema" in txt
+    # The fact-fact join must shuffle, not broadcast: Catalyst's size
+    # estimate would otherwise broadcast LINEITEM (OOM at 100 TB). The
+    # l_orderkey join being a ShuffledHashJoin rules that out.
+    assert "ShuffledHashJoin" in txt
+    assert "Left keys [1]: [l_orderkey" in txt
 
 
 def test_topk_uses_take_ordered_not_full_sort(spark, sf_dir):
@@ -178,3 +183,41 @@ def test_pii_redaction_is_scan_stage_only(spark, sf_dir):
 
     plan = _executed_plan(pii_redaction_stats(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_zorder_ranges_cluster_both_dimensions(spark, sf_dir):
+    """Each z-range's min/max envelope must cover a small fraction of BOTH
+    dimension spans — the data-skipping property the layout exists for
+    (a single-column sort would leave the other dimension's envelope at
+    ~100% of its span)."""
+    from cloudvectordb_spark.operators.sources import zorder_layout_stats
+
+    rows = zorder_layout_stats(spark, sf_dir).collect()
+    assert len(rows) == 16
+    ck_span = max(r["max_ck"] for r in rows) - min(r["min_ck"] for r in rows)
+    day_span = max(r["max_day"] for r in rows) - min(r["min_day"] for r in rows)
+    for r in rows:
+        # a 16-way z-split gives 4 ranges per dimension -> each envelope
+        # covers ~1/4 of each span; allow slack for bucket edge effects
+        assert (r["max_ck"] - r["min_ck"]) <= 0.30 * ck_span
+        assert (r["max_day"] - r["min_day"]) <= 0.30 * day_span
+
+
+def test_fact_fact_joins_shuffle_not_broadcast(spark, sf_dir):
+    """Q3/Q10 shapes must never broadcast (even filtered) lineitem: the
+    shipdate/returnflag filters keep fact-sized data at 100 TB. The
+    orderkey joins must plan as ShuffledHashJoin."""
+    from cloudvectordb_spark.operators.relational import revenue_topk_orders
+    from cloudvectordb_spark.operators.udfs import sql_returned_revenue_by_customer
+
+    for fn in (revenue_topk_orders, sql_returned_revenue_by_customer):
+        lines = _executed_plan(fn(spark, sf_dir)).splitlines()
+        assert any("ShuffledHashJoin" in ln for ln in lines), fn.__name__
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            depth = len(ln) - len(ln.lstrip(" :+-"))
+            for below in lines[i + 1 :]:
+                if len(below) - len(below.lstrip(" :+-")) <= depth:
+                    break
+                assert "lineitem.parquet" not in below, fn.__name__
