@@ -410,3 +410,52 @@ def split_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tva").cast("bigint").alias("val_tokens"),
         "kl",
     )
+
+
+# ---------------------------------------------------------------------------
+# K2: temperature-scaled source mixing — the multinomial sampling-weight
+# computation behind "alpha-sampling" multilingual/multi-source corpora
+# (p_i ∝ n_i^alpha with alpha<1 upweights small sources). Two tiny
+# aggregations; the weights table is #sources rows, the artifact a
+# sampler joins against at training time. Expected epoch tokens =
+# weight * budget, all closed-form and oracle-exact.
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = 0.7
+_MIX_BUDGET = 100_000
+
+
+@query(
+    "source_mixing_weights",
+    oracle=f"""
+    WITH n AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    z AS (SELECT sum(n_tokens ** {_MIX_ALPHA}) AS z FROM n)
+    SELECT source, n_tokens,
+           round(n_tokens ** {_MIX_ALPHA} / (SELECT z FROM z), 6) AS weight,
+           CAST(floor(n_tokens ** {_MIX_ALPHA} / (SELECT z FROM z)
+                      * {_MIX_BUDGET}) AS BIGINT) AS epoch_tokens
+    FROM n
+    """,
+    operators=("K2", "D1", "D2", "H6"),
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    pw = F.pow(F.col("n_tokens"), F.lit(_MIX_ALPHA))
+    z = n.agg(F.sum(pw).alias("z"))
+    return (
+        n.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(pw / F.col("z"), 6).alias("weight"),
+            F.floor(pw / F.col("z") * _MIX_BUDGET).cast("bigint").alias(
+                "epoch_tokens"
+            ),
+        )
+    )

@@ -223,6 +223,42 @@ _CC_PAIRS_SQL = """
 """
 
 
+def shingle_jaccard_edges(docs: DataFrame, tau: float) -> DataFrame:
+    """(src, dst) near-dup edges: exact trigram-shingle Jaccard >= tau.
+
+    Inverted-index candidate generation — only pairs SHARING a shingle can
+    clear any Jaccard threshold — turns O(n^2) scoring into an equi-join
+    on shingle (1-band exact banding; MinHash banding is the lossy
+    version of this same shape). Hot shingles would skew the join at
+    scale; AQE skew-split handles it, and a df-cap prefilter is the
+    standard lossy escalation.
+    """
+    sh = docs.select(
+        "doc_id", F.array_distinct(TX.word_shingles("text", 3)).alias("sh")
+    )
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        inv.alias("x")
+        .join(inv.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sa", "sb"))).cast("double")
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("j", F.try_divide(inter, union))
+        .filter(F.col("j") >= tau)
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Min-label propagation over an undirected edge list; returns
     (node bigint, component bigint) for every node with >= 1 edge.
@@ -291,37 +327,7 @@ def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper). WITH RECURSIVE needs DuckDB to seed the recursion, so the
     oracle uses transitive closure; Spark uses the scalable propagation."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.array_distinct(TX.word_shingles("text", 3)).alias("sh")
-    )
-    # inverted-index candidate generation: only pairs SHARING a shingle can
-    # clear any Jaccard threshold — turns O(n^2) scoring into an equi-join
-    # on shingle (1-band exact banding; MinHash banding is the lossy
-    # version of this same shape). Hot shingles would skew the join at
-    # scale; AQE skew-split handles it, and a df-cap prefilter is the
-    # standard lossy escalation.
-    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    cand = (
-        inv.alias("x")
-        .join(inv.alias("y"), "shingle")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id")
-        )
-        .distinct()
-    )
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    union = F.size(F.array_distinct(F.concat("sa", "sb"))).cast("double")
-    edges = (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .withColumn("j", F.try_divide(inter, union))
-        .filter(F.col("j") >= _CC_TAU)
-        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    )
-    comp = connected_components(edges)
+    comp = connected_components(shingle_jaccard_edges(docs, _CC_TAU))
     w = Window.partitionBy("component")
     return comp.select(
         F.col("node").alias("doc_id"),

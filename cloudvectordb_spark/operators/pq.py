@@ -159,6 +159,42 @@ def adc_scores(encoded: DataFrame, probes: list[tuple[int, np.ndarray]], books: 
     return encoded.mapInPandas(run, schema="probe_id long, vec_id long, adc_dist double")
 
 
+_PQ_BOOK_CACHE: dict = {}  # in-process: tag -> codebooks ndarray
+
+
+def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
+    """(encoded codes DataFrame, codebooks) for ``sf_dir``, building each
+    at most once per fixture version — codebook training and corpus
+    encoding are INDEX-BUILD work (the S4 bulk phase), so repeat searches
+    read the persisted code parquet instead of re-running Lloyd + the
+    encode scan. Same mtime-keyed atomic-rename publish as the IVF index."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{_M}|{_K}|{_SEED}|{_ITERS}".encode()
+    ).hexdigest()[:10]
+    tag = f"{key}_{int(os.path.getmtime(src))}"
+    if tag not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[tag] = train_pq_codebooks(spark, sf_dir)
+    books = _PQ_BOOK_CACHE[tag]
+    path = os.path.join(tempfile.gettempdir(), "cloudvectordb_pq", tag)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        build_dir = f"{path}.build{os.getpid()}"
+        pq_encode(load(spark, sf_dir, "embeddings"), books).write.mode(
+            "overwrite"
+        ).parquet(build_dir)
+        try:
+            os.rename(build_dir, path)
+        except OSError:  # concurrent publisher won — use theirs
+            shutil.rmtree(build_dir, ignore_errors=True)
+    return spark.read.parquet(path), books
+
+
 @query(
     "pq_topk_search",
     oracle=None,  # seeded KMeans codebooks aren't SQL-replayable; recall pytest-gated
@@ -172,7 +208,7 @@ def pq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudvectordb_spark.functions import vector as V
 
     emb = load(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(spark, sf_dir)
+    encoded, books = ensure_pq_index(spark, sf_dir)
     probe_rows = (
         emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
     )
@@ -181,7 +217,6 @@ def pq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in probe_rows
     ]
 
-    encoded = pq_encode(emb, books)
     scores = adc_scores(encoded, probes, books).filter(
         F.col("vec_id") != F.col("probe_id")
     )
@@ -228,9 +263,7 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression diagnostics (K12-style quality gate for the compressed
     index): per-subspace row totals + code-range check. The per-codeword
     balance histogram stays available via the same posexplode groupBy."""
-    emb = load(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(spark, sf_dir)
-    encoded = pq_encode(emb, books)
+    encoded, _ = ensure_pq_index(spark, sf_dir)
     return (
         encoded.select(F.posexplode("code").alias("subspace", "centroid"))
         .groupBy("subspace")

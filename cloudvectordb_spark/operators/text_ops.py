@@ -469,3 +469,114 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(contact, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
         F.length(redacted).cast("bigint").alias("redacted_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K2: bigram language-model scoring — the CCNet-style "perplexity filter"
+# that ranks docs by how probable their text is under a corpus n-gram
+# model. The model is the corpus itself (bigram MLE: p(w2|w1) =
+# c(w1 w2) / c(w1 ·)), so every doc bigram has a model entry and the
+# whole computation is two keyed aggregations plus one keyed join — the
+# model table is NEVER broadcast (vocab² rows at 100 TB) and never
+# collected; low avg_logprob = boilerplate-unlike, high = degenerate
+# repetition. Scored subset is doc_id < 200; the model uses ALL docs.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM toks
+    ),
+    model AS (SELECT bg, count(*) AS c_pair FROM pairs GROUP BY bg),
+    w1tot AS (
+      SELECT string_split(bg, ' ')[1] AS w1, sum(c_pair) AS c_w1
+      FROM model GROUP BY 1
+    ),
+    m2 AS (
+      SELECT bg, c_pair, c_w1
+      FROM model JOIN w1tot ON string_split(model.bg, ' ')[1] = w1tot.w1
+    )
+    SELECT p.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(c_pair / c_w1)), 6) AS avg_logprob
+    FROM pairs p JOIN m2 USING (bg)
+    WHERE p.doc_id < 200
+    GROUP BY p.doc_id
+    """,
+    operators=("K2", "K1", "D1", "C1"),
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(TX.word_shingles("text", 2)).alias("bg")
+    )
+    model = pairs.groupBy("bg").agg(F.count("*").alias("c_pair"))
+    w1tot = (
+        model.withColumn("w1", F.split("bg", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c_pair").alias("c_w1"))
+    )
+    m2 = (
+        model.withColumn("w1", F.split("bg", " ")[0])
+        .join(w1tot, "w1")
+        .select("bg", "c_pair", "c_w1")
+    )
+    return (
+        pairs.filter(F.col("doc_id") < 200)
+        .join(m2, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c_pair") / F.col("c_w1"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1: BPE tokenizer training, iteration 0 — the frequency table of
+# adjacent symbol pairs inside words, weighted by word occurrence (the
+# argmax of this table IS the first BPE merge). substr arithmetic on
+# both engines (no empty-delimiter split quirks); counts combine
+# map-side; the top-20 head goes through global_topk_ranked, so the
+# full pair table (bounded by vocab size) never single-partitions.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_merge_pair_counts",
+    oracle="""
+    WITH pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(length(word) - 1, 0)),
+               i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    ),
+    tf AS (SELECT pair, count(*) AS freq FROM pairs GROUP BY pair)
+    SELECT pair, CAST(freq AS BIGINT) AS freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank
+    FROM tf QUALIFY rank <= 20
+    """,
+    operators=("K1", "K2", "D1", "F2"),
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.ranking import global_topk_ranked
+
+    docs = load(spark, sf_dir, "documents")
+    char_pairs = F.expr(
+        "CASE WHEN length(word) >= 2 THEN "
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2)) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    tf = (
+        docs.select(F.explode(TX.tokens("text")).alias("word"))
+        .select(F.explode(char_pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    return global_topk_ranked(tf, [F.desc("freq"), F.asc("pair")], 20)

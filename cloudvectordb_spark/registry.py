@@ -128,6 +128,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         events,
         functions_ops,
+        graph,
         multimodal,
         pipeline,
         pq,

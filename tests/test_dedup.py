@@ -90,3 +90,16 @@ def test_simhash_banding_provable_recall(spark, sf_dir):
     assert got == want
     for h in got.values():
         assert 0 <= h <= _SIMHASH_HAM_T
+
+
+def test_pagerank_conserves_mass(spark, sf_dir):
+    """PageRank over the near-dup graph: ranks are a probability
+    distribution (sum 1) because symmetric edges leave no dangling mass."""
+    from cloudvectordb_spark.operators.graph import doc_similarity_pagerank
+
+    rows = doc_similarity_pagerank(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["rank"] > 0
+        assert r["degree"] >= 1
