@@ -1,0 +1,412 @@
+"""Classic decision-support shapes completing the TPC-H-style relational
+suite (SURVEY.md §2 groups B/C/D/F; [HARNESS] relational bar).
+
+Round 1 shipped Q1/Q2/Q3/Q4/Q5/Q10/Q13/Q17/Q21/Q22 analogues
+(relational.py, subqueries.py); this module adds the remaining shapes the
+fixture schema can express — Q6 (single-scan delta), Q7 (nation-pair
+volume), Q8 (market share ratio), Q9 (margin by nation/year), Q14 (promo
+ratio), Q15 (argmax supplier), Q18 (HAVING semi-join), Q19 (disjunctive
+predicate pushdown). The fixture has no PARTSUPP table and lineitem
+carries no shipmode/commitdate, so Q11/Q12/Q16/Q20 have no faithful
+analogue; Q9's supplycost is proxied from p_retailprice.
+
+Plan-shape policy (SCALE.md "fact-join policy"): lineitem/orders/customer
+are facts — their mutual joins are pinned ``shuffle_hash`` so fixture-
+scale size estimates can't flip Catalyst into broadcasting a fact;
+region/nation/supplier/part are dims and broadcast explicitly (part only
+after its selective filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: single-scan filtered global aggregate — the purest pushdown
+# test (B2/B3 predicates must reach the parquet scan; D2 global agg).
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_revenue_delta",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           count(*)                                    AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    operators=("B2", "B3", "D2", "H6"),
+)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_delta"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: bidirectional nation-pair trade volume. Two fact-fact joins
+# (lineitem-orders, orders-customer) shuffle on their keys; the nation
+# pair predicate applies across both directions.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    operators=("C1", "C2", "D1", "B7", "H5"),
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    oc = orders.join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        li.join(oc.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share — a conditional-sum / total-sum ratio per year.
+# The share division happens after aggregation, so the heavy plan is one
+# shuffle on the group key; the ratio is a cheap post-agg projection.
+# ---------------------------------------------------------------------------
+@query(
+    "regional_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(sum(CASE WHEN ns.n_name = 'NATION_2'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region   ON nc.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    GROUP BY 1
+    """,
+    operators=("C1", "C2", "D1", "B8", "H6"),
+)
+def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # The p_type filter cuts part ~6x before broadcast; at 100 TB the
+    # filtered part-dim is the one broadcast worth re-checking (p_type
+    # has 6 values), but the partkey equi-join shuffles fine if Catalyst
+    # demotes it.
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    oc = orders.join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(oc.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: margin by supplier nation and year. The fixture has no
+# PARTSUPP, so cost is proxied as 60% of p_retailprice per unit — the
+# plan shape (3-way fact join + part/supplier dims + two-key group) is
+# what matters, not the cost model.
+# ---------------------------------------------------------------------------
+@query(
+    "product_line_margin",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               - 0.6 * p_retailprice * l_quantity
+                               AS DECIMAL(18, 6))) AS DOUBLE), 2) AS margin
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    operators=("C1", "C2", "D1", "B5", "H6"),
+)
+def product_line_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    # Signed margins cancel, so a double sum's value depends on partial-agg
+    # order and can straddle the round(.., 2) boundary vs the oracle; a
+    # fixed-point decimal sum is exact and association-order-free on both
+    # engines (the per-row cast is deterministic: binary doubles never sit
+    # exactly on a half-ulp decimal boundary).
+    margin = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year")
+        )
+        .agg(F.round(F.sum(margin).cast("double"), 2).alias("margin"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue ratio — conditional aggregation over one
+# month of shipments, part dim broadcast after no filter (ratio needs
+# both branches).
+# ---------------------------------------------------------------------------
+@query(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    operators=("C1", "C2", "D2", "B8", "H6"),
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = load(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: argmax supplier by quarterly revenue. The global max is a
+# one-row aggregate broadcast back over the per-supplier totals — no
+# global sort, no single-partition window (SCALE.md "global ranking").
+# ---------------------------------------------------------------------------
+@query(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    operators=("C1", "C2", "D1", "D2", "F1"),
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: HAVING over a fact aggregate, semi-joined back to the
+# order/customer detail. The heavy aggregate happens FIRST, on the
+# narrow (orderkey, quantity) projection; only qualifying keys join.
+# ---------------------------------------------------------------------------
+@query(
+    "large_quantity_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey AS okey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 170
+    )
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON okey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    operators=("C1", "D1", "F2", "B2"),
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 170)
+        .select("okey", F.round("raw_qty", 2).alias("sum_qty"))
+    )
+    return (
+        big.join(orders.hint("shuffle_hash"), F.col("okey") == F.col("o_orderkey"))
+        .join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-band predicate across the join — the OR
+# of brand/size/quantity bands must still push the partkey equi-join
+# and let Catalyst keep per-branch predicates on each side's scan.
+# ---------------------------------------------------------------------------
+@query(
+    "disjunctive_band_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 45
+           AND l_quantity BETWEEN 20 AND 45)
+    """,
+    operators=("C1", "C2", "B7", "B3", "D2"),
+)
+def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # Pre-filter each side with the OR's per-side projection (Catalyst
+    # derives these too, but stating them keeps the scans tight even if
+    # a future plan change loses the inferred filter).
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#12", "Brand#23")
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(20, 45)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

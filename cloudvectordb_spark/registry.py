@@ -137,6 +137,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sources,
         subqueries,
         text_ops,
+        tpch_extra,
         udfs,
         vector_ops,
         windows,
