@@ -459,3 +459,110 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: the global training order for one epoch,
+# derived from a content-free hash key — replayable forever (resume from
+# step k re-derives the same order; changing the seed string re-shuffles).
+# The exact global position comes from the value-bucketed distributed
+# row_number (ranking.py), so no single-partition sort materializes even
+# over a 100 TB corpus; a training loader only needs ORDER BY shard-local
+# ranges of shuffle_pos. Fixed-width md5-prefix hex compares
+# lexicographically == numerically, which is what lets DuckDB replay the
+# exact order by string comparison while Spark buckets on the bigint.
+# ---------------------------------------------------------------------------
+_SHUFFLE_SEED = "epoch0"
+
+
+@query(
+    "deterministic_corpus_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}'), 1, 15),
+                      doc_id) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+    operators=("F1", "H4", "K2"),
+)
+def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.ranking import with_global_row_number
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "_shufkey",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SHUFFLE_SEED}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    ranked = with_global_row_number(
+        keyed, "_shufkey", [F.asc("doc_id")], rn_col="shuffle_pos"
+    )
+    return ranked.select("doc_id", F.col("shuffle_pos").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel: per-source survival counts through the curation
+# cascade (length -> stopword ratio -> bigram repetition). One scan with
+# conditional aggregates (map-side combine), so the funnel over 100 TB
+# costs the same as any per-source groupBy; the stages are cumulative
+# (stage N implies stages < N), which is what makes the output a funnel
+# rather than independent filter counts.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_filter_funnel",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS ntok,
+             CAST(len(list_filter(string_split(text, ' '),
+                    x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'for'], x))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                     i -> array_to_string((string_split(text, ' '))[i:i+1], ' ')))) AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')) - 1, 1) AS dup_bigram_frac
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN ntok >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(sum(CASE WHEN ntok >= 10 AND stop_ratio < 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+           CAST(sum(CASE WHEN ntok >= 10 AND stop_ratio < 0.5
+                          AND dup_bigram_frac <= 0.8
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+    FROM t GROUP BY source
+    """,
+    operators=("K2", "B8", "D1", "H8"),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bg = TX.word_shingles("text", 2)
+    ntok = TX.token_count("text")
+    t = docs.select(
+        "source",
+        ntok.alias("ntok"),
+        TX.stopword_ratio("text").alias("stop_ratio"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bg)).cast("double")
+            / F.greatest(ntok - 1, F.lit(1))
+        ).alias("dup_bigram_frac"),
+    )
+    len_ok = F.col("ntok") >= 10
+    stop_ok = len_ok & (F.col("stop_ratio") < 0.5)
+    final_ok = stop_ok & (F.col("dup_bigram_frac") <= 0.8)
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(len_ok, 1).otherwise(0)).cast("bigint").alias("n_len_ok"),
+        F.sum(F.when(stop_ok, 1).otherwise(0)).cast("bigint").alias("n_stop_ok"),
+        F.sum(F.when(final_ok, 1).otherwise(0)).cast("bigint").alias("n_final"),
+    )

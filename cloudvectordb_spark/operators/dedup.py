@@ -413,3 +413,92 @@ def simhash_band_pairs(
 def simhash_band_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return simhash_band_pairs(simhash(docs, hash_fn="md5"), nbits=60)
+
+
+# ---------------------------------------------------------------------------
+# G5 incremental ingest dedup: dedup a NEW batch against the existing
+# corpus without ever self-joining the corpus. Both sides band their
+# signatures; the equi-join is new-batch-sized on one side, so each
+# micro-batch of ingest costs O(|batch| x bucket_occupancy), never
+# O(|corpus|^2) — the shape that lets a 100 TB corpus absorb daily
+# increments. In production the corpus side is a persisted band index
+# (bucketed parquet keyed on (band, key)); here it derives inline from
+# the same fixture for the oracle's benefit.
+# ---------------------------------------------------------------------------
+_INCR_NEW_SOURCES = ("src0", "src1", "src2")
+
+
+def simhash_band_pairs_between(
+    new_sigs: DataFrame, corpus_sigs: DataFrame,
+    id_col: str = "doc_id", sig_col: str = "simhash",
+    bands: int = 4, max_hamming: int = _SIMHASH_HAM_T, nbits: int = 64,
+) -> DataFrame:
+    """(new_id, corpus_id, hamming) pairs across two signature sets.
+    Same pigeonhole recall as simhash_band_pairs: any cross pair with
+    hamming <= bands - 1 shares at least one exact band."""
+    width = nbits // bands
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.col(sig_col).alias(f"_{out_id}_sig"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(CAST({sig_col} AS BIGINT) >> {b * width}) "
+                            f"& {(1 << width) - 1}"
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bk"),
+        ).select(out_id, f"_{out_id}_sig", "bk.band", "bk.key")
+
+    pairs = (
+        banded(new_sigs, "new_id")
+        .join(banded(corpus_sigs, "corpus_id"), ["band", "key"])
+        .select(
+            "new_id",
+            "corpus_id",
+            F.bit_count(
+                F.col("_new_id_sig").bitwiseXOR(F.col("_corpus_id_sig"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+@query(
+    "incremental_simhash_dedup",
+    oracle=f"""
+    WITH {_SIMHASH_MD5_SIGS_SQL.format(lim=200)},
+    tagged AS (
+      SELECT s.doc_id, s.simhash,
+             d.source IN {_INCR_NEW_SOURCES} AS is_new
+      FROM sigs s JOIN documents d USING (doc_id)
+    ),
+    banded AS (
+      SELECT doc_id, simhash, is_new, b.band,
+             (simhash >> (b.band * 15)) & 32767 AS key
+      FROM tagged CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    )
+    SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id,
+           CAST(bit_count(xor(n.simhash, o.simhash)) AS BIGINT) AS hamming
+    FROM banded n JOIN banded o USING (band, key)
+    WHERE n.is_new AND NOT o.is_new
+      AND bit_count(xor(n.simhash, o.simhash)) <= {_SIMHASH_HAM_T}
+    """,
+    operators=("G5", "H4", "C1"),
+)
+def incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sigs = simhash(docs, hash_fn="md5").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    is_new = F.col("source").isin(*_INCR_NEW_SOURCES)
+    return simhash_band_pairs_between(
+        sigs.filter(is_new), sigs.filter(~is_new), nbits=60
+    )

@@ -467,3 +467,49 @@ def events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous-aggregate rollup: day grain derived from
+# hour partials derived from minute partials — never from raw events
+# twice. count/sum are mergeable, so each level re-aggregates the one
+# below it; at 100 TB the raw corpus is scanned ONCE (at minute grain,
+# with map-side partial aggregation) and every coarser grain works over
+# the 1440x-smaller partial table, the continuous-aggregate maintenance
+# pattern of timeseries stores. The oracle replays the same three-level
+# cascade so both engines accumulate over identical partial groupings.
+# ---------------------------------------------------------------------------
+@query(
+    "hypertable_rollup_daily",
+    oracle="""
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS ws, event_type,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    hour AS (
+      SELECT date_trunc('hour', ws) AS ws, event_type,
+             CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+      FROM minute GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', ws) AS ws_day, event_type,
+           CAST(sum(n) AS BIGINT) AS n, round(sum(sv), 2) AS sum_value
+    FROM hour GROUP BY 1, 2
+    """,
+    operators=("J1", "D1", "H5"),
+)
+def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("ws"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "ws").alias("ws"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    return (
+        hour.groupBy(F.date_trunc("day", "ws").alias("ws_day"), "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+        )
+    )

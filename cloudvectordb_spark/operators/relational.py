@@ -851,3 +851,46 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * 1.0 / F.col("_t"), 6).alias("frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler: the pre-flight a 100 TB join runs before
+# choosing a strategy (plain shuffle vs salted vs AQE skew-join). One
+# linear groupBy builds per-key counts; the global stats reduce to a
+# single broadcast row; the heavy-hitter list is a TakeOrderedAndProject
+# top-k. skew_x >> 1 on the output is the signal to salt that key (see
+# salted_join in functions_ops).
+# ---------------------------------------------------------------------------
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total, avg(cnt) AS mean_cnt FROM k
+    )
+    SELECT o_custkey,
+           CAST(cnt AS BIGINT)            AS cnt,
+           round(cnt / (SELECT total FROM g), 6)    AS share,
+           round(cnt / (SELECT mean_cnt FROM g), 4) AS skew_x
+    FROM k
+    ORDER BY cnt DESC, o_custkey
+    LIMIT 10
+    """,
+    operators=("D1", "D2", "F2", "D5"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    k = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    g = k.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.avg("cnt").alias("mean_cnt"),
+    )
+    top = k.orderBy(F.desc("cnt"), F.asc("o_custkey")).limit(10)
+    return top.crossJoin(F.broadcast(g)).select(
+        "o_custkey",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        F.round(F.col("cnt") / F.col("mean_cnt"), 4).alias("skew_x"),
+    )

@@ -248,3 +248,39 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.sum("n_events").over(w).cast("bigint").alias("rolling_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-partition planner: exact interpolated septile edges of the sort
+# key — the bounds a rangepartitioned sort/Z-order layout would use.
+# Spark's own range partitioner samples; this produces EXACT edges with
+# one percentile aggregate (single pass + tiny final reduce), the
+# deterministic variant a layout manifest should persist. posexplode
+# turns the edge array into (bucket, upper_bound) rows.
+# ---------------------------------------------------------------------------
+@query(
+    "range_partition_bounds",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS edges
+      FROM orders
+    )
+    SELECT CAST(b.i AS BIGINT)          AS bucket,
+           round(edges[b.i], 2)         AS upper_bound
+    FROM q CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS i) b
+    """,
+    operators=("F1", "D5", "H7"),
+)
+def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(i / 8.0) for i in range(1, 8)]))
+        .alias("edges")
+    )
+    return edges.select(
+        F.posexplode("edges").alias("pos", "edge")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("bucket"),
+        F.round("edge", 2).alias("upper_bound"),
+    )

@@ -103,3 +103,30 @@ def test_pagerank_conserves_mass(spark, sf_dir):
     for r in rows:
         assert r["rank"] > 0
         assert r["degree"] >= 1
+
+
+def test_incremental_band_pairs_pigeonhole_recall(spark, sf_dir):
+    """Every (new, corpus) pair within hamming <= 3 must survive the
+    banded cross-join — pigeonhole over 4 bands, asymmetric variant."""
+    from cloudvectordb_spark.operators.dedup import simhash_band_pairs_between
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sigs = simhash(docs, hash_fn="md5").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    is_new = F.col("source").isin("src0", "src1", "src2")
+    new_s, old_s = sigs.filter(is_new), sigs.filter(~is_new)
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in simhash_band_pairs_between(new_s, old_s, nbits=60).collect()
+    }
+    brute = (
+        new_s.select(F.col("doc_id").alias("n_id"), F.col("simhash").alias("ns"))
+        .crossJoin(
+            old_s.select(F.col("doc_id").alias("o_id"), F.col("simhash").alias("os"))
+        )
+        .withColumn("h", F.bit_count(F.col("ns").bitwiseXOR(F.col("os"))))
+        .filter(F.col("h") <= 3)
+        .collect()
+    )
+    assert {(r.n_id, r.o_id) for r in brute} <= got

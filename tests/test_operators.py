@@ -67,3 +67,55 @@ def test_events_timestamps_are_microsecond_utc(spark, sf_dir):
     assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     r = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
     assert r.mn.year == 2024 and r.mx.year == 2024
+
+
+def test_hypertable_rollup_partials_match_direct(spark, sf_dir):
+    """Re-aggregating minute -> hour -> day partials must equal a direct
+    day-grain aggregate over raw events (count/sum are mergeable)."""
+    from cloudvectordb_spark.operators.events import hypertable_rollup_daily
+
+    got = {
+        (r.ws_day, r.event_type): (r.n, r.sum_value)
+        for r in hypertable_rollup_daily(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    direct = {
+        (r.ws_day, r.event_type): (r.n, r.sum_value)
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("ws_day"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for k in got:
+        assert got[k][0] == direct[k][0]
+        assert abs(got[k][1] - direct[k][1]) < 0.05  # partial-sum float order
+
+
+def test_join_key_skew_profile_invariants(spark, sf_dir):
+    from cloudvectordb_spark.operators.relational import join_key_skew_profile
+
+    rows = join_key_skew_profile(spark, sf_dir).collect()
+    assert len(rows) == 10
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert sum(r.share for r in rows) <= 1.0
+    assert all(r.skew_x >= 1.0 for r in rows)  # top keys are above the mean
+
+
+def test_range_partition_bounds_monotone(spark, sf_dir):
+    from cloudvectordb_spark.operators.windows import range_partition_bounds
+
+    rows = sorted(range_partition_bounds(spark, sf_dir).collect(),
+                  key=lambda r: r.bucket)
+    bounds = [r.upper_bound for r in rows]
+    assert len(bounds) == 7
+    assert bounds == sorted(bounds)
+    mn, mx = load(spark, sf_dir, "orders").agg(
+        F.min("o_totalprice"), F.max("o_totalprice")
+    ).first()
+    assert mn <= bounds[0] and bounds[-1] <= mx
