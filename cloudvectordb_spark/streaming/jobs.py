@@ -196,3 +196,46 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """J6 via Spark 4's transformWithStateInPandas — the successor API to
+    applyInPandasWithState (same per-key state partitioning, but typed
+    state handles, timers, and RocksDB-backed stores). Functionally
+    identical to running_user_totals_stream above; registered separately
+    so both arbitrary-state APIs stay covered. Requires the RocksDB state
+    store provider (set by the caller / test) and protobuf in the Python
+    workers — absent protobuf (this container), the test skips and the
+    applyInPandasWithState twin carries J6."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._total.get()[0] if self._total.exists() else 0.0
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                running = pdf["value"].cumsum() + total
+                if len(running):
+                    total = float(running.iloc[-1])
+                yield pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"],
+                        "event_id": pdf["event_id"],
+                        "running_value": running.round(2),
+                    }
+                )
+            self._total.update((total,))
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotal(),
+        outputStructType="user_id bigint, event_id bigint, running_value double",
+        outputMode="append",
+        timeMode="none",
+    )

@@ -3,6 +3,8 @@ the batch answer when driven through the micro-batch engine."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cloudvectordb_spark.catalog import load
@@ -171,3 +173,41 @@ def test_hll_rollup_union_accuracy(spark, sf_dir):
     assert row["n_days"] >= 1
     assert row["exact_union_users"] == exact
     assert row["est_within_5pct"]  # 5% envelope now part of the query output
+
+
+def test_tws_running_totals_match_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 stateful API) must equal the
+    oracle-checked batch window running total. The operator's Python
+    worker needs protobuf (not shipped in this container) — skip, not
+    fail, where absent; the applyInPandasWithState twin above covers J6
+    unconditionally."""
+    pytest.importorskip("google.protobuf")
+    from cloudvectordb_spark.operators.udfs import user_running_total_grouped_map
+    from cloudvectordb_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+        running_user_totals_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        got = run_to_memory(
+            running_user_totals_tws(stream), "t_tws", mode="append"
+        )
+        g = {(r.user_id, r.event_id): r.running_value for r in got.collect()}
+        b = {
+            (r.user_id, r.event_id): r.running_value
+            for r in user_running_total_grouped_map(spark, sf_dir).collect()
+        }
+        assert len(g) == len(b) > 0
+        assert all(abs(g[k] - b[k]) < 1e-6 for k in b)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
