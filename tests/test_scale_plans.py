@@ -221,3 +221,44 @@ def test_fact_fact_joins_shuffle_not_broadcast(spark, sf_dir):
                 if len(below) - len(below.lstrip(" :+-")) <= depth:
                     break
                 assert "lineitem.parquet" not in below, fn.__name__
+
+
+def test_hypertable_rollup_scans_raw_once(spark, sf_dir):
+    """The continuous-aggregate cascade must read raw events exactly once
+    (coarser grains re-aggregate partials, never the corpus)."""
+    from cloudvectordb_spark.operators.events import hypertable_rollup_daily
+
+    plan = _executed_plan(hypertable_rollup_daily(spark, sf_dir))
+    assert plan.count("events.parquet") == 1
+
+
+def test_incremental_dedup_is_equi_join_not_cartesian(spark, sf_dir):
+    """New-batch-vs-corpus banding must plan as an equi-join on
+    (band, key) — a cartesian product would be the O(n^2) failure."""
+    from cloudvectordb_spark.operators.dedup import incremental_simhash_dedup
+
+    plan = _executed_plan(incremental_simhash_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_profile_heavy_hitters_use_take_ordered(spark, sf_dir):
+    from cloudvectordb_spark.operators.relational import join_key_skew_profile
+
+    plan = _executed_plan(join_key_skew_profile(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_shuffle_has_no_corpus_sized_single_partition(spark, sf_dir):
+    """The epoch shuffle's global order comes from value-bucketed ranking:
+    any SinglePartition exchange in the plan may only carry the tiny
+    bucket-count table, never the corpus. Proxy: the doc scan must flow
+    into a hashpartitioning exchange (the bucket repartition), and the
+    result must contain every doc exactly once with ranks 1..n."""
+    from cloudvectordb_spark.operators.curation import deterministic_corpus_shuffle
+
+    df = deterministic_corpus_shuffle(spark, sf_dir)
+    rows = df.collect()
+    n = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n
+    assert sorted(r.shuffle_pos for r in rows) == list(range(1, n + 1))
