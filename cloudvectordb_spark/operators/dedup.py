@@ -502,3 +502,134 @@ def incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_band_pairs_between(
         sigs.filter(is_new), sigs.filter(~is_new), nbits=60
     )
+
+
+# ---------------------------------------------------------------------------
+# G5 MinHash with engine-replayable hashes: 8 permutation hashes from
+# md5(p:shingle) (same conv/byteswap bridge as the md5 simhash mode), 4
+# bands x 2 rows, band equi-join, and the minhash Jaccard ESTIMATE
+# (fraction of agreeing permutations) — every stage value-checked by the
+# DuckDB oracle, unlike the pyspark.ml MinHashLSH twin whose seeded JVM
+# hashes are not replayable (minhash_dedup_pairs stays the fast-path
+# demo; this is the auditable path). Long-format plan: one shingle
+# explode x 8 permutations -> per-(doc, p) min -> per-(doc, band) key;
+# every shuffle is keyed, the candidate join is banded equi, and the
+# estimate join touches only candidate pairs x 8 rows.
+# ---------------------------------------------------------------------------
+_MINHASH_P = 8
+_MINHASH_BANDS = 4  # 2 rows per band
+_MINHASH_LIM = 200
+
+
+
+@query(
+    "minhash_banded_pairs_md5",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS g
+      FROM documents WHERE doc_id < {_MINHASH_LIM}
+    ),
+    hp AS (
+      SELECT doc_id, p,
+        CAST((
+          (CAST((u >> 0)  & 255 AS HUGEINT) * 72057594037927936) +
+          (CAST((u >> 8)  & 255 AS HUGEINT) * 281474976710656) +
+          (CAST((u >> 16) & 255 AS HUGEINT) * 1099511627776) +
+          (CAST((u >> 24) & 255 AS HUGEINT) * 4294967296) +
+          (CAST((u >> 32) & 255 AS HUGEINT) * 16777216) +
+          (CAST((u >> 40) & 255 AS HUGEINT) * 65536) +
+          (CAST((u >> 48) & 255 AS HUGEINT) * 256) +
+          CAST((u >> 56) & 255 AS HUGEINT)
+        ) // 16 AS BIGINT) AS th
+      FROM (
+        SELECT doc_id, p.p AS p,
+               md5_number_upper(CAST(p.p AS VARCHAR) || ':' || g) AS u
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASH_P - 1})) AS p) p
+      )
+    ),
+    mhp AS (SELECT doc_id, p, min(th) AS mh FROM hp GROUP BY doc_id, p),
+    banded AS (
+      SELECT doc_id, p // 2 AS band,
+             string_agg(CAST(mh AS VARCHAR), ':' ORDER BY p) AS key
+      FROM mhp GROUP BY doc_id, p // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM banded a JOIN banded b USING (band, key)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           round(avg(CASE WHEN ma.mh = mb.mh THEN 1.0 ELSE 0.0 END), 4)
+             AS est_jaccard
+    FROM cand c
+    JOIN mhp ma ON ma.doc_id = c.a_id
+    JOIN mhp mb ON mb.doc_id = c.b_id AND mb.p = ma.p
+    GROUP BY c.a_id, c.b_id
+    """,
+    operators=("G5", "H4", "C1", "D1"),
+)
+def minhash_banded_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _MINHASH_LIM)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),
+    )
+    hp = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_P - 1))).alias("p"),
+        "g",
+    ).select(
+        "doc_id",
+        "p",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("g"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("th"),
+    )
+    mhp = hp.groupBy("doc_id", "p").agg(F.min("th").alias("mh"))
+    banded = (
+        mhp.withColumn("band", F.expr("p div 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ":",
+                F.min(F.when(F.col("p") % 2 == 0, F.col("mh"))).cast("string"),
+                F.min(F.when(F.col("p") % 2 == 1, F.col("mh"))).cast("string"),
+            ).alias("key")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    ma = mhp.select(
+        F.col("doc_id").alias("a_id"), "p", F.col("mh").alias("mh_a")
+    )
+    mb = mhp.select(
+        F.col("doc_id").alias("b_id"), "p", F.col("mh").alias("mh_b")
+    )
+    return (
+        cand.join(ma, "a_id")
+        .join(mb, ["b_id", "p"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("mh_a") == F.col("mh_b"), 1.0).otherwise(0.0)),
+                4,
+            ).alias("est_jaccard")
+        )
+    )
