@@ -274,3 +274,120 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("codes_in_range"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the canonical composed index — coarse quantizer prunes cells
+# (partition pruning on the parquet layout), PQ-ADC scans only the codes
+# inside the selected cells, exact rescore fixes the top of the list.
+# I/O per probe ≈ (nprobe/k) × corpus × 8 bytes of codes — the two
+# approximations multiply: cell pruning cuts candidates, code compression
+# cuts bytes per candidate. Build reuses the IVF assignments and the
+# global PQ codebooks; codes persist partitioned by centroid_id so the
+# probe-time isin filter is a genuine partition filter.
+# ---------------------------------------------------------------------------
+_IVFPQ_CACHE: dict = {}
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray, DataFrame]:
+    """(codes-partitioned-by-cell DataFrame, codebooks, centroids)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        read_ivf_index,
+    )
+
+    vectors, centroids = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"ivfpq|{os.path.abspath(sf_dir)}|{_M}|{_K}|{_SEED}".encode()
+    ).hexdigest()[:10]
+    tag = f"{key}_{int(os.path.getmtime(src))}"
+    if tag not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[tag] = train_pq_codebooks(spark, sf_dir)
+    books = _PQ_BOOK_CACHE[tag]
+    path = os.path.join(tempfile.gettempdir(), "cloudvectordb_ivfpq", tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_dir = f"{path}.build{os.getpid()}"
+        codes = pq_encode(vectors, books).join(
+            vectors.select("vec_id", "centroid_id"), "vec_id"
+        )
+        codes.write.mode("overwrite").partitionBy("centroid_id").parquet(build_dir)
+        try:
+            os.rename(build_dir, path)
+        except OSError:  # concurrent publisher won
+            shutil.rmtree(build_dir, ignore_errors=True)
+    return spark.read.parquet(path), books, centroids
+
+
+@query(
+    "ivfpq_topk_search",
+    oracle=None,  # seeded KMeans cells + codebooks; recall pytest-gated
+    operators=("K9", "K8", "K6", "L2", "L3", "E4", "A3"),
+)
+def ivfpq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-pruned ADC + exact rescore, top-10 for 3 probes; output shape
+    matches exact kNN so recall is directly measurable."""
+    from cloudvectordb_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes, books, centroids = ensure_ivfpq_index(spark, sf_dir)
+
+    probe_rows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    probes = [
+        (r["vec_id"], _normalize_rows(np.array([r["embedding"]], dtype=np.float64))[0])
+        for r in probe_rows
+    ]
+
+    # coarse quantizer: nearest 2 cells per probe -> literal isin filter
+    pv = spark.createDataFrame(
+        [(pid, [float(x) for x in vec]) for pid, vec in probes],
+        schema="probe_id long, pv array<double>",
+    )
+    pc = pv.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", V.l2_distance("pv", "centroid")
+    )
+    wp = Window.partitionBy("probe_id").orderBy("cdist", "centroid_id")
+    cell_ids = sorted(
+        {
+            r.centroid_id
+            for r in pc.withColumn("crank", F.row_number().over(wp))
+            .filter(F.col("crank") <= 2)
+            .select("centroid_id")
+            .collect()
+        }
+    )
+
+    pruned = codes.filter(F.col("centroid_id").isin(cell_ids)).select(
+        "vec_id", "code"
+    )
+    scores = adc_scores(pruned, probes, books).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    wc = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    cands = (
+        scores.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= _RESCORE_C)
+        .select("probe_id", "vec_id")
+    )
+    pvec = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    rescored = (
+        cands.join(emb, "vec_id")
+        .join(F.broadcast(pvec), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

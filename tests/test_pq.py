@@ -47,3 +47,22 @@ def test_pq_code_histogram_complete(spark, sf_dir):
     for r in rows:
         assert r["n_rows"] == n
         assert r["codes_in_range"]
+
+
+def test_ivfpq_recall_vs_exact(spark, sf_dir):
+    """IVF cell pruning (2/8 cells) x PQ codes x exact rescore: the two
+    approximations multiply, so the gate is looser than either alone —
+    but the top of the list must substantially survive."""
+    from cloudvectordb_spark.operators.pq import ivfpq_topk_search
+    from cloudvectordb_spark.operators.vector_ops import knn_exact_cosine
+
+    got: dict = {}
+    for r in ivfpq_topk_search(spark, sf_dir).collect():
+        got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    exact: dict = {}
+    for r in knn_exact_cosine(spark, sf_dir).collect():
+        if r.rank <= 10 and r.probe_id in (0, 1, 2):
+            exact.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[p] & got.get(p, set())) / len(exact[p]) for p in exact]
+    assert min(recalls) >= 0.3, f"per-probe recall collapsed: {recalls}"
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean recall too low: {recalls}"

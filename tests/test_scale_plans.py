@@ -262,3 +262,13 @@ def test_corpus_shuffle_has_no_corpus_sized_single_partition(spark, sf_dir):
     n = load(spark, sf_dir, "documents").count()
     assert len(rows) == n
     assert sorted(r.shuffle_pos for r in rows) == list(range(1, n + 1))
+
+
+def test_ivfpq_code_scan_prunes_partitions(spark, sf_dir):
+    """The IVF-PQ probe path must read only the selected cells' code
+    partitions — pruning applies to the COMPRESSED layout too."""
+    from cloudvectordb_spark.operators.pq import ensure_ivfpq_index
+
+    codes, _, _ = ensure_ivfpq_index(spark, sf_dir)
+    plan = _executed_plan(codes.filter(F.col("centroid_id").isin(1, 3)))
+    assert "PartitionFilters" in plan and "centroid_id" in plan
