@@ -362,3 +362,75 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day_ord").cast("bigint").alias("max_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A3 + lifecycle: snapshot DIFF between two pinned index versions — the
+# audit a vectordb runs after a rebuild ("what changed vs the version my
+# experiment used?"). Both snapshots are manifest-pinned immutable file
+# sets; the diff is one full-outer join on the key with conditional
+# counts — at 100 TB this is the same keyed shuffle as any fact-fact
+# join, and pruning applies because each side reads only its manifest's
+# files. Deterministic fixture-derived commits -> value-level oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "versioned_snapshot_diff",
+    oracle="""
+    SELECT
+      CAST(count(CASE WHEN vec_id >= 450 AND vec_id < 500 THEN 1 END) AS BIGINT) AS n_added,
+      CAST(count(CASE WHEN vec_id < 100 THEN 1 END) AS BIGINT)                   AS n_removed,
+      CAST(count(CASE WHEN vec_id >= 200 AND vec_id < 300 THEN 1 END) AS BIGINT) AS n_changed,
+      CAST(count(CASE WHEN (vec_id >= 100 AND vec_id < 200)
+                        OR (vec_id >= 300 AND vec_id < 450) THEN 1 END) AS BIGINT) AS n_unchanged
+    FROM embeddings
+    """,
+    operators=("A3", "G1", "C3", "D2"),
+)
+def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from cloudvectordb_spark.versioning import commit_build, read_version
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    old_root = os.path.join(_IO_ROOT, f"snapdiff_old_{_uuid.uuid4().hex[:8]}")
+    new_root = os.path.join(_IO_ROOT, f"snapdiff_new_{_uuid.uuid4().hex[:8]}")
+    commit_build(emb.filter(F.col("vec_id") < 450), old_root)
+    rebuilt = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 500)).withColumn(
+        "label",
+        F.when(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 300), F.col("label") + 1
+        ).otherwise(F.col("label")),
+    )
+    commit_build(rebuilt, new_root)
+
+    old = read_version(spark, old_root).select(
+        F.col("vec_id"), F.col("label").alias("old_label")
+    )
+    new = read_version(spark, new_root).select(
+        F.col("vec_id"), F.col("label").alias("new_label")
+    )
+    j = old.join(new, "vec_id", "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("old_label").isNull(), 1)).cast("bigint").alias("n_added"),
+        F.count(F.when(F.col("new_label").isNull(), 1)).cast("bigint").alias("n_removed"),
+        F.count(
+            F.when(
+                F.col("old_label").isNotNull()
+                & F.col("new_label").isNotNull()
+                & (F.col("old_label") != F.col("new_label")),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.count(
+            F.when(
+                F.col("old_label").isNotNull()
+                & F.col("new_label").isNotNull()
+                & (F.col("old_label") == F.col("new_label")),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
