@@ -497,3 +497,170 @@ def rerank_cross_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN, POST-filter strategy: over-fetch an unfiltered top-C,
+# then apply the metadata predicate and re-rank. The complement of
+# filtered_knn_search's pre-filter: pre-filter wins when the predicate
+# is selective (scan shrinks first), post-filter wins when the predicate
+# is broad and the index (here: the capped top-C candidate generation)
+# is much cheaper than a filtered full scan. C/k = the over-fetch ratio
+# that bounds the recall loss; both strategies share one output shape so
+# they are directly comparable.
+# ---------------------------------------------------------------------------
+_POSTFILTER_C = 40
+
+
+@query(
+    "filtered_knn_postfilter",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.probe_vec), 6) AS score
+      FROM embeddings e, p
+      WHERE e.vec_id <> p.probe_id
+    ), overfetch AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS crank
+      FROM scored QUALIFY crank <= {_POSTFILTER_C}
+    )
+    SELECT probe_id, neighbor_id, label, score,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+    FROM overfetch
+    WHERE label IN (1, 3)
+    QUALIFY rank <= 10
+    """,
+    operators=("K8", "K7", "E4", "C10", "B4"),
+)
+def filtered_knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+        )
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    overfetch = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= _POSTFILTER_C)
+        .drop("crank")
+    )
+    refiltered = overfetch.filter(F.col("label").isin(1, 3))
+    return (
+        refiltered.withColumn("rank", F.row_number().over(wc).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search, weighted linear fusion: min-max normalize each
+# retriever's capped top-N scores onto [0, 1] and blend 0.5/0.5 — the
+# score-interpolation alternative to rank-based RRF (sensitive to score
+# calibration where RRF is not; both ship because both are standard).
+# Same scale shape as RRF: two TakeOrdered top-N lists, 1-row stats
+# broadcasts, and windows only over <= N fused rows.
+# ---------------------------------------------------------------------------
+_FUSE_ALPHA = 0.5
+
+
+@query(
+    "hybrid_linear_fusion",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL},
+    bm AS (
+      SELECT doc_id, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS krank
+      FROM scored QUALIFY krank <= {_RRF_N}
+    ),
+    bstats AS (SELECT min(bm25) AS bmin, max(bm25) AS bmax FROM bm),
+    vec AS (
+      SELECT d.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(d.embedding AS DOUBLE[]),
+                                          CAST(p.embedding AS DOUBLE[])), 6) AS sim,
+             row_number() OVER (
+               ORDER BY round(list_cosine_similarity(CAST(d.embedding AS DOUBLE[]),
+                                                     CAST(p.embedding AS DOUBLE[])), 6) DESC,
+                        d.vec_id) AS vrank
+      FROM embeddings d
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+      WHERE d.vec_id IN (SELECT doc_id FROM documents)
+      QUALIFY vrank <= {_RRF_N}
+    ),
+    vstats AS (SELECT min(sim) AS vmin, max(sim) AS vmax FROM vec),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+             round({_FUSE_ALPHA} * COALESCE((bm.bm25 - bstats.bmin)
+                     / nullif(bstats.bmax - bstats.bmin, 0), 0)
+                 + {1 - _FUSE_ALPHA} * COALESCE((vec.sim - vstats.vmin)
+                     / nullif(vstats.vmax - vstats.vmin, 0), 0), 6) AS fused_score
+      FROM bm FULL OUTER JOIN vec USING (doc_id)
+      CROSS JOIN bstats CROSS JOIN vstats
+    )
+    SELECT doc_id, fused_score,
+           CAST(row_number() OVER (ORDER BY fused_score DESC, doc_id) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= 10
+    """,
+    operators=("K8", "K7", "E4", "C1", "C2", "F2", "H6"),
+)
+def hybrid_linear_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    bm = global_topk_ranked(
+        bm25_scores(docs), [F.desc("bm25"), F.asc("doc_id")], _RRF_N, "krank"
+    ).select("doc_id", "bm25")
+    bstats = bm.agg(F.min("bm25").alias("bmin"), F.max("bm25").alias("bmax"))
+
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    sims = (
+        emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("sim"),
+        )
+    )
+    vec = global_topk_ranked(
+        sims, [F.desc("sim"), F.asc("doc_id")], _RRF_N, "vrank"
+    ).select("doc_id", "sim")
+    vstats = vec.agg(F.min("sim").alias("vmin"), F.max("sim").alias("vmax"))
+
+    norm_b = F.coalesce(
+        (F.col("bm25") - F.col("bmin"))
+        / F.nullif(F.col("bmax") - F.col("bmin"), F.lit(0)),
+        F.lit(0.0),
+    )
+    norm_v = F.coalesce(
+        (F.col("sim") - F.col("vmin"))
+        / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0)),
+        F.lit(0.0),
+    )
+    fused = (
+        bm.join(vec, ["doc_id"], "full_outer")
+        .crossJoin(F.broadcast(bstats))
+        .crossJoin(F.broadcast(vstats))
+        .select(
+            "doc_id",
+            F.round(
+                _FUSE_ALPHA * norm_b + (1 - _FUSE_ALPHA) * norm_v, 6
+            ).alias("fused_score"),
+        )
+    )
+    return global_topk_ranked(
+        fused, [F.desc("fused_score"), F.asc("doc_id")], 10
+    )
