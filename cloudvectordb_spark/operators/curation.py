@@ -576,3 +576,82 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(stop_ok, 1).otherwise(0)).cast("bigint").alias("n_stop_ok"),
         F.sum(F.when(final_ok, 1).otherwise(0)).cast("bigint").alias("n_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Uniform negative sampling for contrastive training: k pseudo-random
+# negatives per anchor from a content-free hash — neg_id =
+# md5(anchor:i) mod n — so the draw is reproducible forever and
+# embarrassingly parallel (no shuffle at all until nothing: it is a pure
+# projection off the anchor set; the corpus is never scanned). Distinct
+# from triplet_mining's HARD negatives (label-aware windows): uniform
+# negatives are the cheap in-batch complement every contrastive recipe
+# mixes in. Same md5 bridge as the epoch shuffle makes it value-level
+# oracle-checkable.
+# ---------------------------------------------------------------------------
+_NEG_K = 4
+
+
+@query(
+    "uniform_negative_pairs",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    anchors AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 100),
+    drawn AS (
+      SELECT anchor_id, s.i,
+        CAST((
+          (CAST((u >> 0)  & 255 AS HUGEINT) * 72057594037927936) +
+          (CAST((u >> 8)  & 255 AS HUGEINT) * 281474976710656) +
+          (CAST((u >> 16) & 255 AS HUGEINT) * 1099511627776) +
+          (CAST((u >> 24) & 255 AS HUGEINT) * 4294967296) +
+          (CAST((u >> 32) & 255 AS HUGEINT) * 16777216) +
+          (CAST((u >> 40) & 255 AS HUGEINT) * 65536) +
+          (CAST((u >> 48) & 255 AS HUGEINT) * 256) +
+          CAST((u >> 56) & 255 AS HUGEINT)
+        ) // 16 AS BIGINT) % (SELECT n_docs FROM n) AS neg_id
+      FROM anchors
+      CROSS JOIN (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS i) s
+      CROSS JOIN LATERAL (SELECT md5_number_upper(
+        CAST(anchor_id AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)) AS u) h
+    )
+    SELECT anchor_id, CAST(i AS BIGINT) AS draw, neg_id
+    FROM drawn WHERE neg_id <> anchor_id
+    """,
+    operators=("K3", "H4", "B1"),
+)
+def uniform_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    anchors = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    drawn = (
+        anchors.select(
+            "anchor_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("draw"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "anchor_id",
+            F.col("draw").cast("bigint"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("anchor_id").cast("string"),
+                                F.lit(":"),
+                                F.col("draw").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n_docs")
+            ).alias("neg_id"),
+        )
+    )
+    return drawn.filter(F.col("neg_id") != F.col("anchor_id"))
