@@ -140,3 +140,58 @@ def test_stopword_ratio_in_unit_interval(spark, docs):
     for r in rows:
         if r.r is not None:
             assert 0.0 <= r.r <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Global ranking primitives (ranking.py): the value-bucketed distributed
+# row_number / prefix-sum must agree with the single-machine definition
+# for ANY value distribution — duplicates, negatives, all-equal, skew.
+# ---------------------------------------------------------------------------
+rank_vals = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(rank_vals)
+def test_global_row_number_matches_sorted_order(spark, vals):
+    from cloudvectordb_spark.ranking import with_global_row_number
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    got = {
+        r.id: (r.rn, r._total_rows)
+        for r in with_global_row_number(
+            df, "v", [F.asc("id")], rn_col="rn"
+        ).collect()
+    }
+    expect = {
+        i: pos + 1
+        for pos, (v, i) in enumerate(
+            sorted((float(v), i) for i, v in enumerate(vals))
+        )
+    }
+    assert {k: v[0] for k, v in got.items()} == expect
+    assert all(v[1] == len(vals) for v in got.values())
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=50))
+def test_global_prefix_sum_matches_python_cumsum(spark, weights):
+    from cloudvectordb_spark.ranking import with_global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "k long, w long"
+    )
+    got = {
+        r.k: r.cum_before
+        for r in with_global_prefix_sum(df, "k", "w").collect()
+    }
+    acc, expect = 0, {}
+    for i, w in enumerate(weights):
+        expect[i] = acc
+        acc += w
+    assert got == expect
