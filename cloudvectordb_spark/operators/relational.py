@@ -894,3 +894,62 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
         F.round(F.col("cnt") / F.col("mean_cnt"), 4).alias("skew_x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics: clip the metric at its exact p01/p99
+# before computing moments — the outlier-hardening step applied to
+# reward/quality signals before they feed a training mix. Two passes:
+# one percentile aggregate (tiny broadcast row), one clipped-moment scan
+# with map-side combine; no sort of the full data ever materializes.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_price_stats",
+    oracle="""
+    WITH edges AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+             quantile_cont(o_totalprice, 0.99) AS p99
+      FROM orders
+    )
+    SELECT round((SELECT p01 FROM edges), 2)             AS p01,
+           round((SELECT p99 FROM edges), 2)             AS p99,
+           round(avg(o_totalprice), 4)                   AS raw_mean,
+           round(avg(least(greatest(o_totalprice, (SELECT p01 FROM edges)),
+                           (SELECT p99 FROM edges))), 4) AS wins_mean,
+           round(stddev_samp(least(greatest(o_totalprice, (SELECT p01 FROM edges)),
+                                   (SELECT p99 FROM edges))), 4) AS wins_std,
+           CAST(count(CASE WHEN o_totalprice < (SELECT p01 FROM edges)
+                             OR o_totalprice > (SELECT p99 FROM edges)
+                      THEN 1 END) AS BIGINT)             AS n_clipped
+    FROM orders
+    """,
+    operators=("D5", "D2", "H6", "B2"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("p01"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        orders.crossJoin(F.broadcast(edges))
+        .agg(
+            F.round(F.first("p01"), 2).alias("p01"),
+            F.round(F.first("p99"), 2).alias("p99"),
+            F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("wins_mean"),
+            F.round(F.stddev_samp(clipped), 4).alias("wins_std"),
+            F.count(
+                F.when(
+                    (F.col("o_totalprice") < F.col("p01"))
+                    | (F.col("o_totalprice") > F.col("p99")),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )
