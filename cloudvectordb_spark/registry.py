@@ -119,28 +119,47 @@ def _priority_order(reg: dict[str, QuerySpec]) -> list[str]:
     return chosen + rest
 
 
+_OPERATOR_MODULES = (
+    "curation",
+    "dedup",
+    "events",
+    "functions_ops",
+    "graph",
+    "multimodal",
+    "pipeline",
+    "pq",
+    "relational",
+    "search",
+    "sources",
+    "subqueries",
+    "text_ops",
+    "tpch_extra",
+    "udfs",
+    "vector_ops",
+    "windows",
+)
+
+import_errors: dict[str, str] = {}
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return
-    the full registry in driver-priority order (see ``_priority_order``)."""
+    the full registry in driver-priority order (see ``_priority_order``).
+
+    Modules import INDIVIDUALLY: one module broken by an environment
+    change (a Spark API shift, a testdata format change surfacing at
+    import time) must cost the driver only that module's queries, never
+    the whole surface. Failures land in ``import_errors`` and pytest
+    (tests/test_registry.py) asserts the dict is empty, so a breakage is
+    loud in CI while the registry stays serviceable for the driver.
+    """
     # Imports are deferred so `import cloudvectordb_spark` stays cheap.
-    from cloudvectordb_spark.operators import (  # noqa: F401
-        curation,
-        dedup,
-        events,
-        functions_ops,
-        graph,
-        multimodal,
-        pipeline,
-        pq,
-        relational,
-        search,
-        sources,
-        subqueries,
-        text_ops,
-        tpch_extra,
-        udfs,
-        vector_ops,
-        windows,
-    )
+    import importlib
+
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(f"cloudvectordb_spark.operators.{mod}")
+        except Exception as exc:  # noqa: BLE001
+            import_errors[mod] = f"{type(exc).__name__}: {exc}"
 
     return {n: _REGISTRY[n] for n in _priority_order(_REGISTRY)}

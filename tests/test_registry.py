@@ -54,3 +54,12 @@ def test_every_query_callable_and_named():
     for name, spec in qs.items():
         assert callable(spec.fn)
         assert spec.name == name
+
+
+def test_no_operator_module_import_errors():
+    """Module imports are isolated (one broken module must not take down
+    the registry) — but any failure is a hard test failure here."""
+    from cloudvectordb_spark import registry
+
+    registry.all_queries()
+    assert registry.import_errors == {}, registry.import_errors
