@@ -635,3 +635,45 @@ def matryoshka_truncated_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("full_neighbor").isNotNull().alias("in_full_top10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K12: per-dimension variance profile — the dimensional-collapse check
+# run before trusting an embedding space (dead dims => wasted capacity,
+# near-zero variance across many dims => collapse). posexplode keeps it
+# one linear pass; the groupBy key space is exactly `dim` (64 groups),
+# so the shuffle is trivial at any corpus size and combines map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_dim_variance_profile",
+    oracle="""
+    WITH u AS (
+      SELECT s.dim AS dim, s.x AS x
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(l)),
+                 i -> struct_pack(dim := i - 1, x := l[i]))) AS s
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS l FROM embeddings)
+      )
+    )
+    SELECT CAST(dim AS BIGINT)          AS dim,
+           round(avg(x), 6)             AS mean,
+           round(var_samp(x), 6)        AS variance,
+           var_samp(x) < 1e-9           AS is_dead
+    FROM u GROUP BY dim
+    """,
+    operators=("K12", "K6", "H7", "H8", "D1", "D5"),
+)
+def embedding_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+        )
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.var_samp("x"), 6).alias("variance"),
+            (F.var_samp("x") < 1e-9).alias("is_dead"),
+        )
+        .select(F.col("dim").cast("bigint"), "mean", "variance", "is_dead")
+    )
