@@ -406,3 +406,48 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return audio_features(with_payload)
+
+
+# ---------------------------------------------------------------------------
+# K11: ViT-style patch-grid planning — pure metadata arithmetic (no
+# decode, no UDF): given each blob's byte length and the fake-image
+# width (16), derive the H×W grid, the 4×4 patch tiling, and the
+# resulting token count (patches + CLS). This is the scheduling step a
+# multimodal training pipeline runs BEFORE decode to budget sequence
+# lengths per batch; running it as Column expressions means the 100 TB
+# plan never leaves the scan stage.
+# ---------------------------------------------------------------------------
+_IMG_W = 16
+_PATCH = 4
+
+
+@query(
+    "multimodal_patch_grid",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT)                    AS byte_len,
+           {_IMG_W}                                              AS img_w,
+           CAST(strlen(text) // {_IMG_W} AS BIGINT)        AS img_h,
+           CAST(({_IMG_W} // {_PATCH})
+                * (strlen(text) // {_IMG_W} // {_PATCH}) AS BIGINT) AS n_patches,
+           CAST(({_IMG_W} // {_PATCH})
+                * (strlen(text) // {_IMG_W} // {_PATCH}) + 1 AS BIGINT) AS n_tokens
+    FROM documents WHERE doc_id < 50
+    """,
+    operators=("K11", "H6", "B1"),
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    byte_len = F.octet_length("text").cast("bigint")
+    img_h = F.expr(f"octet_length(text) div {_IMG_W}").cast("bigint")
+    n_patches = (
+        F.lit(_IMG_W // _PATCH) * F.expr(f"(octet_length(text) div {_IMG_W}) div {_PATCH}")
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        byte_len.alias("byte_len"),
+        F.lit(_IMG_W).alias("img_w"),
+        img_h.alias("img_h"),
+        n_patches.alias("n_patches"),
+        (n_patches + 1).alias("n_tokens"),
+    )
