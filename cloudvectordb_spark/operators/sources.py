@@ -434,3 +434,31 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unchanged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A2: raw text-line ingest — the canonical LLM-corpus format (one doc per
+# line). spark.read.text scans line-split files with trivially parallel
+# splits; the roundtrip proves no doc is lost or altered (count + total
+# chars per first-token bucket vs the source table).
+# ---------------------------------------------------------------------------
+@query(
+    "text_lines_ingest_roundtrip",
+    oracle="""
+    SELECT count(*)                       AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           count(DISTINCT md5(text))      AS n_unique
+    FROM documents
+    """,
+    operators=("A2", "H4", "D3"),
+)
+def text_lines_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(_IO_ROOT, "docs_txt")
+    docs.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)  # one row per line, column "value"
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("value")).cast("bigint").alias("total_bytes"),
+        F.countDistinct(F.md5("value")).alias("n_unique"),
+    )

@@ -236,3 +236,34 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_CORRELATED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# A6/B2: scalar subquery through the SQL surface — Catalyst decorrelates
+# the aggregate into a broadcast 1-row join; the DataFrame twin of this
+# shape is the crossJoin(broadcast(agg)) used throughout the repo.
+# ---------------------------------------------------------------------------
+@query(
+    "sql_parts_above_avg_price",
+    oracle="""
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 25
+    """,
+    operators=("A6", "B2", "D2", "F2"),
+)
+def sql_parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+        FROM part
+        WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        ORDER BY p_retailprice DESC, p_partkey
+        LIMIT 25
+        """
+    )
