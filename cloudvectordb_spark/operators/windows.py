@@ -284,3 +284,32 @@ def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("bigint").alias("bucket"),
         F.round("edge", 2).alias("upper_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E1 completeness: percent_rank + cume_dist — the two normalized ranking
+# functions — over a PARTITIONED window (mktsegment), so the sort is
+# per-segment and parallel; a global percent_rank would instead go
+# through ranking.with_global_row_number (rn / total).
+# ---------------------------------------------------------------------------
+@query(
+    "customer_balance_percentiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    operators=("E1",),
+)
+def customer_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
