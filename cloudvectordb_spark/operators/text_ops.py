@@ -580,3 +580,50 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
     return global_topk_ranked(tf, [F.desc("freq"), F.asc("pair")], 20)
+
+
+# ---------------------------------------------------------------------------
+# K1 via pyspark.ml.feature (the MLlib tokenization pipeline, next to the
+# Column-expression path used everywhere else): RegexTokenizer ->
+# StopWordsRemover (the shared fixture stoplist) -> NGram(2). All three
+# transformers emit deterministic string arrays, so unlike HashingTF
+# this ml pipeline carries a full value-level oracle. Each transformer
+# is a narrow map over the corpus — no shuffle until the final stats.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_tokenizer_ngram_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         x -> NOT list_contains({_STOPLIST_SQL}, x)) AS kept
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+           CAST(greatest(len(kept) - 1, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN len(kept) >= 2 THEN kept[1] || ' ' || kept[2]
+                ELSE NULL END AS first_bigram
+    FROM t
+    """,
+    operators=("K1", "K2", "H1", "H7"),
+)
+def ml_tokenizer_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import NGram, RegexTokenizer, StopWordsRemover
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = RegexTokenizer(
+        inputCol="text", outputCol="toks", pattern=" ", toLowercase=False
+    ).transform(docs)
+    kept = StopWordsRemover(
+        inputCol="toks", outputCol="kept", stopWords=list(TX.STOPWORDS)
+    ).transform(toks)
+    grams = NGram(n=2, inputCol="kept", outputCol="bigrams").transform(kept)
+    return grams.select(
+        "doc_id",
+        F.size("kept").cast("bigint").alias("n_kept_tokens"),
+        F.greatest(F.size("kept") - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.when(F.size("kept") >= 2, F.element_at("bigrams", 1)).alias(
+            "first_bigram"
+        ),
+    )
