@@ -321,3 +321,37 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join as a DRIVER-CHECKED query (the helper lives in
+# skew.py; this registers its semantics): events.user_id x customer,
+# hot keys spread over 8 salts. Salting is a pure physical rewrite —
+# identical rows out — so the oracle is the PLAIN join aggregated per
+# segment; the hash compare proves the rewrite changes nothing. AQE
+# skew-split is the first line of defense; this is the deterministic
+# fallback for keys too hot even for split partitions.
+# ---------------------------------------------------------------------------
+@query(
+    "salted_event_segment_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    operators=("C1", "D1", "H4"),
+)
+def salted_event_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="user_id", n_salts=8, salt_source="event_id")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
