@@ -627,3 +627,85 @@ def ml_tokenizer_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_bigram"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# K2: PMI term-association mining — pointwise mutual information of
+# adjacent token pairs vs their unigram marginals, the classic
+# collocation / query-expansion statistic. Three linear aggregates
+# (bigram counts, unigram counts, totals); the join fan-in is
+# vocabulary-sized, far below corpus size, and the top-k is
+# TakeOrdered. Restricted to pairs seen >= 5 times so the PMI isn't
+# dominated by singleton noise.
+# ---------------------------------------------------------------------------
+@query(
+    "term_pmi_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                   i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+      FROM toks
+    ),
+    bigrams AS (
+      SELECT p.a AS a, p.b AS b, count(*) AS nab FROM bg GROUP BY p.a, p.b
+    ),
+    uni AS (
+      SELECT unnest(t) AS term FROM toks
+    ),
+    ucnt AS (SELECT term, count(*) AS n FROM uni GROUP BY term),
+    tot AS (
+      SELECT CAST(sum(nab) AS DOUBLE) AS n_pairs,
+             (SELECT CAST(sum(n) AS DOUBLE) FROM ucnt) AS n_terms
+      FROM bigrams
+    )
+    SELECT a, b, CAST(nab AS BIGINT) AS nab,
+           round(ln((nab / tot.n_pairs)
+                 / ((ua.n / tot.n_terms) * (ub.n / tot.n_terms))), 6) AS pmi
+    FROM bigrams
+    JOIN ucnt ua ON ua.term = a
+    JOIN ucnt ub ON ub.term = b
+    CROSS JOIN tot
+    WHERE nab >= 5
+    ORDER BY pmi DESC, a, b
+    LIMIT 20
+    """,
+    operators=("K2", "H7", "H8", "D1", "C1", "F2"),
+)
+def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(TX.word_shingles("text", 2)).alias("pair")
+    ).select(
+        F.split("pair", " ").getItem(0).alias("a"),
+        F.split("pair", " ").getItem(1).alias("b"),
+    )
+    bigrams = pairs.groupBy("a", "b").agg(F.count("*").alias("nab"))
+    uni = docs.select(F.explode(TX.tokens("text")).alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count("*").alias("n"))
+    tot = bigrams.agg(F.sum("nab").cast("double").alias("n_pairs")).crossJoin(
+        ucnt.agg(F.sum("n").cast("double").alias("n_terms"))
+    )
+    ua = ucnt.select(F.col("term").alias("a"), F.col("n").alias("na"))
+    ub = ucnt.select(F.col("term").alias("b"), F.col("n").alias("nb"))
+    scored = (
+        bigrams.filter(F.col("nab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("nab").cast("bigint").alias("nab"),
+            F.round(
+                F.log(
+                    (F.col("nab") / F.col("n_pairs"))
+                    / ((F.col("na") / F.col("n_terms")) * (F.col("nb") / F.col("n_terms")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(20)
