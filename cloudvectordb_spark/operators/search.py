@@ -664,3 +664,89 @@ def hybrid_linear_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_topk_ranked(
         fused, [F.desc("fused_score"), F.asc("doc_id")], 10
     )
+
+
+# ---------------------------------------------------------------------------
+# Multilingual retrieval: BM25 where EVERY corpus statistic (N, avgdl,
+# df) is computed per language shard — the routing shape of a
+# multilingual index, where a query scores against its language's
+# statistics rather than corpus-global ones. All aggregates and the
+# final top-3 window are keyed by lang, so each language's work is an
+# independent partition at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "bm25_per_lang_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT lang, doc_id, count(*) AS dl FROM tok GROUP BY lang, doc_id),
+    stats AS (SELECT lang, count(*) AS n_docs, avg(dl) AS avgdl FROM dl GROUP BY lang),
+    tf AS (
+      SELECT lang, doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN {_TERMS_SQL} GROUP BY lang, doc_id, term
+    ),
+    df AS (SELECT lang, term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN {_TERMS_SQL} GROUP BY lang, term),
+    scored AS (
+      SELECT tf.lang, tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_K1} + 1.0)
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN df ON df.lang = tf.lang AND df.term = tf.term
+      JOIN dl ON dl.lang = tf.lang AND dl.doc_id = tf.doc_id
+      JOIN stats ON stats.lang = tf.lang
+      GROUP BY tf.lang, tf.doc_id
+    )
+    SELECT lang, doc_id, bm25,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+    operators=("K2", "E4", "D1", "C1", "D3"),
+)
+def bm25_per_lang_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", "doc_id", F.explode(TX.tokens("text")).alias("term")
+    )
+    dl = tok.groupBy("lang", "doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qt = tok.filter(F.col("term").isin(*_QUERY_TERMS))
+    tf = qt.groupBy("lang", "doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = qt.groupBy("lang", "term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    contrib = (
+        tf.join(df_, ["lang", "term"])
+        .join(dl, ["lang", "doc_id"])
+        .join(F.broadcast(stats), "lang")
+        .select(
+            "lang",
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * F.col("tf")
+                * (_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("lang", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("bm25")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+    )
