@@ -513,3 +513,46 @@ def hypertable_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sv"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day DISTINCT users per day — windowed COUNT(DISTINCT) has no
+# direct window-function form, so this is the standard exact shape:
+# dedup events to (day, user) pairs FIRST (the big reduction, map-side
+# combinable), then a bounded self-join of the day spine against the
+# trailing-week pairs, then count distinct per day. The join fan-out is
+# |days| x 7 x |daily actives| — calendar-sized, not event-sized — so
+# 100 TB of raw events reduce before anything quadratic. (The approx
+# alternative is the mergeable HLL rollup in hll_daily_rollup_union.)
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           count(DISTINCT u.user_id) AS active_7d
+    FROM days d
+    JOIN du u ON u.day <= d.day AND u.day > d.day - INTERVAL '7 days'
+    GROUP BY d.day
+    """,
+    operators=("D3", "E3", "C6", "H5"),
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().alias("d")
+    u = du.alias("u")
+    return (
+        days.join(
+            u,
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") > F.col("d.day") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("active_7d"))
+    )

@@ -410,3 +410,76 @@ def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 temporal dimension join: each customer's segment "changes" at a
+# content-derived date, producing a two-version validity history; orders
+# join the version VALID AT their order date. The validity predicate is
+# an equi-join on custkey plus a range condition — Spark executes it as
+# a hash join with the range as a post-filter, so at 100 TB it shuffles
+# once on the key like any FK join (never a nested loop). The change
+# dates derive from md5(custkey), so the whole history is replayable.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_dimension_join",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment AS segment, 1 AS version,
+             TIMESTAMP '1970-01-01' AS valid_from,
+             TIMESTAMP '1995-01-01' + INTERVAL (CAST((
+               ascii(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1))) AS INTEGER
+             ) % 80) MONTH AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '_V2', 2,
+             TIMESTAMP '1995-01-01' + INTERVAL (CAST((
+               ascii(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1))) AS INTEGER
+             ) % 80) MONTH,
+             TIMESTAMP '9999-12-31'
+      FROM customer
+    )
+    SELECT h.segment, CAST(h.version AS BIGINT) AS version,
+           count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN hist h ON h.c_custkey = o.o_custkey
+               AND o.o_orderdate >= h.valid_from
+               AND o.o_orderdate < h.valid_to
+    GROUP BY h.segment, h.version
+    """,
+    operators=("C6", "C1", "H5", "H4", "D1", "G1"),
+)
+def scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    change_month = (
+        F.ascii(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)) % 80
+    )
+    change_date = F.to_timestamp(F.lit("1995-01-01")) + F.make_interval(
+        months=change_month
+    )
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).cast("bigint").alias("version"),
+        F.to_timestamp(F.lit("1970-01-01")).alias("valid_from"),
+        change_date.alias("valid_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+        F.lit(2).cast("bigint").alias("version"),
+        change_date.alias("valid_from"),
+        F.to_timestamp(F.lit("9999-12-31")).alias("valid_to"),
+    )
+    hist = v1.unionByName(v2)
+    joined = orders.join(
+        hist,
+        (orders.o_custkey == hist.c_custkey)
+        & (orders.o_orderdate >= hist.valid_from)
+        & (orders.o_orderdate < hist.valid_to),
+    )
+    return joined.groupBy("segment", "version").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
