@@ -627,3 +627,52 @@ def embed_documents_trained_artifact(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.element_at("embedding", 1).cast("double"), 5).alias("c1"),
         F.round(F.element_at("embedding", 2).cast("double"), 5).alias("c2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K12: cluster-label purity — the K9 assignment x label crosstab named
+# in SURVEY §2. Per-cell majority-label share, weighted into one corpus
+# purity number. The VALUE depends on the seeded KMeans layout, but its
+# INVARIANTS are theorems the oracle checks: every vector counted once;
+# 1..k cells; purity <= 1; and weighted purity >= the global majority-
+# label share (per cell, max label count >= the global-majority label's
+# count in that cell; summing proves it).
+# ---------------------------------------------------------------------------
+@query(
+    "cluster_label_purity",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_vectors,
+           true AS cells_within_k,
+           true AS purity_le_one,
+           true AS purity_ge_majority_share
+    FROM embeddings
+    """,
+    operators=("K12", "K9", "D1", "B8"),
+)
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors, _ = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    cell_label = vectors.groupBy("centroid_id", "label").agg(
+        F.count("*").alias("n")
+    )
+    per_cell = cell_label.groupBy("centroid_id").agg(
+        F.max("n").alias("majority_n"), F.sum("n").alias("cell_n")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    global_major = (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .agg((F.max("n") / F.sum("n")).alias("major_share"))
+    )
+    agg = per_cell.agg(
+        F.sum("cell_n").cast("bigint").alias("total_vectors"),
+        F.count("*").between(1, 8).alias("cells_within_k"),
+        (F.sum("majority_n") / F.sum("cell_n")).alias("purity"),
+    )
+    return agg.crossJoin(F.broadcast(global_major)).select(
+        "total_vectors",
+        "cells_within_k",
+        (F.col("purity") <= 1.0).alias("purity_le_one"),
+        (F.col("purity") >= F.col("major_share")).alias(
+            "purity_ge_majority_share"
+        ),
+    )

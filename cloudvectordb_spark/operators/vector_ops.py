@@ -677,3 +677,66 @@ def embedding_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select(F.col("dim").cast("bigint"), "mean", "variance", "is_dead")
     )
+
+
+# ---------------------------------------------------------------------------
+# K8: reciprocal nearest neighbors — pairs where EACH vector is in the
+# OTHER's top-k. The mutual-match filter behind bitext/parallel-corpus
+# mining and high-precision duplicate detection: one-directional kNN
+# has hubness false positives; reciprocity kills them. Shape: one
+# directed top-k table (probes bounded here; banded/IVF at scale),
+# self-joined on the reversed pair — the join input is k rows per
+# probe, never corpus x corpus.
+# ---------------------------------------------------------------------------
+_RNN_K = 5
+_RNN_LIM = 50
+
+
+@query(
+    "reciprocal_nn_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < {_RNN_LIM}
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.e, b.e), 6) AS score
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    topk AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY score DESC, dst) AS rnk
+      FROM scored QUALIFY rnk <= {_RNN_K}
+    )
+    SELECT t1.src AS a_id, t1.dst AS b_id, t1.score
+    FROM topk t1 JOIN topk t2 ON t1.src = t2.dst AND t1.dst = t2.src
+    WHERE t1.src < t1.dst
+    """,
+    operators=("K8", "K7", "E4", "C9", "C10"),
+)
+def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _RNN_LIM)
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    scored = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", F.round(V.cosine("ea", "eb"), 6).alias("score")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RNN_K)
+        .select("src", "dst", "score")
+    )
+    rev = topk.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return (
+        topk.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("a_id"), F.col("dst").alias("b_id"), "score"
+        )
+    )
