@@ -173,3 +173,50 @@ def sql_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFr
         LIMIT 20
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# L5 via mapInArrow — the zero-copy sibling of mapInPandas (Arrow
+# RecordBatch in, RecordBatch out; no pandas materialization). Used here
+# for the vector-norm profile: norms computed with numpy over the Arrow
+# buffer directly. Chunk semantics identical to mapInPandas, so the
+# same 100 TB partitioning story applies; the saving is the per-batch
+# pandas conversion.
+# ---------------------------------------------------------------------------
+@query(
+    "arrow_vector_norms",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    operators=("L5", "K6", "K12", "D1"),
+)
+def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            vecs = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            out = pa.table(
+                {
+                    "label": tbl["label"],
+                    "norm": pa.array(np.sqrt((vecs * vecs).sum(axis=1))),
+                }
+            )
+            yield from out.to_batches()
+
+    per_row = emb.mapInArrow(norms, schema="label int, norm double")
+    return per_row.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+    )
