@@ -267,3 +267,34 @@ def sql_parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 25
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# A6: correlated LATERAL subquery — top-2 orders per nation through the
+# SQL surface. Catalyst rewrites the correlated LIMIT into a ranked
+# window join (DecorrelateInnerQuery), so the executed plan is the same
+# partitioned top-k-per-group shape as rank_orders_per_customer — the
+# SQL text is the point: users of the reference write this form.
+# ---------------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n,
+    LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+    ) t
+"""
+
+
+@query(
+    "sql_lateral_topk_per_nation",
+    oracle=_LATERAL_SQL,
+    operators=("A6", "E4", "C1", "F2"),
+)
+def sql_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
