@@ -298,3 +298,44 @@ def sql_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# A6/H5: recursive CTE (Spark 4 WITH RECURSIVE) — a date spine from the
+# observed event-time bounds, left-joined to daily counts to surface
+# ingestion gaps (days with zero events), the data-quality check a
+# pipeline runs before trusting a time range. The IDENTICAL SQL text
+# runs on Spark and the DuckDB oracle; recursion depth = number of
+# days, a driver-side-trivial calendar, while the daily counts reduce
+# corpus-side with map-side combine.
+# ---------------------------------------------------------------------------
+_DATE_SPINE_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+             CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1
+      FROM events
+    ),
+    spine(day) AS (
+      SELECT d0 FROM bounds
+      UNION ALL
+      SELECT day + INTERVAL '1' DAY FROM spine, bounds WHERE day < d1
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT s.day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events, n IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+@query(
+    "sql_recursive_date_spine_gaps",
+    oracle=_DATE_SPINE_SQL,
+    operators=("A6", "H5", "C3", "B6"),
+)
+def sql_recursive_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_DATE_SPINE_SQL)
