@@ -556,3 +556,36 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.day").alias("day"))
         .agg(F.countDistinct("u.user_id").alias("active_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# H10 via VARIANT (Spark 4): parse props once into the binary
+# semi-structured type, extract typed fields with variant_get — the
+# shredded-JSON path that replaces per-access string re-parsing
+# (get_json_object) with one parse per row; at 100 TB the difference is
+# a full JSON tokenize per FIELD versus per ROW. Same aggregate as the
+# string-path twin events_json_props, so the two are comparable.
+# ---------------------------------------------------------------------------
+@query(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           count(*)                                     AS n,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("H10", "D1"),
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
