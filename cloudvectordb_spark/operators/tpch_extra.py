@@ -483,3 +483,82 @@ def scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence with lift: part pairs bought in the same
+# order, scored by lift = P(a,b) / (P(a) P(b)), floored on support.
+# The pair fan-out is per-order C(basket, 2) — bounded by basket size
+# (~4 lines here), NEVER corpus x corpus; the self-join key is the
+# order id, so at 100 TB it is one keyed shuffle and the pair counts
+# combine map-side. The association-rules primitive for recommender
+# candidate generation.
+# ---------------------------------------------------------------------------
+_BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "part_cooccurrence_lift",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM baskets),
+    part_n AS (SELECT l_partkey, count(*) AS np FROM baskets GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS nab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(nab AS BIGINT) AS nab,
+           round((nab / n_orders.n)
+                 / ((pa.np / n_orders.n) * (pb.np / n_orders.n)), 4) AS lift
+    FROM pairs
+    JOIN part_n pa ON pa.l_partkey = part_a
+    JOIN part_n pb ON pb.l_partkey = part_b
+    CROSS JOIN n_orders
+    WHERE nab >= {_BASKET_MIN_SUPPORT}
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+    operators=("C9", "C1", "D1", "D3", "F2", "H6"),
+)
+def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n")
+    )
+    part_n = baskets.groupBy("l_partkey").agg(F.count("*").alias("np"))
+    a = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("nab"))
+        .filter(F.col("nab") >= _BASKET_MIN_SUPPORT)
+    )
+    pa = part_n.select(F.col("l_partkey").alias("part_a"), F.col("np").alias("na"))
+    pb = part_n.select(F.col("l_partkey").alias("part_b"), F.col("np").alias("nb"))
+    scored = (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("nab").cast("bigint").alias("nab"),
+            F.round(
+                (F.col("nab") / F.col("n"))
+                / ((F.col("na") / F.col("n")) * (F.col("nb") / F.col("n"))),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b")).limit(20)
