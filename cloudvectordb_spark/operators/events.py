@@ -589,3 +589,42 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.max("k").cast("bigint").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-weighted engagement: sum(value * exp(-age/tau)) per user with
+# age measured from the corpus max event time — the time-decay feature
+# every ranking/recommendation pipeline derives. Pure expression work
+# after a 1-row broadcast of the anchor timestamp: the decay weight is
+# computed in the scan stage and the per-user sum combines map-side.
+# ---------------------------------------------------------------------------
+_DECAY_TAU_DAYS = 7.0
+
+
+@query(
+    "user_decay_scores",
+    oracle=f"""
+    WITH anchor AS (SELECT max(ts) AS t1 FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value * exp(-(epoch_us(t1) - epoch_us(ts))
+                                 / (86400000000.0 * {_DECAY_TAU_DAYS}))), 4)
+             AS decay_score
+    FROM events CROSS JOIN anchor
+    GROUP BY user_id
+    """,
+    operators=("H6", "H5", "D1", "D2"),
+)
+def user_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("t1"))
+    age_us = F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("t1"))
+    weight = F.exp(-age_us / (86400000000.0 * _DECAY_TAU_DAYS))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value") * weight), 4).alias("decay_score"),
+        )
+    )
