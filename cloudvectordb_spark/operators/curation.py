@@ -655,3 +655,65 @@ def uniform_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drawn.filter(F.col("neg_id") != F.col("anchor_id"))
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic sampling (Efraimidis–Spirakis): key =
+# u^(1/w) with u a content-free md5-derived uniform and w = n_chars as
+# the quality proxy; the top-k keys ARE a weighted sample without
+# replacement. Deterministic forever (reruns, repartitions, late shards
+# keep the same sample) unlike rand()-seeded sampling; one projection +
+# TakeOrdered top-k. Keys round to 9 dp with doc_id tie-break so both
+# engines rank identically.
+# ---------------------------------------------------------------------------
+_WSAMPLE_K = 100
+
+
+@query(
+    "weighted_corpus_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(pow(
+               (CAST((
+                 (CAST((u >> 0)  & 255 AS HUGEINT) * 72057594037927936) +
+                 (CAST((u >> 8)  & 255 AS HUGEINT) * 281474976710656) +
+                 (CAST((u >> 16) & 255 AS HUGEINT) * 1099511627776) +
+                 (CAST((u >> 24) & 255 AS HUGEINT) * 4294967296) +
+                 (CAST((u >> 32) & 255 AS HUGEINT) * 16777216) +
+                 (CAST((u >> 40) & 255 AS HUGEINT) * 65536) +
+                 (CAST((u >> 48) & 255 AS HUGEINT) * 256) +
+                 CAST((u >> 56) & 255 AS HUGEINT)
+               ) // 16 AS BIGINT) + 1.0) / 1152921504606846976.0,
+               1.0 / n_chars), 9) AS skey
+      FROM (SELECT doc_id, n_chars,
+                   md5_number_upper('ws:' || CAST(doc_id AS VARCHAR)) AS u
+            FROM documents)
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, skey
+    FROM keyed
+    ORDER BY skey DESC, doc_id
+    LIMIT {_WSAMPLE_K}
+    """,
+    operators=("K2", "H4", "H6", "F2"),
+)
+def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    uniform = (u_int + 1.0) / 1152921504606846976.0  # (0, 1]; 2^60
+    skey = F.round(F.pow(uniform, 1.0 / F.col("n_chars")), 9)
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            skey.alias("skey"),
+        )
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(_WSAMPLE_K)
+    )
