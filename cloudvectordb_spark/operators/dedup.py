@@ -633,3 +633,54 @@ def minhash_banded_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_jaccard")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup analytics: cross-source duplication matrix — for every source
+# pair, how many near-dup pairs cross it. The triage view a corpus
+# owner reads before deciding which source to drop or down-weight
+# (mirror sites show up as hot off-diagonal cells). Reuses the banded
+# md5-simhash pairs (value-level oracle) joined twice to sources; the
+# matrix is |sources|^2 rows, tiny at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "dup_cross_source_matrix",
+    oracle=f"""
+    WITH {_SIMHASH_MD5_SIGS_SQL.format(lim=200)},
+    banded AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (b.band * 15)) & 32767 AS key
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM banded a JOIN banded b USING (band, key)
+      WHERE a.doc_id < b.doc_id
+        AND bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAM_T}
+    )
+    SELECT least(da.source, db.source)    AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_dup_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = a_id
+    JOIN documents db ON db.doc_id = b_id
+    GROUP BY 1, 2
+    """,
+    operators=("G5", "H4", "C1", "D1", "B8"),
+)
+def dup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = simhash_band_pairs(simhash(docs, hash_fn="md5"), nbits=60)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )

@@ -628,3 +628,44 @@ def user_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * weight), 4).alias("decay_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-2 sequence mining: the most frequent (prev2 -> prev1 -> current)
+# event-type paths per corpus — the n-gram generalization of the
+# order-1 transition matrix above; the input to next-event prediction
+# features. One window per user (same exchange the sessionizer uses)
+# and a vocabulary-sized count table.
+# ---------------------------------------------------------------------------
+@query(
+    "event_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2, p1, event_type AS cur, count(*) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY p2, p1, cur
+    ORDER BY n DESC, p2, p1, cur
+    LIMIT 25
+    """,
+    operators=("E2", "D1", "F2"),
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        seq.groupBy("p2", "p1", "cur")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("p2"), F.asc("p1"), F.asc("cur"))
+        .limit(25)
+    )
