@@ -100,3 +100,52 @@ def test_concurrent_commit_collision_raises(spark, emb, tmp_path):
         json.dump(m, f)
     with pytest.raises(FileExistsError):
         commit_append(emb.filter(F.col("vec_id") >= 50), root)
+
+
+def test_streaming_foreachbatch_commits_versions(spark, sf_dir, tmp_path):
+    """Streaming ingest -> versioned index maintenance: each micro-batch
+    lands as ONE manifest-pinned append, so readers pinned to version N
+    never see later batches and the final version holds every row
+    exactly once (file-source exactly-once + immutable commits)."""
+    from cloudvectordb_spark.streaming.jobs import read_events_stream
+    from cloudvectordb_spark.versioning import (
+        commit_append,
+        commit_build,
+        latest_version,
+        read_version,
+    )
+
+    root = str(tmp_path / "stream_versions")
+    spark.createDataFrame([], "event_id long, user_id long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "seed"))
+    commit_build(spark.read.parquet(str(tmp_path / "seed")), root)
+
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    n_batches = 0
+
+    def commit_batch(batch_df, batch_id):
+        nonlocal n_batches
+        if batch_df.count() > 0:
+            commit_append(batch_df, root)
+            n_batches += 1
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(commit_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert n_batches >= 1
+    assert latest_version(root) == 1 + n_batches
+    total = read_version(spark, root).count()
+    from cloudvectordb_spark.catalog import load
+
+    assert total == load(spark, sf_dir, "events").count()
+    # a reader pinned to the initial build still sees zero rows
+    assert read_version(spark, root, 1).count() == 0
