@@ -740,3 +740,65 @@ def reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("a_id"), F.col("dst").alias("b_id"), "score"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K12: embedding drift between snapshots — per-label centroid shift
+# when the corpus grows (old snapshot = vec_id < 400 vs full). The QA
+# gate run after an encoder refresh or a large ingest: a label whose
+# centroid moved far means its region of the space was re-shaped and
+# downstream indexes (IVF cells, PQ codebooks) need rebuilding. Shape:
+# posexplode -> (label, dim) means per snapshot (map-side combinable),
+# a (label, dim)-keyed join, one sqrt per label.
+# ---------------------------------------------------------------------------
+_DRIFT_OLD_LIM = 400
+
+
+@query(
+    "embedding_drift_centroid_shift",
+    oracle=f"""
+    WITH expl AS (
+      SELECT label, s.dim AS dim, s.x AS x, vec_id < {_DRIFT_OLD_LIM} AS is_old
+      FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(generate_series(1, len(l)),
+                        i -> struct_pack(dim := i - 1, x := l[i]))) AS s
+        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS l
+              FROM embeddings)
+      )
+    ),
+    old_c AS (
+      SELECT label, dim, avg(x) AS m FROM expl WHERE is_old GROUP BY label, dim
+    ),
+    new_c AS (
+      SELECT label, dim, avg(x) AS m FROM expl GROUP BY label, dim
+    )
+    SELECT o.label,
+           round(sqrt(sum((o.m - n.m) * (o.m - n.m))), 6) AS centroid_shift
+    FROM old_c o JOIN new_c n ON o.label = n.label AND o.dim = n.dim
+    GROUP BY o.label
+    """,
+    operators=("K12", "K6", "D1", "C1", "H6", "H7"),
+)
+def embedding_drift_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label",
+        (F.col("vec_id") < _DRIFT_OLD_LIM).alias("is_old"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    old_c = (
+        expl.filter("is_old")
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m_old"))
+    )
+    new_c = expl.groupBy("label", "dim").agg(F.avg("x").alias("m_new"))
+    return (
+        old_c.join(new_c, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("m_old") - F.col("m_new"), 2))), 6
+            ).alias("centroid_shift")
+        )
+    )
