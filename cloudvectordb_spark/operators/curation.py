@@ -717,3 +717,46 @@ def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("skey"), F.asc("doc_id"))
         .limit(_WSAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive batch construction: assign items to batches so no batch
+# holds two items of the same label — the in-batch-negatives guarantee
+# (every other item in the batch is a valid negative). The assignment
+# is just the per-label row_number (deterministic hash order), so batch
+# b holds at most one item per label BY CONSTRUCTION; the query emits
+# per-batch counts plus the all_labels_distinct proof column the oracle
+# re-derives. One label-partitioned window — parallel across labels.
+# ---------------------------------------------------------------------------
+@query(
+    "contrastive_batch_assignment",
+    oracle="""
+    WITH assigned AS (
+      SELECT label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS batch_id
+      FROM embeddings
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           count(*) AS n_items,
+           count(DISTINCT label) AS n_labels,
+           count(*) = count(DISTINCT label) AS all_labels_distinct
+    FROM assigned
+    GROUP BY batch_id
+    """,
+    operators=("K3", "E1", "D1", "D3", "H4"),
+)
+def contrastive_batch_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    assigned = emb.select(
+        "label", F.row_number().over(w).cast("bigint").alias("batch_id")
+    )
+    return assigned.groupBy("batch_id").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("label").alias("n_labels"),
+        (F.count("*") == F.countDistinct("label")).alias("all_labels_distinct"),
+    )
