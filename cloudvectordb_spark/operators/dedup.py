@@ -684,3 +684,81 @@ def dup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_dup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# G4 at CHUNK granularity: fixed 20-token non-overlapping chunks,
+# hashed exactly; a chunk seen in more than one document is boilerplate
+# (headers, navboxes, license blocks), and a doc's duplicated-chunk
+# fraction is the removal signal — the sub-document dedup pass of
+# C4-style pipelines, complementing doc-level exact/near dedup. Explode
+# -> two keyed aggregations; chunk hashes are 8-byte xxhash64 on the
+# Spark side and full strings in the oracle (only the BOOLEAN
+# "duplicated" status must agree, making the hash choice free).
+# ---------------------------------------------------------------------------
+_CHUNK_TOKENS = 20
+
+
+@query(
+    "chunk_level_dup_fraction",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) // {_CHUNK_TOKENS}, 0)),
+               i -> array_to_string(
+                      (string_split(text, ' '))[(i - 1) * {_CHUNK_TOKENS} + 1 : i * {_CHUNK_TOKENS}],
+                      ' '))) AS chunk
+      FROM documents
+    ),
+    freq AS (
+      SELECT chunk, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           round(sum(CASE WHEN f.ndocs > 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+             AS dup_chunk_frac
+    FROM chunks c JOIN freq f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+    operators=("G4", "H1", "H4", "H7", "H8", "D1", "D3"),
+)
+def chunk_level_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = TX.tokens("text")
+    n_chunks = F.greatest(
+        F.floor(F.size(t) / _CHUNK_TOKENS).cast("int"), F.lit(0)
+    )
+    idx = F.sequence(F.lit(1), n_chunks)
+    chunk_arr = F.when(n_chunks >= 1, idx).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                chunk_arr,
+                lambda i: F.concat_ws(
+                    " ", F.slice(t, (i - 1) * _CHUNK_TOKENS + 1, _CHUNK_TOKENS)
+                ),
+            )
+        ).alias("chunk"),
+    ).select("doc_id", F.xxhash64("chunk").alias("chunk"))
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.when(F.col("ndocs") > 1, 1.0).otherwise(0.0))
+                / F.count("*"),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )
