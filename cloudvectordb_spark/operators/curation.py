@@ -760,3 +760,60 @@ def contrastive_batch_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("label").alias("n_labels"),
         (F.count("*") == F.countDistinct("label")).alias("all_labels_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-quality leaderboard: the per-source composite a corpus owner
+# ranks sources by when budgeting a mix — exact-dup rate, quality-gate
+# pass rate, mean tokens, all from ONE scan of the corpus (three
+# conditional aggregates per source), ordered worst-first by dup rate.
+# Each component exists as a standalone query; this is the joined
+# decision view.
+# ---------------------------------------------------------------------------
+@query(
+    "source_quality_leaderboard",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+             len(string_split(text, ' ')) AS ntok,
+             CAST(len(list_filter(string_split(text, ' '),
+                    x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'for'], x))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6) AS dup_rate,
+           round(sum(CASE WHEN ntok >= 10 AND stop_ratio < 0.5
+                          THEN 1.0 ELSE 0.0 END) / count(*), 6) AS quality_rate,
+           round(avg(ntok), 4) AS mean_tokens
+    FROM t GROUP BY source
+    ORDER BY dup_rate DESC, source
+    """,
+    operators=("K2", "G4", "D1", "D3", "B8", "F1"),
+)
+def source_quality_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ntok = TX.token_count("text")
+    quality = (ntok >= 10) & (TX.stopword_ratio("text") < 0.5)
+    t = docs.select(
+        "source",
+        TX.content_hash("text").alias("h"),
+        ntok.alias("ntok"),
+        quality.alias("q"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                1.0 - F.countDistinct("h") / F.count("*"), 6
+            ).alias("dup_rate"),
+            F.round(
+                F.sum(F.when(F.col("q"), 1.0).otherwise(0.0)) / F.count("*"), 6
+            ).alias("quality_rate"),
+            F.round(F.avg("ntok"), 4).alias("mean_tokens"),
+        )
+        .orderBy(F.desc("dup_rate"), F.asc("source"))
+    )
