@@ -802,3 +802,96 @@ def embedding_drift_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("centroid_shift")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K12/K8: matryoshka dimension sweep — recall@10 of truncated-dimension
+# cosine (8/16/32 of 64) against the full-width ranking, per probe, in
+# ONE query. "How many dims does this space actually need" as a
+# measured number instead of a guess; fully deterministic (no seeded
+# index), so unlike the ANN recall reports this carries a value-level
+# oracle. Scale shape: widths explode a constant 3-element array; each
+# width's scoring is the same broadcast-probe scan as exact kNN.
+# ---------------------------------------------------------------------------
+_MATRYOSHKA_WIDTHS = (8, 16, 32)
+
+
+@query(
+    "matryoshka_recall_curve",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 3),
+    full_top AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, v.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_cosine_similarity(v.e, p.pe) DESC, v.vec_id) AS r
+        FROM v, p WHERE v.vec_id <> p.probe_id
+      ) WHERE r <= 10
+    ),
+    trunc_top AS (
+      SELECT w, probe_id, vec_id FROM (
+        SELECT ws.w, p.probe_id, v.vec_id,
+               row_number() OVER (PARTITION BY ws.w, p.probe_id
+                 ORDER BY list_cosine_similarity(v.e[1:ws.w], p.pe[1:ws.w]) DESC,
+                          v.vec_id) AS r
+        FROM v, p, (SELECT unnest(ARRAY{list(_MATRYOSHKA_WIDTHS)}) AS w) ws
+        WHERE v.vec_id <> p.probe_id
+      ) WHERE r <= 10
+    )
+    SELECT CAST(t.w AS BIGINT) AS width, t.probe_id,
+           round(count(f.vec_id) / 10.0, 2) AS recall_at_10
+    FROM trunc_top t
+    LEFT JOIN full_top f
+      ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+    GROUP BY t.w, t.probe_id
+    """,
+    operators=("K12", "K8", "K7", "E4", "H7", "H8"),
+)
+def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    scored = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    wfull = Window.partitionBy("probe_id").orderBy(
+        F.desc(V.cosine("e", "pe")), F.asc("vec_id")
+    )
+    full_top = (
+        scored.withColumn("r", F.row_number().over(wfull))
+        .filter(F.col("r") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    widths = F.array(*[F.lit(w) for w in _MATRYOSHKA_WIDTHS])
+    tr = scored.select(
+        "probe_id",
+        "vec_id",
+        F.explode(widths).alias("w"),
+        V.cosine(F.slice("e", 1, F.col("w")), F.slice("pe", 1, F.col("w"))).alias(
+            "s"
+        ),
+    )
+    wt = Window.partitionBy("w", "probe_id").orderBy(
+        F.desc("s"), F.asc("vec_id")
+    )
+    trunc_top = (
+        tr.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= 10)
+        .select("w", "probe_id", "vec_id")
+    )
+    hits = trunc_top.join(
+        full_top.select(
+            F.col("probe_id").alias("fp"), F.col("vec_id").alias("fv")
+        ),
+        (F.col("probe_id") == F.col("fp")) & (F.col("vec_id") == F.col("fv")),
+        "left",
+    )
+    return hits.groupBy(
+        F.col("w").cast("bigint").alias("width"), "probe_id"
+    ).agg(F.round(F.count("fv") / 10.0, 2).alias("recall_at_10"))
