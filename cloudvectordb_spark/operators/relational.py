@@ -953,3 +953,46 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clipped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D5: regression aggregates — per-segment OLS of order value against
+# order date (days since epoch): slope = revenue trend, r2 = fit
+# quality. regr_slope/regr_r2 are single-pass mergeable aggregates on
+# both engines (sum of moments), so the trend of a 100 TB fact table
+# costs the same as any grouped sum — the difference-in-trends view
+# behind "which segment is growing".
+# ---------------------------------------------------------------------------
+@query(
+    "segment_revenue_trend",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(regr_slope(o_totalprice,
+                            epoch_us(o_orderdate) / 86400000000.0), 6) AS slope_per_day,
+           round(regr_r2(o_totalprice,
+                         epoch_us(o_orderdate) / 86400000000.0), 6) AS r2
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    operators=("D5", "C1", "H5", "H6"),
+)
+def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    day = (
+        F.timestamp_diff(
+            "MICROSECOND",
+            F.to_timestamp(F.lit("1970-01-01")),
+            F.col("o_orderdate"),
+        )
+        / 86400000000.0
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", F.col("o_totalprice").alias("y"), day.alias("x")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
