@@ -669,3 +669,72 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("p2"), F.asc("p1"), F.asc("cur"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel: view -> click -> purchase where each step lands
+# within 1 hour of the previous one — the attribution-correct funnel
+# (an unbounded funnel overcounts users who clicked days later). Per
+# user: earliest view, earliest qualifying click after it, earliest
+# qualifying purchase after that — three ordered min-aggregates over
+# one user-keyed shuffle; the global stage counts reduce to one row.
+# ---------------------------------------------------------------------------
+@query(
+    "timed_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.t_view AND e.ts < v.t_view + INTERVAL '1' HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.t_click AND e.ts < c.t_click + INTERVAL '1' HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_1h,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_1h
+    """,
+    operators=("J1", "C1", "D2", "H5", "B3"),
+)
+def timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t_view"))
+            & (F.col("ts") < F.col("t_view") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t_click"))
+            & (F.col("ts") < F.col("t_click") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").cast("bigint").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").cast("bigint").alias("n_click_1h")))
+        .crossJoin(p.agg(F.count("*").cast("bigint").alias("n_purchase_1h")))
+    )
