@@ -738,3 +738,40 @@ def timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").cast("bigint").alias("n_click_1h")))
         .crossJoin(p.agg(F.count("*").cast("bigint").alias("n_purchase_1h")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-week seasonality: avg events per (day-of-week, hour) cell —
+# the load profile behind capacity planning and anomaly baselines
+# (events_rate_anomalies measures deviation; this is the baseline
+# shape). Two grouped aggregates: per-(date, dow, hour) counts, then
+# the 168-cell average; everything combines map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "hour_of_week_seasonality",
+    oracle="""
+    WITH per_slot AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hr,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT dow, hr,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           round(avg(n), 4) AS avg_events_per_day
+    FROM per_slot GROUP BY dow, hr
+    """,
+    operators=("H5", "D1", "J1"),
+)
+def hour_of_week_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_slot = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    return per_slot.groupBy("dow", "hr").agg(
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.round(F.avg("n"), 4).alias("avg_events_per_day"),
+    )
