@@ -752,7 +752,7 @@ def timed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_slot AS (
       SELECT date_trunc('day', ts) AS d,
-             CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
              CAST(hour(ts) AS BIGINT) AS hr,
              count(*) AS n
       FROM events GROUP BY 1, 2, 3
