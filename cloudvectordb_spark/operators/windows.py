@@ -313,3 +313,49 @@ def customer_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user —
+# the canonical islands derivation (day minus per-user day-index is
+# constant within a streak). Cousin of timestamp sessionization
+# (events_sessions) at calendar grain; powers streak/retention
+# features. One user-keyed window over the (user, day) dedup — the big
+# reduction happens first, so the window input is days, not events.
+# ---------------------------------------------------------------------------
+@query(
+    "user_activity_streaks",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - INTERVAL (row_number() OVER
+               (PARTITION BY user_id ORDER BY day)) DAY AS island
+      FROM du
+    ),
+    streaks AS (
+      SELECT user_id, island, count(*) AS len FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak_days,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+    operators=("E1", "H5", "D1", "G4"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = du.withColumn(
+        "island",
+        F.col("day")
+        - F.make_interval(days=F.row_number().over(w)),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
