@@ -355,3 +355,49 @@ def salted_event_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D-surface parity: max_by / min_by — the latest-event-snapshot per key
+# WITHOUT a window: one aggregate pass (map-side combinable) instead of
+# a sort-based row_number filter, the cheaper plan when only the argmax
+# row is needed. Tie-broken by event_id inside a struct so both engines
+# pick identically.
+# ---------------------------------------------------------------------------
+@query(
+    "latest_event_snapshot",
+    oracle="""
+    WITH keyed AS (
+      SELECT *, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      FROM events
+    )
+    SELECT user_id,
+           arg_max(event_type, k) AS last_type,
+           arg_max(value, k)      AS last_value,
+           max(ts)                AS last_ts,
+           arg_min(event_type, k) AS first_type
+    FROM keyed
+    GROUP BY user_id
+    """,
+    operators=("D1", "D6", "E2"),
+)
+def latest_event_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # sortable string key: DuckDB's arg_max does not take struct keys
+    epoch = F.timestamp_diff(
+        "MICROSECOND", F.to_timestamp(F.lit("1970-01-01")).cast("timestamp_ntz")
+        if dict(ev.dtypes)["ts"] == "timestamp_ntz"
+        else F.to_timestamp(F.lit("1970-01-01")),
+        F.col("ts"),
+    )
+    key = F.concat(
+        F.lpad(epoch.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.max_by("value", key).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.min_by("event_type", key).alias("first_type"),
+    )
