@@ -775,3 +775,48 @@ def hour_of_week_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("total_events"),
         F.round(F.avg("n"), 4).alias("avg_events_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness: per day, the daily actives over the trailing-week
+# actives — the engagement-intensity ratio product teams track. Same
+# calendar-bounded derivation as rolling_7d_distinct_users: reduce to
+# (day, user) first, one trailing-range self-join, conditional distinct
+# counts (today vs window) in a single aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
+           count(DISTINCT u.user_id) AS wau,
+           round(count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+                 * 1.0 / count(DISTINCT u.user_id), 6) AS stickiness
+    FROM days d
+    JOIN du u ON u.day <= d.day AND u.day > d.day - INTERVAL '7 days'
+    GROUP BY d.day
+    """,
+    operators=("D3", "B8", "H5", "C6"),
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct().alias("d")
+    u = du.alias("u")
+    j = days.join(
+        u,
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") > F.col("d.day") - F.expr("INTERVAL 7 DAYS")),
+    )
+    today_user = F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
+    return j.groupBy(F.col("d.day").alias("day")).agg(
+        F.countDistinct(today_user).alias("dau"),
+        F.countDistinct("u.user_id").alias("wau"),
+        F.round(
+            F.countDistinct(today_user) / F.countDistinct("u.user_id"), 6
+        ).alias("stickiness"),
+    )
