@@ -996,3 +996,53 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
         F.round(F.regr_r2("y", "x"), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC analysis: customers ranked by lifetime revenue, rolled
+# into deciles with each decile's share of total revenue — the
+# "top 10% of customers carry X% of revenue" concentration view. The
+# global ordering uses the value-bucketed distributed row_number (no
+# single-partition sort); deciles derive from rank/total arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_pareto_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT revenue,
+             row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rn,
+             count(*) OVER () AS total
+      FROM rev
+    )
+    SELECT CAST(((rn - 1) * 10) // total + 1 AS BIGINT) AS decile,
+           count(*) AS n_customers,
+           round(sum(revenue) / (SELECT sum(revenue) FROM rev), 6) AS revenue_share
+    FROM ranked
+    GROUP BY 1
+    """,
+    operators=("E1", "D1", "F1", "H6"),
+)
+def customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.ranking import with_global_row_number
+
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    ranked = with_global_row_number(
+        rev, "revenue", [F.asc("o_custkey")], descending=True, rn_col="rn"
+    )
+    total_rev = rev.agg(F.sum("revenue").alias("tr"))
+    decile = (((F.col("rn") - 1) * 10 / F.col("_total_rows")).cast("bigint") + 1)
+    return (
+        ranked.crossJoin(F.broadcast(total_rev))
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("revenue") / F.first("tr"), 6).alias("revenue_share"),
+        )
+    )
