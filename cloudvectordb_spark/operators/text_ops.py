@@ -709,3 +709,65 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# K2: distinctive terms per source — each source's top-3 terms by
+# smoothed log-ratio of in-source rate vs corpus rate, the "what makes
+# this source different" view used to spot contaminated or off-domain
+# feeds. Two keyed aggregates (term x source, term) + a vocabulary-
+# sized join; the per-source ranking window partitions by source.
+# ---------------------------------------------------------------------------
+@query(
+    "source_distinctive_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    st AS (SELECT source, term, count(*) AS n FROM tok GROUP BY source, term),
+    stot AS (SELECT source, CAST(sum(n) AS DOUBLE) AS tot FROM st GROUP BY source),
+    g AS (SELECT term, count(*) AS gn FROM tok GROUP BY term),
+    gtot AS (SELECT CAST(count(*) AS DOUBLE) AS gt FROM tok),
+    scored AS (
+      SELECT st.source, st.term,
+             round(ln(((st.n + 1.0) / (stot.tot + 1.0))
+                   / ((g.gn + 1.0) / ((SELECT gt FROM gtot) + 1.0))), 6) AS log_ratio
+      FROM st JOIN stot USING (source) JOIN g USING (term)
+      WHERE st.n >= 5
+    )
+    SELECT source, term, log_ratio,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY log_ratio DESC, term) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """,
+    operators=("K2", "D1", "C1", "E4", "H6"),
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(TX.tokens("text")).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("n"))
+    stot = st.groupBy("source").agg(F.sum("n").cast("double").alias("tot"))
+    g = tok.groupBy("term").agg(F.count("*").alias("gn"))
+    gtot = tok.agg(F.count("*").cast("double").alias("gt"))
+    scored = (
+        st.filter(F.col("n") >= 5)
+        .join(stot, "source")
+        .join(g, "term")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.log(
+                    ((F.col("n") + 1.0) / (F.col("tot") + 1.0))
+                    / ((F.col("gn") + 1.0) / (F.col("gt") + 1.0))
+                ),
+                6,
+            ).alias("log_ratio"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("log_ratio"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+    )
