@@ -359,3 +359,67 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak_days"),
         F.count("*").cast("bigint").alias("n_streaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot-likeness screen: users whose inter-event gaps are suspiciously
+# REGULAR (coefficient of variation below threshold over >= 20 events)
+# — scripted traffic has clockwork gaps, humans are bursty. The
+# behavioral filter applied before user-generated text enters a
+# training corpus. Same per-user lag window as event_gaps, one stats
+# aggregate per user.
+# ---------------------------------------------------------------------------
+_BOT_MIN_EVENTS = 20
+_BOT_CV_MAX = 0.8
+
+
+@query(
+    "bot_like_users",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 AS gap_sec
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id, count(gap_sec) AS n_gaps,
+             avg(gap_sec) AS mu, stddev_samp(gap_sec) AS sigma
+      FROM gaps GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(sigma / mu, 6) AS gap_cv
+    FROM stats
+    WHERE n_gaps >= {_BOT_MIN_EVENTS} AND sigma / mu < {_BOT_CV_MAX}
+    ORDER BY gap_cv, user_id
+    """,
+    operators=("E2", "D5", "B2", "H5"),
+)
+def bot_like_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.timestamp_diff("MICROSECOND", F.lag("ts", 1).over(w), F.col("ts"))
+        / 1000000.0
+    )
+    stats = (
+        ev.withColumn("gap_sec", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_sec").alias("n_gaps"),
+            F.avg("gap_sec").alias("mu"),
+            F.stddev_samp("gap_sec").alias("sigma"),
+        )
+    )
+    return (
+        stats.filter(
+            (F.col("n_gaps") >= _BOT_MIN_EVENTS)
+            & (F.col("sigma") / F.col("mu") < _BOT_CV_MAX)
+        )
+        .select(
+            "user_id",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.round(F.col("sigma") / F.col("mu"), 6).alias("gap_cv"),
+        )
+        .orderBy("gap_cv", "user_id")
+    )
