@@ -771,3 +771,64 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# K2: vocabulary growth curve (Heaps'-law profile) — cumulative distinct
+# vocabulary after each decile of the corpus, computed WITHOUT any
+# ordered scan: each term reduces to its FIRST-occurrence doc (one
+# min-aggregate), first-occurrence docs bucket into deciles, and the
+# cumulative sum runs over 10 rows. Sub-linear growth is healthy;
+# near-linear growth means unbounded junk vocabulary (OCR noise, ids) —
+# the tokenizer-budget planning signal.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_growth_curve",
+    oracle="""
+    WITH n AS (SELECT count(*) AS nd FROM documents),
+    first_seen AS (
+      SELECT term, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    by_decile AS (
+      SELECT CAST((first_doc * 10) // (SELECT nd FROM n) + 1 AS BIGINT) AS decile,
+             count(*) AS new_terms
+      FROM first_seen GROUP BY 1
+    )
+    SELECT decile, CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+    FROM by_decile
+    """,
+    operators=("K2", "D1", "E3", "H6"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    nd = docs.agg(F.count("*").alias("nd"))
+    first_seen = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    by_decile = (
+        first_seen.crossJoin(F.broadcast(nd))
+        .groupBy(
+            ((F.col("first_doc") * 10 / F.col("nd")).cast("bigint") + 1).alias(
+                "decile"
+            )
+        )
+        .agg(F.count("*").alias("new_terms"))
+    )
+    # 10-row cumulative: a bounded window (pmod partition keeps it
+    # planner-visible as partitioned, same trick as ranking._zero)
+    w = (
+        Window.partitionBy(F.pmod(F.xxhash64(F.lit(0)), F.lit(1)))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return by_decile.select(
+        "decile",
+        F.col("new_terms").cast("bigint").alias("new_terms"),
+        F.sum("new_terms").over(w).cast("bigint").alias("vocab_size"),
+    )
