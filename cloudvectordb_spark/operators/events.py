@@ -820,3 +820,97 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(today_user) / F.countDistinct("u.user_id"), 6
         ).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-level type affinity: which event types co-occur in the SAME
+# session more than their independent rates predict (lift > 1) — the
+# session-grain basket analysis that separates "click then purchase in
+# one visit" from coincidence across days. Composes the sessionizer's
+# gap-flag derivation (same single user-keyed exchange) with pair
+# counting over per-session type sets; pair fan-out is C(types, 2) <=
+# C(5, 2) per session.
+# ---------------------------------------------------------------------------
+@query(
+    "session_event_type_affinity",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    st AS (
+      SELECT DISTINCT user_id, sid, event_type FROM numbered
+    ),
+    n_sessions AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS DOUBLE) AS n FROM st),
+    type_n AS (SELECT event_type, count(*) AS nt FROM st GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS nab
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.sid = b.sid
+       AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, CAST(nab AS BIGINT) AS nab,
+           round((nab / ns.n) / ((ta.nt / ns.n) * (tb.nt / ns.n)), 4) AS lift
+    FROM pairs
+    JOIN type_n ta ON ta.event_type = type_a
+    JOIN type_n tb ON tb.event_type = type_b
+    CROSS JOIN n_sessions ns
+    """,
+    operators=("J3", "C9", "D1", "D3", "H6"),
+)
+def session_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev_ts = F.lag(F.col("ts")).over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")) >= gap_us),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    st = (
+        ev.withColumn("sid", sid)
+        .select("user_id", "sid", "event_type")
+        .distinct()
+    )
+    n_sessions = st.select("user_id", "sid").distinct().agg(
+        F.count("*").cast("double").alias("n")
+    )
+    type_n = st.groupBy("event_type").agg(F.count("*").alias("nt"))
+    a = st.select("user_id", "sid", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "sid", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("nab"))
+    )
+    ta = type_n.select(F.col("event_type").alias("type_a"), F.col("nt").alias("na"))
+    tb = type_n.select(F.col("event_type").alias("type_b"), F.col("nt").alias("nb"))
+    return (
+        pairs.join(ta, "type_a")
+        .join(tb, "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("nab").cast("bigint").alias("nab"),
+            F.round(
+                (F.col("nab") / F.col("n"))
+                / ((F.col("na") / F.col("n")) * (F.col("nb") / F.col("n"))),
+                4,
+            ).alias("lift"),
+        )
+    )
