@@ -914,3 +914,43 @@ def session_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting, daily: split each day's actives into NEW (first
+# day ever) vs RETURNING. First-seen reduces per user with one
+# min-aggregate; the daily split is a conditional distinct count. The
+# canonical top-of-dashboard growth metric.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_new_vs_returning",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+    )
+    SELECT du.day,
+           count(DISTINCT CASE WHEN du.day = f.first_day
+                               THEN du.user_id END) AS n_new,
+           count(DISTINCT CASE WHEN du.day <> f.first_day
+                               THEN du.user_id END) AS n_returning
+    FROM du JOIN first_seen f ON du.user_id = f.user_id
+    GROUP BY du.day
+    """,
+    operators=("D3", "B8", "H5", "C1"),
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = du.join(first_seen, "user_id")
+    return j.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+        ).alias("n_new"),
+        F.countDistinct(
+            F.when(F.col("day") != F.col("first_day"), F.col("user_id"))
+        ).alias("n_returning"),
+    )
