@@ -954,3 +954,75 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("day") != F.col("first_day"), F.col("user_id"))
         ).alias("n_returning"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting, full: each day's actives split into NEW (first day
+# ever), RETAINED (also active in the prior 7 days), and RESURRECTED
+# (seen before, but not in the prior 7 days). The standard
+# new/retained/resurrected ledger; churn is the complement on the
+# prior-window side. One first-seen reduction + one trailing-window
+# presence flag via the calendar-bounded self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+    ),
+    prior AS (
+      SELECT DISTINCT a.day, a.user_id
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id
+       AND b.day < a.day AND b.day >= a.day - INTERVAL '7 days'
+    )
+    SELECT du.day,
+           count(DISTINCT CASE WHEN du.day = f.first_day
+                               THEN du.user_id END) AS n_new,
+           count(DISTINCT CASE WHEN du.day <> f.first_day
+                                AND p.user_id IS NOT NULL
+                               THEN du.user_id END) AS n_retained,
+           count(DISTINCT CASE WHEN du.day <> f.first_day
+                                AND p.user_id IS NULL
+                               THEN du.user_id END) AS n_resurrected
+    FROM du
+    JOIN first_seen f ON du.user_id = f.user_id
+    LEFT JOIN prior p ON p.day = du.day AND p.user_id = du.user_id
+    GROUP BY du.day
+    """,
+    operators=("D3", "B8", "H5", "C3", "C6"),
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    a, b = du.alias("a"), du.alias("b")
+    prior = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") < F.col("a.day"))
+            & (F.col("b.day") >= F.col("a.day") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .select(F.col("a.day").alias("day"), F.col("a.user_id").alias("user_id"))
+        .distinct()
+        .withColumn("in_prior", F.lit(1))
+    )
+    j = (
+        du.join(first_seen, "user_id")
+        .join(prior, ["day", "user_id"], "left")
+    )
+    is_new = F.col("day") == F.col("first_day")
+    has_prior = F.col("in_prior").isNotNull()
+    return j.groupBy("day").agg(
+        F.countDistinct(F.when(is_new, F.col("user_id"))).alias("n_new"),
+        F.countDistinct(
+            F.when(~is_new & has_prior, F.col("user_id"))
+        ).alias("n_retained"),
+        F.countDistinct(
+            F.when(~is_new & ~has_prior, F.col("user_id"))
+        ).alias("n_resurrected"),
+    )
