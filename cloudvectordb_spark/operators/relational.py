@@ -1046,3 +1046,57 @@ def customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("revenue") / F.first("tr"), 6).alias("revenue_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via MAD: median absolute deviation instead of
+# mean/std (order_value_outliers) — immune to the outliers it hunts.
+# Two tiny sequential aggregates (median, then MAD around the broadcast
+# median), then a flag count; the 1.4826 factor scales MAD to sigma
+# under normality so the 3-MAD fence is comparable to 3-sigma.
+# ---------------------------------------------------------------------------
+@query(
+    "order_value_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders),
+    mad AS (
+      SELECT quantile_cont(abs(o_totalprice - (SELECT m FROM med)), 0.5) AS d
+      FROM orders
+    )
+    SELECT round((SELECT m FROM med), 2)                      AS median,
+           round((SELECT d FROM mad), 2)                      AS mad,
+           CAST(count(CASE WHEN abs(o_totalprice - (SELECT m FROM med))
+                             > 3 * 1.4826 * (SELECT d FROM mad)
+                      THEN 1 END) AS BIGINT)                  AS n_outliers,
+           count(*)                                           AS n_total
+    FROM orders
+    """,
+    operators=("D5", "D2", "H6", "B2"),
+)
+def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    med = orders.agg(F.percentile("o_totalprice", F.lit(0.5)).alias("m"))
+    with_med = orders.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col("o_totalprice") - F.col("m")), F.lit(0.5)).alias(
+            "d"
+        ),
+        F.first("m").alias("m"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(mad))
+        .agg(
+            F.round(F.first("m"), 2).alias("median"),
+            F.round(F.first("d"), 2).alias("mad"),
+            F.count(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("m"))
+                    > 3 * 1.4826 * F.col("d"),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").alias("n_total"),
+        )
+    )
