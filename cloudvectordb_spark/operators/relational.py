@@ -1100,3 +1100,30 @@ def order_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D5: correlation / covariance aggregates — does a deeper discount move
+# more units? corr and covar_samp are single-pass mergeable moment
+# aggregates (like the regression pair in segment_revenue_trend), so
+# the answer over a 100 TB fact table costs a grouped sum.
+# ---------------------------------------------------------------------------
+@query(
+    "discount_quantity_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_discount, l_quantity), 6)       AS corr_dq,
+           round(covar_samp(l_discount, l_quantity), 6) AS covar_dq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    operators=("D5", "D1", "H6"),
+)
+def discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_discount", "l_quantity"), 6).alias("corr_dq"),
+        F.round(F.covar_samp("l_discount", "l_quantity"), 6).alias("covar_dq"),
+    )
