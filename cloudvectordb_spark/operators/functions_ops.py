@@ -401,3 +401,38 @@ def latest_event_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.min_by("event_type", key).alias("first_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D3/D4: bitmap-accelerated exact distinct count — integer keys bucket
+# into fixed-width bitmaps (bitmap_bucket_number / bit_position), each
+# bucket ORs its bits with bitmap_construct_agg, and the counts sum.
+# EXACT like COUNT(DISTINCT) but mergeable like a sketch (bitmaps OR
+# across partitions/days), the materialized-rollup trick for int-keyed
+# distinct counts at 100 TB. The oracle replays the plain distinct
+# count — equality IS the check.
+# ---------------------------------------------------------------------------
+@query(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_distinct_users
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("D3", "D4", "H4", "D1"),
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct_users")
+    )
