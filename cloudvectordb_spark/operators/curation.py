@@ -817,3 +817,58 @@ def source_quality_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("dup_rate"), F.asc("source"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B bucketing with SRM check: content-hash users into two arms and
+# verify the realized split against 50/50 — the sample-ratio-mismatch
+# guard every experimentation platform runs before trusting a result.
+# Same md5 bridge as the split/sample family (stable forever, no RNG);
+# the z-statistic against the binomial null is pure arithmetic on two
+# counts.
+# ---------------------------------------------------------------------------
+@query(
+    "ab_assignment_srm_check",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT CASE WHEN substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm
+      FROM users
+    ),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             count(*) AS n
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           round(abs(n_a - n_b) / sqrt(n * 0.5 * 0.5) / 2.0, 6) AS srm_z,
+           abs(n_a - n_b) / sqrt(n * 0.5 * 0.5) / 2.0 < 4 AS split_healthy
+    FROM counts
+    """,
+    operators=("H4", "B8", "D2", "H6"),
+)
+def ab_assignment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    counts = users.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.count("*").alias("n"),
+    )
+    z = F.abs(F.col("n_a") - F.col("n_b")) / F.sqrt(F.col("n") * 0.25) / 2.0
+    return counts.select(
+        "n_a", "n_b", F.round(z, 6).alias("srm_z"), (z < 4).alias("split_healthy")
+    )
