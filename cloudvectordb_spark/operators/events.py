@@ -1026,3 +1026,42 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~is_new & ~has_prior, F.col("user_id"))
         ).alias("n_resurrected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral entropy: Shannon entropy of each user's event-type mix —
+# the diversity feature separating single-action accounts (entropy ~ 0,
+# often automation) from full-surface users (entropy ~ ln 5). Two
+# keyed aggregates: per-(user, type) counts then the entropy fold;
+# everything combines map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "user_event_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(-sum((n / CAST(tot AS DOUBLE))
+                      * ln(n / CAST(tot AS DOUBLE))), 6) AS entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+    operators=("D1", "H6", "C1"),
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
