@@ -1127,3 +1127,47 @@ def discount_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.corr("l_discount", "l_quantity"), 6).alias("corr_dq"),
         F.round(F.covar_samp("l_discount", "l_quantity"), 6).alias("covar_dq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue concentration — the scalar
+# companion to customer_pareto_deciles, via the rank formulation
+# G = 2*Σ(rank_i · x_i)/(n·Σx) − (n+1)/n over ascending revenue.
+# The global ascending rank is the value-bucketed distributed
+# row_number; everything after is one aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_gini_coefficient",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM rev
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(2.0 * sum(rn * x) / (max(n) * sum(x))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+    operators=("E1", "D2", "H6", "F1"),
+)
+def revenue_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.ranking import with_global_row_number
+
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    ranked = with_global_row_number(
+        rev, "x", [F.asc("o_custkey")], rn_col="rn"
+    )
+    return ranked.agg(
+        F.max("_total_rows").cast("bigint").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("rn") * F.col("x"))
+            / (F.max("_total_rows") * F.sum("x"))
+            - (F.max("_total_rows") + 1.0) / F.max("_total_rows"),
+            6,
+        ).alias("gini"),
+    )
