@@ -1171,3 +1171,47 @@ def revenue_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Purchase cadence: per-customer inter-order gap statistics (days
+# between consecutive orders) — the repeat-purchase rhythm behind
+# churn prediction and replenishment forecasting. One customer-keyed
+# lag window, one stats aggregate; restricted to repeat customers.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_purchase_cadence",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day', lag(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(gap_days) AS BIGINT) AS n_gaps,
+           round(avg(gap_days), 4) AS avg_gap_days,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps
+    GROUP BY o_custkey
+    HAVING count(gap_days) >= 1
+    """,
+    operators=("E2", "D5", "H5", "D1"),
+)
+def customer_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.date_diff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return (
+        orders.withColumn("gap_days", gap)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.min("gap_days").cast("bigint").alias("min_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") >= 1)
+    )
