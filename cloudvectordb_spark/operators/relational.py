@@ -1215,3 +1215,76 @@ def customer_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quintile codes per
+# customer, aggregated to segment sizes. Quintile EDGES come from one
+# exact-percentile aggregate (broadcast as a single row) and each
+# metric buckets via edge comparisons — no global ntile window, so the
+# plan is two linear passes at any scale. Ties resolve identically on
+# both engines because bucketing is "count of edges strictly below".
+# ---------------------------------------------------------------------------
+@query(
+    "rfm_segment_sizes",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    e AS (
+      SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS re,
+             quantile_cont(frequency,   [0.2, 0.4, 0.6, 0.8]) AS fe,
+             quantile_cont(monetary,    [0.2, 0.4, 0.6, 0.8]) AS me
+      FROM cust
+    ),
+    coded AS (
+      SELECT
+        1 + len(list_filter(e.re, x -> x < recency_days))  AS r,
+        1 + len(list_filter(e.fe, x -> x < frequency))     AS f,
+        1 + len(list_filter(e.me, x -> x < monetary))      AS m
+      FROM cust CROSS JOIN e
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m, count(*) AS n_customers
+    FROM coded GROUP BY r, f, m
+    """,
+    operators=("D5", "B8", "D1", "H5", "H6"),
+)
+def rfm_segment_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("t1"))
+    cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.date_diff(F.first("t1"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    qs = [F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)]
+    e = cust.agg(
+        F.percentile("recency_days", F.array(*qs)).alias("re"),
+        F.percentile("frequency", F.array(*qs)).alias("fe"),
+        F.percentile("monetary", F.array(*qs)).alias("me"),
+    )
+
+    def bucket(col, edges):
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(edges), lambda x: x < F.col(col)))
+        ).cast("bigint")
+
+    coded = cust.crossJoin(F.broadcast(e)).select(
+        bucket("recency_days", "re").alias("r"),
+        bucket("frequency", "fe").alias("f"),
+        bucket("monetary", "me").alias("m"),
+    )
+    return coded.groupBy("r", "f", "m").agg(F.count("*").alias("n_customers"))
