@@ -1288,3 +1288,77 @@ def rfm_segment_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket("monetary", "me").alias("m"),
     )
     return coded.groupBy("r", "f", "m").agg(F.count("*").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle: customers cohorted by first-order month; for
+# each cohort x months-since-first-order, the cumulative revenue (in
+# exact integer cents — float rounding of a cumulative sum is engine-
+# order-dependent at half-cent boundaries) plus cohort size, the LTV
+# curve whose flattening point sets acquisition budgets. First-order
+# month is one min-aggregate; the cumulative window partitions by
+# cohort (parallel across cohorts).
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_ltv_triangle",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    aged AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort, date_trunc('month', o.o_orderdate)) AS age,
+             CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS rev_cents
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+      GROUP BY f.cohort, age
+    ),
+    sized AS (
+      SELECT cohort, count(*) AS cohort_size FROM first_order GROUP BY cohort
+    )
+    SELECT a.cohort, CAST(a.age AS BIGINT) AS age,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(sum(a.rev_cents) OVER (PARTITION BY a.cohort ORDER BY a.age
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+    FROM aged a JOIN sized s ON a.cohort = s.cohort
+    """,
+    operators=("D1", "E3", "H5", "C1"),
+)
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    first_order = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    aged = (
+        orders.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort")
+            )
+            .cast("bigint")
+            .alias("age"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    sized = first_order.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        aged.join(sized, "cohort")
+        .select(
+            "cohort",
+            "age",
+            "cohort_size",
+            F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+        )
+    )
