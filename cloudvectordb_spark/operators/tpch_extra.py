@@ -562,3 +562,42 @@ def part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Supplier SLA fill rate: share of a supplier's line items shipped
+# within 30 days of the order date, with average ship delay — the
+# operational scorecard behind supplier ranking. One fact-fact join on
+# the order key (ShuffledHash at scale, like the Q3/Q10 shapes) and a
+# conditional aggregate per supplier.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_fill_rate",
+    oracle="""
+    SELECT l_suppkey,
+           count(*) AS n_lines,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 4)
+             AS avg_ship_delay_days,
+           round(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                          THEN 1.0 ELSE 0.0 END) / count(*), 6) AS fill_rate_30d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey
+    """,
+    operators=("C1", "D1", "H5", "B8", "H6"),
+)
+def supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    delay = F.date_diff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg(delay), 4).alias("avg_ship_delay_days"),
+            F.round(
+                F.sum(F.when(delay <= 30, 1.0).otherwise(0.0)) / F.count("*"),
+                6,
+            ).alias("fill_rate_30d"),
+        )
+    )
