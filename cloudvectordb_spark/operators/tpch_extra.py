@@ -601,3 +601,56 @@ def supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fill_rate_30d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unit-price dispersion per part: coefficient of variation of the
+# realized unit price (extendedprice / quantity) across a part's line
+# items — the pricing-consistency screen (high CV = negotiated chaos or
+# data errors). One keyed stats aggregate; top-20 most dispersed via
+# TakeOrdered, floored on a line count so singleton parts don't rank.
+# ---------------------------------------------------------------------------
+@query(
+    "part_price_dispersion",
+    oracle="""
+    WITH up AS (
+      SELECT l_partkey, l_extendedprice / l_quantity AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    stats AS (
+      SELECT l_partkey, count(*) AS n,
+             avg(unit_price) AS mu, stddev_samp(unit_price) AS sigma
+      FROM up GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(n AS BIGINT) AS n_lines,
+           round(mu, 4) AS mean_unit_price,
+           round(sigma / mu, 6) AS price_cv
+    FROM stats
+    WHERE n >= 5
+    ORDER BY price_cv DESC, l_partkey
+    LIMIT 20
+    """,
+    operators=("D5", "B2", "H6", "F2"),
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    up = li.filter(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    stats = up.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.avg("unit_price").alias("mu"),
+        F.stddev_samp("unit_price").alias("sigma"),
+    )
+    return (
+        stats.filter(F.col("n") >= 5)
+        .select(
+            "l_partkey",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.round("mu", 4).alias("mean_unit_price"),
+            F.round(F.col("sigma") / F.col("mu"), 6).alias("price_cv"),
+        )
+        .orderBy(F.desc("price_cv"), F.asc("l_partkey"))
+        .limit(20)
+    )
