@@ -654,3 +654,57 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price_cv"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Return-rate offenders: parts whose line items are flagged 'R'
+# (returned) far above the corpus base rate — the product-quality
+# screen. Per-part conditional aggregate vs a broadcast base rate;
+# floored on volume, top-20 by excess ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "part_return_rate_offenders",
+    oracle="""
+    WITH base AS (
+      SELECT sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)
+             / count(*) AS base_rate
+      FROM lineitem
+    ),
+    per_part AS (
+      SELECT l_partkey, count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)
+             / count(*) AS return_rate
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(n AS BIGINT) AS n_lines,
+           round(return_rate, 6) AS return_rate,
+           round(return_rate / (SELECT base_rate FROM base), 4) AS vs_base
+    FROM per_part
+    WHERE n >= 10
+    ORDER BY return_rate / (SELECT base_rate FROM base) DESC, l_partkey
+    LIMIT 20
+    """,
+    operators=("D1", "D2", "B8", "H6", "F2"),
+)
+def part_return_rate_offenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    is_r = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    base = li.agg((F.sum(is_r) / F.count("*")).alias("base_rate"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        (F.sum(is_r) / F.count("*")).alias("return_rate"),
+    )
+    return (
+        per_part.filter(F.col("n") >= 10)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "l_partkey",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.round("return_rate", 6).alias("return_rate"),
+            F.round(F.col("return_rate") / F.col("base_rate"), 4).alias(
+                "vs_base"
+            ),
+        )
+        .orderBy(F.desc("vs_base"), F.asc("l_partkey"))
+        .limit(20)
+    )
