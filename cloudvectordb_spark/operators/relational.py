@@ -1362,3 +1362,82 @@ def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-decile migration: each customer's revenue decile in the early
+# era (orders before 1998) vs the late era, as a migration matrix —
+# the upgrade/downgrade/churn movement view. Deciles come from
+# broadcast exact-percentile edges per era (same no-global-ntile
+# pattern as RFM); customers absent from an era land in decile 0.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_decile_migration",
+    oracle="""
+    WITH early AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
+    ),
+    late AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY o_custkey
+    ),
+    ee AS (
+      SELECT quantile_cont(rev, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+      FROM early
+    ),
+    le AS (
+      SELECT quantile_cont(rev, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+      FROM late
+    ),
+    coded AS (
+      SELECT COALESCE(early.o_custkey, late.o_custkey) AS ck,
+             CASE WHEN early.rev IS NULL THEN 0
+                  ELSE 1 + len(list_filter((SELECT e FROM ee), x -> x < early.rev))
+             END AS d_early,
+             CASE WHEN late.rev IS NULL THEN 0
+                  ELSE 1 + len(list_filter((SELECT e FROM le), x -> x < late.rev))
+             END AS d_late
+      FROM early FULL OUTER JOIN late ON early.o_custkey = late.o_custkey
+    )
+    SELECT CAST(d_early AS BIGINT) AS d_early,
+           CAST(d_late AS BIGINT) AS d_late,
+           count(*) AS n_customers
+    FROM coded GROUP BY d_early, d_late
+    """,
+    operators=("D5", "C3", "B8", "D1", "H5"),
+)
+def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    qs = F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+    early = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev_e"))
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev_l"))
+    )
+    ee = early.agg(F.percentile("rev_e", qs).alias("e_edges"))
+    le = late.agg(F.percentile("rev_l", qs).alias("l_edges"))
+
+    def decile(rev_col, edges_col):
+        return F.when(F.col(rev_col).isNull(), 0).otherwise(
+            1 + F.size(F.filter(F.col(edges_col), lambda x: x < F.col(rev_col)))
+        ).cast("bigint")
+
+    coded = (
+        early.join(late, "o_custkey", "full_outer")
+        .crossJoin(F.broadcast(ee))
+        .crossJoin(F.broadcast(le))
+        .select(
+            decile("rev_e", "e_edges").alias("d_early"),
+            decile("rev_l", "l_edges").alias("d_late"),
+        )
+    )
+    return coded.groupBy("d_early", "d_late").agg(
+        F.count("*").alias("n_customers")
+    )
