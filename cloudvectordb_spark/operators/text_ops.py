@@ -832,3 +832,51 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_terms").cast("bigint").alias("new_terms"),
         F.sum("new_terms").over(w).cast("bigint").alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K2: language-tag consistency — per declared language, how many docs
+# carry an English-stopword ratio that contradicts the tag (non-en docs
+# loaded with en stopwords, en docs with none) — the metadata-vs-
+# content audit run before trusting per-language corpus budgets. Pure
+# expression work + one per-lang conditional aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "lang_tag_consistency",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                    x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'for'], x))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS en_stop_ratio
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(en_stop_ratio), 6) AS avg_en_stop_ratio,
+           CAST(sum(CASE WHEN lang <> 'en' AND en_stop_ratio > 0.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect_nonen,
+           CAST(sum(CASE WHEN lang = 'en' AND en_stop_ratio < 0.02
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect_en
+    FROM t GROUP BY lang
+    """,
+    operators=("K2", "B8", "D1", "H8"),
+)
+def lang_tag_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ratio = TX.stopword_ratio("text")
+    t = docs.select("lang", F.coalesce(ratio, F.lit(0.0)).alias("r"))
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("r"), 6).alias("avg_en_stop_ratio"),
+        F.sum(
+            F.when((F.col("lang") != "en") & (F.col("r") > 0.2), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_suspect_nonen"),
+        F.sum(
+            F.when((F.col("lang") == "en") & (F.col("r") < 0.02), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_suspect_en"),
+    )
