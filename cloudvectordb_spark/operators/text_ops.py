@@ -880,3 +880,38 @@ def lang_tag_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_suspect_en"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K2/H2: encoding-noise screen — share of characters outside printable
+# ASCII per declared language. High ratios in a Latin-script language
+# flag mojibake / OCR damage; near-zero in zh flags transliterated or
+# mis-tagged text. One regexp_replace per row, per-lang aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "nonascii_ratio_by_lang",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(CAST(len(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE)
+                     / greatest(len(text), 1)), 6) AS avg_nonascii_ratio,
+           CAST(sum(CASE WHEN len(regexp_replace(text, '[ -~]', '', 'g')) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nonascii
+    FROM documents
+    GROUP BY lang
+    """,
+    operators=("K2", "H2", "H1", "D1"),
+)
+def nonascii_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_nonascii = F.length(F.regexp_replace("text", "[ -~]", ""))
+    ratio = n_nonascii.cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(ratio), 6).alias("avg_nonascii_ratio"),
+        F.sum(F.when(n_nonascii > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_nonascii"),
+    )
