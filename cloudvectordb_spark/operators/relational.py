@@ -140,8 +140,12 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = cust.join(orders, cust.c_custkey == orders.o_custkey)
     return (
         li.join(co.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        # supplier scales linearly with SF (10 -> 1,000 rows across the
+        # sf0.001 -> sf0.1 fixtures; ~1B rows at the 100 TB design point),
+        # so no hard-coded broadcast: AQE still picks a broadcast join at
+        # small SF from runtime stats, and falls back to shuffle at scale.
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

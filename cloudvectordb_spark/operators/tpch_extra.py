@@ -12,9 +12,13 @@ analogue; Q9's supplycost is proxied from p_retailprice.
 
 Plan-shape policy (SCALE.md "fact-join policy"): lineitem/orders/customer
 are facts — their mutual joins are pinned ``shuffle_hash`` so fixture-
-scale size estimates can't flip Catalyst into broadcasting a fact;
-region/nation/supplier/part are dims and broadcast explicitly (part only
-after its selective filter).
+scale size estimates can't flip Catalyst into broadcasting a fact.
+region/nation are the only explicitly-broadcast dims (truly fixed
+cardinality: 5 / 25 rows at every SF). supplier and part scale linearly
+with SF (supplier 10 -> 1,000, part 200 -> 20,000 across the fixtures;
+~1B / ~20B rows at the 100 TB design point), so they carry NO broadcast
+hint — AQE broadcasts them from runtime stats while they fit and falls
+back to a shuffle join when they don't.
 """
 
 from __future__ import annotations
@@ -101,7 +105,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = orders.join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
     return (
         li.join(oc.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(
@@ -167,11 +171,11 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = orders.join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(oc.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -223,9 +227,9 @@ def product_line_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,6)")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year")
@@ -260,7 +264,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -309,7 +313,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -401,7 +405,7 @@ def disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
         .agg(
             F.round(
