@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cloudvectordb_spark.catalog import load
 from cloudvectordb_spark.functions import text as TX
+from cloudvectordb_spark.ranking import _zero
 from cloudvectordb_spark.registry import query
 
 _STOPLIST_SQL = "['" + "', '".join(TX.STOPWORDS) + "']"
@@ -615,8 +616,14 @@ def ml_tokenizer_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = RegexTokenizer(
         inputCol="text", outputCol="toks", pattern=" ", toLowercase=False
     ).transform(docs)
+    # caseSensitive=True matches the oracle's case-sensitive list_contains
+    # (the default case-folding would silently diverge on capitalized
+    # stopwords, which the lowercase fixture corpus never exercises).
     kept = StopWordsRemover(
-        inputCol="toks", outputCol="kept", stopWords=list(TX.STOPWORDS)
+        inputCol="toks",
+        outputCol="kept",
+        stopWords=list(TX.STOPWORDS),
+        caseSensitive=True,
     ).transform(toks)
     grams = NGram(n=2, inputCol="kept", outputCol="bigrams").transform(kept)
     return grams.select(
@@ -820,10 +827,12 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("new_terms"))
     )
-    # 10-row cumulative: a bounded window (pmod partition keeps it
-    # planner-visible as partitioned, same trick as ranking._zero)
+    # 10-row cumulative over a bounded input. The partition key must hash
+    # a REAL column (ranking._zero): pmod(xxhash64(lit(0)), 1) is foldable
+    # — Catalyst strips it and the window silently degrades to the
+    # single-partition "No Partition Defined" form.
     w = (
-        Window.partitionBy(F.pmod(F.xxhash64(F.lit(0)), F.lit(1)))
+        Window.partitionBy(_zero(F.col("decile")))
         .orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, 0)
     )

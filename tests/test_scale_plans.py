@@ -264,6 +264,69 @@ def test_corpus_shuffle_has_no_corpus_sized_single_partition(spark, sf_dir):
     assert sorted(r.shuffle_pos for r in rows) == list(range(1, n + 1))
 
 
+def test_single_partition_window_detector_classification():
+    """The detector must flag order-only and bare windows, and must NOT
+    flag partitioned ones — including the order-less unbounded-frame form
+    whose two-list print shape is ambiguous with the flagged case."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import single_partition_windows
+
+    no_part = (
+        "+- Window [row_number() windowspecdefinition(id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS r#2], [id#0L ASC NULLS FIRST]"
+    )
+    part_and_order = (
+        "+- Window [row_number() windowspecdefinition(g#1L, id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS r#4], [g#1L], [id#0L ASC NULLS FIRST]"
+    )
+    part_no_order = (
+        "+- Window [sum(x#2L) windowspecdefinition(_w0#46L, specifiedwindowframe("
+        "RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS t#44L], [_w0#46L]"
+    )
+    group_limit = "+- WindowGroupLimit [id#0L ASC NULLS FIRST], row_number(), 5"
+    assert single_partition_windows(no_part) == 1
+    assert single_partition_windows(part_and_order) == 0
+    assert single_partition_windows(part_no_order) == 0
+    assert single_partition_windows(group_limit) == 0
+    assert single_partition_windows("\n".join([no_part, part_and_order, no_part])) == 2
+
+
+def test_no_single_partition_window_in_any_registered_query(spark, sf_dir):
+    """Gate for the whole regression class VERDICT r3 flagged: a Window
+    whose partition key Catalyst constant-folds away (e.g.
+    ``pmod(xxhash64(lit(0)), 1)``) silently becomes the single-partition
+    "No Partition Defined" form — harmless on a 10-row input, a funnel of
+    the entire corpus through one task anywhere else. Sweep the physical
+    plan of EVERY registered query; zero tolerance."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from plan_audit import single_partition_windows
+
+    from cloudvectordb_spark.registry import all_queries
+
+    offenders: dict[str, object] = {}
+    for name, spec in sorted(all_queries().items()):
+        try:
+            n = single_partition_windows(_executed_plan(spec.fn(spark, sf_dir)))
+        except Exception as exc:  # noqa: BLE001
+            offenders[name] = f"plan build error: {exc}"
+            continue
+        if n:
+            offenders[name] = f"{n} single-partition Window node(s)"
+    assert not offenders, offenders
+
+
 def test_ivfpq_code_scan_prunes_partitions(spark, sf_dir):
     """The IVF-PQ probe path must read only the selected cells' code
     partitions — pruning applies to the COMPRESSED layout too."""

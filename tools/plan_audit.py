@@ -8,6 +8,11 @@ flag the classic 100-TB scale-killers:
   corpus-sized; each hit is listed for review with its build subtree
 - Exchange SinglePartition carrying non-trivial input (global funnels;
   whitelisted when it only feeds/follows a bounded aggregate or limit)
+- Window with NO partition spec (single-partition WindowExec, the
+  "WindowExec: No Partition Defined" warning) — hard flag everywhere;
+  ranking._zero exists precisely so no registered query needs one. A
+  physical `Window [exprs], [order]` line has two bracketed lists; the
+  partitioned form `Window [exprs], [part], [order]` has three.
 - parquet scans of fact tables with no pushed filter AND no pruned schema
   (full-width reads)
 
@@ -52,6 +57,45 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
+_WINDOW_NODE = re.compile(r"(?<![A-Za-z])Window \[")
+
+
+def single_partition_windows(physical_plan: str) -> int:
+    """Count Window nodes with an empty partition spec in a physical-plan
+    string (``df._jdf.queryExecution().executedPlan().toString()``).
+
+    A fully-specified Window prints three bracketed arg lists
+    (``Window [exprs], [part], [order]``). Two lists is ambiguous: the
+    trailing list is the ORDER spec (every entry carries ``ASC``/``DESC``)
+    when the partition spec is empty — the flagged case — but a plain
+    attribute list when it's the partition spec of an order-less window
+    (unbounded-frame aggregate), which is fine. One list means neither.
+    Foldable partition keys (e.g. ``pmod(xxhash64(lit(0)), 1)``) are
+    constant-folded by Catalyst and show up here as partition-less — the
+    exact regression this gate exists to catch.
+    """
+    n = 0
+    for line in physical_plan.splitlines():
+        m = _WINDOW_NODE.search(line)
+        if not m:
+            continue
+        tail = line[m.start() :]
+        seps = tail.count("], [")
+        if seps >= 2:
+            continue  # exprs + partition + order: partitioned
+        if seps == 0:
+            n += 1  # single arg list: no partition, no order
+            continue
+        last = tail.rsplit("], [", 1)[1]
+        if " ASC" in last or " DESC" in last:
+            n += 1  # trailing list is an order spec -> empty partition
+    return n
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def audit_one(name: str, plan: str) -> tuple[list[str], list[str]]:
     flags: list[str] = []
     soft: list[str] = []
@@ -89,13 +133,17 @@ def main() -> int:
     n_flagged = 0
     for name, spec in specs.items():
         try:
-            plan = formatted_plan(spec.fn(spark, args.sf))
+            df = spec.fn(spark, args.sf)
+            plan = formatted_plan(df)
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc}")
             n_flagged += 1
             sections.append(f"## {name}\n\nERROR building plan: {exc}\n")
             continue
         flags, soft = audit_one(name, plan)
+        n_spw = single_partition_windows(physical_plan(df))
+        if n_spw:
+            flags.append(f"single-partition Window x{n_spw}")
         if flags:
             mark = "FLAG " + ", ".join(flags)
             n_flagged += 1
