@@ -29,8 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from cloudvectordb_spark.registry import all_queries
+    import sys
+
+    from cloudvectordb_spark.registry import all_queries, import_errors
     from cloudvectordb_spark.session import configure_for_oracle
+
+    all_queries()
+    for mod, err in import_errors.items():  # partial registry must be loud
+        print(f"registry import error: {mod}: {err}", file=sys.stderr)
 
     def self_configuring(fn: Callable) -> Callable:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:

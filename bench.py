@@ -26,6 +26,15 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # A broken operator module silently shrinks all_queries() (registry
+    # swallows import errors by design so one module can't sink the whole
+    # surface) — make any such partial registry loud at bench time.
+    from cloudvectordb_spark.registry import import_errors
+
+    all_queries()
+    for mod, err in import_errors.items():
+        print(f"registry import error: {mod}: {err}", file=sys.stderr)
+
     spark = get_session("cloudvectordb-bench")
     # warm up the JVM + parquet footer caches outside the timed region
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):

@@ -126,14 +126,17 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Benchmark decontamination: flag training docs sharing any word-trigram
-# with the held-out eval set (here: doc_id % 97 == 0 stands in for the
-# benchmark). The eval side is benchmark-sized — thousands of docs, not
-# terabytes — so its distinct trigram set is broadcast; the training side
-# streams through an explode + broadcast-hash-join + per-doc count with
-# no all-pairs comparison. This is the exact shape of 13-gram
-# decontamination runs on production corpora (trigrams here because the
-# fixture vocabulary is tiny).
+# with the held-out eval set. The eval set is an EXPLICIT literal id
+# predicate — doc_id % 97 == 0 AND doc_id < _EVAL_MAX_DOC_ID — standing
+# in for a fixed benchmark suite: at most _EVAL_MAX_DOC_ID/97 + 1 = 51
+# docs at ANY corpus size, so the broadcast side is bounded by
+# construction (51 docs x per-doc distinct trigrams), never corpus-
+# proportional. The training side streams through an explode +
+# broadcast-hash-join + per-doc count with no all-pairs comparison.
+# This is the exact shape of 13-gram decontamination runs on production
+# corpora (trigrams here because the fixture vocabulary is tiny).
 # ---------------------------------------------------------------------------
+_EVAL_MAX_DOC_ID = 4850
 @query(
     "benchmark_contamination",
     oracle="""
@@ -143,8 +146,8 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS g
       FROM documents
     ),
-    ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
-    tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0)
+    ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0 AND doc_id < 4850),
+    tr AS (SELECT doc_id, g FROM sh WHERE NOT (doc_id % 97 = 0 AND doc_id < 4850))
     SELECT tr.doc_id, count(*) AS n_shared_trigrams
     FROM tr JOIN ev USING (g)
     GROUP BY tr.doc_id
@@ -172,10 +175,12 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # Filter BEFORE shingling so each branch tokenizes only its own slice
-    # of the corpus (eval = 1/97th, train = the rest) — the shingle explode
-    # totals one corpus pass instead of two full passes filtered late.
-    ev = shingled(docs.filter(F.col("doc_id") % 97 == 0)).select("g").distinct()
-    tr = shingled(docs.filter(F.col("doc_id") % 97 != 0))
+    # of the corpus (eval = the <=51-doc literal benchmark set, train =
+    # the rest) — the shingle explode totals one corpus pass instead of
+    # two full passes filtered late.
+    is_eval = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < _EVAL_MAX_DOC_ID)
+    ev = shingled(docs.filter(is_eval)).select("g").distinct()
+    tr = shingled(docs.filter(~is_eval))
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("doc_id")

@@ -835,7 +835,7 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_event_type_affinity",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
@@ -844,7 +844,7 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, event_type,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     ),
@@ -1064,4 +1064,53 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_types"),
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A3 E2E: readStream -> checkpointed foreachBatch parquet sink ->
+# read-back. The one registered query that exercises the full streaming
+# lifecycle (source offsets, micro-batch commits, idempotent restart)
+# rather than a batch twin: the sink path is mtime-keyed, so repeat
+# invocations restart from the committed checkpoint and reprocess
+# NOTHING (exactly-once) — the read-back aggregate is identical no
+# matter how many times the query runs. Oracle = the same aggregate
+# straight off the events table, proving no row was lost or duplicated
+# through the stream -> sink -> scan roundtrip.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("A5", "A3", "J1"),
+)
+def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from cloudvectordb_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_parquet_sink,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(src))}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), "cloudvectordb_stream_sink", tag)
+    run_to_parquet_sink(
+        read_events_stream(spark, sf_dir),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    sunk = spark.read.parquet(os.path.join(root, "out"))
+    return sunk.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
     )

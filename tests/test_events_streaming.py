@@ -178,9 +178,15 @@ def test_hll_rollup_union_accuracy(spark, sf_dir):
 def test_tws_running_totals_match_batch(spark, sf_dir):
     """transformWithStateInPandas (Spark 4 stateful API) must equal the
     oracle-checked batch window running total. The operator's Python
-    worker needs protobuf (not shipped in this container) — skip, not
-    fail, where absent; the applyInPandasWithState twin above covers J6
-    unconditionally."""
+    worker deserializes its state-server messages with google.protobuf —
+    a hard runtime dependency of the classic-mode API, not of this repo's
+    code. The container ships no protobuf runtime anywhere (verified by a
+    filesystem sweep: only typeshed stubs and pyspark's generated _pb2
+    wrappers, which themselves import google.protobuf), there is no
+    network, and installs are prohibited — so the skip is environment-
+    forced, not a coverage choice. Where protobuf IS importable this test
+    runs in full; the applyInPandasWithState twin above covers J6
+    unconditionally in every environment."""
     pytest.importorskip("google.protobuf")
     from cloudvectordb_spark.operators.udfs import user_running_total_grouped_map
     from cloudvectordb_spark.streaming.jobs import (

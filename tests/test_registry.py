@@ -56,6 +56,31 @@ def test_every_query_callable_and_named():
         assert spec.name == name
 
 
+def test_priority_order_rescues_sole_cover_from_synthetic_reorder():
+    """VERDICT r3 item 6: a registration order that pushes the SOLE cover
+    of an operator ID past the window must be repaired by
+    ``_priority_order`` — the sole-cover query lands inside the first
+    ``DRIVER_SAMPLE`` entries no matter where it was registered."""
+    from cloudvectordb_spark.registry import QuerySpec, _priority_order
+
+    def spec(name, ops, oracle="SELECT 1", bench=False):
+        return QuerySpec(name, lambda s, d: None, oracle, tuple(ops), bench)
+
+    # 70 filler queries all covering the same id, registered FIRST, then
+    # the only query covering the rare id registered LAST (position 71 —
+    # outside any naive first-50 window).
+    reg = {f"filler_{i:03d}": spec(f"filler_{i:03d}", ("X1",)) for i in range(70)}
+    reg["sole_cover"] = spec("sole_cover", ("RARE",))
+    order = _priority_order(reg)
+    assert "sole_cover" in order[:50], "sole cover pushed outside the window"
+
+    # and the plain registration order genuinely violates the invariant,
+    # so the test fails without the reordering (a synthetic reorder check)
+    naive_first = list(reg)[:50]
+    naive_ids = {op for n in naive_first for op in reg[n].operators}
+    assert "RARE" not in naive_ids
+
+
 def test_no_operator_module_import_errors():
     """Module imports are isolated (one broken module must not take down
     the registry) — but any failure is a hard test failure here."""
