@@ -451,6 +451,124 @@ def export_triplet_shards(triplets: DataFrame, path: str, num_shards: int = 8) -
 
 
 # ---------------------------------------------------------------------------
+# S1 for ENCODER training (K3/K4): TEXT triplets off the documents table.
+# Positive = the next doc of the same language (lead over a per-lang
+# window — parallel across languages); negative = the rank-aligned doc
+# from the cyclically-next language (per-lang rank joined through a
+# bounded language map — langs are a handful of rows at any corpus
+# size). Fully deterministic, no RNG, every step either a per-lang
+# window or a keyed equi-join: the 100 TB shape. The learning task this
+# encodes — same-language docs embed closer than cross-language ones —
+# is exactly what the hash-BoW contrastive trainer can provably improve
+# on, which the training tests assert.
+# ---------------------------------------------------------------------------
+def build_text_triplets(
+    spark: SparkSession, sf_dir: str, num_shards: int = 4
+) -> DataFrame:
+    from cloudvectordb_spark.ranking import _zero
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w) - 1)
+
+    langs = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    # language table is bounded (a handful of rows) — the _zero-partition
+    # window and the broadcasts below are over that bounded set only
+    li_w = Window.partitionBy(_zero(F.col("lang"))).orderBy("lang")
+    lmeta = langs.withColumn("li", F.row_number().over(li_w) - 1)
+    nl = lmeta.agg(F.count("*").alias("n_langs"))
+    negmap = (
+        lmeta.crossJoin(F.broadcast(nl))
+        .withColumn("next_li", (F.col("li") + 1) % F.col("n_langs"))
+        .join(
+            F.broadcast(
+                lmeta.select(
+                    F.col("li").alias("next_li"),
+                    F.col("lang").alias("neg_lang"),
+                    F.col("n_lang").alias("n_neg_lang"),
+                )
+            ),
+            "next_li",
+        )
+        .select("lang", "neg_lang", "n_neg_lang")
+    )
+
+    anchors = (
+        ranked.select(
+            "lang",
+            "rk",
+            F.col("doc_id").alias("anchor_id"),
+            F.col("text").alias("anchor_text"),
+            F.lead("doc_id").over(w).alias("pos_id"),
+            F.lead("text").over(w).alias("pos_text"),
+        )
+        .filter(F.col("pos_id").isNotNull())
+        .join(F.broadcast(negmap), "lang")
+    )
+    negs = ranked.select(
+        F.col("lang").alias("neg_lang"),
+        F.col("rk").alias("neg_rk"),
+        F.col("doc_id").alias("neg_id"),
+        F.col("text").alias("neg_text"),
+    )
+    return (
+        anchors.withColumn("neg_rk", F.col("rk") % F.col("n_neg_lang"))
+        .join(negs, ["neg_lang", "neg_rk"])
+        .select(
+            (F.col("anchor_id") % num_shards).alias("shard_id"),
+            "anchor_id",
+            "anchor_text",
+            "pos_id",
+            "pos_text",
+            "neg_id",
+            "neg_text",
+            "lang",
+            "neg_lang",
+        )
+    )
+
+
+@query(
+    "text_triplets_build",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, text,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rk
+      FROM documents
+    ),
+    lmeta AS (
+      SELECT lang, count(*) AS n_lang,
+             row_number() OVER (ORDER BY lang) - 1 AS li
+      FROM documents GROUP BY lang
+    ),
+    nl AS (SELECT count(*) AS n_langs FROM lmeta),
+    negmap AS (
+      SELECT a.lang, b.lang AS neg_lang, b.n_lang AS n_neg_lang
+      FROM lmeta a, nl, lmeta b
+      WHERE b.li = (a.li + 1) % nl.n_langs
+    ),
+    anchors AS (
+      SELECT lang, rk, doc_id AS anchor_id,
+             lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS pos_id
+      FROM ranked
+    )
+    SELECT a.anchor_id, a.pos_id, n.doc_id AS neg_id, a.lang, m.neg_lang
+    FROM anchors a
+    JOIN negmap m USING (lang)
+    JOIN ranked n ON n.lang = m.neg_lang AND n.rk = a.rk % m.n_neg_lang
+    WHERE a.pos_id IS NOT NULL
+    """,
+    operators=("K3", "K1", "C1", "E2"),
+)
+def text_triplets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 text-triplet mining, id view (texts carried alongside for the
+    S2 trainer; the oracle verifies the pairing logic end-to-end)."""
+    return build_text_triplets(spark, sf_dir).select(
+        "anchor_id", "pos_id", "neg_id", "lang", "neg_lang"
+    )
+
+
+# ---------------------------------------------------------------------------
 # K10 search side: ANN via the random-projection LSH layout. Probes and
 # corpus hash through the SAME fitted model; approxSimilarityJoin is an
 # equi-join on (hash table, bucket) under the hood — candidate volume is
@@ -587,37 +705,47 @@ def embed_with_artifact(docs: DataFrame, artifact_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embed_documents_trained_artifact",
-    oracle=None,  # projection encoder has no SQL twin; determinism pytest-gated
-    operators=("K5", "K4", "L5"),
-)
-def embed_documents_trained_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full S1->S3 hand-off in one query: ensure the (stub) encoder
-    artifact exists for this sf_dir, then batch-embed through it."""
+def ensure_trained_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """S1->S2 for real: mine text triplets, export shards, run the
+    EXECUTED distributed trainer (training.train_encoder_spark — local
+    SGD + per-round model averaging on Spark tasks), cache the artifact
+    keyed on sf_dir + fixture mtime."""
     import os
     import tempfile
 
-    from cloudvectordb_spark.training import train_encoder_stub
+    from cloudvectordb_spark.training import train_encoder_spark
 
     src_mtime = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
     art = os.path.join(
         tempfile.gettempdir(),
         "cloudvectordb_artifact",
-        f"{sf_dir.strip('/').replace('/', '_')}_{src_mtime}",
+        f"{sf_dir.strip('/').replace('/', '_')}_{src_mtime}_sgd",
     )
     if not os.path.exists(os.path.join(art, "encoder.npz")):
         build = f"{art}.build{os.getpid()}"
         shards = os.path.join(build, "_shards")
-        os.makedirs(shards, exist_ok=True)
-        train_encoder_stub(shards, build)
+        export_triplet_shards(build_text_triplets(spark, sf_dir), shards)
+        train_encoder_spark(spark, shards, build)
         try:
             os.rename(build, art)
         except OSError:
             import shutil
 
             shutil.rmtree(build, ignore_errors=True)
+    return art
 
+
+@query(
+    "embed_documents_trained_artifact",
+    oracle=None,  # trained encoder has no SQL twin; convergence + artifact
+    # determinism are pytest-gated (tests/test_training.py)
+    operators=("K5", "K4", "L5"),
+)
+def embed_documents_trained_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full S1->S3 hand-off in one query: mine triplets, TRAIN the
+    encoder on Spark (executed distributed path, not the stub), then
+    batch-embed through the trained artifact."""
+    art = ensure_trained_artifact(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     out = embed_with_artifact(docs, art)
     # deterministic projection summary: dim + first components, rounded
