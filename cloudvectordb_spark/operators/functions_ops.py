@@ -436,3 +436,150 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).alias("n_distinct_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# C6 at 100 TB: the BUCKETIZED range join — the scale path the pure
+# broadcast-nested-loop form (acctbal_band_join above) deliberately
+# doesn't take. Bucket width = band width, explode ONE side into its 3
+# adjacent buckets, keyed equi-join on the bucket, exact band filter
+# after. Both sides shuffle on the bucket key (no broadcast, no nested
+# loop, no row cap); per-row candidate fan-in is bounded by bucket
+# occupancy. Identical results to the pure form, proven by the oracle
+# running the plain band join.
+# ---------------------------------------------------------------------------
+@query(
+    "acctbal_band_join_bucketized",
+    oracle="""
+    SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_close_customers
+    FROM supplier JOIN customer
+      ON s_acctbal BETWEEN c_acctbal - 100 AND c_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+    operators=("C6", "D1", "H6"),
+)
+def acctbal_band_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        F.floor(F.col("s_acctbal") / 100).cast("long").alias("sb"),
+    )
+    cand = supp.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(
+            F.array(F.col("sb") - 1, F.col("sb"), F.col("sb") + 1)
+        ).alias("bucket"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_acctbal", F.floor(F.col("c_acctbal") / 100).cast("long").alias("bucket")
+    )
+    # each (s, c) pair can match in at most one bucket (c's bucket is
+    # unique), so no post-join dedup is needed
+    return (
+        cand.join(cust, "bucket")
+        .filter(
+            (F.col("s_acctbal") >= F.col("c_acctbal") - 100)
+            & (F.col("s_acctbal") <= F.col("c_acctbal") + 100)
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_close_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4/D5: approximate quantiles with an oracle-checked accuracy envelope
+# (the approx_distinct_users pattern applied to approx_percentile): the
+# sketch values are engine-specific, so the checked contract is the
+# exact quantiles plus a boolean asserting the sketch landed within 1%
+# of the value RANGE for every probed quantile.
+# ---------------------------------------------------------------------------
+@query(
+    "approx_price_quantiles",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                      AS n,
+           round(quantile_cont(o_totalprice, 0.5), 6)    AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6)    AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 6)   AS p99,
+           true AS approx_within_1pct_of_range
+    FROM orders
+    """,
+    operators=("D4", "D5", "D2"),
+)
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))")
+    approx = F.expr(
+        "approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)"
+    )
+    rng = F.max("o_totalprice") - F.min("o_totalprice")
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        exact.alias("ex"),
+        approx.alias("ap"),
+        rng.alias("rng"),
+    )
+    within = F.aggregate(
+        F.zip_with(
+            F.col("ex"), F.col("ap"), lambda e, a: F.abs(e - a) <= 0.01 * F.col("rng")
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    return agg.select(
+        "n",
+        F.round(F.element_at("ex", 1), 6).alias("p50"),
+        F.round(F.element_at("ex", 2), 6).alias("p90"),
+        F.round(F.element_at("ex", 3), 6).alias("p99"),
+        within.alias("approx_within_1pct_of_range"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# H4/D2: order-insensitive table content checksum — the migration /
+# replication integrity primitive for 100 TB copies: one narrow scan,
+# one tiny aggregate row out, no sort anywhere. Per-row signature =
+# first 15 hex digits of md5 over a canonical projection (stable-typed
+# columns; money cast to DECIMAL(18,2) so both engines render identical
+# strings); the table signature combines XOR (order-insensitive, exact)
+# with a modular sum and the row count so pair-cancellation can't slip
+# through. DuckDB recomputes the identical signature from the same
+# parquet — a cross-engine checksum equality proof.
+# ---------------------------------------------------------------------------
+@query(
+    "table_content_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+               o_orderpriority)), 1, 15)) AS BIGINT) AS sig
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT)            AS n_rows,
+           CAST(bit_xor(sig) AS BIGINT)        AS xor_sig,
+           CAST(sum(sig % 1000003) AS BIGINT)  AS modsum_sig
+    FROM h
+    """,
+    operators=("H4", "D2", "A1"),
+)
+def table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    sig = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return orders.select(sig.alias("sig")).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(sig)").cast("long").alias("xor_sig"),
+        F.sum(F.col("sig") % 1000003).cast("long").alias("modsum_sig"),
+    )

@@ -895,3 +895,144 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy(
         F.col("w").cast("bigint").alias("width"), "probe_id"
     ).agg(F.round(F.count("fv") / 10.0, 2).alias("recall_at_10"))
+
+
+# ---------------------------------------------------------------------------
+# K6/K8/H8: BINARY quantization + Hamming kNN — the 64x-compression ANN
+# path (sign bit per dimension; 64 dims -> two 32-bit words in bigints).
+# Distance becomes bit_count(xor(...)) — pure integer expression work
+# inside whole-stage codegen, scanning 8 bytes per vector instead of
+# 256: the cheapest possible first-pass filter at 100 TB, normally
+# followed by an exact rescore of the survivors (the PQ/ADC pattern,
+# pq.py). Deterministic end-to-end, so unlike the trained-index paths
+# the ENTIRE search carries a value-level DuckDB oracle.
+# ---------------------------------------------------------------------------
+def _bq_word(col, start: int):
+    """Sign bits of a 32-element slice packed into one bigint (bit i set
+    iff element i >= 0). pow(2, i) is exact in double up to 2^52, so the
+    packing stays expression-only (shiftleft needs a literal shift)."""
+    bits = F.transform(
+        F.slice(col, start, 32),
+        lambda x, i: F.when(x >= 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+@query(
+    "binary_quantized_hamming_knn",
+    oracle="""
+    WITH w AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(embedding[1:32],
+               (x,i) -> CASE WHEN x >= 0 THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END)) AS BIGINT) AS w1,
+             CAST(list_sum(list_transform(embedding[33:64],
+               (x,i) -> CASE WHEN x >= 0 THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END)) AS BIGINT) AS w2
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS probe_id, w1 AS q1, w2 AS q2 FROM w WHERE vec_id IN (0, 1, 2)),
+    d AS (
+      SELECT q.probe_id, w.vec_id,
+             CAST(bit_count(xor(q.q1, w.w1)) + bit_count(xor(q.q2, w.w2)) AS BIGINT) AS hamming
+      FROM q JOIN w ON w.vec_id <> q.probe_id
+    ),
+    r AS (
+      SELECT probe_id, vec_id, hamming,
+             row_number() OVER (PARTITION BY probe_id ORDER BY hamming, vec_id) AS rk
+      FROM d
+    )
+    SELECT probe_id, vec_id, hamming, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10
+    """,
+    operators=("K8", "K6", "H8", "E4", "C10"),
+)
+def binary_quantized_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    words = emb.select(
+        "vec_id",
+        _bq_word(F.col("embedding"), 1).alias("w1"),
+        _bq_word(F.col("embedding"), 33).alias("w2"),
+    )
+    probes = words.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+    )
+    scored = (
+        words.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+                + F.bit_count(F.col("q2").bitwiseXOR(F.col("w2")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select("probe_id", "vec_id", "hamming", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K6/K12: int8 scalar quantization quality — per-vector symmetric
+# quantization (scale = 127/max|x|), reconstruction RMSE aggregated per
+# label. The compression-quality audit run before shipping a quantized
+# index: all expression work (no UDF), and the whole computation has an
+# exact DuckDB twin (floor(x*scale + 0.5) avoids engine-specific
+# round-half conventions).
+# ---------------------------------------------------------------------------
+@query(
+    "int8_quantization_error",
+    oracle="""
+    WITH v AS (
+      SELECT label, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label,
+             sqrt(list_avg(list_transform(embedding,
+               x -> pow(CAST(x AS DOUBLE)
+                        - floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5)
+                          / (127.0 / amax), 2)))) AS rmse
+      FROM v WHERE amax > 0
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(rmse), 6)      AS avg_rmse,
+           round(max(rmse), 6)      AS max_rmse
+    FROM e GROUP BY label
+    """,
+    operators=("K6", "K12", "H8", "D1"),
+)
+def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    amax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    v = emb.select("label", "embedding", amax.alias("amax")).filter(F.col("amax") > 0)
+    scale = F.lit(127.0) / F.col("amax")
+    sq_err = F.transform(
+        F.col("embedding"),
+        lambda x: F.pow(
+            x.cast("double") - F.floor(x.cast("double") * scale + 0.5) / scale, 2
+        ),
+    )
+    rmse = F.sqrt(
+        F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b) / F.size("embedding")
+    )
+    return (
+        v.select("label", rmse.alias("rmse"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg("rmse"), 6).alias("avg_rmse"),
+            F.round(F.max("rmse"), 6).alias("max_rmse"),
+        )
+    )
