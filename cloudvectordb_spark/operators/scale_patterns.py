@@ -1,0 +1,327 @@
+"""Scale patterns: runtime-filter joins and bounded-memory sketches.
+
+Three patterns a 100 TB deployment leans on constantly, each expressed so
+the FINAL answer is exact (full DuckDB value oracle) while the scale
+mechanism — a bloom prefilter, a mergeable frequency sketch — does the
+heavy lifting:
+
+- ``bloom_prefilter_revenue``: a hand-rolled word-packed bloom filter
+  built by aggregation (Spark 4.1 does not expose ``bloom_filter_agg`` /
+  ``might_contain`` in the public function registry — verified
+  UNRESOLVED_ROUTINE), broadcast as a literal array, probed JVM-side,
+  then made exact by a semi-join over the survivors. This is Spark's own
+  runtime-bloom-filter optimization, written out as DataFrame ops.
+- ``heavy_hitters_sketch_exact``: per-partition Misra-Gries candidate
+  generation (fixed 125-counter memory per task) + an exact second pass
+  over candidates only. The MG merge bound guarantees the candidate set
+  is a superset of the true phi-heavy hitters, so the result is exact.
+- ``weekly_active_jaccard``: week-over-week active-user set overlap via
+  a distinct-pair self-join — no ``collect_set`` of unbounded user sets.
+
+Provenance: [SCOPE] BASELINE.json:6 (LLM-data-pipeline operators at
+100 TB scale); [REF] README.md:2 gives only the 4-stage pipeline prose —
+no reference code exists to cite (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.registry import query
+
+# Bloom geometry is sized from the BUILD COUNT: >= 16 bits/key (fp ~0.2%
+# with 4 hashes), floor 2^16 bits. A fixed bitmap silently saturates when
+# the build side grows — the 6M-row probe (tools/runtime_filter_probe.py)
+# measured fp ~= 1.0 for 127k keys in 2^16 bits, i.e. a runtime filter
+# that filters nothing. The build cost is one aggregation producing at
+# most m/64 rows; the driver collect is bounded by m/64 (same bounded
+# driver-state policy as the IVF centroid collects, SCALE.md).
+_MIN_BITS = 1 << 16
+_BITS_PER_KEY = 16
+_SEEDS = (0x1F3D, 0x5A2B, 0x9E77, 0xC0D5)
+
+
+def _bloom_bits_for(n_keys: int) -> int:
+    m = _MIN_BITS
+    while m < n_keys * _BITS_PER_KEY:
+        m <<= 1
+    return m
+
+
+def _bloom_words(keys: DataFrame, key_col: str, m_bits: int) -> list[int]:
+    """Aggregate a word-packed bloom bitmap for ``keys[key_col]``.
+
+    One shuffle of at most ``len(_SEEDS) * |keys|`` ints grouped into
+    <= m_bits/64 rows; the collect is bounded by m_bits/64 at any input
+    size.
+    """
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(key_col, F.lit(s)), F.lit(m_bits))
+                    for s in _SEEDS
+                ]
+            )
+        ).alias("pos")
+    )
+    rows = (
+        pos.select(
+            F.shiftright("pos", 6).cast("int").alias("w"),
+            F.pmod("pos", F.lit(64)).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("word"))
+        .collect()
+    )
+    words = [0] * (m_bits >> 6)
+    for r in rows:
+        words[r.w] = r.word
+    return words
+
+
+def build_bloom(keys: DataFrame, key_col: str) -> tuple[list[int], int]:
+    """Size-then-build: count the build side (cheap aggregate), pick
+    m >= 16 bits/key, aggregate the bitmap. Returns (words, m_bits)."""
+    n_keys = keys.count()
+    m_bits = _bloom_bits_for(max(n_keys, 1))
+    return _bloom_words(keys, key_col, m_bits), m_bits
+
+
+def bloom_filter_rows(
+    df: DataFrame, key_col: str, words: list[int], m_bits: int
+) -> DataFrame:
+    """Keep only rows whose ``key_col`` MAY be in the bloom ``words``
+    bitmap (no false negatives; fp ~0.2% at 16 bits/key with 4 hashes).
+
+    Pure JVM expressions. The bitmap rides in as a one-row broadcast
+    (BroadcastNestedLoopJoin attach) — NOT ``F.lit(words)``, which builds
+    a CreateArray of one literal per word and cost 17s of codegen at 32k
+    words in the 6M-row probe. The probe itself is 4 hashes + 4 array
+    lookups per row inside whole-stage codegen, zero shuffle.
+    """
+    bf_df = df.sparkSession.createDataFrame([(words,)], "_bf: array<bigint>")
+    probed = df.crossJoin(F.broadcast(bf_df))
+    for i, s in enumerate(_SEEDS):
+        probed = probed.withColumn(
+            f"_p{i}", F.pmod(F.xxhash64(key_col, F.lit(s)), F.lit(m_bits))
+        )
+    hit = reduce(
+        lambda a, b: a & b,
+        [
+            F.expr(
+                f"(element_at(_bf, CAST(shiftright(_p{i}, 6) AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))) <> 0"
+            )
+            for i in range(len(_SEEDS))
+        ],
+    )
+    return probed.where(hit).drop("_bf", *[f"_p{i}" for i in range(len(_SEEDS))])
+
+
+@query(
+    "bloom_prefilter_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS urgent_revenue,
+           count(*)                                          AS n_lines
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01')
+    """,
+    operators=("C4", "D1", "H4", "B2"),
+)
+def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems on 1995 URGENT orders, via a bloom runtime
+    filter + exact semi-join.
+
+    Scale shape: the probe scans lineitem once and drops ~6/7 of rows
+    with pure JVM expressions before any join, so the exact semi-join
+    shuffles only survivors (true matches x (1 + fp)). Neither side
+    carries a broadcast hint — both scale with SF (fact-join policy,
+    SCALE.md); the bloom bitmap itself is the only broadcast state and it
+    is constant-size (8 KiB) at any corpus size.
+    """
+    orders = load(spark, sf_dir, "orders")
+    keys = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_orderkey")
+
+    words, m_bits = build_bloom(keys, "o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    survivors = bloom_filter_rows(li, "l_orderkey", words, m_bits)
+    exact = survivors.join(
+        keys, survivors["l_orderkey"] == keys["o_orderkey"], "left_semi"
+    )
+    return exact.agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "urgent_revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# Misra-Gries capacity 125 == ceil(1 / PHI): any key whose GLOBAL share
+# exceeds PHI must exceed PHI locally in at least one partition, and the
+# MG error bound (<= n_p / CAP) keeps it alive there — so the union of
+# per-partition candidates is a provable superset of the true heavy
+# hitters and the exact second pass makes the answer exact.
+_HH_CAP = 125
+_HH_PHI = 0.008
+
+
+@query(
+    "heavy_hitters_sketch_exact",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), t AS (SELECT count(*) AS n FROM events)
+    SELECT event_type, hr, cnt,
+           round(cnt / (SELECT n FROM t), 5) AS share
+    FROM c
+    WHERE cnt > 0.008 * (SELECT n FROM t)
+    """,
+    operators=("L5", "D1", "C4", "H5"),
+)
+def heavy_hitters_sketch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi=0.008 heavy hitters over (event_type, hour-of-day) via a
+    two-pass sketch: bounded-memory Misra-Gries candidates, then an exact
+    count restricted to candidates.
+
+    Scale shape: pass 1 holds <= 125 counters per task no matter how many
+    rows a partition carries; candidates are <= n_partitions x 125 rows
+    (and <= |key domain| after dedup), so the broadcast in pass 2 is
+    bounded. Pass 2's groupBy combines map-side over <= 120 keys. On a
+    domain this small the sketch is overkill — the point is the shape,
+    which holds unchanged for unbounded key domains (urls, shingles).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    )
+
+    def mg_candidates(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict[tuple, int] = {}
+        for pdf in batches:
+            for key, cnt in pdf.groupby(["event_type", "hr"]).size().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > _HH_CAP:
+                # Mergeable-summaries compaction (Agarwal et al. 2012):
+                # subtract the (CAP+1)-th largest count from all, keep
+                # positives. Preserves the MG error bound.
+                cut = sorted(counters.values(), reverse=True)[_HH_CAP]
+                counters = {k: c - cut for k, c in counters.items() if c > cut}
+        if counters:
+            yield pd.DataFrame(
+                [(k[0], k[1]) for k in counters], columns=["event_type", "hr"]
+            )
+
+    cands = ev.mapInPandas(
+        mg_candidates, "event_type string, hr int"
+    ).dropDuplicates(["event_type", "hr"])
+
+    total = ev.agg(F.count("*").alias("n_total"))
+    counts = (
+        ev.join(F.broadcast(cands), ["event_type", "hr"], "left_semi")
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > _HH_PHI * F.col("n_total"))
+        .select(
+            "event_type",
+            "hr",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 5).alias("share"),
+        )
+    )
+
+
+@query(
+    "weekly_active_jaccard",
+    oracle="""
+    WITH wu AS (
+      SELECT DISTINCT
+        CAST(date_diff('day', DATE '1970-01-05',
+                       CAST(date_trunc('week', ts) AS DATE)) / 7 AS INTEGER) AS wk,
+        user_id
+      FROM events
+    ), sizes AS (
+      SELECT wk, count(*) AS n_users FROM wu GROUP BY wk
+    ), inter AS (
+      SELECT a.wk AS wk, count(*) AS n_inter
+      FROM wu a JOIN wu b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+      GROUP BY a.wk
+    )
+    SELECT i.wk AS week_no, sa.n_users AS users_a, sb.n_users AS users_b,
+           i.n_inter AS n_inter,
+           round(i.n_inter / (sa.n_users + sb.n_users - i.n_inter), 5) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.wk = i.wk
+    JOIN sizes sb ON sb.wk = i.wk + 1
+    """,
+    operators=("C9", "D3", "H5", "D1"),
+)
+def weekly_active_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap of consecutive weeks' active-user sets.
+
+    Scale shape: the per-week user set is never materialized as an array
+    (``collect_set`` of an unbounded set is an executor OOM at scale) —
+    the intersection is a distinct-pair self-join shuffling on user_id,
+    and set sizes come from a plain groupBy. Both weeks' epochs are
+    anchored to Monday 1970-01-05 so Spark and DuckDB agree on week ids.
+    """
+    ev = load(spark, sf_dir, "events")
+    wk = (
+        F.datediff(
+            F.date_trunc("week", F.col("ts")).cast("date"),
+            F.lit("1970-01-05").cast("date"),
+        )
+        / 7
+    ).cast("int")
+    wu = ev.select(wk.alias("wk"), "user_id").distinct()
+    sizes = wu.groupBy("wk").agg(F.count("*").alias("n_users"))
+    inter = (
+        wu.alias("a")
+        .join(
+            wu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.wk") == F.col("a.wk") + 1),
+        )
+        .groupBy(F.col("a.wk").alias("wk"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("n_users", "users_a"), "wk")
+        .join(
+            sizes.select(
+                (F.col("wk") - 1).alias("wk"), F.col("n_users").alias("users_b")
+            ),
+            "wk",
+        )
+        .select(
+            F.col("wk").alias("week_no"),
+            "users_a",
+            "users_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("users_a") + F.col("users_b") - F.col("n_inter")),
+                5,
+            ).alias("jaccard"),
+        )
+    )

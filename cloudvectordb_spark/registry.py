@@ -129,6 +129,7 @@ _OPERATOR_MODULES = (
     "pipeline",
     "pq",
     "relational",
+    "scale_patterns",
     "search",
     "sources",
     "subqueries",

@@ -1,0 +1,84 @@
+"""Scale-pattern operators: bloom runtime filter, Misra-Gries two-pass
+heavy hitters, weekly Jaccard (operators/scale_patterns.py).
+
+The DuckDB oracle carries value-level correctness (tools/check_oracle.py
+/ the driver gate); these tests pin the MECHANISM guarantees the oracle
+can't see: bloom has zero false negatives, the MG candidate set is a
+superset of the true heavy hitters, and the bloom bitmap stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.operators import scale_patterns as sp
+
+
+def test_bloom_words_bounded_and_no_false_negatives(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    n_keys = keys.count()
+    words, m_bits = sp.build_bloom(keys, "o_orderkey")
+    assert len(words) == m_bits >> 6
+    assert m_bits >= n_keys * sp._BITS_PER_KEY  # sizing keeps fp bounded
+
+    # Every build-side key must probe positive (bloom FNs are impossible;
+    # this catches a build/probe hash or indexing mismatch).
+    survivors = sp.bloom_filter_rows(keys, "o_orderkey", words, m_bits).count()
+    assert survivors == n_keys
+
+    # Disjoint keys must be mostly rejected (fp <= ~1% at 16 bits/key).
+    other = orders.filter(F.col("o_orderpriority") != "1-URGENT").select("o_orderkey")
+    n_other = other.count()
+    fp = sp.bloom_filter_rows(other, "o_orderkey", words, m_bits).count()
+    assert fp <= max(0.01 * n_other, 2)
+
+
+def test_bloom_query_matches_plain_semi_join(spark, sf_dir):
+    got = sp.bloom_prefilter_revenue(spark, sf_dir).collect()[0]
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    keys = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_orderkey")
+    want = (
+        li.join(keys, li["l_orderkey"] == keys["o_orderkey"], "left_semi")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("urgent_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .collect()[0]
+    )
+    assert got.n_lines == want.n_lines
+    assert got.urgent_revenue == want.urgent_revenue
+
+
+def test_mg_candidates_superset_of_true_heavy_hitters(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    )
+    n = ev.count()
+    true_hh = {
+        (r.event_type, r.hr)
+        for r in ev.groupBy("event_type", "hr")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > sp._HH_PHI * n)
+        .collect()
+    }
+    res = {
+        (r.event_type, r.hr) for r in sp.heavy_hitters_sketch_exact(spark, sf_dir).collect()
+    }
+    assert res == true_hh  # exact two-pass result == ground truth
+
+
+def test_weekly_jaccard_bounds(spark, sf_dir):
+    rows = sp.weekly_active_jaccard(spark, sf_dir).collect()
+    assert rows  # fixture spans multiple weeks
+    for r in rows:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_inter <= min(r.users_a, r.users_b)
