@@ -583,3 +583,137 @@ def table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(sig)").cast("long").alias("xor_sig"),
         F.sum(F.col("sig") % 1000003).cast("long").alias("modsum_sig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B-group surface: UNPIVOT (wide -> long) — melting measure columns is the
+# standard prep step before generic per-metric aggregation/plotting. Spark's
+# df.unpivot is a zero-shuffle projection (each row fans out to
+# len(measures) rows map-side); the agg after it combines map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_measure_stats",
+    oracle="""
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure, count(*) AS n,
+           round(sum(val), 2) AS sum_val, round(avg(val), 6) AS avg_val
+    FROM long GROUP BY l_returnflag, measure
+    """,
+    operators=("B1", "D1", "G1"),
+)
+def unpivot_measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+        F.round(F.avg("val"), 6).alias("avg_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D-group surface: FILTER (WHERE ...) aggregate clauses — one scan computing
+# several differently-filtered aggregates (the alternative is N scans or
+# N CASE-WHEN pyramids). Identical ANSI syntax in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "filtered_agg_priority_profile",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                                  AS n_orders,
+           count(*)    FILTER (WHERE o_orderstatus = 'F')            AS n_finished,
+           round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) = 1995), 2)
+                                                                     AS rev_1995,
+           round(avg(o_totalprice) FILTER (WHERE o_totalprice > 200000), 2)
+                                                                     AS avg_big_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+    operators=("D1", "B8", "H5"),
+)
+def filtered_agg_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("count(*) FILTER (WHERE o_orderstatus = 'F')").alias("n_finished"),
+        F.expr(
+            "round(sum(o_totalprice) FILTER (WHERE year(o_orderdate) = 1995), 2)"
+        ).alias("rev_1995"),
+        F.expr(
+            "round(avg(o_totalprice) FILTER (WHERE o_totalprice > 200000), 2)"
+        ).alias("avg_big_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 planning statistic: join-cardinality estimate from HLL sketches by
+# inclusion-exclusion — |A∩B| ~= est(A) + est(B) - est(A∪B). At 100 TB this
+# is how you price a join BEFORE running it: two linear passes producing
+# KB-sized mergeable sketches, no shuffle join. The oracle pins the exact
+# overlap and asserts the estimate lands within 10% (same envelope pattern
+# as approx_distinct_users).
+# ---------------------------------------------------------------------------
+@query(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT)  AS exact_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT)  AS exact_b,
+           CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+                                                     AS exact_overlap,
+           true                                      AS approx_within_10pct
+    """,
+    operators=("D4", "D3", "C1"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    sk = a.agg(F.hll_sketch_agg("user_id").alias("sk")).unionAll(
+        b.agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    est_union = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
+    )
+    ests = (
+        a.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_a"))
+        .crossJoin(
+            b.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_b"))
+        )
+        .crossJoin(est_union)
+    )
+    exacts = (
+        a.distinct()
+        .agg(F.count("*").alias("exact_a"))
+        .crossJoin(b.distinct().agg(F.count("*").alias("exact_b")))
+        .crossJoin(
+            a.distinct()
+            .join(b.distinct(), "user_id")
+            .agg(F.count("*").alias("exact_overlap"))
+        )
+    )
+    return exacts.crossJoin(ests).select(
+        "exact_a",
+        "exact_b",
+        "exact_overlap",
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                - F.col("exact_overlap")
+            )
+            <= 0.10 * F.col("exact_overlap")
+        ).alias("approx_within_10pct"),
+    )

@@ -804,3 +804,61 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity_ge_majority_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# S3 incremental: re-embed ONLY the delta. At 100 TB you never re-embed the
+# corpus; you diff content hashes against the manifest written at the last
+# embedding run and send new+changed docs through the encoder. The
+# manifest state here is derived deterministically from the fixture
+# (doc_id % 103 simulates docs added since the snapshot, % 101 simulates
+# edits) so the oracle can reconstruct it in pure SQL; the real-IO
+# manifest roundtrip is exercised by versioned_snapshot_diff
+# (operators/sources.py).
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_embedding_refresh",
+    oracle="""
+    WITH cur AS (
+      SELECT doc_id, n_chars, md5(text) AS cur_hash FROM documents
+    ), snap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 101 = 0 THEN md5(text || 'v0') ELSE md5(text) END
+               AS stored_hash
+      FROM documents WHERE doc_id % 103 <> 0
+    )
+    SELECT CASE WHEN snap.doc_id IS NULL THEN 'new'
+                WHEN cur.cur_hash <> snap.stored_hash THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           count(*)                  AS n_docs,
+           CAST(sum(cur.n_chars) AS BIGINT) AS total_chars
+    FROM cur LEFT JOIN snap ON cur.doc_id = snap.doc_id
+    GROUP BY 1
+    """,
+    operators=("H4", "C3", "K5", "D1"),
+)
+def incremental_embedding_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", "n_chars", F.md5("text").alias("cur_hash"))
+    snap = docs.filter(F.col("doc_id") % 103 != 0).select(
+        F.col("doc_id").alias("s_doc_id"),
+        F.when(
+            F.col("doc_id") % 101 == 0, F.md5(F.concat(F.col("text"), F.lit("v0")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("stored_hash"),
+    )
+    joined = cur.join(snap, cur["doc_id"] == snap["s_doc_id"], "left")
+    change = (
+        F.when(F.col("s_doc_id").isNull(), "new")
+        .when(F.col("cur_hash") != F.col("stored_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(change.alias("change_type"), "n_chars")
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
