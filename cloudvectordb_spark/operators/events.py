@@ -1114,3 +1114,57 @@ def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E2 gap repair: forward-fill (last observation carried forward) with the
+# ANSI IGNORE NULLS window form — the standard time-series imputation
+# before feature extraction. Nulls are simulated deterministically
+# (value < 5 -> missing) since the fixture column is fully populated. One
+# exchange on user_id; the fill streams through the per-user sort.
+# ---------------------------------------------------------------------------
+@query(
+    "ffill_event_values",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 5 THEN NULL ELSE value END AS v
+      FROM events
+    ), filled AS (
+      SELECT user_id,
+             v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      FROM gapped
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT)   AS n_missing,
+           CAST(count(*) FILTER (WHERE v IS NULL AND fv IS NOT NULL) AS BIGINT)
+                                                               AS n_filled,
+           round(sum(fv), 2)                                   AS sum_filled_series
+    FROM filled GROUP BY user_id
+    """,
+    operators=("E2", "B6", "D1"),
+)
+def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = gapped.withColumn("fv", F.last("v", ignorenulls=True).over(w))
+    return filled.groupBy("user_id").agg(
+        F.count(F.when(F.col("v").isNull(), 1)).cast("long").alias("n_missing"),
+        F.count(F.when(F.col("v").isNull() & F.col("fv").isNotNull(), 1))
+        .cast("long")
+        .alias("n_filled"),
+        F.round(F.sum("fv"), 2).alias("sum_filled_series"),
+    )

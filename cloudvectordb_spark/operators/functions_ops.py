@@ -717,3 +717,95 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.10 * F.col("exact_overlap")
         ).alias("approx_within_10pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C5 data quality: referential-integrity audit — the standard pre-flight
+# before any fact-dim join pipeline. Each check is one left-anti join
+# (shuffle on the key, zero rows out when the constraint holds); a clean
+# corpus returns 0s, which the oracle pins exactly rather than assuming.
+# ---------------------------------------------------------------------------
+@query(
+    "referential_orphan_audit",
+    oracle="""
+    SELECT 'lineitem_without_order' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'order_without_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_without_order',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+    """,
+    operators=("C5", "G1", "D2"),
+)
+def referential_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+
+    def check(name: str, left: DataFrame, lk: str, right: DataFrame, rk: str):
+        return (
+            left.join(right, left[lk] == right[rk], "left_anti")
+            .agg(F.count("*").cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+
+    return (
+        check("lineitem_without_order", li, "l_orderkey", orders, "o_orderkey")
+        .unionAll(check("order_without_customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionAll(check("customer_without_order", cust, "c_custkey", orders, "o_custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5 statistical test: chi-square independence of the (priority, status)
+# contingency table. Observed/expected both come from ONE scan (groupBy +
+# two broadcast-sized margin aggregates); the test statistic is a pure
+# expression — the pattern for any categorical-drift or A/B independence
+# check over 100 TB of rows with a bounded category domain.
+# ---------------------------------------------------------------------------
+@query(
+    "chi_square_priority_status",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ), rowm AS (SELECT pri, sum(o) AS r FROM obs GROUP BY pri),
+       colm AS (SELECT st, sum(o) AS c FROM obs GROUP BY st),
+       tot  AS (SELECT sum(o) AS n FROM obs)
+    SELECT round(sum(pow(obs.o - (rowm.r * colm.c / tot.n), 2)
+                     / (rowm.r * colm.c / tot.n)), 4) AS chi2,
+           CAST((count(DISTINCT obs.pri) - 1) * (count(DISTINCT obs.st) - 1) AS BIGINT)
+             AS dof
+    FROM obs JOIN rowm USING (pri) JOIN colm USING (st) CROSS JOIN tot
+    """,
+    operators=("D5", "D1", "H6"),
+)
+def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count("*").alias("o"))
+    rowm = obs.groupBy("pri").agg(F.sum("o").alias("r"))
+    colm = obs.groupBy("st").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rowm), "pri")
+        .join(F.broadcast(colm), "st")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - exp, F.lit(2)) / exp), 4).alias("chi2"),
+            (
+                (F.countDistinct("pri") - 1) * (F.countDistinct("st") - 1)
+            ).cast("long").alias("dof"),
+        )
+    )
