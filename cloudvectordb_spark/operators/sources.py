@@ -489,3 +489,82 @@ def text_lines_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("value")).cast("bigint").alias("total_bytes"),
         F.countDistinct(F.md5("value")).alias("n_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A3 backfill: DYNAMIC partition overwrite — the idempotent re-run. A bad
+# upstream day at 100 TB is repaired by recomputing THAT day and
+# overwriting only its partition; static overwrite mode would truncate
+# the whole table. The base layout here is seeded with one corrupted
+# date, the backfill overwrites exactly that partition, and the oracle
+# (clean per-day aggregate straight from events) proves the repair —
+# tests/test_scale_patterns.py proves the untouched partitions' files
+# were not rewritten.
+# ---------------------------------------------------------------------------
+def _daily_values(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def backfill_paths() -> str:
+    return os.path.join(_IO_ROOT, "backfill_daily")
+
+
+def seed_corrupted_daily(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the daily layout with the earliest date's sum zeroed out
+    (simulating a bad upstream run). Returns (path, bad_date_iso)."""
+    ev = load(spark, sf_dir, "events")
+    bad_date = str(ev.agg(F.min(F.col("ts").cast("date"))).collect()[0][0])
+    daily = _daily_values(ev)
+    corrupted = daily.withColumn(
+        "sum_value",
+        F.when(F.col("event_date") == bad_date, F.lit(0.0)).otherwise(
+            F.col("sum_value")
+        ),
+    )
+    path = backfill_paths()
+    corrupted.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    return path, bad_date
+
+
+def repair_bad_day(
+    spark: SparkSession, sf_dir: str, path: str, bad_date: str
+) -> None:
+    """Recompute ONLY the bad day and dynamically overwrite its
+    partition; with partitionOverwriteMode=dynamic the write touches
+    exactly the partitions present in the repair frame."""
+    ev = load(spark, sf_dir, "events")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        repair = _daily_values(ev.filter(F.col("ts").cast("date") == bad_date))
+        repair.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@query(
+    "dynamic_partition_backfill",
+    oracle="""
+    SELECT date_trunc('day', ts) AS event_day,
+           count(*)          AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    operators=("A3", "A1", "D1", "H5"),
+)
+def dynamic_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, bad_date = seed_corrupted_daily(spark, sf_dir)
+    repair_bad_day(spark, sf_dir, path, bad_date)
+    back = spark.read.parquet(path)
+    return back.select(
+        F.col("event_date").cast("timestamp").alias("event_day"),
+        "n_events",
+        "sum_value",
+    )

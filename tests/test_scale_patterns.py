@@ -82,3 +82,37 @@ def test_weekly_jaccard_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.jaccard <= 1.0
         assert r.n_inter <= min(r.users_a, r.users_b)
+
+
+def test_dynamic_backfill_rewrites_only_bad_partition(spark, sf_dir):
+    """The query's oracle proves the repair; this proves the SCOPING —
+    files under untouched date partitions are byte-identical (same
+    inode set, same mtimes) after the dynamic overwrite."""
+    import os
+
+    from cloudvectordb_spark.operators import sources as src
+
+    path, bad_date = src.seed_corrupted_daily(spark, sf_dir)
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(path):
+            if not d.startswith("event_date="):
+                continue
+            pdir = os.path.join(path, d)
+            out[d] = {
+                f: os.path.getmtime(os.path.join(pdir, f))
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            }
+        return out
+
+    before = snapshot()
+    src.repair_bad_day(spark, sf_dir, path, bad_date)
+    after = snapshot()
+
+    bad_part = f"event_date={bad_date}"
+    assert before[bad_part] != after[bad_part]  # repaired partition rewritten
+    for part in before:
+        if part != bad_part:
+            assert before[part] == after[part], f"{part} was touched by backfill"
