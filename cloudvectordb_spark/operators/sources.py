@@ -568,3 +568,34 @@ def dynamic_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3: ORC roundtrip — the other first-class columnar format Spark
+# ships a vectorized reader for (warehouses migrating Hive estates read
+# ORC for years). Explicit schema on re-read, same no-inference policy
+# as the CSV/JSONL paths.
+# ---------------------------------------------------------------------------
+@query(
+    "orc_ingest_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    operators=("A2", "A3"),
+)
+def orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    path = os.path.join(_IO_ROOT, "customer_orc")
+    cust.write.mode("overwrite").orc(path)
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    back = spark.read.schema(schema).orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )

@@ -268,13 +268,7 @@ def test_single_partition_window_detector_classification():
     """The detector must flag order-only and bare windows, and must NOT
     flag partitioned ones — including the order-less unbounded-frame form
     whose two-list print shape is ambiguous with the flagged case."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
-    )
-    from plan_audit import single_partition_windows
+    from cloudvectordb_spark.plans import single_partition_windows
 
     no_part = (
         "+- Window [row_number() windowspecdefinition(id#0L ASC NULLS FIRST, "
@@ -305,13 +299,7 @@ def test_no_single_partition_window_in_any_registered_query(spark, sf_dir):
     "No Partition Defined" form — harmless on a 10-row input, a funnel of
     the entire corpus through one task anywhere else. Sweep the physical
     plan of EVERY registered query; zero tolerance."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
-    )
-    from plan_audit import single_partition_windows
+    from cloudvectordb_spark.plans import single_partition_windows
 
     from cloudvectordb_spark.registry import all_queries
 
