@@ -1168,3 +1168,78 @@ def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_filled"),
         F.round(F.sum("fv"), 2).alias("sum_filled_series"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K2/E-group hybrid: sequence-pattern mining over sessionized events —
+# "did a view lead to a purchase in the same session?" expressed as a
+# regex over the session's ordered event-initial string. The per-session
+# string is bounded by session length (watermark-bounded in streaming),
+# so the regex runs on short strings; sessionization reuses the exact
+# events_sessions logic (30-min gap, (ts, event_id) tiebreak).
+# ---------------------------------------------------------------------------
+@query(
+    "session_pattern_match",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, left(event_type, 1) AS c,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, c,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), strs AS (
+      SELECT user_id, sid,
+             string_agg(c, '' ORDER BY ts, event_id) AS seq
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*)                                   AS n_sessions,
+           CAST(sum(CASE WHEN regexp_matches(seq, 'v.*p') THEN 1 ELSE 0 END)
+                AS BIGINT)                            AS n_view_then_buy,
+           round(sum(CASE WHEN regexp_matches(seq, 'v.*p') THEN 1 ELSE 0 END)
+                 / count(*), 5)                       AS conversion_rate
+    FROM strs GROUP BY user_id
+    """,
+    operators=("K2", "E2", "H2", "D6"),
+)
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestamp_diff is the NTZ-safe gap idiom (see events_sessions).
+    prev_ts = F.lag(F.col("ts")).over(w)
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+    ).withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    strs = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("c")))
+                ),
+                lambda x: x.c,
+            ),
+            "",
+        ).alias("seq")
+    )
+    hit = F.col("seq").rlike("v.*p").cast("int")
+    return strs.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(hit).cast("long").alias("n_view_then_buy"),
+        F.round(F.sum(hit) / F.count("*"), 5).alias("conversion_rate"),
+    )
