@@ -1036,3 +1036,206 @@ def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("rmse"), 6).alias("max_rmse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K6/K12: Johnson-Lindenstrauss random projection (64 -> 16 dims) with an
+# md5-replayable sign matrix, so the ENTIRE sketch path has a value-level
+# DuckDB oracle (same trick as minhash_banded_pairs_md5). JL sketches are
+# the cheap-prefilter tier below int8/PQ: 4x fewer floats per vector with
+# distance distortion bounded w.h.p.; at 100 TB the projection is a pure
+# map stage (16 fixed +/-1 dot products per vector, matrix in the plan,
+# zero shuffle) and the distance check here measures the actual
+# distortion on bounded pairs.
+# ---------------------------------------------------------------------------
+_JL_OUT = 16
+_JL_IN = 64
+
+
+def _jl_sign(i: int, j: int) -> int:
+    import hashlib
+
+    return 1 if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] in "02468ace" else -1
+
+
+def jl_project(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append ``jl`` — the 16-dim signed-sum projection of ``vec_col``
+    (scaled 1/sqrt(16)); JVM-side higher-order functions, no Python."""
+    dims = []
+    for i in range(_JL_OUT):
+        signs = ",".join(
+            f"{_jl_sign(i, j)}D" for j in range(_JL_IN)
+        )
+        dims.append(
+            F.expr(
+                f"aggregate(zip_with({vec_col}, array({signs}),"
+                " (x, s) -> CAST(x AS DOUBLE) * s), 0D, (acc, x) -> acc + x) / 4"
+            ).alias(f"jl{i}")
+        )
+    return df.withColumn("jl", F.array(*dims))
+
+
+@query(
+    "jl_projection_distance_check",
+    oracle=f"""
+    WITH signs AS (
+      SELECT i, j,
+             CASE WHEN substr(md5(i || '_' || j), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range({_JL_OUT}) t(i), range({_JL_IN}) u(j)
+    ), proj AS (
+      SELECT e.vec_id,
+             list(dim ORDER BY i) AS jl
+      FROM (
+        SELECT e2.vec_id, s.i,
+               sum(CAST(e2.embedding[s.j + 1] AS DOUBLE) * s.s) / 4 AS dim
+        FROM embeddings e2, signs s
+        WHERE e2.vec_id < 40
+        GROUP BY e2.vec_id, s.i
+      ) AS e
+      GROUP BY e.vec_id
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             sqrt(list_sum(list_transform(
+               list_zip(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d64,
+             sqrt(list_sum(list_transform(
+               list_zip(a.jl, b.jl), p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d16
+      FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+    SELECT id_a, id_b, round(d64, 4) AS d64, round(d16, 4) AS d16,
+           round(d16 / d64, 3) AS distortion
+    FROM pairs
+    """,
+    operators=("K6", "K12", "H8", "C9", "H4"),
+)
+def jl_projection_distance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    proj = jl_project(emb).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"), "jl"
+    )
+    a = proj.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("jl").alias("ja")
+    )
+    b = proj.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("jl").alias("jb")
+    )
+    l2 = (
+        lambda x, y: F.sqrt(
+            F.expr(
+                f"aggregate(zip_with({x}, {y}, (p, q) -> (p - q) * (p - q)),"
+                " 0D, (acc, z) -> acc + z)"
+            )
+        )
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(l2("va", "vb"), 4).alias("d64"),
+        F.round(l2("ja", "jb"), 4).alias("d16"),
+        F.round(l2("ja", "jb") / l2("va", "vb"), 3).alias("distortion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K8: kNN through the JL tier — coarse top-C by 16-dim distance (4x less
+# compute/IO than full vectors), exact rescore of C candidates, top-k
+# out. The md5-replayable projection makes even the CANDIDATE SET
+# deterministic, so unlike recall-gated IVF/PQ this prefilter path has a
+# full value-level oracle. At 100 TB: coarse pass is a linear map over a
+# 4x smaller representation; rescore touches C rows/probe.
+# ---------------------------------------------------------------------------
+@query(
+    "jl_prefilter_knn",
+    oracle=f"""
+    WITH signs AS (
+      SELECT i, j,
+             CASE WHEN substr(md5(i || '_' || j), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range({_JL_OUT}) t(i), range({_JL_IN}) u(j)
+    ), proj AS (
+      SELECT e.vec_id, list(dim ORDER BY i) AS jl
+      FROM (
+        SELECT e2.vec_id, s.i,
+               sum(CAST(e2.embedding[s.j + 1] AS DOUBLE) * s.s) / 4 AS dim
+        FROM embeddings e2, signs s
+        GROUP BY e2.vec_id, s.i
+      ) AS e
+      GROUP BY e.vec_id
+    ), coarse AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             sqrt(list_sum(list_transform(list_zip(p.jl, c.jl),
+                  z -> (z[1] - z[2]) * (z[1] - z[2])))) AS d16
+      FROM proj p JOIN proj c ON p.vec_id < 3 AND c.vec_id <> p.vec_id
+    ), cands AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY d16, cand_id) AS rn
+        FROM coarse
+      ) WHERE rn <= 50
+    ), rescored AS (
+      SELECT cands.probe_id, cands.cand_id,
+             round(sqrt(list_sum(list_transform(
+               list_zip(CAST(ep.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])),
+               z -> (z[1] - z[2]) * (z[1] - z[2])))), 4) AS dist
+      FROM cands
+      JOIN embeddings ep ON ep.vec_id = cands.probe_id
+      JOIN embeddings ec ON ec.vec_id = cands.cand_id
+    )
+    SELECT probe_id, cand_id AS neighbor_id, dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY dist, cand_id) AS rank
+      FROM rescored
+    ) WHERE rank <= 10
+    """,
+    operators=("K8", "K6", "E4", "C10"),
+)
+def jl_prefilter_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    proj = jl_project(emb).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"), "jl"
+    )
+    probes = proj.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("jl").alias("pjl"),
+    )
+    l2 = (
+        lambda x, y: F.sqrt(
+            F.expr(
+                f"aggregate(zip_with({x}, {y}, (p, q) -> (p - q) * (p - q)),"
+                " 0D, (acc, z) -> acc + z)"
+            )
+        )
+    )
+    coarse = (
+        proj.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            l2("jl", "pjl").alias("d16"),
+            "v",
+            "pv",
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("d16", "cand_id")
+    cands = coarse.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 50)
+    rescored = cands.select(
+        "probe_id",
+        F.col("cand_id").alias("neighbor_id"),
+        F.round(l2("v", "pv"), 4).alias("dist"),
+    )
+    wr = Window.partitionBy("probe_id").orderBy("dist", "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("probe_id", "neighbor_id", "dist", "rank")
+    )
