@@ -181,6 +181,24 @@ _HH_CAP = 125
 _HH_PHI = 0.008
 
 
+def mg_merge(counters: dict, batch_counts: dict, cap: int) -> dict:
+    """Merge exact ``batch_counts`` into a Misra-Gries summary of at most
+    ``cap`` counters.
+
+    Mergeable-summaries compaction (Agarwal et al. 2012): add counts,
+    then subtract the (cap+1)-th largest from all and keep positives.
+    Invariant (tests/test_properties.py): for a stream of total length n
+    processed in any batch order, every key with true count > n / cap
+    survives — the superset guarantee the exact second pass relies on.
+    """
+    for key, cnt in batch_counts.items():
+        counters[key] = counters.get(key, 0) + int(cnt)
+    if len(counters) > cap:
+        cut = sorted(counters.values(), reverse=True)[cap]
+        counters = {k: c - cut for k, c in counters.items() if c > cut}
+    return counters
+
+
 @query(
     "heavy_hitters_sketch_exact",
     oracle="""
@@ -216,14 +234,9 @@ def heavy_hitters_sketch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         counters: dict[tuple, int] = {}
         for pdf in batches:
-            for key, cnt in pdf.groupby(["event_type", "hr"]).size().items():
-                counters[key] = counters.get(key, 0) + int(cnt)
-            if len(counters) > _HH_CAP:
-                # Mergeable-summaries compaction (Agarwal et al. 2012):
-                # subtract the (CAP+1)-th largest count from all, keep
-                # positives. Preserves the MG error bound.
-                cut = sorted(counters.values(), reverse=True)[_HH_CAP]
-                counters = {k: c - cut for k, c in counters.items() if c > cut}
+            counters = mg_merge(
+                counters, dict(pdf.groupby(["event_type", "hr"]).size()), _HH_CAP
+            )
         if counters:
             yield pd.DataFrame(
                 [(k[0], k[1]) for k in counters], columns=["event_type", "hr"]

@@ -195,3 +195,32 @@ def test_global_prefix_sum_matches_python_cumsum(spark, weights):
         expect[i] = acc
         acc += w
     assert got == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=400
+    ),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=1, max_value=7),
+)
+def test_misra_gries_superset_guarantee(stream, cap, n_batches):
+    """Pure-python MG merge (operators/scale_patterns.mg_merge): for ANY
+    stream and ANY batching, every key with true count > n/cap survives
+    in the final summary — the superset property heavy_hitters_sketch_
+    exact's exact second pass relies on."""
+    from collections import Counter
+
+    from cloudvectordb_spark.operators.scale_patterns import mg_merge
+
+    true = Counter(stream)
+    n = len(stream)
+    chunk = max(1, n // n_batches)
+    counters: dict = {}
+    for i in range(0, n, chunk):
+        counters = mg_merge(counters, Counter(stream[i : i + chunk]), cap)
+    assert len(counters) <= cap
+    for key, cnt in true.items():
+        if cnt > n / cap:
+            assert key in counters, (key, cnt, n, cap)
