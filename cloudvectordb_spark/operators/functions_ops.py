@@ -809,3 +809,56 @@ def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dof"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# H5/H7: calendar gap-fill WITHOUT recursion — sequence() + explode builds
+# the date spine as one bounded array (days between min and max), then a
+# left join zero-fills missing days. This is the 100 TB form of the date
+# spine (sql_recursive_date_spine_gaps shows the WITH RECURSIVE
+# equivalent and SCALE.md documents why recursion does not scale: the
+# spine here is O(days), computed once, never iterative).
+# ---------------------------------------------------------------------------
+@query(
+    "calendar_fill_daily_revenue",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+             CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+      FROM events
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n, round(sum(value), 2) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST(spine.day AS TIMESTAMP) AS day,
+           CAST(coalesce(daily.n, 0) AS BIGINT) AS n_purchases,
+           round(coalesce(daily.rev, 0.0), 2)   AS revenue
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+    operators=("H5", "H7", "C3", "D1"),
+)
+def calendar_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("rev"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_purchases"),
+            F.round(F.coalesce("rev", F.lit(0.0)), 2).alias("revenue"),
+        )
+    )

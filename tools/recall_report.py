@@ -51,6 +51,44 @@ def main() -> int:
         "matryoshka": matryoshka_truncated_knn,
     }
     out: dict = {}
+
+    # JL tier: L2 metric, so its baseline is exact L2 top-10 (cosine and
+    # L2 rank differently on unnormalized vectors). Exact set = the same
+    # rescore with an unbounded candidate window.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.vector_ops import jl_prefilter_knn
+
+    emb = load(spark, args.sf, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    d = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(v, pv, (p, q) -> (p - q) * (p - q)),"
+            " 0D, (acc, z) -> acc + z)"
+        )
+    )
+    wl2 = Window.partitionBy("probe_id").orderBy("dist", "neighbor_id")
+    exact_l2_df = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), d.alias("dist"))
+        .withColumn("rank", F.row_number().over(wl2))
+        .filter(F.col("rank") <= 10)
+    )
+    exact_l2 = topk_sets(exact_l2_df)
+    got_jl = topk_sets(jl_prefilter_knn(spark, args.sf))
+    per = {str(p): len(got_jl.get(p, set()) & exact_l2[p]) / 10 for p in exact_l2}
+    out["jl_prefilter"] = {
+        "per_probe": per,
+        "mean": round(sum(per.values()) / len(per), 3),
+    }
+
     for name, fn in methods.items():
         try:
             got = topk_sets(fn(spark, args.sf))
