@@ -862,3 +862,123 @@ def calendar_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("rev", F.lit(0.0)), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D5 two-sample Kolmogorov-Smirnov distance between per-source length
+# distributions (src0 vs src1) — the standard "did this source drift /
+# differ?" test for corpus curation. ECDFs are built with window
+# COUNTs over the pooled sample (one exchange, no collect); the KS
+# statistic is the max ECDF gap evaluated at sample points (where the
+# max is always attained). Bounded-domain groupings keep this shape
+# identical at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "ks_source_length_drift",
+    oracle="""
+    WITH pool AS (
+      SELECT n_chars, source FROM documents WHERE source IN ('src0', 'src1')
+    ), sizes AS (
+      SELECT count(*) FILTER (WHERE source = 'src0') AS na,
+             count(*) FILTER (WHERE source = 'src1') AS nb
+      FROM pool
+    ), pts AS (
+      SELECT DISTINCT n_chars AS v FROM pool
+    ), ecdf AS (
+      SELECT pts.v,
+             (SELECT count(*) FROM pool WHERE source = 'src0' AND n_chars <= pts.v)
+               AS ca,
+             (SELECT count(*) FROM pool WHERE source = 'src1' AND n_chars <= pts.v)
+               AS cb
+      FROM pts
+    )
+    SELECT CAST(sizes.na AS BIGINT) AS n_a,
+           CAST(sizes.nb AS BIGINT) AS n_b,
+           round(max(abs(CAST(ca AS DOUBLE) / sizes.na
+                         - CAST(cb AS DOUBLE) / sizes.nb)), 5) AS ks_stat
+    FROM ecdf CROSS JOIN sizes
+    GROUP BY sizes.na, sizes.nb
+    """,
+    operators=("D5", "D2", "B4"),
+)
+def ks_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.ranking import with_global_prefix_sum
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    # Reduce the pool to one row per distinct value first (the ECDF's
+    # sample points), then build both cumulative counts with the bucketed
+    # distributed prefix-sum primitive — NO single-partition window over
+    # corpus-scaling input (ranking.py; the naive Window.orderBy form is
+    # exactly what tools/plan_audit.py hard-flags).
+    per_v = (
+        docs.groupBy("n_chars")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("wa"),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("wb"),
+        )
+    )
+    t = with_global_prefix_sum(per_v, "n_chars", "wa", cum_col="ca0", total_col="na")
+    t = with_global_prefix_sum(t, "n_chars", "wb", cum_col="cb0", total_col="nb")
+    # inclusive ECDF counts at each sample point
+    t = t.withColumn("ca", F.col("ca0") + F.col("wa")).withColumn(
+        "cb", F.col("cb0") + F.col("wb")
+    )
+    return t.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("na")
+                    - F.col("cb").cast("double") / F.col("nb")
+                )
+            ),
+            5,
+        ).alias("ks_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5 time-series: lag-1 autocorrelation of daily purchase revenue — the
+# "is today predictive of tomorrow?" screen before forecasting. corr()
+# over the (day, lag(day)) pairs; one bounded daily aggregate then one
+# tiny window.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_revenue_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, sum(value) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), lagged AS (
+      SELECT rev, lag(rev) OVER (ORDER BY day) AS prev_rev FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_pairs,
+           round(corr(rev, prev_rev), 5)   AS lag1_autocorr
+    FROM lagged WHERE prev_rev IS NOT NULL
+    """,
+    operators=("D5", "E2", "H5"),
+)
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cloudvectordb_spark.ranking import _zero
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    # calendar-bounded input (one row per day); constant non-foldable
+    # partition key keeps the WindowExec partitioned (ranking._zero)
+    w = Window.partitionBy(_zero(F.col("day"))).orderBy("day")
+    lagged = daily.withColumn("prev_rev", F.lag("rev").over(w)).filter(
+        F.col("prev_rev").isNotNull()
+    )
+    return lagged.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.corr("rev", "prev_rev"), 5).alias("lag1_autocorr"),
+    )
