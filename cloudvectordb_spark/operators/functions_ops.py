@@ -982,3 +982,49 @@ def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         F.round(F.corr("rev", "prev_rev"), 5).alias("lag1_autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D5/H1 forensic screen: Benford's-law first-digit audit of order totals
+# — the classic anomalous-data detector (fabricated or truncated numeric
+# columns diverge from log10(1 + 1/d)). One scan, 9-row output, pure
+# expressions; the deviation stat is a chi-square against the Benford
+# expectation.
+# ---------------------------------------------------------------------------
+@query(
+    "benford_order_totals",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT d, count(*) AS n FROM digits GROUP BY d
+    ), tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT obs.d AS first_digit,
+           CAST(obs.n AS BIGINT) AS n,
+           round(CAST(obs.n AS DOUBLE) / tot.total, 5) AS obs_freq,
+           round(log10(1.0 + 1.0 / obs.d), 5) AS benford_freq,
+           round(pow(CAST(obs.n AS DOUBLE) / tot.total
+                     - log10(1.0 + 1.0 / obs.d), 2)
+                 / log10(1.0 + 1.0 / obs.d), 8) AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+    operators=("D5", "H1", "H6"),
+)
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = orders.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    freq = F.col("n").cast("double") / F.col("total")
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        F.col("n").cast("long").alias("n"),
+        F.round(freq, 5).alias("obs_freq"),
+        F.round(benford, 5).alias("benford_freq"),
+        F.round(F.pow(freq - benford, F.lit(2)) / benford, 8).alias("chi2_term"),
+    )
