@@ -1243,3 +1243,126 @@ def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("long").alias("n_view_then_buy"),
         F.round(F.sum(hit) / F.count("*"), 5).alias("conversion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D5/E3 time-series smoothing: exponentially weighted moving average of
+# daily purchase revenue, alpha=0.3, in CLOSED FORM — ewma_t =
+# sum_i a*(1-a)^(t-i)*x_i + (1-a)^t*x_0 — so it is a window sum of
+# power-weighted terms, not a sequential recurrence: one bounded
+# calendar-sized window, exact on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_revenue_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, sum(value) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT day, rev,
+             CAST(row_number() OVER (ORDER BY day) - 1 AS INTEGER) AS t
+      FROM daily
+    )
+    SELECT CAST(a.day AS TIMESTAMP) AS day,
+           round(a.rev, 2) AS rev,
+           round(sum(CASE WHEN b.t = 0 THEN pow(0.7, a.t) * b.rev
+                          ELSE 0.3 * pow(0.7, a.t - b.t) * b.rev END), 2)
+             AS ewma
+    FROM idx a JOIN idx b ON b.t <= a.t
+    GROUP BY a.day, a.rev, a.t
+    """,
+    operators=("D5", "E3", "H5", "H6"),
+)
+def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.ranking import _zero
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    # calendar-bounded input; _zero keeps the window partitioned
+    w = Window.partitionBy(_zero(F.col("day"))).orderBy("day")
+    idx = daily.withColumn("t", (F.row_number().over(w) - 1).cast("int"))
+    a = idx.select(
+        F.col("day").alias("a_day"), F.col("rev").alias("a_rev"), F.col("t").alias("a_t")
+    )
+    b = idx.select(F.col("rev").alias("b_rev"), F.col("t").alias("b_t"))
+    joined = a.join(b, F.col("b_t") <= F.col("a_t"))
+    term = F.when(
+        F.col("b_t") == 0, F.pow(F.lit(0.7), F.col("a_t")) * F.col("b_rev")
+    ).otherwise(
+        0.3 * F.pow(F.lit(0.7), F.col("a_t") - F.col("b_t")) * F.col("b_rev")
+    )
+    return (
+        joined.groupBy("a_day", "a_rev", "a_t")
+        .agg(F.round(F.sum(term), 2).alias("ewma"))
+        .select(
+            F.col("a_day").cast("timestamp").alias("day"),
+            F.round("a_rev", 2).alias("rev"),
+            "ewma",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session quality: bounce rate by entry event type — share of sessions
+# that end after their first event, keyed by what the session STARTED
+# with. Reuses the canonical 30-min sessionization; the aggregate is
+# bounded by the event-type domain.
+# ---------------------------------------------------------------------------
+@query(
+    "session_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), entry AS (
+      SELECT user_id, sid, event_type,
+             first_value(event_type) OVER (PARTITION BY user_id, sid
+               ORDER BY ts, event_id) AS entry_type
+      FROM sess
+    ), per_session AS (
+      SELECT user_id, sid, min(entry_type) AS entry_type, count(*) AS n_events
+      FROM entry GROUP BY 1, 2
+    )
+    SELECT entry_type,
+           count(*)                                        AS n_sessions,
+           CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounced,
+           round(count(*) FILTER (WHERE n_events = 1) * 1.0 / count(*), 5)
+             AS bounce_rate
+    FROM per_session GROUP BY entry_type
+    """,
+    operators=("K2", "E2", "D1"),
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts")).over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")) >= 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sid", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("entry_type"),
+        F.count("*").alias("n_events"),
+    )
+    bounced = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per_session.groupBy("entry_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(bounced).cast("long").alias("n_bounced"),
+        F.round(F.sum(bounced) / F.count("*"), 5).alias("bounce_rate"),
+    )
