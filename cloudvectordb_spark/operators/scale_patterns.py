@@ -338,3 +338,62 @@ def weekly_active_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram-index substring search (the pg_trgm pattern): LIKE '%needle%'
+# cannot use any index — at 20B part names a full scan per query is the
+# cost. The trigram inverted form explodes names to 3-grams ONCE (an
+# indexed layout in production), joins the needle's trigrams, and keeps
+# candidates containing ALL of them; the final exact `contains` kills
+# trigram false positives, so the result equals plain LIKE (full value
+# oracle). Candidate volume ∝ selectivity of the rarest trigram, not
+# corpus size.
+# ---------------------------------------------------------------------------
+_NEEDLE = "olive"
+
+
+def _trigrams(s: str) -> list[str]:
+    return [s[i : i + 3] for i in range(len(s) - 2)]
+
+
+@query(
+    "trigram_substring_search",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT)      AS n_parts,
+           round(avg(p_retailprice), 4)  AS avg_price,
+           CAST(min(p_partkey) AS BIGINT) AS min_key,
+           CAST(max(p_partkey) AS BIGINT) AS max_key
+    FROM part WHERE p_name LIKE '%{_NEEDLE}%'
+    """,
+    operators=("B5", "C4", "H1", "D1"),
+)
+def trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    needle_grams = _trigrams(_NEEDLE)
+    grams = part.select(
+        "p_partkey",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(p_name) - 2, 0)),"
+                " i -> substring(p_name, i, 3))"
+            )
+        ).alias("g"),
+    ).dropDuplicates(["p_partkey", "g"])
+    cands = (
+        grams.filter(F.col("g").isin(needle_grams))
+        .groupBy("p_partkey")
+        .agg(F.countDistinct("g").alias("hits"))
+        .filter(F.col("hits") == len(set(needle_grams)))
+        .select("p_partkey")
+    )
+    verified = (
+        part.join(cands, "p_partkey", "left_semi")
+        .filter(F.col("p_name").contains(_NEEDLE))
+    )
+    return verified.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.min("p_partkey").cast("long").alias("min_key"),
+        F.max("p_partkey").cast("long").alias("max_key"),
+    )
