@@ -924,3 +924,82 @@ def nonascii_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_with_nonascii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K1 tokenizer TRAINING: real iterative BPE — bpe_merge_pair_counts shows
+# round-0 statistics; this runs the actual merge loop. Per round: one
+# weighted pair count over the word-frequency table (vocab-bounded, NOT
+# corpus-bounded — identical work at any corpus size once words are
+# counted), a 1-row TakeOrdered argmax collect, and an Arrow-batched
+# merge of the symbol sequences. Deterministic by construction (count
+# desc, then lexicographic pair tiebreak), so reruns are bit-identical —
+# pytest-gated (tests/test_operators.py) like the other iterative
+# algorithms (connected components, PageRank); no SQL oracle: the merge
+# recurrence is the documented WITH-RECURSIVE boundary (SCALE.md).
+# ---------------------------------------------------------------------------
+_BPE_ROUNDS = 5
+
+
+@query("bpe_train_merges", oracle=None, operators=("K1", "K2", "D1", "L3"))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("syms", F.expr("split(word, '')"))
+        .select("word", "freq", "syms")
+    )
+    vocab = vocab.localCheckpoint()  # cut lineage before the merge loop
+
+    merges = []
+    for rank in range(_BPE_ROUNDS):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN transform("
+                    "sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS a, syms[i + 1] AS b)) "
+                    "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+                )
+            ).alias("p"),
+        )
+        counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+        best = counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
+        merges.append((rank + 1, a, b, a + b, cnt))
+
+        def merge_batch(batches, _a=a, _b=b):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    res, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == _a and syms[i + 1] == _b:
+                            res.append(_a + _b)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    out.append(res)
+                pdf = pdf.copy()
+                pdf["syms"] = out
+                yield pdf
+
+        vocab = vocab.mapInPandas(
+            merge_batch, "word string, freq long, syms array<string>"
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, pair_count long"
+    ).select(
+        F.col("merge_rank").cast("long").alias("merge_rank"),
+        "left",
+        "right",
+        "merged",
+        "pair_count",
+    )

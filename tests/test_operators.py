@@ -119,3 +119,20 @@ def test_range_partition_bounds_monotone(spark, sf_dir):
         F.min("o_totalprice"), F.max("o_totalprice")
     ).first()
     assert mn <= bounds[0] and bounds[-1] <= mx
+
+
+def test_bpe_train_merges_deterministic_and_monotone(spark, sf_dir):
+    """Iterative BPE: reruns are bit-identical (deterministic argmax
+    tiebreak) and merge pair counts are non-increasing (a later merge
+    can't beat an earlier one, since new pairs' counts are bounded by
+    the merged pair's count)."""
+    from cloudvectordb_spark.operators.text_ops import bpe_train_merges
+
+    r1 = [tuple(r) for r in bpe_train_merges(spark, sf_dir).collect()]
+    r2 = [tuple(r) for r in bpe_train_merges(spark, sf_dir).collect()]
+    assert r1 == r2
+    assert len(r1) == 5
+    counts = [r[4] for r in r1]
+    assert counts == sorted(counts, reverse=True)
+    for _, left, right, merged, _ in r1:
+        assert merged == left + right
