@@ -8,9 +8,10 @@ heavy lifting:
 - ``bloom_prefilter_revenue``: a hand-rolled word-packed bloom filter
   built by aggregation (Spark 4.1 does not expose ``bloom_filter_agg`` /
   ``might_contain`` in the public function registry — verified
-  UNRESOLVED_ROUTINE), broadcast as a literal array, probed JVM-side,
-  then made exact by a semi-join over the survivors. This is Spark's own
-  runtime-bloom-filter optimization, written out as DataFrame ops.
+  UNRESOLVED_ROUTINE), sized from the build count, attached as a one-row
+  broadcast, probed JVM-side, then made exact by a semi-join over the
+  survivors. This is Spark's own runtime-bloom-filter optimization,
+  written out as DataFrame ops.
 - ``heavy_hitters_sketch_exact``: per-partition Misra-Gries candidate
   generation (fixed 125-counter memory per task) + an exact second pass
   over candidates only. The MG merge bound guarantees the candidate set
@@ -146,8 +147,8 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pure JVM expressions before any join, so the exact semi-join
     shuffles only survivors (true matches x (1 + fp)). Neither side
     carries a broadcast hint — both scale with SF (fact-join policy,
-    SCALE.md); the bloom bitmap itself is the only broadcast state and it
-    is constant-size (8 KiB) at any corpus size.
+    SCALE.md); the bloom bitmap is the only broadcast state, sized at
+    16 bits per build key (8 KiB at sf0.01, 4 MiB at the 60M-row probe).
     """
     orders = load(spark, sf_dir, "orders")
     keys = orders.filter(
