@@ -1028,3 +1028,54 @@ def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 5).alias("benford_freq"),
         F.round(F.pow(freq - benford, F.lit(2)) / benford, 8).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern-API surface: df.observe(Observation, ...) — data-quality metrics
+# piggybacked on a pass you were already making (zero extra scans; the
+# accumulators ride the action). The observed aggregates are returned as
+# a 1-row frame so the oracle can pin them; at 100 TB this is how
+# pipelines emit row counts / null rates / revenue checksums without a
+# second job.
+# ---------------------------------------------------------------------------
+@query(
+    "observed_quality_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                             AS n_rows,
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+                                                                AS n_nonpositive,
+           round(sum(o_totalprice), 2)                          AS revenue_checksum,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)      AS n_priorities
+    FROM orders
+    """,
+    operators=("D2", "A1", "B6"),
+)
+def observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    orders = load(spark, sf_dir, "orders")
+    obs = Observation("quality")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_nonpositive"
+        ),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue_checksum"),
+        # DISTINCT aggregates are disallowed in observed metrics;
+        # approx_count_distinct is exact at this cardinality (5 values).
+        F.approx_count_distinct("o_orderpriority").alias("n_priorities"),
+    )
+    observed.count()  # the pass the metrics ride on
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_nonpositive"]),
+                float(m["revenue_checksum"]),
+                int(m["n_priorities"]),
+            )
+        ],
+        "n_rows long, n_nonpositive long, revenue_checksum double, n_priorities long",
+    )
