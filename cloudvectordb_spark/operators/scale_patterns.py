@@ -374,10 +374,14 @@ def trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     needle_grams = _trigrams(_NEEDLE)
     grams = part.select(
         "p_partkey",
+        # CASE guard: sequence(1, 0) DESCENDS in Spark ([1, 0]) — without
+        # it, names shorter than 3 chars would emit garbage trigrams.
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(p_name) - 2, 0)),"
-                " i -> substring(p_name, i, 3))"
+                "CASE WHEN length(p_name) >= 3 THEN "
+                "transform(sequence(1, length(p_name) - 2),"
+                " i -> substring(p_name, i, 3)) "
+                "ELSE CAST(array() AS array<string>) END"
             )
         ).alias("g"),
     ).dropDuplicates(["p_partkey", "g"])
