@@ -1079,3 +1079,52 @@ def observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_nonpositive long, revenue_checksum double, n_priorities long",
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI ordered-set aggregates (Spark 4 surface): percentile_cont /
+# percentile_disc WITHIN GROUP, plus listagg over a bounded (distinct
+# statuses) domain — the warehouse-SQL forms users port in unchanged.
+# ---------------------------------------------------------------------------
+@query(
+    "ordered_set_aggregates",
+    oracle="""
+    WITH pct AS (
+      SELECT o_orderpriority,
+             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+               AS median_price,
+             round(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)
+               AS p90_disc_price
+      FROM orders GROUP BY o_orderpriority
+    ), st AS (
+      SELECT o_orderpriority,
+             string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+      FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+      GROUP BY o_orderpriority
+    )
+    SELECT pct.o_orderpriority, median_price, p90_disc_price, statuses
+    FROM pct JOIN st USING (o_orderpriority)
+    """,
+    operators=("D5", "D6", "D1"),
+)
+def ordered_set_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pct = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)"
+        ).alias("median_price"),
+        F.expr(
+            "round(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2)"
+        ).alias("p90_disc_price"),
+    )
+    st = (
+        orders.select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)"
+            ).alias("statuses")
+        )
+    )
+    return pct.join(st, "o_orderpriority")
