@@ -220,3 +220,53 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.avg("norm"), 6).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L-group, declarative form: a SQL UDF (CREATE FUNCTION ... RETURN expr,
+# Spark 4) + parameterized spark.sql. Unlike Python UDFs, a SQL UDF is
+# INLINED by Catalyst — full codegen, predicate pushdown through it,
+# zero serialization boundary — which makes it the right first choice
+# for any scalar logic expressible as an expression. The oracle inlines
+# the same expression (DuckDB macros would be the literal equivalent).
+# ---------------------------------------------------------------------------
+@query(
+    "sql_udf_revenue_bands",
+    oracle="""
+    SELECT band, count(*) AS n_lines, round(sum(net), 2) AS net_revenue
+    FROM (
+      SELECT l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net,
+             CASE WHEN l_extendedprice * (1 - l_discount) * (1 + l_tax) < 20000
+                  THEN 'low'
+                  WHEN l_extendedprice * (1 - l_discount) * (1 + l_tax) < 60000
+                  THEN 'mid' ELSE 'high' END AS band
+      FROM lineitem WHERE l_quantity <= 30
+    ) GROUP BY band
+    """,
+    operators=("L1", "A6", "D1", "B8"),
+)
+def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE, t DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(x DOUBLE) RETURNS STRING"
+        " RETURN CASE WHEN x < 20000 THEN 'low'"
+        " WHEN x < 60000 THEN 'mid' ELSE 'high' END"
+    )
+    # parameterized SQL: the quantity cap binds as a named parameter
+    return spark.sql(
+        """
+        SELECT band, count(*) AS n_lines, round(sum(net), 2) AS net_revenue
+        FROM (
+          SELECT net_price(l_extendedprice, l_discount, l_tax) AS net,
+                 price_band(net_price(l_extendedprice, l_discount, l_tax)) AS band
+          FROM lineitem WHERE l_quantity <= :qty_cap
+        ) GROUP BY band
+        """,
+        args={"qty_cap": 30},
+    )
