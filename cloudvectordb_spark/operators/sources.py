@@ -599,3 +599,38 @@ def orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A2/H10: XML serialization roundtrip (Spark 4 to_xml/from_xml) — the
+# third wire format next to JSON and VARIANT. DuckDB has no XML type, so
+# the oracle pins the roundtrip IDENTITY: aggregates computed from the
+# XML-roundtripped fields must equal aggregates from the raw columns.
+# ---------------------------------------------------------------------------
+@query(
+    "xml_roundtrip_props",
+    oracle="""
+    SELECT event_type,
+           count(*)                 AS n,
+           round(sum(value), 2)     AS sum_value,
+           CAST(sum(user_id) AS BIGINT) AS user_id_checksum
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("A2", "H10", "D1"),
+)
+def xml_roundtrip_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    xml = ev.select(
+        F.to_xml(F.struct("event_id", "user_id", "event_type", "value")).alias("x")
+    )
+    back = xml.select(
+        F.from_xml(
+            "x", "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+        ).alias("r")
+    ).select("r.*")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum("user_id").cast("long").alias("user_id_checksum"),
+    )
