@@ -323,3 +323,23 @@ def test_ivfpq_code_scan_prunes_partitions(spark, sf_dir):
     codes, _, _ = ensure_ivfpq_index(spark, sf_dir)
     plan = _executed_plan(codes.filter(F.col("centroid_id").isin(1, 3)))
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_audit_plan_classification():
+    """plans.lint.audit_plan: hard/soft flag logic on synthetic plans."""
+    from cloudvectordb_spark.plans import audit_plan
+
+    cart = "*(3) CartesianProduct\n+- Scan parquet"
+    assert audit_plan(cart)[0] == ["CartesianProduct"]
+    assert audit_plan(cart, allow_cartesian=True)[0] == []
+
+    bnlj = "*(2) BroadcastNestedLoopJoin BuildRight, Inner\n+- HashAggregate"
+    hard, soft = audit_plan(bnlj)
+    assert hard == [] and soft == ["BroadcastNestedLoopJoin"]
+
+    # SinglePartition exchange is fine when bounded by an aggregate/limit…
+    bounded = "Exchange SinglePartition\n+- HashAggregate(keys=[])"
+    assert audit_plan(bounded)[0] == []
+    # …and flagged when nothing bounds it.
+    unbounded = "Exchange SinglePartition\n+- Project\n+- Scan parquet"
+    assert any("SinglePartition" in f for f in audit_plan(unbounded)[0])
