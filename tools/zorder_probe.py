@@ -20,7 +20,9 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TOOLS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_TOOLS))
+sys.path.insert(0, _TOOLS)
 
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -58,16 +60,38 @@ def frac_scanned(root: str, box: dict[str, tuple]) -> tuple[int, int]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--synthetic-lines",
+        type=int,
+        default=0,
+        help="use the relational_scale_probe synthetic orders slice"
+        " (lines/4 orders) instead of the fixture",
+    )
     args = ap.parse_args()
 
     spark = get_session("zorder-probe")
-    orders = load(spark, args.sf, "orders").select(
-        "o_custkey",
-        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
-            "day_ord"
-        ),
-        "o_totalprice",
-    )
+    if args.synthetic_lines:
+        from relational_scale_probe import ensure_data
+
+        root = os.path.join(
+            "/tmp", "cloudvectordb_relprobe", str(args.synthetic_lines)
+        )
+        _, opath = ensure_data(spark, args.synthetic_lines, root)
+        orders = spark.read.parquet(opath).select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("2024-01-01").cast("date")
+            ).alias("day_ord"),
+            "o_totalprice",
+        )
+    else:
+        orders = load(spark, args.sf, "orders").select(
+            "o_custkey",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day_ord"),
+            "o_totalprice",
+        )
     stats = orders.agg(
         F.min("o_custkey").alias("mnc"),
         F.max("o_custkey").alias("mxc"),
@@ -75,7 +99,8 @@ def main() -> int:
         F.max("day_ord").alias("mxd"),
     ).collect()[0]
 
-    root = "/tmp/cloudvectordb_zorder_probe"
+    tag = f"syn{args.synthetic_lines}" if args.synthetic_lines else "fixture"
+    root = f"/tmp/cloudvectordb_zorder_probe/{tag}"
     linear, zorder = f"{root}/linear", f"{root}/zorder"
 
     # Linear: clustered on custkey only (the "sorted by primary key" default).
@@ -98,7 +123,11 @@ def main() -> int:
     # rest.
     ck_w = (stats.mxc - stats.mnc) // 16
     ck_box = (stats.mnc + 5 * ck_w, stats.mnc + 6 * ck_w)
-    day_box = (stats.mnd + 400, stats.mnd + 490)
+    day_span = stats.mxd - stats.mnd
+    day_box = (
+        stats.mnd + int(day_span * 0.30),
+        stats.mnd + int(day_span * 0.34),
+    )
     boxes = {
         "custkey_only": {"o_custkey": ck_box},
         "day_only": {"day_ord": day_box},
@@ -106,7 +135,7 @@ def main() -> int:
     }
 
     out = {
-        "sf": args.sf,
+        "sf": tag if args.synthetic_lines else args.sf,
         "n_rows": orders.count(),
         "n_files": N_FILES,
     }
