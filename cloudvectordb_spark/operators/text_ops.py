@@ -935,13 +935,57 @@ def nonascii_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge of the symbol sequences. Deterministic by construction (count
 # desc, then lexicographic pair tiebreak), so reruns are bit-identical —
 # pytest-gated (tests/test_operators.py) like the other iterative
-# algorithms (connected components, PageRank); no SQL oracle: the merge
-# recurrence is the documented WITH-RECURSIVE boundary (SCALE.md).
+# algorithms (connected components, PageRank) — AND, because the round
+# count is fixed, the whole loop unrolls into a value-level DuckDB
+# oracle (_BPE_ORACLE below): greedy left-to-right pair merging is
+# string replace() on a space-separated symbol representation.
 # ---------------------------------------------------------------------------
 _BPE_ROUNDS = 5
 
 
-@query("bpe_train_merges", oracle=None, operators=("K1", "K2", "D1", "L3"))
+def _bpe_oracle_stage(r: int) -> str:
+    return f"""
+pairs{r} AS (
+  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, unnest(list_zip(syms, syms[2:])) AS pair
+    FROM (SELECT freq, string_split(trim(rep), ' ') AS syms FROM vocab{r})
+  ) p
+  WHERE p.pair[2] IS NOT NULL
+  GROUP BY 1, 2
+), best{r} AS (
+  SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
+), vocab{r + 1} AS (
+  SELECT word, freq,
+         replace(rep, ' ' || best{r}.a || ' ' || best{r}.b || ' ',
+                 ' ' || best{r}.a || best{r}.b || ' ') AS rep
+  FROM vocab{r} CROSS JOIN best{r}
+)"""
+
+
+# The FULL merge loop has a value-level oracle: fixed rounds unroll into
+# chained CTE stages, and the greedy left-to-right non-overlapping pair
+# merge is exactly SQL replace() on a space-separated symbol string
+# (both scan leftmost-first and restart after the replacement).
+_BPE_ORACLE = (
+    """WITH vocab0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         ' ' || array_to_string(regexp_split_to_array(word, ''), ' ') || ' ' AS rep
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),"""
+    + ",".join(_bpe_oracle_stage(r) for r in range(_BPE_ROUNDS))
+    + "\nSELECT * FROM (\n"
+    + " UNION ALL ".join(
+        f'SELECT CAST({r + 1} AS BIGINT) AS merge_rank, a AS "left",'
+        f' b AS "right", a || b AS merged, cnt AS pair_count FROM best{r}'
+        for r in range(_BPE_ROUNDS)
+    )
+    + ")"
+)
+
+
+@query("bpe_train_merges", oracle=_BPE_ORACLE, operators=("K1", "K2", "D1", "L3"))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     vocab = (
