@@ -88,3 +88,29 @@ def test_no_operator_module_import_errors():
 
     registry.all_queries()
     assert registry.import_errors == {}, registry.import_errors
+
+
+def test_every_oracle_parses_in_duckdb():
+    """EXPLAIN every oracle SQL against the sf0.001 views — a seconds-fast
+    syntax/binder gate (the full value compare is tools/check_oracle.py;
+    this catches a broken oracle edit without a 13-minute sweep)."""
+    import duckdb
+
+    from cloudvectordb_spark.catalog import TABLES
+    from cloudvectordb_spark.registry import all_queries
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    bad = []
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        try:
+            con.execute("EXPLAIN " + spec.oracle)
+        except Exception as exc:  # noqa: BLE001
+            bad.append(f"{name}: {type(exc).__name__}: {str(exc)[:120]}")
+    assert not bad, "\n".join(bad)
