@@ -116,3 +116,20 @@ def test_dynamic_backfill_rewrites_only_bad_partition(spark, sf_dir):
     for part in before:
         if part != bad_part:
             assert before[part] == after[part], f"{part} was touched by backfill"
+
+
+def test_bloom_sizing_properties():
+    """Pure sizing function: power-of-two, >= 16 bits/key, monotone."""
+    from cloudvectordb_spark.operators.scale_patterns import (
+        _BITS_PER_KEY,
+        _MIN_BITS,
+        _bloom_bits_for,
+    )
+
+    prev = 0
+    for n in (1, 100, 4096, 127_622, 1_274_945, 10_000_000):
+        m = _bloom_bits_for(n)
+        assert m >= max(n * _BITS_PER_KEY, _MIN_BITS)
+        assert m & (m - 1) == 0  # power of two
+        assert m >= prev
+        prev = m
