@@ -441,25 +441,58 @@ _RERANK_C = 30
 
 def _stub_cross_encoder(probe_ids, neighbor_ids, first_scores) -> "np.ndarray":
     """Deterministic fake: monotone-ish in the retrieval score plus a
-    pair-keyed perturbation (crc32 — never Python hash(), which is
-    process-salted). Stands in for model.predict(pairs)."""
-    import zlib
+    pair-keyed md5 perturbation (never Python hash(), which is
+    process-salted). Linear on purpose — pure double arithmetic replays
+    bit-identically in the DuckDB oracle (a sigmoid would hinge the
+    value compare on libm exp() ULP parity); a real model returns
+    arbitrary floats through the identical plumbing."""
+    import hashlib
 
     import numpy as np
 
     noise = np.array(
         [
-            (zlib.crc32(f"{p}:{n}".encode()) % 1000) / 1000.0 - 0.5
+            (int(hashlib.md5(f"{p}:{n}".encode()).hexdigest()[:3], 16) % 1000)
+            / 1000.0
+            - 0.5
             for p, n in zip(probe_ids, neighbor_ids)
         ]
     )
-    logits = 8.0 * np.asarray(first_scores, dtype=np.float64) + 0.2 * noise
-    return 1.0 / (1.0 + np.exp(-logits))
+    return 8.0 * np.asarray(first_scores, dtype=np.float64) + 0.2 * noise
 
 
 @query(
     "rerank_cross_encoder_topk",
-    oracle=None,  # stub model scores aren't SQL-expressible; shape pytest-gated
+    # The md5-noise linear stub replays exactly in SQL, so even the
+    # rerank stage has a value-level oracle (cosine round-6 parity is
+    # proven by knn_exact_cosine; the hex digits decode via strpos).
+    oracle="""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id < 3
+    ), cands AS (
+      SELECT probe_id, neighbor_id, score FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY probe_id
+                     ORDER BY score DESC, neighbor_id) AS rn
+        FROM (
+          SELECT p.probe_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
+                   AS score
+          FROM embeddings e, p WHERE e.vec_id <> p.probe_id
+        ) s
+      ) WHERE rn <= 30
+    ), scored AS (
+      SELECT probe_id, neighbor_id,
+             round(8.0 * score + 0.2 * ((((strpos('0123456789abcdef', substr(md5(probe_id || ':' || neighbor_id), 1, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(probe_id || ':' || neighbor_id), 2, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(probe_id || ':' || neighbor_id), 3, 1)) - 1)) % 1000) / 1000.0 - 0.5), 6) AS ce_score
+      FROM cands
+    )
+    SELECT probe_id, neighbor_id, ce_score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                  ORDER BY ce_score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
     operators=("K8", "E4", "L2", "L5"),
 )
 def rerank_cross_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
