@@ -439,11 +439,12 @@ def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S2 boundary note (K4): encoder training is NOT a DataFrame op. The
-# engine exports triplet shards (write_ivf_index-style A3 sink on
-# triplet_mining output) and hands off to
-# pyspark.ml.torch.distributor.TorchDistributor(...).run(train_fn).
-# No GPU in CI — documented, unit-tested only for the export step.
+# S2 handoff (K4): the engine exports triplet shards (A3 sink on
+# triplet_mining output) and trains on them. The EXECUTED path is
+# training.train_encoder_spark (distributed local-SGD + per-round model
+# averaging on Spark tasks — convergence and bit-determinism gated in
+# tests/test_training.py); TorchDistributor(...).run(train_fn) is the
+# documented swap-in for torch/GPU clusters (torch absent here).
 # ---------------------------------------------------------------------------
 def export_triplet_shards(triplets: DataFrame, path: str, num_shards: int = 8) -> None:
     """S1->S2 handoff: balanced parquet shards for the training job."""
