@@ -402,3 +402,73 @@ def trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_partkey").cast("long").alias("min_key"),
         F.max("p_partkey").cast("long").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed skyline (Pareto frontier): lineitems no other lineitem
+# beats on BOTH price (lower) and quantity (higher), strictly. The
+# classic two-level plan: every partition computes its LOCAL frontier
+# (any globally non-dominated point is locally non-dominated, so the
+# union of local frontiers is a provable superset), then one bounded
+# pass merges the candidates. No global sort, no single-partition window
+# — level 1 is embarrassingly parallel and level 2 touches only frontier
+# candidates (≈ |frontier| × n_partitions worst case, frontier-sized in
+# practice).
+# ---------------------------------------------------------------------------
+def _skyline_pdf(rows):
+    """Strict-in-both dominance frontier of one pandas frame."""
+    rows = rows.sort_values(["price", "l_orderkey", "l_linenumber"])
+    keep, run_max = [], float("-inf")
+    for price, grp in rows.groupby("price", sort=True):
+        keep.append(grp[grp["qty"] > run_max])
+        run_max = max(run_max, float(grp["qty"].max()))
+    import pandas as pd
+
+    return pd.concat(keep) if keep else rows.iloc[0:0]
+
+
+@query(
+    "pareto_frontier_lineitems",
+    oracle="""
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice AS price, l_quantity AS qty
+      FROM lineitem
+    ), pm AS (
+      SELECT price, max(qty) AS gqty FROM pts GROUP BY price
+    ), rm AS (
+      SELECT price,
+             max(gqty) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM pm
+    )
+    SELECT p.l_orderkey, p.l_linenumber,
+           round(p.price, 2) AS price, p.qty
+    FROM pts p JOIN rm ON p.price = rm.price
+    WHERE rm.prev_max IS NULL OR p.qty > rm.prev_max
+    """,
+    operators=("F1", "L5", "B2"),
+)
+def pareto_frontier_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+    schema = "l_orderkey long, l_linenumber int, price double, qty double"
+
+    def local_frontier(batches):
+        import pandas as pd
+
+        part = pd.concat(list(batches), ignore_index=True)
+        if len(part):
+            yield _skyline_pdf(part)
+
+    candidates = li.mapInPandas(local_frontier, schema)
+    # level 2: bounded candidate set, single narrow task (coalesce is not
+    # an exchange; candidates ≈ frontier-sized)
+    final = candidates.coalesce(1).mapInPandas(local_frontier, schema)
+    return final.select(
+        "l_orderkey", "l_linenumber", F.round("price", 2).alias("price"), "qty"
+    )

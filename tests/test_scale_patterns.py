@@ -133,3 +133,17 @@ def test_bloom_sizing_properties():
         assert m & (m - 1) == 0  # power of two
         assert m >= prev
         prev = m
+
+
+def test_pareto_frontier_no_dominated_rows(spark, sf_dir):
+    from cloudvectordb_spark.operators.scale_patterns import (
+        pareto_frontier_lineitems,
+    )
+
+    rows = pareto_frontier_lineitems(spark, sf_dir).collect()
+    assert rows
+    pts = [(r.price, r.qty) for r in rows]
+    for p, q in pts:
+        assert not any(
+            (p2 < p and q2 > q) for p2, q2 in pts
+        ), "frontier contains a strictly dominated point"
