@@ -416,15 +416,28 @@ def trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # practice).
 # ---------------------------------------------------------------------------
 def _skyline_pdf(rows):
-    """Strict-in-both dominance frontier of one pandas frame."""
-    rows = rows.sort_values(["price", "l_orderkey", "l_linenumber"])
-    keep, run_max = [], float("-inf")
-    for price, grp in rows.groupby("price", sort=True):
-        keep.append(grp[grp["qty"] > run_max])
-        run_max = max(run_max, float(grp["qty"].max()))
-    import pandas as pd
+    """Strict-in-both dominance frontier of one pandas frame.
 
-    return pd.concat(keep) if keep else rows.iloc[0:0]
+    Vectorized (numpy cummax + group-boundary lookup): a per-price-group
+    Python loop measured 10+ minutes on a 6M-row probe; this form does
+    the same partition in seconds. Ties on price never dominate each
+    other — each row compares against the running max of STRICTLY
+    cheaper rows only.
+    """
+    import numpy as np
+
+    rows = rows.sort_values(["price", "l_orderkey", "l_linenumber"])
+    price = rows["price"].to_numpy()
+    qty = rows["qty"].to_numpy(dtype=float)
+    if len(rows) == 0:
+        return rows
+    cummax = np.maximum.accumulate(qty)
+    new_group = np.r_[True, price[1:] != price[:-1]]
+    group_id = np.cumsum(new_group) - 1
+    group_start = np.flatnonzero(new_group)
+    prev_end = group_start[group_id] - 1
+    prev_max = np.where(prev_end >= 0, cummax[np.maximum(prev_end, 0)], -np.inf)
+    return rows[qty > prev_max]
 
 
 @query(
