@@ -949,7 +949,7 @@ pairs{r} AS (
   SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
   FROM (
     SELECT freq, unnest(list_zip(syms, syms[2:])) AS pair
-    FROM (SELECT freq, string_split(trim(rep), ' ') AS syms FROM vocab{r})
+    FROM (SELECT freq, string_split(trim(rep), '  ') AS syms FROM vocab{r})
   ) p
   WHERE p.pair[2] IS NOT NULL
   GROUP BY 1, 2
@@ -957,7 +957,7 @@ pairs{r} AS (
   SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
 ), vocab{r + 1} AS (
   SELECT word, freq,
-         replace(rep, ' ' || best{r}.a || ' ' || best{r}.b || ' ',
+         replace(rep, ' ' || best{r}.a || '  ' || best{r}.b || ' ',
                  ' ' || best{r}.a || best{r}.b || ' ') AS rep
   FROM vocab{r} CROSS JOIN best{r}
 )"""
@@ -965,12 +965,18 @@ pairs{r} AS (
 
 # The FULL merge loop has a value-level oracle: fixed rounds unroll into
 # chained CTE stages, and the greedy left-to-right non-overlapping pair
-# merge is exactly SQL replace() on a space-separated symbol string
-# (both scan leftmost-first and restart after the replacement).
+# merge is SQL replace() on a DOUBLE-space-delimited symbol string whose
+# match pattern consumes only the inner half of each boundary
+# (' a  b ' -> ' ab '). With single spaces, adjacent occurrences share
+# the delimiter and replace() under-merges ('abab' kept ' ab a b ' while
+# the Spark loop produced ['ab','ab'] — the round-4 advisor finding);
+# with half-consumed double boundaries every greedy left-to-right match
+# has its own delimiters, so the two scans agree on all inputs
+# (tests/test_operators.py::test_bpe_oracle_adjacent_repeats).
 _BPE_ORACLE = (
     """WITH vocab0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq,
-         ' ' || array_to_string(regexp_split_to_array(word, ''), ' ') || ' ' AS rep
+         '  ' || array_to_string(regexp_split_to_array(word, ''), '  ') || '  ' AS rep
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   GROUP BY word
 ),"""

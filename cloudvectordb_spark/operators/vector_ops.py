@@ -1169,8 +1169,8 @@ def jl_projection_distance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.vec_id
     ), coarse AS (
       SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-             sqrt(list_sum(list_transform(list_zip(p.jl, c.jl),
-                  z -> (z[1] - z[2]) * (z[1] - z[2])))) AS d16
+             round(sqrt(list_sum(list_transform(list_zip(p.jl, c.jl),
+                  z -> (z[1] - z[2]) * (z[1] - z[2])))), 6) AS d16
       FROM proj p JOIN proj c ON p.vec_id < 3 AND c.vec_id <> p.vec_id
     ), cands AS (
       SELECT probe_id, cand_id FROM (
@@ -1215,13 +1215,18 @@ def jl_prefilter_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # d16 rounds to 6 BEFORE the rank cut on both sides: DuckDB's grouped
+    # sum and Spark's sequential fold can differ in the last ulp, and an
+    # unrounded near-tie at the C=50 boundary would flip the candidate
+    # set (round-4 advisor finding) — same rounded-score discipline as
+    # exact_knn.
     coarse = (
         proj.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("cand_id"),
-            l2("jl", "pjl").alias("d16"),
+            F.round(l2("jl", "pjl"), 6).alias("d16"),
             "v",
             "pv",
         )

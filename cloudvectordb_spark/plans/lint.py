@@ -75,10 +75,60 @@ def single_partition_windows(physical_plan: str) -> int:
     return n
 
 
+# Nodes that bound the rows feeding a single-partition exchange: partial
+# aggregates (k rows per task), limits, top-k merges, or a reuse of an
+# exchange already audited at its definition site.
+_BOUNDED_FEEDER = re.compile(
+    r"(HashAggregate|SortAggregate|ObjectHashAggregate|CollectLimit"
+    r"|GlobalLimit|LocalLimit|TakeOrderedAndProject|ReusedExchange|Subquery)"
+)
+
+
+def unbounded_single_partition_exchanges(plan: str) -> int:
+    """Count ``Exchange SinglePartition`` nodes whose IMMEDIATE child is
+    not a bounding node (round-4 advisor: the old check whitelisted every
+    single-partition exchange if ANY aggregate appeared anywhere in the
+    plan string — the bound must be scoped to the subtree feeding each
+    exchange).
+
+    Handles both plan formats: ``executedPlan().toString()`` (the node
+    line itself says ``Exchange SinglePartition`` and its child is the
+    next, deeper-indented line) and ``explain("formatted")`` (the tree
+    says ``Exchange (n)`` and the partitioning lives in a later
+    ``(n) Exchange / Arguments: SinglePartition`` detail block — which
+    the old substring test could never even see).
+    """
+    lines = plan.splitlines()
+    # formatted-explain detail blocks -> ids of SinglePartition exchanges
+    sp_ids: set[str] = set()
+    for i, ln in enumerate(lines):
+        m = re.match(r"\((\d+)\) Exchange\b", ln.strip())
+        if not m:
+            continue
+        for det in lines[i + 1 : i + 8]:
+            if det.strip().startswith("Arguments:"):
+                if "SinglePartition" in det:
+                    sp_ids.add(m.group(1))
+                break
+    bad = 0
+    for i, ln in enumerate(lines):
+        is_tostring_sp = "Exchange SinglePartition" in ln
+        m = re.search(r"Exchange \((\d+)\)\s*$", ln)
+        is_formatted_sp = bool(m and m.group(1) in sp_ids)
+        if not (is_tostring_sp or is_formatted_sp):
+            continue
+        child = lines[i + 1].strip() if i + 1 < len(lines) else ""
+        child = child.lstrip("+-:* ")
+        if not _BOUNDED_FEEDER.match(child):
+            bad += 1
+    return bad
+
+
 def audit_plan(
     plan: str, *, allow_cartesian: bool = False
 ) -> tuple[list[str], list[str]]:
-    """Return (hard_flags, soft_flags) for one formatted plan string."""
+    """Return (hard_flags, soft_flags) for one plan string (either
+    ``explain("formatted")`` output or ``executedPlan().toString()``)."""
     flags: list[str] = []
     soft: list[str] = []
     for f in HARD_FLAGS:
@@ -87,11 +137,11 @@ def audit_plan(
     for f in SOFT_FLAGS:
         if f in plan:
             soft.append(f)
-    # single-partition exchanges: fine for bounded inputs (top-k merges,
-    # <=256-row bucket tables); flag only when the plan ALSO shows a
-    # corpus-sized scan flowing into it with no intervening aggregate.
-    n_single = plan.count("Exchange SinglePartition")
-    if n_single and "TakeOrderedAndProject" not in plan:
-        if not re.search(r"(HashAggregate|CollectLimit|GlobalLimit)", plan):
-            flags.append("Exchange SinglePartition (unbounded?)")
+    # single-partition exchanges: fine when the subtree FEEDING each one
+    # is bounded (partial aggregate, limit, top-k merge); flagged
+    # per-exchange otherwise — never whitelisted by an unrelated
+    # aggregate elsewhere in the plan.
+    n_bad = unbounded_single_partition_exchanges(plan)
+    if n_bad:
+        flags.append(f"Exchange SinglePartition (unbounded?) x{n_bad}")
     return flags, soft

@@ -1,10 +1,14 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from cloudvectordb_spark.session import get_session
 
-SF_DIR = "/root/testdata/sf0.001"
+# Overridable so the suite runs on any machine layout / scale factor
+# (round-4 advisor item 5: no silent dependence on this host's paths).
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

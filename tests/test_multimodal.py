@@ -94,3 +94,51 @@ def test_decode_image_works_with_or_without_pil():
         assert real.shape == (16, 16)
         # a real decode must NOT equal the byte-reinterpretation fallback
         assert not (real == fake_decode_image(buf.getvalue(), width=16)).all()
+
+
+def test_parse_netpbm_real_decode_in_this_container():
+    """Round-4 verdict item 4: a REAL decode must execute here (no PIL,
+    no codec libs). P6 header tokenization incl. comments, BT.601 integer
+    luma, and the resized decode_image path must all differ from the
+    byte-reinterpretation fallback on the same payload."""
+    import numpy as np
+
+    from cloudvectordb_spark.operators.multimodal import (
+        _nearest_resize,
+        decode_image,
+        fake_decode_image,
+        parse_netpbm,
+    )
+
+    # P6 with comment: 2x2 RGB — known luma values
+    rgb = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255])
+    p6 = b"P6\n# a comment\n2 2\n255\n" + rgb
+    img = parse_netpbm(p6)
+    assert img.shape == (2, 2)
+    assert img.tolist() == [
+        [(299 * 255) // 1000, (587 * 255) // 1000],
+        [(114 * 255) // 1000, 255],  # weights sum to 1000 => white stays 255
+    ]
+
+    # P5 grayscale passes through untouched
+    p5 = b"P5 4 1 255 " + bytes([0, 64, 128, 255])
+    assert parse_netpbm(p5).tolist() == [[0, 64, 128, 255]]
+
+    # decode_image must take the REAL branch for the PPM payload: equal
+    # to the parsed+resized image, distinct from the fallback
+    w = 16
+    big = b"P6\n8 8\n255\n" + bytes(range(192))
+    via_decode = decode_image(big, width=w)
+    assert (via_decode == _nearest_resize(parse_netpbm(big), w)).all()
+    assert not (via_decode == fake_decode_image(big, width=w)).all()
+
+    # malformed payloads fall back, never raise
+    for bad in (b"P6\n8 8\n255\n" + bytes(10), b"P7 1 1 255 x", b"hello"):
+        out = decode_image(bad, width=w)
+        assert out.shape == (w, w)
+        assert (out == fake_decode_image(bad, width=w)).all()
+
+    # nearest resize is deterministic subsampling
+    base = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    down = _nearest_resize(base, 4)
+    assert down.tolist() == base[::2, ::2].tolist()

@@ -136,3 +136,57 @@ def test_bpe_train_merges_deterministic_and_monotone(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
     for _, left, right, merged, _ in r1:
         assert merged == left + right
+
+
+def test_bpe_oracle_adjacent_repeats():
+    """Round-4 advisor finding: the single-space replace() oracle
+    under-merged adjacent repeated pair occurrences ('abab' -> ' ab a b ')
+    because consecutive matches shared the delimiter space. The
+    double-space / half-consumed-boundary oracle must agree with the
+    Spark merge loop's greedy left-to-right scan on exactly those
+    corpora (pure-Python reference of merge_batch, DuckDB-only — no
+    Spark session needed)."""
+    import collections
+
+    import duckdb
+
+    from cloudvectordb_spark.operators.text_ops import _BPE_ORACLE, _BPE_ROUNDS
+
+    def greedy_reference(texts: list[str]) -> list[tuple]:
+        vocab = collections.Counter(w for t in texts for w in t.split(" "))
+        reps = {w: list(w) for w in vocab}
+        merges = []
+        for rank in range(_BPE_ROUNDS):
+            cnt: collections.Counter = collections.Counter()
+            for w, f in vocab.items():
+                s = reps[w]
+                for i in range(len(s) - 1):
+                    cnt[(s[i], s[i + 1])] += f
+            if not cnt:
+                break
+            (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank + 1, a, b, a + b, c))
+            for w in reps:
+                s, res, i = reps[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                reps[w] = res
+        return merges
+
+    cases = [
+        ["abab abab abab aaaa", "abab aaaa aa"],  # the advisor's repro shapes
+        ["aaaa aaaa aaaaa", "aa a"],
+        ["xyxyxy xyxy", "xy yx"],
+    ]
+    for texts in cases:
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(text VARCHAR)")
+        for t in texts:
+            con.execute("INSERT INTO documents VALUES (?)", [t])
+        duck = [tuple(r) for r in con.execute(_BPE_ORACLE + " ORDER BY merge_rank").fetchall()]
+        assert duck == greedy_reference(texts), texts

@@ -90,20 +90,27 @@ def test_no_operator_module_import_errors():
     assert registry.import_errors == {}, registry.import_errors
 
 
-def test_every_oracle_parses_in_duckdb():
-    """EXPLAIN every oracle SQL against the sf0.001 views — a seconds-fast
+def test_every_oracle_parses_in_duckdb(sf_dir):
+    """EXPLAIN every oracle SQL against the fixture views — a seconds-fast
     syntax/binder gate (the full value compare is tools/check_oracle.py;
-    this catches a broken oracle edit without a 13-minute sweep)."""
+    this catches a broken oracle edit without a 13-minute sweep). Uses
+    the shared sf_dir fixture (round-4 advisor item 5: no hardcoded
+    machine path) and skips loudly if the parquet fixtures are absent."""
+    import os
+
     import duckdb
+    import pytest
 
     from cloudvectordb_spark.catalog import TABLES
     from cloudvectordb_spark.registry import all_queries
 
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        pytest.skip(f"fixture parquet absent under {sf_dir}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM"
-            f" read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
         )
     bad = []
     for name, spec in all_queries().items():

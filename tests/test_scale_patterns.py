@@ -119,20 +119,25 @@ def test_dynamic_backfill_rewrites_only_bad_partition(spark, sf_dir):
 
 
 def test_bloom_sizing_properties():
-    """Pure sizing function: power-of-two, >= 16 bits/key, monotone."""
+    """Pure sizing function: power-of-two, >= 16 bits/key until the cap,
+    monotone, and CAPPED at _MAX_BITS so the driver collect/broadcast is
+    bounded at any build-side cardinality (round-4 verdict item 3)."""
     from cloudvectordb_spark.operators.scale_patterns import (
         _BITS_PER_KEY,
+        _MAX_BITS,
         _MIN_BITS,
         _bloom_bits_for,
     )
 
     prev = 0
-    for n in (1, 100, 4096, 127_622, 1_274_945, 10_000_000):
+    for n in (1, 100, 4096, 127_622, 1_274_945, 10_000_000, 1_000_000_000):
         m = _bloom_bits_for(n)
-        assert m >= max(n * _BITS_PER_KEY, _MIN_BITS)
+        assert m >= min(max(n * _BITS_PER_KEY, _MIN_BITS), _MAX_BITS)
+        assert m <= _MAX_BITS  # bounded driver state at ANY cardinality
         assert m & (m - 1) == 0  # power of two
         assert m >= prev
         prev = m
+    assert _bloom_bits_for(10**12) == _MAX_BITS
 
 
 def test_pareto_frontier_no_dominated_rows(spark, sf_dir):

@@ -343,3 +343,36 @@ def test_audit_plan_classification():
     # …and flagged when nothing bounds it.
     unbounded = "Exchange SinglePartition\n+- Project\n+- Scan parquet"
     assert any("SinglePartition" in f for f in audit_plan(unbounded)[0])
+    # Round-4 advisor: the bound is scoped to the subtree FEEDING each
+    # exchange — an unrelated aggregate elsewhere must not whitelist it.
+    mixed = (
+        "HashAggregate(keys=[x])\n"
+        "+- Exchange SinglePartition\n"
+        "   +- Project\n"
+        "      +- Scan parquet"
+    )
+    assert any("SinglePartition" in f for f in audit_plan(mixed)[0])
+    # …and a bounded + an unbounded one in the same plan flags exactly 1.
+    both = (
+        "Exchange SinglePartition\n+- HashAggregate(keys=[])\n"
+        "+- Exchange SinglePartition\n+- Project\n+- Scan parquet"
+    )
+    assert any("x1" in f for f in audit_plan(both)[0])
+
+    # formatted-explain form: partitioning lives in the detail block, not
+    # the tree line — the old substring check could never see it.
+    fmt = (
+        "== Physical Plan ==\n"
+        "AdaptiveSparkPlan (5)\n"
+        "+- HashAggregate (4)\n"
+        "   +- Exchange (3)\n"
+        "      +- Project (2)\n"
+        "         +- Scan parquet (1)\n"
+        "\n"
+        "(3) Exchange\n"
+        "Input [1]: [sum#5L]\n"
+        "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=11]\n"
+    )
+    assert any("SinglePartition" in f for f in audit_plan(fmt)[0])
+    fmt_ok = fmt.replace("Project (2)", "HashAggregate (2)")
+    assert audit_plan(fmt_ok)[0] == []

