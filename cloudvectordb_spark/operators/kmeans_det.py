@@ -1,0 +1,205 @@
+"""Engine-owned deterministic Lloyd's k-means (K9 coarse quantizer).
+
+Replaces MLlib KMeans in the IVF build so the ENTIRE index family is
+value-oracle-checkable: MLlib's kmeans|| init consumes an RNG DuckDB
+cannot replay, while this trainer derives everything from the data —
+
+- INIT: the k vectors whose ``md5(seed || '|' || vec_id)`` hex digests
+  sort smallest become centroids 0..k-1 (a deterministic "random" pick;
+  md5 is uniform, so this is reservoir-free uniform sampling both
+  engines compute identically);
+- FIT SAMPLE: vectors with ``vec_id < fit_cap`` (like the PQ trainer's
+  pinned sample). At fixture scale the cap is a no-op; at 100 TB you'd
+  swap in a hash-mod sample (``xxhash64(id) % s = 0``) — centroid
+  quality converges long before the corpus does either way;
+- ROUNDS: exactly ``rounds`` Lloyd updates. Distances round to 6
+  decimals before the argmin (ties break on centroid_id) and centroid
+  means round to 6 decimals after each update, so Spark's fold order
+  and DuckDB's list_sum agree bit-for-bit at the compared precision;
+- the same fixed recipe unrolls into DuckDB CTE stages
+  (``kmeans_cte_sql``) exactly like the BPE trainer's unrolled merge
+  rounds — the trick that turns an iterative algorithm into a full
+  value-level oracle.
+
+Scale shape: each round is one narrow projection + one groupBy over
+(cid, dim) — k*dim rows cross the exchange; centroids (k*dim doubles)
+live on the driver between rounds, the same topology MLlib itself uses.
+The per-round driver state is bounded by k*dim, never by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 8
+DEFAULT_ROUNDS = 3
+DEFAULT_FIT_CAP = 100_000
+
+Centroids = list[tuple[int, list[float]]]  # (cid, vector) sorted by cid
+
+
+def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
+    """round(sum((v_j - c_j)^2), 6) with literal centroid components —
+    stays inside whole-stage codegen, no Python boundary."""
+    carr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec_col.cast("array<double>"), carr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+
+
+def _dist_structs(vec_col: Column, cents: Centroids) -> list[Column]:
+    return [
+        F.struct(_sq_dist(vec_col, c).alias("d"), F.lit(cid).alias("cid"))
+        for cid, c in cents
+    ]
+
+
+def assign_cells(
+    df: DataFrame, cents: Centroids, vec_col: str = "embedding", out: str = "centroid_id"
+) -> DataFrame:
+    """Nearest-centroid id per row (argmin on rounded distance, ties to
+    the smaller cid — array_min over (d, cid) structs encodes exactly
+    that total order)."""
+    best = F.array_min(F.array(*_dist_structs(F.col(vec_col), cents)))
+    return df.withColumn(out, best["cid"])
+
+
+def assign_top2_cells(
+    df: DataFrame, cents: Centroids, vec_col: str = "embedding", out: str = "centroid_id"
+) -> DataFrame:
+    """Multi-probe assignment: one row per (vector, cell) for the 2
+    nearest cells — near-dup pairs straddling a cell boundary still
+    co-occur somewhere."""
+    ranked = F.slice(F.array_sort(F.array(*_dist_structs(F.col(vec_col), cents))), 1, 2)
+    return df.withColumn(out, F.explode(F.transform(ranked, lambda s: s["cid"])))
+
+
+def seed_centroids(
+    emb: DataFrame,
+    k: int,
+    seed: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Centroids:
+    """The k corpus vectors with the smallest md5(seed|id) digests, in
+    digest order — a TakeOrdered of k rows (bounded driver collect)."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .withColumn(
+            "h", F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+        )
+        .orderBy("h", id_col)
+        .limit(k)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def lloyd_centroids(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    seed: int = 42,
+    rounds: int = DEFAULT_ROUNDS,
+    fit_cap: int = DEFAULT_FIT_CAP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Centroids:
+    """Fixed-round Lloyd's on the pinned fit sample. Returns the final
+    centroid list (components rounded to 6 decimals). Empty cells drop
+    (both engines lose them identically in the grouped mean)."""
+    fit = emb.filter(F.col(id_col) < fit_cap).select(id_col, vec_col)
+    cents = seed_centroids(fit, k, seed, id_col, vec_col)
+    for _ in range(rounds):
+        asg = assign_cells(fit, cents, vec_col)
+        upd = (
+            asg.select("centroid_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()  # bounded: k * dim rows
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cid.setdefault(r["centroid_id"], {})[r["dim"]] = r["m"]
+        cents = [
+            (cid, [dims[i] for i in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+        ]
+    return cents
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin: the same recipe unrolled into CTE stages.
+# ---------------------------------------------------------------------------
+def kmeans_cte_sql(
+    k: int = DEFAULT_K,
+    seed: int = 42,
+    rounds: int = DEFAULT_ROUNDS,
+    fit_cap: int = DEFAULT_FIT_CAP,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """CTE text (no leading WITH) defining:
+
+    - ``km_emb``  (vec_id, v DOUBLE[])          — the full corpus
+    - ``km_c{rounds}`` (cid, v)                 — final centroids
+    - ``km_assign`` (vec_id, v, cid)            — final full-corpus cells
+
+    Append further CTEs / a SELECT after it. Mirrors ``lloyd_centroids``
+    + ``assign_cells`` stage for stage: same seed digests, same rounded
+    distances and means, same tie-breaks.
+    """
+    d2 = (
+        "round(list_sum(list_transform(list_zip(e.v, c.v),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    parts = [
+        f"""km_emb AS (
+      SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+    )""",
+        f"""km_fit AS (
+      SELECT * FROM km_emb WHERE vec_id < {fit_cap}
+    )""",
+        f"""km_c0 AS (
+      SELECT CAST(rn - 1 AS INTEGER) AS cid, v FROM (
+        SELECT v, row_number() OVER (
+          ORDER BY md5('{seed}|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM km_fit
+      ) WHERE rn <= {k}
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""km_a{r} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+        FROM km_fit e, km_c{r - 1} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""km_c{r} AS (
+      SELECT cid, list(m ORDER BY i) AS v FROM (
+        SELECT a.cid, t.i, round(avg(a.v[t.i]), 6) AS m
+        FROM km_a{r} a, range(1, {dim + 1}) t(i)
+        GROUP BY a.cid, t.i
+      ) GROUP BY cid
+    )"""
+        )
+    parts.append(
+        f"""km_assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+        FROM km_emb e, km_c{rounds} c
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)

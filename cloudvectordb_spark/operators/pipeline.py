@@ -154,38 +154,36 @@ def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S4 / K9: IVF index build — KMeans centroids + partitioned layout.
-# Build ONCE, persist, search many times: the "vectordb" is the layout.
+# S4 / K9: IVF index build — engine-owned deterministic Lloyd's k-means
+# (operators.kmeans_det) + partitioned layout. Build ONCE, persist,
+# search many times: the "vectordb" is the layout. The fixed-round
+# md5-seeded trainer replaces MLlib KMeans so every downstream IVF query
+# carries a FULL value-level DuckDB oracle (the trainer's rounds unroll
+# into CTE stages — see kmeans_det.kmeans_cte_sql).
 # ---------------------------------------------------------------------------
-_IVF_SAMPLE_CAP = 100_000  # fit KMeans on at most this many vectors
+_IVF_ROUNDS = 3
 
 
 def build_ivf_assignments(
-    emb: DataFrame, k: int = 8, seed: int = 42
+    emb: DataFrame, k: int = 8, seed: int = 42, rounds: int = _IVF_ROUNDS
 ) -> tuple[DataFrame, DataFrame]:
     """Assign every vector to a centroid partition (K9).
 
-    Returns (assignments, centroids). KMeans fits on a bounded SAMPLE
-    (centroid quality converges long before 100 TB of input); the full
-    corpus then gets one narrow model.transform pass — no shuffle until
-    the partitionBy write.
+    Returns (assignments, centroids). The trainer fits on a pinned
+    bounded sample (centroid quality converges long before 100 TB of
+    input); the full corpus then gets one narrow assignment projection —
+    no shuffle until the partitionBy write. Centroids between rounds are
+    k*dim doubles on the driver, the same topology MLlib uses.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = emb.withColumn("features", array_to_vector("embedding"))
-    n = emb.count()
-    fit_on = (
-        feat
-        if n <= _IVF_SAMPLE_CAP
-        else feat.sample(False, _IVF_SAMPLE_CAP / n, seed=seed)
+    from cloudvectordb_spark.operators.kmeans_det import (
+        assign_cells,
+        lloyd_centroids,
     )
-    model = KMeans(
-        k=k, seed=seed, featuresCol="features", predictionCol="centroid_id"
-    ).fit(fit_on)
-    assigned = model.transform(feat).drop("features")
+
+    cents = lloyd_centroids(emb, k=k, seed=seed, rounds=rounds)
+    assigned = assign_cells(emb, cents)
     centroids = emb.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(cid, c) for cid, c in cents],
         schema="centroid_id int, centroid array<double>",
     )
     return assigned, centroids
@@ -206,14 +204,16 @@ def ensure_ivf_index(
 ) -> str:
     """Build the IVF index for ``sf_dir`` if absent (or stale vs the
     source parquet's mtime) and return its path. Search queries read this
-    persisted layout — repeat searches never refit KMeans, exactly like a
-    real index life-cycle (bulk build S4, then many probe scans)."""
+    persisted layout — repeat searches never refit the trainer, exactly
+    like a real index life-cycle (bulk build S4, then many probe scans)."""
     import hashlib
     import os
     import tempfile
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{k}|{seed}".encode()).hexdigest()[:10]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{k}|{seed}|lloyd{_IVF_ROUNDS}".encode()
+    ).hexdigest()[:10]
     tag = f"{key}_{int(os.path.getmtime(src))}"
     path = os.path.join(tempfile.gettempdir(), "cloudvectordb_ivf", tag)
     marker = os.path.join(path, "_BUILT")
@@ -241,60 +241,94 @@ def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
     )
 
 
+from cloudvectordb_spark.operators.kmeans_det import kmeans_cte_sql as _kmeans_cte_sql
+
+# The default IVF trainer's DuckDB CTE block (k=8, seed=42, 3 rounds) —
+# the oracle twin of ``ensure_ivf_index``'s layout.
+_KM_CTES = _kmeans_cte_sql(k=8, seed=42, rounds=_IVF_ROUNDS)
+
+# rounded squared distance between a corpus row e and centroid row c —
+# the same 6-decimal argmin key both engines rank on
+_KM_D2 = (
+    "round(list_sum(list_transform(list_zip(e.v, c.v),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+)
+
+
 @query(
     "ivf_assignment_counts",
-    # The per-cell histogram depends on the seeded KMeans layout, but its
-    # INVARIANTS are SQL-checkable: every corpus vector is assigned to
-    # exactly one cell (sum == corpus count) and the number of non-empty
-    # cells is within [1, k]. The hash matches only if both hold.
-    oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS total_vectors,
-           true AS cells_within_k
-    FROM embeddings
+    # Deterministic trainer => the EXACT per-cell histogram is the oracle
+    # (upgraded from the round-4 invariant check).
+    oracle=f"""
+    WITH {_KM_CTES}
+    SELECT CAST(cid AS INTEGER) AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM km_assign GROUP BY cid
     """,
     operators=("K9", "A3", "L4"),
 )
 def ivf_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, _ = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
-    per_cell = vectors.groupBy("centroid_id").agg(F.count("*").alias("n_vectors"))
-    return per_cell.agg(
-        F.sum("n_vectors").cast("bigint").alias("total_vectors"),
-        F.count("*").between(1, 8).alias("cells_within_k"),
+    return (
+        vectors.groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
     )
 
 
 @query(
     "ivf_topk_search",
-    oracle=None,  # depends on KMeans layout; recall-vs-exact is pytest-gated
+    # Full value oracle: the deterministic trainer's CTEs reproduce the
+    # layout, the probe->top-2-cell pruning, and the exact rescore.
+    oracle=f"""
+    WITH {_KM_CTES},
+    probe_cells AS (
+      SELECT DISTINCT cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c WHERE e.vec_id < 3
+      ) WHERE rn <= 2
+    ),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM km_emb WHERE vec_id < 3),
+    scored AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, p.pv), 6) AS score
+      FROM km_assign a, p
+      WHERE a.cid IN (SELECT cid FROM probe_cells)
+        AND a.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
     operators=("K9", "K8", "E4"),
     bench=True,
 )
 def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN search over the PERSISTED IVF layout:
-    1. probe -> nearest nprobe centroids (tiny broadcast crossJoin)
+    1. probe -> nearest 2 centroids (literal-centroid argsort, no join)
     2. the selected centroid ids become a LITERAL isin filter -> genuine
        partition pruning: non-selected partitions never leave disk
     3. BLAS-batch exact top-k (exact_knn_fast) over the pruned candidates
     Candidates are the union of all probes' cells — a superset per probe,
     which only improves recall; cost is |union cells| x n_probes in one
     matmul per Arrow batch instead of per-pair interpreted lambdas."""
-    from cloudvectordb_spark.functions import vector as V
+    from cloudvectordb_spark.operators.kmeans_det import assign_top2_cells
     from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
 
     vectors, centroids = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    cents = [
+        (r.centroid_id, list(r.centroid))
+        for r in sorted(centroids.collect(), key=lambda r: r.centroid_id)
+    ]
     probes = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 3)
-    pc = (
-        probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("cdist", V.l2_distance("pv", "centroid"))
-    )
-    wp = Window.partitionBy("probe_id").orderBy("cdist", "centroid_id")
     cell_ids = sorted(
         {
-            r.centroid_id
-            for r in pc.withColumn("crank", F.row_number().over(wp))
-            .filter(F.col("crank") <= 2)
-            .select("centroid_id")
+            r.cell
+            for r in assign_top2_cells(probes, cents, out="cell")
+            .select("cell")
             .collect()
         }
     )
@@ -314,26 +348,46 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "semantic_dup_pairs_ivf",
-    oracle=None,  # KMeans bucketing not SQL-replayable; recall pytest-gated
+    # Full value oracle: deterministic top-2 cell assignment => the exact
+    # candidate-pair set is SQL-replayable; precision is by construction
+    # (every emitted pair re-checks cos >= tau on the raw vectors).
+    oracle=f"""
+    WITH {_KM_CTES},
+    a2 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    )
+    SELECT c.a_id, c.b_id,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+    FROM cand c
+    JOIN km_emb ea ON ea.vec_id = c.a_id
+    JOIN km_emb eb ON eb.vec_id = c.b_id
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+    """,
     operators=("G6", "K9", "L3", "C10"),
     bench=True,
 )
 def semantic_dup_pairs_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.3) -> DataFrame:
-    from cloudvectordb_spark.functions import vector as V
+    from cloudvectordb_spark.operators.kmeans_det import assign_top2_cells
 
     vectors, centroids = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
-    # multi-probe assignment: each vector joins its 2 nearest centroids,
-    # so near-dup pairs straddling a cell boundary still co-occur somewhere
-    # (drop the stored single assignment; we recompute the top-2 here)
-    vc = (
-        vectors.drop("centroid_id").crossJoin(F.broadcast(centroids))
-        .withColumn("cdist", V.l2_distance("embedding", "centroid"))
-    )
-    w = Window.partitionBy("vec_id").orderBy("cdist", "centroid_id")
-    assigned2 = (
-        vc.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= 2)
-        .select("vec_id", "embedding", "centroid_id")
+    cents = [
+        (r.centroid_id, list(r.centroid))
+        for r in sorted(centroids.collect(), key=lambda r: r.centroid_id)
+    ]
+    # multi-probe assignment: each vector lands in its 2 nearest cells,
+    # so near-dup pairs straddling a cell boundary still co-occur
+    # somewhere. Literal-centroid argsort — no join, no window exchange.
+    assigned2 = assign_top2_cells(
+        vectors.drop("centroid_id").select("vec_id", "embedding"), cents
     )
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -373,7 +427,47 @@ def semantic_dup_pairs_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.3) -
 # ---------------------------------------------------------------------------
 @query(
     "semantic_canonical_clusters",
-    oracle=None,  # KMeans bucketing not SQL-replayable; vs-exact pytest-gated
+    # Full value oracle: the deterministic pair set feeds a recursive
+    # transitive closure (same pattern as dedup_canonical_clusters);
+    # Spark uses the scalable Pregel-style min-label propagation.
+    oracle=f"""
+    WITH RECURSIVE {_KM_CTES},
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    ),
+    pairs AS (
+      SELECT c.a_id, c.b_id FROM cand c
+      JOIN km_emb ea ON ea.vec_id = c.a_id
+      JOIN km_emb eb ON eb.vec_id = c.b_id
+      WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach (src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ),
+    members AS (
+      SELECT src AS vec_id, least(src, min(dst)) AS canonical_id
+      FROM reach GROUP BY src
+    )
+    SELECT vec_id, canonical_id,
+           CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+             AS cluster_size
+    FROM members
+    """,
     operators=("G6", "K9", "L3", "D1"),
 )
 def semantic_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,49 +486,99 @@ def semantic_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S4 alternative / K10: random-projection LSH bucket layout
+# S4 alternative / K10: random-projection LSH bucket layout. The
+# hyperplanes are md5-derived Rademacher (+-1) sign vectors — the same
+# replayable-projection trick as the JL tier (vector_ops.jl_project) —
+# so bucket ids, candidate sets, and search results all carry FULL
+# value-level DuckDB oracles (round 4's MLlib BucketedRandomProjectionLSH
+# consumed an RNG DuckDB could not replay; +-1 hyperplanes are a valid
+# p-stable-projection family for L2 just like Gaussian ones).
 # ---------------------------------------------------------------------------
+# 6 tables x bucketLength 0.75 measured recall 0.80 @ sf0.001 (floor
+# 0.6, tests/test_pipeline.py) — +-1 hyperplanes on this 10-cluster
+# unit-sphere fixture need wider buckets than Gaussian ones would
+_LSH_TABLES = 6
+_LSH_DIM = 64
+_LSH_BUCKET_LEN = 0.75
+
+
+def _lsh_sign(t: int, j: int) -> float:
+    import hashlib
+
+    return (
+        1.0
+        if hashlib.md5(f"lsh{t}_{j}".encode()).hexdigest()[0] in "02468ace"
+        else -1.0
+    )
+
+
+def lsh_bucket(vec_col: str, t: int):
+    """Bucket id for hash table ``t``: floor(round(<v, w_t>, 6) / L) with
+    the md5-derived sign vector w_t as a literal array — whole-stage
+    codegen, no Python. Rounding before floor pins the boundary so Spark
+    and DuckDB bucket identically."""
+    signs = F.array(*[F.lit(_lsh_sign(t, j)) for j in range(_LSH_DIM)])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), signs, lambda x, s: x * s),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    return F.floor(F.round(dot, 6) / F.lit(_LSH_BUCKET_LEN)).cast("long")
+
+
+def lsh_hashed(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One row per (vector, hash table): (.., table_id, bucket) — the
+    banded layout a bucket-join probe path consumes. At 100 TB this is a
+    narrow projection; the only shuffle is the downstream equi-join."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("table_id"),
+                lsh_bucket(vec_col, t).alias("bucket"),
+            )
+            for t in range(_LSH_TABLES)
+        ]
+    )
+    return df.withColumn("h", F.explode(entries)).select(
+        "*", F.col("h.table_id").alias("table_id"), F.col("h.bucket").alias("bucket")
+    ).drop("h")
+
+
+# DuckDB twin of lsh_hashed over the embeddings table: (vec_id, v,
+# table_id, bucket). GROUP BY sums the same rounded dot both engines rank.
+_LSH_CTES = f"""lsh_signs AS (
+      SELECT t.t, u.j,
+             CASE WHEN substr(md5('lsh' || t.t || '_' || u.j), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range({_LSH_TABLES}) t(t), range({_LSH_DIM}) u(j)
+    ),
+    lsh_b AS (
+      SELECT e.vec_id, CAST(s.t AS INTEGER) AS table_id,
+             CAST(floor(round(sum(CAST(e.embedding[s.j + 1] AS DOUBLE) * s.s), 6)
+                        / {_LSH_BUCKET_LEN}) AS BIGINT) AS bucket
+      FROM embeddings e, lsh_signs s
+      GROUP BY e.vec_id, s.t
+    )"""
+
+
 @query(
     "lsh_bucket_counts",
-    # Bucket boundaries depend on the seeded random projections, but the
-    # partition-of-corpus invariant is SQL-checkable: every vector hashes
-    # into EVERY table exactly once, so each table's bucket counts sum to
-    # the corpus size.
-    oracle="""
-    SELECT CAST(t.i AS INTEGER) AS table_id,
-           CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors
-    FROM (SELECT unnest(generate_series(0, 3)) AS i) t
+    # Deterministic hyperplanes => the EXACT per-(table, bucket)
+    # histogram is the oracle (upgraded from round 4's row-total check).
+    oracle=f"""
+    WITH {_LSH_CTES}
+    SELECT table_id, bucket, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM lsh_b GROUP BY table_id, bucket
     """,
     operators=("K10", "A3"),
 )
 def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "features", array_to_vector("embedding")
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=2.0,
-        numHashTables=4,
-        seed=42,
-    ).fit(emb)
-    from pyspark.ml.functions import vector_to_array
-
-    hashed = lsh.transform(emb)
-    exploded = hashed.select(
-        "vec_id", F.posexplode("hashes").alias("table_id", "h")
-    ).select(
-        "vec_id",
-        "table_id",
-        F.element_at(vector_to_array(F.col("h")), 1).cast("long").alias("bucket"),
-    )
+    emb = load(spark, sf_dir, "embeddings")
     return (
-        exploded.groupBy("table_id")
+        lsh_hashed(emb.select("vec_id", "embedding"))
+        .groupBy("table_id", "bucket")
         .agg(F.count("*").cast("bigint").alias("n_vectors"))
-        .orderBy("table_id")
     )
 
 
@@ -571,42 +715,62 @@ def text_triplets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # K10 search side: ANN via the random-projection LSH layout. Probes and
-# corpus hash through the SAME fitted model; approxSimilarityJoin is an
-# equi-join on (hash table, bucket) under the hood — candidate volume is
-# bucket-bounded, never all-pairs. Completes K10: lsh_bucket_counts is
-# the build/layout view, this is the probe view.
+# corpus hash through the SAME deterministic hyperplanes; candidates are
+# an equi-join on (hash table, bucket) — bucket-bounded, never all-pairs.
+# Completes K10: lsh_bucket_counts is the build/layout view, this is the
+# probe view. Full value oracle: the candidate SET itself is replayable.
 # ---------------------------------------------------------------------------
 @query(
     "lsh_topk_search",
-    oracle=None,  # seeded LSH layout; recall-vs-exact is pytest-gated
+    oracle=f"""
+    WITH {_LSH_CTES},
+    pb AS (SELECT vec_id AS probe_id, table_id, bucket FROM lsh_b WHERE vec_id < 3),
+    cand AS (
+      SELECT DISTINCT pb.probe_id, c.vec_id
+      FROM lsh_b c JOIN pb ON c.table_id = pb.table_id AND c.bucket = pb.bucket
+      WHERE c.vec_id <> pb.probe_id
+    ),
+    scored AS (
+      SELECT cand.probe_id, cand.vec_id AS neighbor_id,
+             round(list_distance(CAST(ec.embedding AS DOUBLE[]),
+                                 CAST(ep.embedding AS DOUBLE[])), 6) AS l2_dist
+      FROM cand
+      JOIN embeddings ec ON ec.vec_id = cand.vec_id
+      JOIN embeddings ep ON ep.vec_id = cand.probe_id
+    )
+    SELECT probe_id, neighbor_id, l2_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY l2_dist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
     operators=("K10", "K8", "E4"),
 )
 def lsh_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from cloudvectordb_spark.functions import vector as V
 
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "features", array_to_vector("embedding")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hashed = lsh_hashed(emb).select("vec_id", "table_id", "bucket")
+    probes = lsh_hashed(emb.filter(F.col("vec_id") < 3)).select(
+        F.col("vec_id").alias("probe_id"), "table_id", "bucket"
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=2.0,
-        numHashTables=4,
-        seed=42,
-    ).fit(emb)
-    probes = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("probe_id"), F.col("features").alias("features")
+    cand = (
+        hashed.join(F.broadcast(probes), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
     )
-    joined = lsh.approxSimilarityJoin(
-        probes, emb, threshold=float("inf"), distCol="l2_dist"
+    pv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    scored = joined.filter(
-        F.col("datasetA.probe_id") != F.col("datasetB.vec_id")
-    ).select(
-        F.col("datasetA.probe_id").alias("probe_id"),
-        F.col("datasetB.vec_id").alias("neighbor_id"),
-        F.round("l2_dist", 6).alias("l2_dist"),
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(pv), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.l2_distance("embedding", "probe_vec"), 6).alias("l2_dist"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
     return (
@@ -761,20 +925,28 @@ def embed_documents_trained_artifact(spark: SparkSession, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 # K12: cluster-label purity — the K9 assignment x label crosstab named
 # in SURVEY §2. Per-cell majority-label share, weighted into one corpus
-# purity number. The VALUE depends on the seeded KMeans layout, but its
-# INVARIANTS are theorems the oracle checks: every vector counted once;
-# 1..k cells; purity <= 1; and weighted purity >= the global majority-
-# label share (per cell, max label count >= the global-majority label's
-# count in that cell; summing proves it).
+# purity number. Deterministic trainer => the EXACT purity value (and
+# per-cell count) is the oracle, upgraded from round 4's invariant check.
 # ---------------------------------------------------------------------------
 @query(
     "cluster_label_purity",
-    oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS total_vectors,
-           true AS cells_within_k,
-           true AS purity_le_one,
-           true AS purity_ge_majority_share
-    FROM embeddings
+    oracle=f"""
+    WITH {_KM_CTES},
+    lab AS (
+      SELECT a.cid, l.label FROM km_assign a
+      JOIN embeddings l ON l.vec_id = a.vec_id
+    ),
+    cell_label AS (
+      SELECT cid, label, count(*) AS n FROM lab GROUP BY cid, label
+    ),
+    per_cell AS (
+      SELECT cid, max(n) AS majority_n, sum(n) AS cell_n
+      FROM cell_label GROUP BY cid
+    )
+    SELECT CAST(sum(cell_n) AS BIGINT) AS total_vectors,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(majority_n) / CAST(sum(cell_n) AS DOUBLE), 6) AS purity
+    FROM per_cell
     """,
     operators=("K12", "K9", "D1", "B8"),
 )
@@ -786,23 +958,11 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cell = cell_label.groupBy("centroid_id").agg(
         F.max("n").alias("majority_n"), F.sum("n").alias("cell_n")
     )
-    emb = load(spark, sf_dir, "embeddings")
-    global_major = (
-        emb.groupBy("label")
-        .agg(F.count("*").alias("n"))
-        .agg((F.max("n") / F.sum("n")).alias("major_share"))
-    )
-    agg = per_cell.agg(
+    return per_cell.agg(
         F.sum("cell_n").cast("bigint").alias("total_vectors"),
-        F.count("*").between(1, 8).alias("cells_within_k"),
-        (F.sum("majority_n") / F.sum("cell_n")).alias("purity"),
-    )
-    return agg.crossJoin(F.broadcast(global_major)).select(
-        "total_vectors",
-        "cells_within_k",
-        (F.col("purity") <= 1.0).alias("purity_le_one"),
-        (F.col("purity") >= F.col("major_share")).alias(
-            "purity_ge_majority_share"
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.sum("majority_n") / F.sum("cell_n").cast("double"), 6).alias(
+            "purity"
         ),
     )
 

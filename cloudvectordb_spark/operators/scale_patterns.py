@@ -36,20 +36,26 @@ from cloudvectordb_spark.catalog import load
 from cloudvectordb_spark.registry import query
 
 # Bloom geometry is sized from the BUILD COUNT: >= 16 bits/key (fp ~0.2%
-# with 4 hashes), floor 2^16 bits. A fixed bitmap silently saturates when
-# the build side grows — the 6M-row probe (tools/runtime_filter_probe.py)
-# measured fp ~= 1.0 for 127k keys in 2^16 bits, i.e. a runtime filter
-# that filters nothing. The build cost is one aggregation producing at
-# most m/64 rows; the driver collect is bounded by m/64 (same bounded
-# driver-state policy as the IVF centroid collects, SCALE.md).
+# with 4 hashes), floor 2^16 bits, CAP 2^26 bits. A fixed bitmap silently
+# saturates when the build side grows — the 6M-row probe
+# (tools/runtime_filter_probe.py) measured fp ~= 1.0 for 127k keys in
+# 2^16 bits, i.e. a runtime filter that filters nothing. The cap bounds
+# the driver collect and broadcast at m/64 = 2^20 words = 8 MiB no matter
+# how large the build side grows (Spark's own runtime bloom caps at 67M
+# bits for the same reason — round-4 verdict item 3: without the cap the
+# collect was PROPORTIONAL to build keys, ~2 GB at 1B keys). Past the cap
+# the filter degrades gracefully: fp rises toward 1 as keys exceed ~4M
+# (bits/key shrink below 16), never below the exact semi-join's
+# correctness — the bloom is a prefilter, the semi-join stays exact.
 _MIN_BITS = 1 << 16
+_MAX_BITS = 1 << 26
 _BITS_PER_KEY = 16
 _SEEDS = (0x1F3D, 0x5A2B, 0x9E77, 0xC0D5)
 
 
 def _bloom_bits_for(n_keys: int) -> int:
     m = _MIN_BITS
-    while m < n_keys * _BITS_PER_KEY:
+    while m < n_keys * _BITS_PER_KEY and m < _MAX_BITS:
         m <<= 1
     return m
 
@@ -58,8 +64,9 @@ def _bloom_words(keys: DataFrame, key_col: str, m_bits: int) -> list[int]:
     """Aggregate a word-packed bloom bitmap for ``keys[key_col]``.
 
     One shuffle of at most ``len(_SEEDS) * |keys|`` ints grouped into
-    <= m_bits/64 rows; the collect is bounded by m_bits/64 at any input
-    size.
+    <= m_bits/64 rows; since ``_bloom_bits_for`` caps m_bits at
+    ``_MAX_BITS``, the collect is capped at 2^20 longs (8 MiB) at ANY
+    build-side cardinality — not merely proportional to it.
     """
     pos = keys.select(
         F.explode(
@@ -148,7 +155,8 @@ def bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles only survivors (true matches x (1 + fp)). Neither side
     carries a broadcast hint — both scale with SF (fact-join policy,
     SCALE.md); the bloom bitmap is the only broadcast state, sized at
-    16 bits per build key (8 KiB at sf0.01, 4 MiB at the 60M-row probe).
+    16 bits per build key (8 KiB at sf0.01, 4 MiB at the 60M-row probe)
+    and hard-capped at 2^26 bits = 8 MiB whatever the build cardinality.
     """
     orders = load(spark, sf_dir, "orders")
     keys = orders.filter(
@@ -405,18 +413,23 @@ def trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Distributed skyline (Pareto frontier): lineitems no other lineitem
-# beats on BOTH price (lower) and quantity (higher), strictly. The
-# classic two-level plan: every partition computes its LOCAL frontier
-# (any globally non-dominated point is locally non-dominated, so the
-# union of local frontiers is a provable superset), then one bounded
-# pass merges the candidates. No global sort, no single-partition window
-# — level 1 is embarrassingly parallel and level 2 touches only frontier
-# candidates (≈ |frontier| × n_partitions worst case, frontier-sized in
-# practice).
+# Distributed skyline (Pareto frontier) under WEAK dominance: a lineitem
+# is dropped iff some STRICTLY cheaper lineitem has quantity >= its own
+# (the standard skyline convention — equal quantity at a strictly better
+# price already makes the pricier point pointless). Price ties never
+# dominate each other. (Round-4 advisor: the old comment wrongly claimed
+# strict-in-both semantics; implementation and oracle both computed weak
+# dominance — the comment is now the contract.) The classic two-level
+# plan: every partition computes its LOCAL frontier (any globally
+# non-dominated point is locally non-dominated, so the union of local
+# frontiers is a provable superset), then one bounded pass merges the
+# candidates. No global sort, no single-partition window — level 1 is
+# embarrassingly parallel and level 2 touches only frontier candidates
+# (≈ |frontier| × n_partitions worst case, frontier-sized in practice).
 # ---------------------------------------------------------------------------
 def _skyline_pdf(rows):
-    """Strict-in-both dominance frontier of one pandas frame.
+    """Weak-dominance frontier of one pandas frame: keep a row iff its
+    qty exceeds the max qty over all STRICTLY cheaper rows.
 
     Vectorized (numpy cummax + group-boundary lookup): a per-price-group
     Python loop measured 10+ minutes on a 6M-row probe; this form does
