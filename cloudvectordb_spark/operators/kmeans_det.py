@@ -39,25 +39,32 @@ DEFAULT_FIT_CAP = 100_000
 Centroids = list[tuple[int, list[float]]]  # (cid, vector) sorted by cid
 
 
-def _sq_dist(vec_col: Column, centroid: list[float]) -> Column:
-    """round(sum((v_j - c_j)^2), 6) with literal centroid components —
-    stays inside whole-stage codegen, no Python boundary."""
-    carr = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.round(
-        F.aggregate(
-            F.zip_with(vec_col.cast("array<double>"), carr, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
+def _dist_structs(vec_col: Column, cents: Centroids) -> Column:
+    """array of (rounded squared distance, cid) structs, one per centroid.
+
+    The centroid matrix ships as ONE nested-array literal and distances
+    come from a single ``transform`` lambda — not k unrolled fold
+    expressions with k*dim separate ``F.lit`` leaves, which cost ~1000
+    py4j round-trips PER QUERY BUILD and ~0.4 s of driver time at k=8,
+    dim=64 (measured; the transform form builds in one call). Evaluation
+    stays inside whole-stage codegen either way."""
+    cm = F.lit([c for _, c in cents])          # array<array<double>>, 1 literal
+    cids = F.lit([int(cid) for cid, _ in cents])  # parallel cid lookup
+    v = vec_col.cast("array<double>")
+    return F.transform(
+        cm,
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                ),
+                6,
+            ).alias("d"),
+            F.element_at(cids, i + F.lit(1)).alias("cid"),
         ),
-        6,
     )
-
-
-def _dist_structs(vec_col: Column, cents: Centroids) -> list[Column]:
-    return [
-        F.struct(_sq_dist(vec_col, c).alias("d"), F.lit(cid).alias("cid"))
-        for cid, c in cents
-    ]
 
 
 def assign_cells(
@@ -66,7 +73,7 @@ def assign_cells(
     """Nearest-centroid id per row (argmin on rounded distance, ties to
     the smaller cid — array_min over (d, cid) structs encodes exactly
     that total order)."""
-    best = F.array_min(F.array(*_dist_structs(F.col(vec_col), cents)))
+    best = F.array_min(_dist_structs(F.col(vec_col), cents))
     return df.withColumn(out, best["cid"])
 
 
@@ -76,7 +83,7 @@ def assign_top2_cells(
     """Multi-probe assignment: one row per (vector, cell) for the 2
     nearest cells — near-dup pairs straddling a cell boundary still
     co-occur somewhere."""
-    ranked = F.slice(F.array_sort(F.array(*_dist_structs(F.col(vec_col), cents))), 1, 2)
+    ranked = F.slice(F.array_sort(_dist_structs(F.col(vec_col), cents)), 1, 2)
     return df.withColumn(out, F.explode(F.transform(ranked, lambda s: s["cid"])))
 
 
@@ -130,6 +137,26 @@ def lloyd_centroids(
             (cid, [dims[i] for i in sorted(dims)]) for cid, dims in sorted(by_cid.items())
         ]
     return cents
+
+
+def nearest_cells_py(vec, cents: Centroids, nprobe: int = 2) -> list[int]:
+    """Driver-side replica of the assignment total order for a HANDFUL of
+    probe vectors (bounded: nprobe * k work, no Spark job): round(d2, 6)
+    then (d, cid) ascending — identical to ``_dist_structs``. numpy's
+    reduce is sequential below its 128-element pairwise block, so the
+    64-term sum matches Spark's fold bit-for-bit before rounding."""
+    import numpy as np
+
+    import math
+
+    v = np.asarray(vec, dtype=np.float64)
+    # half-UP like Spark/DuckDB round(), not Python's half-even
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    scored = sorted(
+        (r6(float(np.add.reduce((v - np.asarray(c, dtype=np.float64)) ** 2))), cid)
+        for cid, c in cents
+    )
+    return [cid for _, cid in scored[:nprobe]]
 
 
 # ---------------------------------------------------------------------------
