@@ -9,8 +9,10 @@ exact-rescored on a small candidate buffer — the FAISS IVF-PQ recipe
 re-expressed in Spark terms:
 
 - codebook TRAINING is sample-bounded (like any ANN library: train on a
-  capped sample regardless of corpus size) — seeded Lloyd iterations on
-  the driver, broadcast to workers;
+  capped sample regardless of corpus size) — DETERMINISTIC fixed-round
+  Lloyd iterations on the driver (md5-seeded, rounded distances/means —
+  the same engine-owned recipe as operators.kmeans_det), broadcast to
+  workers;
 - ENCODING is distributed (mapInPandas, Arrow batches, one argmin per
   subspace per vector — pure numpy);
 - the ADC SCAN is distributed (each worker sums table lookups over its
@@ -22,9 +24,14 @@ re-expressed in Spark terms:
 
 Vectors are unit-normalized before quantization so ADC's L2^2 ranks
 identically to cosine (||a-b||^2 = 2 - 2*cos on the unit sphere).
-Seeded + sample-order pinned => deterministic, but KMeans itself has no
-SQL twin: the query is rows-only; fidelity is pytest-gated by recall@10
-vs the exact-kNN oracle path.
+
+Round-5 upgrade: the RNG-seeded trainer became md5-seeded fixed-round
+Lloyd's with the same rounding discipline on every comparison key
+(norms round to 7, normalized components to 9, distances and means to
+6), so the ENTIRE path — codebooks, codes, ADC candidate sets, final
+top-k — unrolls into DuckDB CTE stages and carries a FULL value-level
+oracle (previously rows-only; recall stays pytest-gated as
+defense-in-depth).
 """
 
 from __future__ import annotations
@@ -39,16 +46,43 @@ from cloudvectordb_spark.registry import query
 
 _M = 8          # subspaces
 _K = 16         # centroids per subspace (4-bit codes)
+_DSUB = 8       # dims per subspace (64 / _M)
 _SAMPLE_CAP = 4096
-_SEED = 42
-_ITERS = 15
+_PQ_ROUNDS = 4  # fixed Lloyd rounds — unrolls into the oracle CTEs
 _RESCORE_C = 100
 
 
+def _half_up(x: np.ndarray, p: int) -> np.ndarray:
+    """Vectorized round-half-away-from-zero to ``p`` decimals — the same
+    convention as Spark F.round and DuckDB round(); numpy's own round()
+    is half-even and would diverge at .5 boundaries."""
+    f = 10.0 ** p
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def _normalize_rows(x: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(x, axis=1, keepdims=True)
+    """Unit-normalize with ORACLE-REPLAYABLE arithmetic: the norm rounds
+    to 7 decimals BEFORE the division (absorbing summation-order ulps
+    between numpy's 8-way-unrolled reduce and DuckDB's sequential
+    list_sum), then components round to 9. Every downstream distance is
+    computed from doubles that are bit-identical across engines."""
+    n = _half_up(np.sqrt(np.add.reduce(x * x, axis=1)), 7)
     n[n == 0.0] = 1.0
-    return x / n
+    return _half_up(x / n[:, None], 9)
+
+
+def _pq_seed_ranks(s: int, vec_ids: list[int]) -> list[int]:
+    """Sample indices ordered by md5('pq{s}|{vec_id}') — the per-subspace
+    deterministic 'random' pick both engines compute identically."""
+    import hashlib
+
+    return sorted(
+        range(len(vec_ids)),
+        key=lambda i: (
+            hashlib.md5(f"pq{s}|{vec_ids[i]}".encode()).hexdigest(),
+            vec_ids[i],
+        ),
+    )
 
 
 def train_pq_codebooks_from_df(
@@ -56,35 +90,46 @@ def train_pq_codebooks_from_df(
     m: int = _M,
     k: int = _K,
     sample_cap: int = _SAMPLE_CAP,
-    seed: int = _SEED,
-    iters: int = _ITERS,
+    rounds: int = _PQ_ROUNDS,
 ) -> np.ndarray:
-    """(m, k, dim/m) codebooks from seeded Lloyd on a bounded, ordered
-    sample. Sample order is pinned (ORDER BY vec_id) so retraining is
-    bit-reproducible run to run — the determinism discipline every
-    seeded component in this engine follows."""
+    """(m, k, dim/m) codebooks from md5-seeded fixed-round Lloyd on the
+    pinned sample (vec_id < sample_cap, ordered). Distances round to 6
+    before the argmin (ties -> lower cid), means round to 6 after each
+    update — exactly the total order the oracle CTEs replay. Cells that
+    empty out drop on both sides identically; their codebook rows stay
+    +inf so no encoder can select them."""
     rows = (
         emb.filter(F.col("vec_id") < sample_cap)
         .orderBy("vec_id")
-        .select("embedding")
+        .select("vec_id", "embedding")
         .collect()
     )
+    ids = [r["vec_id"] for r in rows]
     x = _normalize_rows(np.array([r["embedding"] for r in rows], dtype=np.float64))
     dim = x.shape[1]
     dsub = dim // m
-    rng = np.random.default_rng(seed)
-    books = np.empty((m, k, dsub))
+    books = np.full((m, k, dsub), np.inf)
     for s in range(m):
         sub = x[:, s * dsub : (s + 1) * dsub]
-        cent = sub[rng.choice(len(sub), size=k, replace=False)].copy()
-        for _ in range(iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
+        seed_idx = _pq_seed_ranks(s, ids)[:k]
+        cents: dict[int, np.ndarray] = {
+            cid: sub[idx].copy() for cid, idx in enumerate(seed_idx)
+        }
+        for _ in range(rounds):
+            cid_list = sorted(cents)
+            cmat = np.stack([cents[c] for c in cid_list])
+            d2 = _half_up(
+                ((sub[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2), 6
+            )
+            assign = d2.argmin(axis=1)  # first min == smallest cid
+            nxt: dict[int, np.ndarray] = {}
+            for j, c in enumerate(cid_list):
+                mask = assign == j
                 if mask.any():
-                    cent[c] = sub[mask].mean(axis=0)
-        books[s] = cent
+                    nxt[c] = _half_up(sub[mask].mean(axis=0), 6)
+            cents = nxt
+        for c, v in cents.items():
+            books[s, c] = v
     return books
 
 
@@ -94,19 +139,19 @@ def train_pq_codebooks(
     m: int = _M,
     k: int = _K,
     sample_cap: int = _SAMPLE_CAP,
-    seed: int = _SEED,
-    iters: int = _ITERS,
+    rounds: int = _PQ_ROUNDS,
 ) -> np.ndarray:
     """Fixture-table convenience wrapper over train_pq_codebooks_from_df."""
     return train_pq_codebooks_from_df(
-        load(spark, sf_dir, "embeddings"), m, k, sample_cap, seed, iters
+        load(spark, sf_dir, "embeddings"), m, k, sample_cap, rounds
     )
 
 
 def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
     """Distributed encode: (vec_id, code array<int>) — argmin per
-    subspace per vector, one Arrow batch at a time. The codebook is tiny
-    (m*k*dsub doubles) and ships inside the closure."""
+    subspace per vector over the ROUNDED distance (the oracle's total
+    order), one Arrow batch at a time. The codebook is tiny (m*k*dsub
+    doubles) and ships inside the closure."""
     m, _, dsub = books.shape
 
     def run(batches):
@@ -115,7 +160,9 @@ def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
             codes = np.empty((len(x), m), dtype=np.int32)
             for s in range(m):
                 sub = x[:, s * dsub : (s + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                d2 = _half_up(
+                    ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2), 6
+                )
                 codes[:, s] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].to_numpy(), "code": list(codes)}
@@ -127,15 +174,19 @@ def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
 
 
 def adc_scores(encoded: DataFrame, probes: list[tuple[int, np.ndarray]], books: np.ndarray) -> DataFrame:
-    """ADC scan: for each probe, a (m, k) table of squared sub-distances
-    is precomputed once; each corpus vector's approximate distance is m
-    table lookups summed. Emits (probe_id, vec_id, adc_dist)."""
+    """ADC scan: for each probe, a (m, k) table of ROUNDED squared
+    sub-distances is precomputed once; each corpus vector's approximate
+    distance is m table lookups summed (re-rounded to 6 so engines agree
+    on the candidate cut). Emits (probe_id, vec_id, adc_dist)."""
     m, k, dsub = books.shape
     tables = []
     for pid, pv in probes:
         t = np.empty((m, k))
         for s in range(m):
-            t[s] = (((books[s] - pv[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(axis=1))
+            t[s] = _half_up(
+                ((books[s] - pv[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(axis=1),
+                6,
+            )
         tables.append((pid, t))
 
     def run(batches):
@@ -144,7 +195,7 @@ def adc_scores(encoded: DataFrame, probes: list[tuple[int, np.ndarray]], books: 
             ids = pdf["vec_id"].to_numpy()
             out_pid, out_vid, out_d = [], [], []
             for pid, t in tables:
-                d = t[np.arange(m)[None, :], codes].sum(axis=1)  # (n,)
+                d = _half_up(t[np.arange(m)[None, :], codes].sum(axis=1), 6)
                 out_pid.append(np.full(len(ids), pid, dtype=np.int64))
                 out_vid.append(ids)
                 out_d.append(d)
@@ -152,11 +203,111 @@ def adc_scores(encoded: DataFrame, probes: list[tuple[int, np.ndarray]], books: 
                 {
                     "probe_id": np.concatenate(out_pid),
                     "vec_id": np.concatenate(out_vid),
-                    "adc_dist": np.round(np.concatenate(out_d), 9),
+                    "adc_dist": np.concatenate(out_d),
                 }
             )
 
     return encoded.mapInPandas(run, schema="probe_id long, vec_id long, adc_dist double")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin: the trainer + encoder unrolled into CTE stages
+# (the same trick as kmeans_det.kmeans_cte_sql, with (vec_id, s) long
+# form so ONE chain of CTEs covers all 8 subspaces).
+# Defines: pq_nrm, pq_sub, pq_c{0..R}, pq_codes (full-corpus codes).
+# ---------------------------------------------------------------------------
+_PQ_D2 = (
+    "round(list_sum(list_transform(list_zip(e.sv, c.sv),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+)
+
+
+def pq_cte_sql(rounds: int = _PQ_ROUNDS) -> str:
+    parts = [
+        """pq_nrm AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> round(x / round(sqrt(list_sum(list_transform(
+                      CAST(embedding AS DOUBLE[]), y -> y * y))), 7), 9)) AS nv
+      FROM embeddings
+    )""",
+        f"""pq_sub AS (
+      SELECT vec_id, s.s, nv[s.s * {_DSUB} + 1 : s.s * {_DSUB} + {_DSUB}] AS sv
+      FROM pq_nrm, range({_M}) s(s)
+    )""",
+        f"""pq_c0 AS (
+      SELECT s, CAST(rn - 1 AS INTEGER) AS cid, sv FROM (
+        SELECT s, sv, row_number() OVER (PARTITION BY s
+          ORDER BY md5('pq' || s || '|' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM pq_sub WHERE vec_id < {_SAMPLE_CAP}
+      ) WHERE rn <= {_K}
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""pq_a{r} AS (
+      SELECT vec_id, s, sv, cid FROM (
+        SELECT e.vec_id, e.s, e.sv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, e.s
+                                  ORDER BY {_PQ_D2}, c.cid) AS rn
+        FROM pq_sub e JOIN pq_c{r - 1} c ON c.s = e.s
+        WHERE e.vec_id < {_SAMPLE_CAP}
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""pq_c{r} AS (
+      SELECT s, cid, list(m ORDER BY i) AS sv FROM (
+        SELECT a.s, a.cid, t.i, round(avg(a.sv[t.i]), 6) AS m
+        FROM pq_a{r} a, range(1, {_DSUB + 1}) t(i)
+        GROUP BY a.s, a.cid, t.i
+      ) GROUP BY s, cid
+    )"""
+        )
+    parts.append(
+        f"""pq_codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT e.vec_id, e.s, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, e.s
+                                  ORDER BY {_PQ_D2}, c.cid) AS rn
+        FROM pq_sub e JOIN pq_c{rounds} c ON c.s = e.s
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+_PQ_CTES = pq_cte_sql()
+
+# probe ADC tables + candidate cut, shared by the PQ and IVF-PQ oracles
+_PQ_PROBE_CTES = f"""pq_ptab AS (
+      SELECT e.vec_id AS probe_id, c.s, c.cid, {_PQ_D2} AS d
+      FROM pq_sub e JOIN pq_c{_PQ_ROUNDS} c ON c.s = e.s
+      WHERE e.vec_id < 3
+    ),
+    pq_adc AS (
+      SELECT t.probe_id, k.vec_id, round(sum(t.d), 6) AS adc_dist
+      FROM pq_codes k JOIN pq_ptab t ON t.s = k.s AND t.cid = k.cid
+      WHERE k.vec_id <> t.probe_id
+      GROUP BY t.probe_id, k.vec_id
+    )"""
+
+_PQ_RESCORE_SQL = f"""
+    SELECT probe_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT probe_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM (
+        SELECT c.probe_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(ec.embedding AS DOUBLE[]),
+                                            CAST(ep.embedding AS DOUBLE[])), 6)
+                 AS score
+        FROM pq_cand c
+        JOIN embeddings ec ON ec.vec_id = c.vec_id
+        JOIN embeddings ep ON ep.vec_id = c.probe_id
+      )
+    ) WHERE rank <= 10
+"""
 
 
 _PQ_BOOK_CACHE: dict = {}  # in-process: tag -> codebooks ndarray
@@ -175,7 +326,7 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.nda
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{_M}|{_K}|{_SEED}|{_ITERS}".encode()
+        f"{os.path.abspath(sf_dir)}|{_M}|{_K}|md5lloyd{_PQ_ROUNDS}".encode()
     ).hexdigest()[:10]
     tag = f"{key}_{int(os.path.getmtime(src))}"
     if tag not in _PQ_BOOK_CACHE:
@@ -195,9 +346,34 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.nda
     return spark.read.parquet(path), books
 
 
+def _normalized_probes(emb: DataFrame, n: int = 3) -> list[tuple[int, np.ndarray]]:
+    rows = emb.filter(F.col("vec_id") < n).orderBy("vec_id").collect()
+    return [
+        (
+            r["vec_id"],
+            _normalize_rows(np.array([r["embedding"]], dtype=np.float64))[0],
+        )
+        for r in rows
+    ]
+
+
 @query(
     "pq_topk_search",
-    oracle=None,  # seeded KMeans codebooks aren't SQL-replayable; recall pytest-gated
+    # FULL value oracle (round-5): md5-seeded fixed-round Lloyd + rounded
+    # comparison keys make codebooks, codes, the ADC candidate cut, and
+    # the rescore all SQL-replayable. Recall stays pytest-gated too.
+    oracle=f"""
+    WITH {_PQ_CTES},
+    {_PQ_PROBE_CTES},
+    pq_cand AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_dist, vec_id) AS rn
+        FROM pq_adc
+      ) WHERE rn <= {_RESCORE_C}
+    )
+    {_PQ_RESCORE_SQL}
+    """,
     operators=("K9", "K8", "K6", "L2", "L3", "E4"),
     bench=True,
 )
@@ -209,13 +385,7 @@ def pq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     encoded, books = ensure_pq_index(spark, sf_dir)
-    probe_rows = (
-        emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
-    )
-    probes = [
-        (r["vec_id"], _normalize_rows(np.array([r["embedding"]], dtype=np.float64))[0])
-        for r in probe_rows
-    ]
+    probes = _normalized_probes(emb)
 
     scores = adc_scores(encoded, probes, books).filter(
         F.col("vec_id") != F.col("probe_id")
@@ -247,32 +417,25 @@ def pq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pq_code_histogram",
-    # Code values derive from seeded KMeans, but the encoding invariants
-    # are SQL-checkable per subspace: every corpus vector gets one code
-    # and every code lies in [0, 16). The hash matches only if both hold
-    # for all 8 subspaces.
+    # Deterministic codes => the EXACT per-(subspace, code) histogram is
+    # the oracle (upgraded from the round-2 invariant form).
     oracle=f"""
-    SELECT CAST(t.i AS INTEGER) AS subspace,
-           CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_rows,
-           true AS codes_in_range
-    FROM (SELECT unnest(generate_series(0, {_M - 1})) AS i) t
+    WITH {_PQ_CTES}
+    SELECT CAST(s AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM pq_codes GROUP BY s, cid
     """,
     operators=("K9", "K12", "D1", "L5"),
 )
 def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression diagnostics (K12-style quality gate for the compressed
-    index): per-subspace row totals + code-range check. The per-codeword
-    balance histogram stays available via the same posexplode groupBy."""
+    index): the full code-balance crosstab — skewed cells mean wasted
+    codebook capacity and hot ADC buckets."""
     encoded, _ = ensure_pq_index(spark, sf_dir)
     return (
-        encoded.select(F.posexplode("code").alias("subspace", "centroid"))
-        .groupBy("subspace")
-        .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            (
-                (F.min("centroid") >= 0) & (F.max("centroid") < _K)
-            ).alias("codes_in_range"),
-        )
+        encoded.select(F.posexplode("code").alias("subspace", "code"))
+        .groupBy("subspace", "code")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
     )
 
 
@@ -284,13 +447,14 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximations multiply: cell pruning cuts candidates, code compression
 # cuts bytes per candidate. Build reuses the IVF assignments and the
 # global PQ codebooks; codes persist partitioned by centroid_id so the
-# probe-time isin filter is a genuine partition filter.
+# probe-time isin filter is a genuine partition filter. Both quantizers
+# are md5-deterministic (round-5), so even the COMPOSED index carries a
+# full value oracle.
 # ---------------------------------------------------------------------------
-_IVFPQ_CACHE: dict = {}
 
 
-def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray, DataFrame]:
-    """(codes-partitioned-by-cell DataFrame, codebooks, centroids)."""
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray, list]:
+    """(codes-partitioned-by-cell DataFrame, codebooks, centroid list)."""
     import hashlib
     import os
     import shutil
@@ -298,13 +462,14 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.
 
     from cloudvectordb_spark.operators.pipeline import (
         ensure_ivf_index,
-        read_ivf_index,
+        index_centroids,
     )
 
-    vectors, centroids = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    ivf_path = ensure_ivf_index(spark, sf_dir)
+    cents = index_centroids(spark, ivf_path)
     src = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"ivfpq|{os.path.abspath(sf_dir)}|{_M}|{_K}|{_SEED}".encode()
+        f"ivfpq|{os.path.abspath(sf_dir)}|{_M}|{_K}|md5lloyd{_PQ_ROUNDS}".encode()
     ).hexdigest()[:10]
     tag = f"{key}_{int(os.path.getmtime(src))}"
     if tag not in _PQ_BOOK_CACHE:
@@ -313,6 +478,7 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.
     path = os.path.join(tempfile.gettempdir(), "cloudvectordb_ivfpq", tag)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_dir = f"{path}.build{os.getpid()}"
+        vectors = spark.read.parquet(f"{ivf_path}/vectors")
         codes = pq_encode(vectors, books).join(
             vectors.select("vec_id", "centroid_id"), "vec_id"
         )
@@ -321,45 +487,63 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.
             os.rename(build_dir, path)
         except OSError:  # concurrent publisher won
             shutil.rmtree(build_dir, ignore_errors=True)
-    return spark.read.parquet(path), books, centroids
+    return spark.read.parquet(path), books, cents
+
+
+def _ivfpq_oracle() -> str:
+    from cloudvectordb_spark.operators.pipeline import _IVF_ROUNDS, _KM_CTES, _KM_D2
+
+    return f"""
+    WITH {_KM_CTES},
+    {_PQ_CTES},
+    probe_cells AS (
+      SELECT DISTINCT cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c WHERE e.vec_id < 3
+      ) WHERE rn <= 2
+    ),
+    pr_codes AS (
+      SELECT k.vec_id, k.s, k.cid
+      FROM pq_codes k JOIN km_assign a ON a.vec_id = k.vec_id
+      WHERE a.cid IN (SELECT cid FROM probe_cells)
+    ),
+    {_PQ_PROBE_CTES.replace("pq_codes k", "pr_codes k")},
+    pq_cand AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_dist, vec_id) AS rn
+        FROM pq_adc
+      ) WHERE rn <= {_RESCORE_C}
+    )
+    {_PQ_RESCORE_SQL}
+    """
 
 
 @query(
     "ivfpq_topk_search",
-    oracle=None,  # seeded KMeans cells + codebooks; recall pytest-gated
+    oracle=_ivfpq_oracle(),
     operators=("K9", "K8", "K6", "L2", "L3", "E4", "A3"),
 )
 def ivfpq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-pruned ADC + exact rescore, top-10 for 3 probes; output shape
     matches exact kNN so recall is directly measurable."""
     from cloudvectordb_spark.functions import vector as V
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
 
     emb = load(spark, sf_dir, "embeddings")
-    codes, books, centroids = ensure_ivfpq_index(spark, sf_dir)
-
-    probe_rows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
-    probes = [
-        (r["vec_id"], _normalize_rows(np.array([r["embedding"]], dtype=np.float64))[0])
-        for r in probe_rows
-    ]
-
-    # coarse quantizer: nearest 2 cells per probe -> literal isin filter
-    pv = spark.createDataFrame(
-        [(pid, [float(x) for x in vec]) for pid, vec in probes],
-        schema="probe_id long, pv array<double>",
+    codes, books, cents = ensure_ivfpq_index(spark, sf_dir)
+    probes = _normalized_probes(emb)
+    probe_raw = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    pc = pv.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", V.l2_distance("pv", "centroid")
-    )
-    wp = Window.partitionBy("probe_id").orderBy("cdist", "centroid_id")
+
+    # coarse quantizer against the RAW vectors (the IVF layout's space):
+    # driver-side over the cached centroid list, same rounded total order
+    raw_rows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
     cell_ids = sorted(
-        {
-            r.centroid_id
-            for r in pc.withColumn("crank", F.row_number().over(wp))
-            .filter(F.col("crank") <= 2)
-            .select("centroid_id")
-            .collect()
-        }
+        {c for r in raw_rows for c in nearest_cells_py(r["embedding"], cents, 2)}
     )
 
     pruned = codes.filter(F.col("centroid_id").isin(cell_ids)).select(
@@ -374,12 +558,9 @@ def ivfpq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crank") <= _RESCORE_C)
         .select("probe_id", "vec_id")
     )
-    pvec = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
-    )
     rescored = (
         cands.join(emb, "vec_id")
-        .join(F.broadcast(pvec), "probe_id")
+        .join(F.broadcast(probe_raw), "probe_id")
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),

@@ -39,14 +39,16 @@ def test_pq_codebooks_deterministic(spark, sf_dir):
 
 
 def test_pq_code_histogram_complete(spark, sf_dir):
-    """Invariant form (oracle-checked since r2): one row per subspace,
-    every vector coded once per subspace, all codes in [0, _K)."""
+    """Exact-crosstab form (full value oracle since r5): per subspace the
+    code counts must partition the corpus, and every code lies in
+    [0, _K)."""
     n = load(spark, sf_dir, "embeddings").count()
     rows = pq_code_histogram(spark, sf_dir).collect()
-    assert {r["subspace"] for r in rows} == set(range(_M))
+    per_sub: dict = {}
     for r in rows:
-        assert r["n_rows"] == n
-        assert r["codes_in_range"]
+        assert 0 <= r["code"] < _K
+        per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + r["n_rows"]
+    assert per_sub == {s: n for s in range(_M)}
 
 
 def test_ivfpq_recall_vs_exact(spark, sf_dir):
