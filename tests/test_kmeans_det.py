@@ -1,0 +1,144 @@
+"""Engine-owned deterministic Lloyd's k-means (operators/kmeans_det.py)
+and the md5-hyperplane LSH layout: the round-5 components that give the
+whole index family value-level oracles. These tests pin the EQUIVALENCE
+CONTRACT (Spark DataFrame program == DuckDB CTE replay, bit-for-bit at
+the compared precision) directly, independent of the registry sweep."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.operators.kmeans_det import (
+    assign_cells,
+    assign_top2_cells,
+    kmeans_cte_sql,
+    lloyd_centroids,
+    nearest_cells_py,
+    seed_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return con
+
+
+def test_lloyd_assignments_match_duckdb_replay(spark, sf_dir, duck):
+    """The full contract: same seeds, same rounds, same rounding => the
+    Spark assignment of EVERY vector equals the CTE replay's."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = lloyd_centroids(emb, k=8, seed=42, rounds=3)
+    spark_asg = {
+        r.vec_id: r.centroid_id
+        for r in assign_cells(emb, cents).select("vec_id", "centroid_id").collect()
+    }
+    sql = (
+        "WITH " + kmeans_cte_sql(k=8, seed=42, rounds=3)
+        + "\nSELECT vec_id, cid FROM km_assign"
+    )
+    duck_asg = {r[0]: r[1] for r in duck.execute(sql).fetchall()}
+    assert spark_asg == duck_asg
+
+    duck_cents = duck.execute(
+        "WITH " + kmeans_cte_sql(k=8, seed=42, rounds=3)
+        + "\nSELECT cid, v FROM km_c3 ORDER BY cid"
+    ).fetchall()
+    assert [(cid, list(v)) for cid, v in duck_cents] == [
+        (cid, v) for cid, v in cents
+    ]
+
+
+def test_lloyd_deterministic_and_balanced(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a = lloyd_centroids(emb, k=8, seed=42, rounds=3)
+    b = lloyd_centroids(emb, k=8, seed=42, rounds=3)
+    assert a == b, "same seed + rounds must be bit-stable"
+    # different seed -> different layout (md5 seeding actually seeds)
+    c = lloyd_centroids(emb, k=8, seed=7, rounds=3)
+    assert a != c
+    # every centroid has full dimension and finite components
+    for cid, v in a:
+        assert len(v) == 64
+        assert all(x == x and abs(x) < 1e6 for x in v)
+
+
+def test_seed_centroids_are_corpus_vectors(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = seed_centroids(emb, k=4, seed=42)
+    assert [cid for cid, _ in seeds] == [0, 1, 2, 3]
+    corpus = {
+        tuple(round(float(x), 6) for x in r.embedding)
+        for r in emb.select("embedding").collect()
+    }
+    for _, v in seeds:
+        assert tuple(round(float(x), 6) for x in v) in corpus
+
+
+def test_assign_top2_emits_two_distinct_cells(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    cents = lloyd_centroids(
+        load(spark, sf_dir, "embeddings"), k=8, seed=42, rounds=3
+    )
+    rows = assign_top2_cells(emb, cents).select("vec_id", "centroid_id").collect()
+    by_vec: dict = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r.centroid_id)
+    for vid, cells in by_vec.items():
+        assert len(cells) == 2 and cells[0] != cells[1]
+
+
+def test_nearest_cells_py_matches_spark_assignment(spark, sf_dir):
+    """The driver-side probe shortcut must agree with the Spark
+    expression on every corpus vector (rank-1 cell == assign_cells)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = lloyd_centroids(emb, k=8, seed=42, rounds=3)
+    spark_asg = {
+        r.vec_id: r.centroid_id
+        for r in assign_cells(emb, cents).select("vec_id", "centroid_id").collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows[:200]:
+        assert nearest_cells_py(r.embedding, cents, 1)[0] == spark_asg[r.vec_id]
+
+
+def test_lsh_hashed_matches_duckdb_replay(spark, sf_dir, duck):
+    """md5-hyperplane buckets: every (vector, table) bucket id matches
+    the SQL twin (the _LSH_CTES the registered queries embed)."""
+    from cloudvectordb_spark.operators.pipeline import _LSH_CTES, lsh_hashed
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    spark_b = {
+        (r.vec_id, r.table_id): r.bucket
+        for r in lsh_hashed(emb).select("vec_id", "table_id", "bucket").collect()
+    }
+    duck_b = {
+        (r[0], r[1]): r[2]
+        for r in duck.execute(
+            f"WITH {_LSH_CTES} SELECT vec_id, table_id, bucket FROM lsh_b"
+        ).fetchall()
+    }
+    assert spark_b == duck_b
+
+
+def test_lsh_single_table_helper_consistent(spark, sf_dir):
+    from cloudvectordb_spark.operators.pipeline import lsh_bucket, lsh_hashed
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(20)
+    batch = {
+        (r.vec_id, r.table_id): r.bucket
+        for r in lsh_hashed(emb).collect()
+    }
+    single = {
+        (r.vec_id, 2): r.b
+        for r in emb.select("vec_id", lsh_bucket("embedding", 2).alias("b")).collect()
+    }
+    for k, v in single.items():
+        assert batch[k] == v
