@@ -783,3 +783,135 @@ def bm25_per_lang_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# K8/E4 result diversification: Maximal Marginal Relevance over the
+# vector top-N. The production shape: the DISTRIBUTED part scores the
+# corpus and builds the bounded candidate pool (top-20 by cosine) plus
+# its pairwise sims (20x20); the greedy 5-pick selection is driver-side
+# over those bounded rows — exactly how a reranking service composes
+# with a retrieval engine, and the same bounded-driver-state policy as
+# the IVF probe path. Fully deterministic (rounded scores, vec_id
+# tiebreak), so the oracle unrolls the 5 greedy rounds into CTE stages
+# like the BPE/Lloyd loops.
+# ---------------------------------------------------------------------------
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    rel = (
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)"
+    )
+    parts = [
+        f"""pool AS (
+      SELECT vec_id, rel FROM (
+        SELECT e.vec_id, {rel} AS rel,
+               row_number() OVER (ORDER BY {rel} DESC, e.vec_id) AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS pv
+                    FROM embeddings WHERE vec_id = 0) p
+        WHERE e.vec_id <> 0
+      ) WHERE rn <= {_MMR_POOL}
+    )""",
+        """psim AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )""",
+        """sel1 AS (
+      SELECT vec_id, rel AS mmr FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+    )""",
+        "acc1 AS (SELECT vec_id FROM sel1)",
+    ]
+    lam = _MMR_LAMBDA
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f"""sel{r} AS (
+      SELECT p.vec_id,
+             round({lam} * p.rel - {round(1 - lam, 1)} * max(ps.sim), 6) AS mmr
+      FROM pool p
+      JOIN psim ps ON ps.a_id = p.vec_id
+                  AND ps.b_id IN (SELECT vec_id FROM acc{r - 1})
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM acc{r - 1})
+      GROUP BY p.vec_id, p.rel
+      ORDER BY mmr DESC, p.vec_id LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"acc{r} AS (SELECT vec_id FROM acc{r - 1} UNION ALL SELECT vec_id FROM sel{r})"
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS pick_order, vec_id, mmr FROM sel{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({union})"
+
+
+@query(
+    "mmr_diversified_search",
+    oracle=_mmr_oracle(),
+    operators=("K8", "K7", "E4", "C9"),
+)
+def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR rerank of the probe-0 top-20: pick 5 greedily maximizing
+    lambda*rel - (1-lambda)*max_sim_to_selected (rounded 6, vec_id
+    tiebreak — the oracle replays the rounds as CTE stages)."""
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(V.cosine("embedding", "pv"), 6).alias("rel"),
+        )
+    )
+    pool = global_topk_ranked(
+        scored, [F.desc("rel"), F.asc("vec_id")], _MMR_POOL
+    ).select("vec_id", "embedding", "rel")
+    a = pool.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"), "rel"
+    )
+    b = pool.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", F.round(V.cosine("va", "vb"), 6).alias("sim"))
+        .collect()  # bounded: _MMR_POOL^2 rows
+    )
+    rels = {r.vec_id: r.rel for r in pool.select("vec_id", "rel").collect()}
+    sim = {(r.a_id, r.b_id): r.sim for r in sims}
+
+    def r6(x: float) -> float:  # half-up away from zero, like SQL round()
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    picks: list[tuple[int, int, float]] = []
+    selected: list[int] = []
+    remaining = set(rels)
+    for order in range(1, _MMR_K + 1):
+        if order == 1:
+            best = max(remaining, key=lambda v: (rels[v], -v))
+            score = rels[best]
+        else:
+            def mmr(v: int) -> float:
+                pen = max(sim[(v, s)] for s in selected)
+                return r6(_MMR_LAMBDA * rels[v] - (1 - _MMR_LAMBDA) * pen)
+
+            best = max(remaining, key=lambda v: (mmr(v), -v))
+            score = mmr(best)
+        picks.append((order, best, score))
+        selected.append(best)
+        remaining.discard(best)
+    return spark.createDataFrame(
+        picks, schema="pick_order long, vec_id long, mmr double"
+    )

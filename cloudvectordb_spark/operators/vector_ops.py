@@ -1244,3 +1244,163 @@ def jl_prefilter_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("probe_id", "neighbor_id", "dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# K6/K8 binary-quantization tier: sign-bit codes + Hamming-distance ANN.
+# The most aggressive compression rung under PQ: 1 bit per dimension —
+# dim-64 vectors become TWO 32-bit halves in bigints (16 bytes vs 256
+# for float32), and the candidate scan is xor + bit_count per half,
+# which whole-stage codegen compiles to SIMD-friendly popcount loops.
+# On the unit sphere sign agreement tracks cosine (the classic SimHash
+# bound: P[sign match] = 1 - theta/pi per random direction; here the
+# directions are the coordinate axes), so Hamming top-C is a usable
+# candidate generator with exact rescore on top — the bit-level analogue
+# of the PQ-ADC recipe. Fully deterministic (no training at all), so
+# codes, candidate sets, and results all carry value oracles.
+# At 100 TB: the code table is ~1/16th the corpus bytes; scan cost is
+# two xors + two popcounts per row; rescore touches C rows per probe.
+# ---------------------------------------------------------------------------
+_BQ_CAND_C = 50
+
+
+def binary_quantize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append sign-bit halves (h0, h1): bit j of h0 is 1 iff v[j] > 0
+    for j in 0..31, h1 covers 32..63. Two 32-bit halves sidestep the
+    bigint sign bit, so Spark and DuckDB agree without unsigned types."""
+    v = F.col(vec_col).cast("array<double>")
+
+    def half(lo: int) -> F.Column:
+        # 2^i instead of a shift: F.shiftleft needs a literal amount, and
+        # pow(2, i) is exact in double for i <= 31, matching the SQL
+        # twin's (1::BIGINT << (i-1)) bit for bit.
+        bits = F.transform(
+            F.slice(v, lo + 1, 32),
+            lambda x, i: F.when(
+                x > 0.0, F.pow(F.lit(2.0), i).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
+
+    return df.withColumn("h0", half(0)).withColumn("h1", half(32))
+
+
+_BQ_CODES_SQL = """bq AS (
+      SELECT vec_id,
+             list_sum(list_transform(CAST(embedding AS DOUBLE[])[1:32],
+               (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS h0,
+             list_sum(list_transform(CAST(embedding AS DOUBLE[])[33:64],
+               (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS h1
+      FROM embeddings
+    )"""
+
+
+@query(
+    "binary_quant_code_stats",
+    # codes are fully deterministic => exact per-vector oracle on a
+    # bounded slice: the packed halves plus the popcount (bits set)
+    oracle=f"""
+    WITH {_BQ_CODES_SQL}
+    SELECT vec_id, CAST(h0 AS BIGINT) AS h0, CAST(h1 AS BIGINT) AS h1,
+           CAST(bit_count(CAST(h0 AS BIGINT)) + bit_count(CAST(h1 AS BIGINT)) AS BIGINT)
+             AS n_positive_dims
+    FROM bq WHERE vec_id < 100
+    """,
+    operators=("K6", "H4", "B1"),
+)
+def binary_quant_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return binary_quantize(emb).select(
+        "vec_id",
+        "h0",
+        "h1",
+        (F.expr("bit_count(h0)") + F.expr("bit_count(h1)"))
+        .cast("bigint")
+        .alias("n_positive_dims"),
+    )
+
+
+@query(
+    "binary_quant_hamming_knn",
+    oracle=f"""
+    WITH {_BQ_CODES_SQL},
+    pb AS (SELECT vec_id AS probe_id, h0 AS p0, h1 AS p1 FROM bq WHERE vec_id < 3),
+    ham AS (
+      SELECT pb.probe_id, c.vec_id,
+             CAST(bit_count(xor(CAST(c.h0 AS BIGINT), CAST(pb.p0 AS BIGINT)))
+                + bit_count(xor(CAST(c.h1 AS BIGINT), CAST(pb.p1 AS BIGINT))) AS BIGINT)
+               AS hamming
+      FROM bq c, pb WHERE c.vec_id <> pb.probe_id
+    ),
+    cand AS (
+      SELECT probe_id, vec_id, hamming FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY hamming, vec_id) AS rn
+        FROM ham
+      ) WHERE rn <= {_BQ_CAND_C}
+    )
+    SELECT probe_id, neighbor_id, hamming, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT c.probe_id, c.vec_id AS neighbor_id, c.hamming,
+             round(list_cosine_similarity(CAST(ec.embedding AS DOUBLE[]),
+                                          CAST(ep.embedding AS DOUBLE[])), 6) AS score,
+             row_number() OVER (PARTITION BY c.probe_id
+                                ORDER BY round(list_cosine_similarity(
+                                  CAST(ec.embedding AS DOUBLE[]),
+                                  CAST(ep.embedding AS DOUBLE[])), 6) DESC,
+                                c.vec_id) AS rank
+      FROM cand c
+      JOIN embeddings ec ON ec.vec_id = c.vec_id
+      JOIN embeddings ep ON ep.vec_id = c.probe_id
+    ) WHERE rank <= 10
+    """,
+    operators=("K8", "K6", "H4", "E4", "C10"),
+)
+def binary_quant_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-candidate ANN over sign-bit codes + exact cosine rescore,
+    top-10 for 3 probes. The Hamming scan touches only (vec_id, h0, h1)
+    — a 24-byte projection of the corpus — and the float vectors are
+    read back for just C candidates per probe."""
+    emb = load(spark, sf_dir, "embeddings")
+    codes = binary_quantize(emb).select("vec_id", "h0", "h1")
+    pb = binary_quantize(emb.filter(F.col("vec_id") < 3)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("h0").alias("p0"),
+        F.col("h1").alias("p1"),
+    )
+    ham = (
+        codes.crossJoin(F.broadcast(pb))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                F.expr("bit_count(h0 ^ p0)") + F.expr("bit_count(h1 ^ p1)")
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    wc = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
+    cand = (
+        ham.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= _BQ_CAND_C)
+        .select("probe_id", "vec_id", "hamming")
+    )
+    pv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    rescored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(pv), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "hamming",
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

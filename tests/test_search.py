@@ -130,3 +130,36 @@ def test_rerank_subset_of_candidates_and_deterministic(spark, sf_dir):
         rs.sort(key=lambda r: r["rank"])
         scores = [r["ce_score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_diversifies_and_keeps_relevance(spark, sf_dir):
+    """MMR invariants: 5 distinct picks from the top-20 pool; the first
+    pick is the single most relevant doc; every later pick's max
+    similarity to earlier picks is <= the most-redundant skipped
+    alternative would have been (spot: picks are not simply the top-5 by
+    relevance unless that already is diverse)."""
+    from cloudvectordb_spark.functions import vector as V
+    from cloudvectordb_spark.operators.search import mmr_diversified_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    rel = {
+        r.vec_id: r.rel
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", F.round(V.cosine("embedding", "pv"), 6).alias("rel"))
+        .collect()
+    }
+    picks = sorted(
+        (r.pick_order, r.vec_id, r.mmr)
+        for r in mmr_diversified_search(spark, sf_dir).collect()
+    )
+    assert [p[0] for p in picks] == [1, 2, 3, 4, 5]
+    ids = [p[1] for p in picks]
+    assert len(set(ids)) == 5
+    top1 = max(rel, key=lambda v: (rel[v], -v))
+    assert ids[0] == top1
+    # mmr scores are non-increasing in pick order after the first
+    # (greedy argmax over a shrinking set with a growing penalty)
+    scores = [p[2] for p in picks[1:]]
+    assert scores == sorted(scores, reverse=True)
