@@ -1062,3 +1062,180 @@ def incremental_embedding_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K12 index-quality report: recall@10 of the IVF probe path vs exact
+# kNN, measured INSIDE the engine with a full value oracle — possible
+# only because the coarse quantizer is deterministic (round 5). This is
+# the ops view every ANN deployment watches; tools/recall_report.py
+# remains the ad-hoc CLI form.
+# ---------------------------------------------------------------------------
+@query(
+    "ivf_recall_at10",
+    oracle=f"""
+    WITH {_KM_CTES},
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM km_emb WHERE vec_id < 10),
+    exact AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC,
+                          e.vec_id) AS rn
+        FROM km_emb e, p WHERE e.vec_id <> p.probe_id
+      ) WHERE rn <= 10
+    ),
+    pcells AS (
+      SELECT probe_id, cid FROM (
+        SELECT e.vec_id AS probe_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    approx AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT pc.probe_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY pc.probe_id
+                 ORDER BY round(list_cosine_similarity(a.v, p.pv), 6) DESC,
+                          a.vec_id) AS rn
+        FROM pcells pc
+        JOIN km_assign a ON a.cid = pc.cid
+        JOIN p ON p.probe_id = pc.probe_id
+        WHERE a.vec_id <> pc.probe_id
+      ) WHERE rn <= 10
+    )
+    SELECT e.probe_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.probe_id
+    """,
+    operators=("K12", "K9", "K8", "E4"),
+)
+def ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall@10 of nprobe=2 IVF search vs exact cosine kNN
+    over the first 10 probes — the index-quality gate as a QUERY."""
+    from cloudvectordb_spark.functions import vector as V
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cents = index_centroids(spark, path)
+    emb = load(spark, sf_dir, "embeddings")
+    probe_rows = (
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    )
+    probes_local = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in probe_rows],
+        schema="vec_id long, embedding array<float>",
+    )
+    exact = exact_knn(emb, probes_local, k=10).select("probe_id", "neighbor_id")
+    cells_local = spark.createDataFrame(
+        [
+            (r.vec_id, c)
+            for r in probe_rows
+            for c in nearest_cells_py(r.embedding, cents, 2)
+        ],
+        schema="probe_id long, cell int",
+    )
+    pv = probes_local.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    cand = (
+        vectors.join(
+            F.broadcast(cells_local), vectors["centroid_id"] == cells_local["cell"]
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(F.broadcast(pv), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    approx = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", F.col("neighbor_id").alias("a_neighbor"))
+    )
+    return (
+        exact.join(
+            approx,
+            (exact["probe_id"] == approx["probe_id"])
+            & (exact["neighbor_id"] == approx["a_neighbor"]),
+            "left",
+        )
+        .groupBy(exact["probe_id"].alias("probe_id"))
+        .agg(
+            F.count("a_neighbor").cast("bigint").alias("n_hits"),
+            F.round(F.count("a_neighbor") / 10.0, 6).alias("recall_at_10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K12/K9 layout health: cell-size balance of the IVF partitioning. The
+# number a rebuild decision watches — imbalance drives both probe-time
+# tail latency (hot cells) and the semantic-dedup Σ|cell|² cost.
+# ---------------------------------------------------------------------------
+@query(
+    "ivf_cell_balance_stats",
+    oracle=f"""
+    WITH {_KM_CTES},
+    sizes AS (SELECT cid, count(*) AS n FROM km_assign GROUP BY cid)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(n) AS BIGINT) AS min_cell,
+           CAST(max(n) AS BIGINT) AS max_cell,
+           round(avg(n), 6) AS avg_cell,
+           round(max(n) / avg(n), 6) AS imbalance
+    FROM sizes
+    """,
+    operators=("K12", "K9", "D2", "D5"),
+)
+def ivf_cell_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors, _ = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    sizes = vectors.groupBy("centroid_id").agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.min("n").cast("bigint").alias("min_cell"),
+        F.max("n").cast("bigint").alias("max_cell"),
+        F.round(F.avg("n"), 6).alias("avg_cell"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("imbalance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K9 lifecycle as a QUERY: assign a simulated daily delta (vec_id % 11
+# == 0) against the FROZEN centroids and report the per-cell landing
+# counts — the cheap pre-flight a production append runs before touching
+# the layout (work ∝ delta, never corpus). Frozen-centroid assignment
+# equals the full build's assignment restricted to the delta, which is
+# exactly what the oracle replays.
+# ---------------------------------------------------------------------------
+@query(
+    "ivf_delta_assign_counts",
+    oracle=f"""
+    WITH {_KM_CTES}
+    SELECT CAST(cid AS INTEGER) AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_delta
+    FROM km_assign WHERE vec_id % 11 = 0
+    GROUP BY cid
+    """,
+    operators=("K9", "D1", "B4"),
+)
+def ivf_delta_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.operators.kmeans_det import assign_cells
+
+    path = ensure_ivf_index(spark, sf_dir)
+    cents = index_centroids(spark, path)
+    delta = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 11 == 0)
+    return (
+        assign_cells(delta, cents)
+        .groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
+        .agg(F.count("*").cast("bigint").alias("n_delta"))
+    )

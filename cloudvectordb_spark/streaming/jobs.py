@@ -239,3 +239,63 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 streaming ingest: continuous vector arrival -> frozen-centroid IVF
+# assignment -> partitioned append. The production shape for "vector
+# upserts keep flowing while the index serves": assignment is a pure
+# per-row projection (kmeans_det.assign_cells — no state, no shuffle),
+# so it runs unchanged under the micro-batch engine; the sink appends
+# into the same partitionBy(centroid_id) layout the batch build wrote,
+# and compact_ivf_index handles the small-files debt on a schedule.
+# Work per micro-batch ∝ batch size, never corpus size.
+# ---------------------------------------------------------------------------
+def read_vectors_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    phys = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return (
+        spark.readStream.schema(phys)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def assign_vectors_stream(vectors: DataFrame, cents: list) -> DataFrame:
+    """Streaming IVF assignment against FROZEN centroids (the same
+    literal-matrix expression as the batch path — stateless, so the
+    micro-batch engine needs no watermark or state store)."""
+    from cloudvectordb_spark.operators.kmeans_det import assign_cells
+
+    return assign_cells(vectors, cents)
+
+
+def run_vector_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """End-to-end continuous index ingestion: stream vectors, assign,
+    append partitioned-by-cell parquet with a checkpoint (restart-safe:
+    committed micro-batches never reprocess)."""
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        index_centroids,
+    )
+
+    cents = index_centroids(spark, ensure_ivf_index(spark, sf_dir))
+    assigned = assign_vectors_stream(read_vectors_stream(spark, sf_dir), cents)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("centroid_id").parquet(out_path)
+
+    q = (
+        assigned.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -217,3 +217,28 @@ def test_tws_running_totals_match_batch(spark, sf_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_vector_ingest_matches_batch_assignment(spark, sf_dir, tmp_path):
+    """S4 streaming ingest: vectors streamed through the frozen-centroid
+    assignment must land in EXACTLY the cells the batch build chose, in
+    a partitioned layout the probe path can prune."""
+    import glob
+
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        read_ivf_index,
+    )
+    from cloudvectordb_spark.streaming.jobs import run_vector_ingest
+
+    out = str(tmp_path / "stream_ivf")
+    ckpt = str(tmp_path / "ckpt")
+    run_vector_ingest(spark, sf_dir, out, ckpt)
+
+    streamed = spark.read.parquet(out)
+    vectors, _ = read_ivf_index(spark, ensure_ivf_index(spark, sf_dir))
+    s = {r.vec_id: r.centroid_id for r in streamed.select("vec_id", "centroid_id").collect()}
+    b = {r.vec_id: r.centroid_id for r in vectors.select("vec_id", "centroid_id").collect()}
+    assert len(s) > 0 and s == b
+    # layout is genuinely partitioned by cell
+    assert glob.glob(out + "/centroid_id=*"), "expected hive-partitioned cells"
