@@ -67,12 +67,53 @@ def _dist_structs(vec_col: Column, cents: Centroids) -> Column:
     )
 
 
+# Above this many k*dim literal cells the expression path's per-row
+# zip_with allocations dominate (k=500 centroids => 500 temp arrays per
+# row); the Arrow/BLAS path computes the same rounded argmin in one
+# matmul per batch. The registered k=8 queries stay on the expression
+# path, whose fold order is the one the oracles replay exactly.
+_BLAS_CELLS_THRESHOLD = 4096
+
+
+def assign_cells_blas(
+    df: DataFrame, cents: Centroids, vec_col: str = "embedding", out: str = "centroid_id"
+) -> DataFrame:
+    """Arrow-batched BLAS assignment: d2 via the ||x||^2 + ||c||^2 - 2xC'
+    expansion, rounded to 6 then argmin (ties -> first = smallest cid,
+    same total order as the expression path up to matmul-summation ulps
+    under the 6-decimal round)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([c for _, c in cents], dtype=np.float64)  # (k, d)
+    c2 = (cmat * cmat).sum(axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (x * x).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (x @ cmat.T)
+            d2 = np.floor(np.abs(d2) * 1e6 + 0.5) / 1e6  # d2 >= 0 up to ulps
+            pdf = pdf.copy()
+            pdf[out] = cids[d2.argmin(axis=1)].astype(np.int32)
+            yield pdf
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.IntegerType())]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
 def assign_cells(
     df: DataFrame, cents: Centroids, vec_col: str = "embedding", out: str = "centroid_id"
 ) -> DataFrame:
     """Nearest-centroid id per row (argmin on rounded distance, ties to
     the smaller cid — array_min over (d, cid) structs encodes exactly
-    that total order)."""
+    that total order). Dispatches to the BLAS path above the literal-
+    cell threshold; small k (all registered queries) stays JVM-side."""
+    if len(cents) * len(cents[0][1]) > _BLAS_CELLS_THRESHOLD:
+        return assign_cells_blas(df, cents, vec_col, out)
     best = F.array_min(_dist_structs(F.col(vec_col), cents))
     return df.withColumn(out, best["cid"])
 

@@ -142,3 +142,23 @@ def test_lsh_single_table_helper_consistent(spark, sf_dir):
     }
     for k, v in single.items():
         assert batch[k] == v
+
+
+def test_blas_assignment_matches_expression_path(spark, sf_dir):
+    """The large-k Arrow/BLAS assignment must agree with the JVM
+    expression path on the fixture (same rounded argmin total order)."""
+    from cloudvectordb_spark.operators.kmeans_det import assign_cells_blas
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = lloyd_centroids(emb, k=8, seed=42, rounds=3)
+    expr = {
+        r.vec_id: r.centroid_id
+        for r in assign_cells(emb, cents).select("vec_id", "centroid_id").collect()
+    }
+    blas = {
+        r.vec_id: r.centroid_id
+        for r in assign_cells_blas(emb, cents)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert expr == blas
