@@ -877,3 +877,68 @@ def ab_assignment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "n_a", "n_b", F.round(z, 6).alias("srm_z"), (z < 4).alias("split_healthy")
     )
+
+
+# ---------------------------------------------------------------------------
+# G6/K2 semantic decontamination: the embedding-space complement of
+# benchmark_contamination. Trigram overlap catches verbatim leakage;
+# paraphrased eval items share no n-grams but DO sit next to their
+# training twin in embedding space, so production decontamination runs
+# BOTH filters. Same bounded-eval-side discipline: the eval set is the
+# literal id predicate (<= 51 rows at any corpus size) and rides as a
+# broadcast; the train side streams through one cosine scan — cost
+# |corpus| x |eval|, linear in the corpus, no shuffle before the final
+# per-doc aggregate.
+# ---------------------------------------------------------------------------
+_SEM_CONTAM_TAU = 0.3
+
+
+@query(
+    "semantic_contamination_audit",
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % 97 = 0 AND vec_id < {_EVAL_MAX_DOC_ID}
+    ),
+    tr AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE NOT (vec_id % 97 = 0 AND vec_id < {_EVAL_MAX_DOC_ID})
+    ),
+    hits AS (
+      SELECT tr.vec_id AS train_id, ev.vec_id AS eval_id,
+             round(list_cosine_similarity(tr.v, ev.v), 6) AS cos_sim
+      FROM tr, ev
+      WHERE round(list_cosine_similarity(tr.v, ev.v), 6) >= {_SEM_CONTAM_TAU}
+    )
+    SELECT train_id,
+           CAST(count(*) AS BIGINT) AS n_eval_hits,
+           max(cos_sim) AS max_sim
+    FROM hits GROUP BY train_id
+    """,
+    operators=("G6", "K2", "K7", "C10", "D1"),
+)
+def semantic_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training vectors whose cosine to ANY held-out eval vector clears
+    tau — flagged with hit count and worst similarity for review."""
+    from cloudvectordb_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings")
+    is_eval = (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < _EVAL_MAX_DOC_ID)
+    ev = emb.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev_vec")
+    )
+    tr = emb.filter(~is_eval).select(
+        F.col("vec_id").alias("train_id"), "embedding"
+    )
+    hits = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            "train_id",
+            F.round(V.cosine("embedding", "ev_vec"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SEM_CONTAM_TAU)
+    )
+    return hits.groupBy("train_id").agg(
+        F.count("*").cast("bigint").alias("n_eval_hits"),
+        F.max("cos_sim").alias("max_sim"),
+    )
