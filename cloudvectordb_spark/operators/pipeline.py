@@ -1239,3 +1239,94 @@ def ivf_delta_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("centroid_id").cast("int").alias("centroid_id"))
         .agg(F.count("*").cast("bigint").alias("n_delta"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K12 for the LSH layout: recall@10 of the bucket-join probe path vs
+# exact L2 kNN — the companion of ivf_recall_at10, fully value-oracled
+# because the hyperplanes are md5-derived.
+# ---------------------------------------------------------------------------
+@query(
+    "lsh_recall_at10",
+    oracle=f"""
+    WITH {_LSH_CTES},
+    p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    exact AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(list_distance(CAST(e.embedding AS DOUBLE[]), p.pv), 6),
+                          e.vec_id) AS rn
+        FROM embeddings e, p WHERE e.vec_id <> p.probe_id
+      ) WHERE rn <= 10
+    ),
+    pb AS (SELECT vec_id AS probe_id, table_id, bucket FROM lsh_b WHERE vec_id < 3),
+    cand AS (
+      SELECT DISTINCT pb.probe_id, c.vec_id
+      FROM lsh_b c JOIN pb ON c.table_id = pb.table_id AND c.bucket = pb.bucket
+      WHERE c.vec_id <> pb.probe_id
+    ),
+    approx AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT cand.probe_id, cand.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY cand.probe_id
+                 ORDER BY round(list_distance(CAST(ec.embedding AS DOUBLE[]),
+                                              p.pv), 6), cand.vec_id) AS rn
+        FROM cand
+        JOIN embeddings ec ON ec.vec_id = cand.vec_id
+        JOIN p ON p.probe_id = cand.probe_id
+      ) WHERE rn <= 10
+    )
+    SELECT e.probe_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.probe_id
+    """,
+    operators=("K12", "K10", "K8", "E4"),
+)
+def lsh_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 3)
+    pv = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(pv))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.l2_distance("embedding", "probe_vec"), 6).alias("d"),
+        )
+    )
+    we = Window.partitionBy("probe_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "neighbor_id")
+    )
+    approx = (
+        lsh_topk_search(spark, sf_dir)
+        .select("probe_id", F.col("neighbor_id").alias("a_neighbor"))
+    )
+    return (
+        exact.join(
+            approx,
+            (exact["probe_id"] == approx["probe_id"])
+            & (exact["neighbor_id"] == approx["a_neighbor"]),
+            "left",
+        )
+        .groupBy(exact["probe_id"].alias("probe_id"))
+        .agg(
+            F.count("a_neighbor").cast("bigint").alias("n_hits"),
+            F.round(F.count("a_neighbor") / 10.0, 6).alias("recall_at_10"),
+        )
+    )

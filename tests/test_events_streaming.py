@@ -242,3 +242,18 @@ def test_streaming_vector_ingest_matches_batch_assignment(spark, sf_dir, tmp_pat
     assert len(s) > 0 and s == b
     # layout is genuinely partitioned by cell
     assert glob.glob(out + "/centroid_id=*"), "expected hive-partitioned cells"
+
+
+def test_streaming_vector_ingest_restart_no_duplicates(spark, sf_dir, tmp_path):
+    """Exactly-once: re-running the ingest with the SAME checkpoint must
+    reprocess nothing — committed micro-batch offsets make the restart a
+    no-op instead of doubling the layout."""
+    from cloudvectordb_spark.streaming.jobs import run_vector_ingest
+
+    out = str(tmp_path / "stream_ivf")
+    ckpt = str(tmp_path / "ckpt")
+    run_vector_ingest(spark, sf_dir, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    run_vector_ingest(spark, sf_dir, out, ckpt)  # restart, same checkpoint
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0, "restart with committed offsets must not duplicate"
