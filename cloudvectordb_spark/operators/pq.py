@@ -572,3 +572,55 @@ def ivfpq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# K12 compression-fidelity gate: per-vector PQ reconstruction error —
+# the squared distance between the normalized vector and its codeword
+# concatenation, i.e. exactly the sum of the per-subspace assignment
+# distances the encoder minimized. The number that tells you whether
+# m/k are sized right BEFORE recall degrades in production.
+# ---------------------------------------------------------------------------
+@query(
+    "pq_reconstruction_error",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    errs AS (
+      SELECT e.vec_id, e.s, {_PQ_D2} AS d
+      FROM pq_sub e
+      JOIN pq_codes k ON k.vec_id = e.vec_id AND k.s = e.s
+      JOIN pq_c{_PQ_ROUNDS} c ON c.s = k.s AND c.cid = k.cid
+      WHERE e.vec_id < 100
+    )
+    SELECT vec_id, round(sum(d), 6) AS recon_err
+    FROM errs GROUP BY vec_id
+    """,
+    operators=("K12", "K9", "K6", "L5"),
+)
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    _, books = ensure_pq_index(spark, sf_dir)
+    m, _, dsub = books.shape
+
+    def run(batches):
+        for pdf in batches:
+            x = _normalize_rows(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            )
+            total = np.zeros(len(x))
+            for s in range(m):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                d2 = _half_up(
+                    ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2), 6
+                )
+                total += d2.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "recon_err": _half_up(total, 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, recon_err double"
+    )

@@ -993,6 +993,22 @@ _BPE_ORACLE = (
 
 @query("bpe_train_merges", oracle=_BPE_ORACLE, operators=("K1", "K2", "D1", "L3"))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, pair_count long"
+    ).select(
+        F.col("merge_rank").cast("long").alias("merge_rank"),
+        "left",
+        "right",
+        "merged",
+        "pair_count",
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
+    """The iterative merge loop shared by bpe_train_merges and
+    bpe_compression_ratio: returns (merges, final vocab DataFrame with
+    the merged symbol sequences)."""
     docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(TX.tokens("text")).alias("word"))
@@ -1044,12 +1060,51 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge_batch, "word string, freq long, syms array<string>"
         ).localCheckpoint()
 
-    return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, merged string, pair_count long"
-    ).select(
-        F.col("merge_rank").cast("long").alias("merge_rank"),
-        "left",
-        "right",
-        "merged",
-        "pair_count",
+    return merges, vocab
+
+
+# ---------------------------------------------------------------------------
+# K1 tokenizer loop CLOSED: apply the learned merges back to the corpus
+# and measure what they bought — symbols per corpus occurrence before vs
+# after the 5 merges (the compression a BPE vocab exists to deliver).
+# Same unrolled-CTE oracle as the trainer: vocab5's double-space rep
+# yields the post-merge symbol counts exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_compression_ratio",
+    oracle=(
+        """WITH vocab0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         '  ' || array_to_string(regexp_split_to_array(word, ''), '  ') || '  ' AS rep
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),"""
+        + ",".join(_bpe_oracle_stage(r) for r in range(_BPE_ROUNDS))
+        + f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(freq * len(string_split(trim(v0.rep), '  '))) AS BIGINT)
+             AS symbols_before,
+           CAST(sum(freq * len(string_split(trim(v5.rep), '  '))) AS BIGINT)
+             AS symbols_after,
+           round(sum(freq * len(string_split(trim(v5.rep), '  ')))
+                 / CAST(sum(freq * len(string_split(trim(v0.rep), '  '))) AS DOUBLE), 6)
+             AS compression_ratio
+    FROM vocab0 v0 JOIN vocab{_BPE_ROUNDS} v5 USING (word, freq)
+    """
+    ),
+    operators=("K1", "K2", "D2", "L3"),
+)
+def bpe_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted symbols-per-occurrence before/after the learned
+    merges — the number a tokenizer training run reports."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    return vocab.agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.col("freq") * F.length("word")).cast("bigint").alias("symbols_before"),
+        F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("symbols_after"),
+        F.round(
+            F.sum(F.col("freq") * F.size("syms"))
+            / F.sum(F.col("freq") * F.length("word")).cast("double"),
+            6,
+        ).alias("compression_ratio"),
     )
