@@ -224,3 +224,73 @@ def test_misra_gries_superset_guarantee(stream, cap, n_batches):
     for key, cnt in true.items():
         if cnt > n / cap:
             assert key in counters, (key, cnt, n, cap)
+
+
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_half_up_matches_duckdb_round(vals):
+    """pq._half_up (the numpy half-away-from-zero used by every
+    deterministic trainer) must agree with DuckDB round() on the same
+    doubles — the cross-engine contract the PQ oracles depend on."""
+    import duckdb
+
+    from cloudvectordb_spark.operators.pq import _half_up
+
+    arr = np.array(vals, dtype=np.float64)
+    ours = _half_up(arr, 6)
+    con = duckdb.connect()
+    duck = [
+        con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [float(v)]).fetchone()[0]
+        for v in vals
+    ]
+    assert np.array_equal(ours, np.array(duck, dtype=np.float64))
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.binary(min_size=0, max_size=600),
+)
+@settings(max_examples=60, deadline=None)
+def test_netpbm_p6_roundtrip_any_geometry(w, h, payload):
+    """parse_netpbm must decode every well-formed P6 payload (any
+    geometry, zero-padded pixel block) to the exact integer luma grid,
+    and reject truncated ones with ValueError, never crash."""
+    from cloudvectordb_spark.operators.multimodal import parse_netpbm
+
+    need = w * h * 3
+    raw = (payload * ((need // max(len(payload), 1)) + 1))[:need] if payload else bytes(need)
+    ppm = f"P6\n{w} {h}\n255\n".encode() + raw
+    img = parse_netpbm(ppm)
+    assert img.shape == (h, w)
+    for p in range(min(w * h, 16)):
+        r, g, b = raw[3 * p], raw[3 * p + 1], raw[3 * p + 2]
+        assert img[p // w, p % w] == (299 * r + 587 * g + 114 * b) // 1000
+
+    if need > 0:
+        truncated = f"P6\n{w} {h}\n255\n".encode() + raw[:-1]
+        try:
+            parse_netpbm(truncated)
+            assert False, "truncated payload must raise"
+        except ValueError:
+            pass
+
+
+@given(st.lists(st.floats(-4, 4, allow_nan=False, width=32), min_size=64, max_size=64))
+@settings(max_examples=40, deadline=None)
+def test_binary_pack_bits_equal_sign_pattern_numpy(vals):
+    """Pure-python replica of the packing contract: bit j set iff
+    v[j] > 0 — checked against the Spark expression on a 1-row frame in
+    the fixture-driven test; here the arithmetic identity (sum of 2^i
+    over positive dims) is pinned for arbitrary floats."""
+    h0 = sum((1 << i) for i in range(32) if vals[i] > 0)
+    h1 = sum((1 << i) for i in range(32) if vals[32 + i] > 0)
+    packed = (h1 << 32) | h0
+    for j, x in enumerate(vals):
+        assert ((packed >> j) & 1) == (1 if x > 0 else 0)
