@@ -1,0 +1,324 @@
+"""Two-level hierarchical IVF (IMI-style coarse quantization; K9 deep
+form). Level 1 is the persisted 8-cell Lloyd's layout
+(operators.pipeline); level 2 trains k2=4 fine centroids WITHIN each
+parent cell — 32 fine cells total, so a 2x2 probe (top-2 parents, top-2
+children each) scans ~4/32 of the corpus instead of 2/8.
+
+Everything stays md5-deterministic with the engine's rounding
+discipline, so the fine layout, probe cells, and search results all
+carry FULL value oracles: the per-parent training chain unrolls into
+long-form CTEs grouped by parent — the same one-chain-covers-all-groups
+trick the PQ oracle uses for subspaces.
+
+Scale shape: fine training is ROUNDS2 passes of (zero-shuffle literal
+assignment + one (parent, child, dim) groupBy whose output is k1*k2*dim
+rows); per-round driver state is k1*k2*dim doubles. The fine assignment
+expression selects each row's parent matrix from ONE 3-deep nested
+literal (element_at by parent id) — no join, no shuffle, whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.catalog import load
+from cloudvectordb_spark.operators.pipeline import (
+    _IVF_ROUNDS,
+    _KM_CTES,
+    _KM_D2,
+    ensure_ivf_index,
+    index_centroids,
+)
+from cloudvectordb_spark.registry import query
+
+_K2 = 4
+_IVF2_ROUNDS = 2
+_FIT_CAP = 100_000
+
+# centroids-by-parent cache, keyed on the (immutable) level-1 index path
+_IVF2_CACHE: dict = {}
+
+GroupCents = dict[int, list[tuple[int, list[float]]]]
+
+
+def _fine_matrices(cents2: GroupCents, k1: int):
+    """(3-deep matrix literal, 2-deep cid literal) indexed by parent id.
+    Parents must be contiguous 0..k1-1 (asserted at train time); inner
+    lists may be ragged when a fine cell dropped."""
+    mats = [[c for _, c in cents2[p]] for p in range(k1)]
+    cids = [[int(cid) for cid, _ in cents2[p]] for p in range(k1)]
+    return F.lit(mats), F.lit(cids)
+
+
+def assign_fine_cells(
+    df: DataFrame,
+    cents2: GroupCents,
+    k1: int,
+    parent_col: str = "centroid_id",
+    vec_col: str = "embedding",
+    out: str = "child_id",
+) -> DataFrame:
+    """Per-row nearest FINE centroid within the row's parent cell —
+    round(d2, 6) argmin, ties to the smaller child id (the oracle's
+    total order), via one 3-deep literal lookup."""
+    mats, cids = _fine_matrices(cents2, k1)
+    v = F.col(vec_col).cast("array<double>")
+    pmat = F.element_at(mats, F.col(parent_col) + 1)
+    pcid = F.element_at(cids, F.col(parent_col) + 1)
+    structs = F.transform(
+        pmat,
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                ),
+                6,
+            ).alias("d"),
+            F.element_at(pcid, i + F.lit(1)).alias("cid"),
+        ),
+    )
+    return df.withColumn(out, F.array_min(structs)["cid"])
+
+
+def train_fine_centroids(
+    spark: SparkSession, sf_dir: str, k2: int = _K2, rounds: int = _IVF2_ROUNDS
+) -> tuple[str, GroupCents, int]:
+    """(level1_path, {parent: [(child_id, centroid)]}, k1). md5-seeded
+    per-parent Lloyd's on the pinned fit sample; cached per index path."""
+    path = ensure_ivf_index(spark, sf_dir)
+    key = (path, k2, rounds)
+    if key in _IVF2_CACHE:
+        return _IVF2_CACHE[key]
+    k1 = len(index_centroids(spark, path))
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("vec_id") < _FIT_CAP
+    )
+    assert {
+        r.centroid_id for r in vectors.select("centroid_id").distinct().collect()
+    } == set(range(k1)), "level-1 cells must be contiguous 0..k1-1"
+
+    w = Window.partitionBy("centroid_id").orderBy("h", "vec_id")
+    seeds = (
+        vectors.withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.lit("ivf2|"),
+                    F.col("centroid_id").cast("string"),
+                    F.lit("|"),
+                    F.col("vec_id").cast("string"),
+                )
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k2)
+        .select("centroid_id", "rn", "embedding")
+        .collect()  # bounded: k1 * k2 rows
+    )
+    cents2: GroupCents = {}
+    for r in sorted(seeds, key=lambda r: (r.centroid_id, r.rn)):
+        cents2.setdefault(r.centroid_id, []).append(
+            (r.rn - 1, [float(x) for x in r.embedding])
+        )
+
+    for _ in range(rounds):
+        asg = assign_fine_cells(vectors, cents2, k1)
+        upd = (
+            asg.select(
+                "centroid_id",
+                "child_id",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "dim", "x"
+                ),
+            )
+            .groupBy("centroid_id", "child_id", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()  # bounded: k1 * k2 * dim rows
+        )
+        nxt: dict = {}
+        for r in upd:
+            nxt.setdefault(r.centroid_id, {}).setdefault(r.child_id, {})[r.dim] = r.m
+        cents2 = {
+            p: [
+                (cid, [dims[i] for i in sorted(dims)])
+                for cid, dims in sorted(children.items())
+            ]
+            for p, children in sorted(nxt.items())
+        }
+    out = (path, cents2, k1)
+    _IVF2_CACHE[key] = out
+    return out
+
+
+def _fine_cells_py(vec, cents2_for_parent, nprobe: int = 2) -> list[int]:
+    """Driver-side replica of assign_fine_cells' total order for probe
+    vectors (bounded nprobe * k2 work)."""
+    import math
+
+    import numpy as np
+
+    v = np.asarray(vec, dtype=np.float64)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    scored = sorted(
+        (r6(float(np.add.reduce((v - np.asarray(c, dtype=np.float64)) ** 2))), cid)
+        for cid, c in cents2_for_parent
+    )
+    return [cid for _, cid in scored[:nprobe]]
+
+
+# The per-parent fine-training chain as long-form CTEs off km_assign.
+def _ivf2_cte_sql(k2: int = _K2, rounds: int = _IVF2_ROUNDS, dim: int = 64) -> str:
+    d2 = (
+        "round(list_sum(list_transform(list_zip(e.v, c.v),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    parts = [
+        f"""f_fit AS (
+      SELECT vec_id, v, cid AS parent FROM km_assign WHERE vec_id < {_FIT_CAP}
+    )""",
+        f"""f_c0 AS (
+      SELECT parent, CAST(rn - 1 AS INTEGER) AS cid, v FROM (
+        SELECT parent, v, row_number() OVER (PARTITION BY parent
+          ORDER BY md5('ivf2|' || parent || '|' || CAST(vec_id AS VARCHAR)),
+                   vec_id) AS rn
+        FROM f_fit
+      ) WHERE rn <= {k2}
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""f_a{r} AS (
+      SELECT vec_id, parent, v, cid FROM (
+        SELECT e.vec_id, e.parent, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM f_fit e JOIN f_c{r - 1} c ON c.parent = e.parent
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""f_c{r} AS (
+      SELECT parent, cid, list(m ORDER BY i) AS v FROM (
+        SELECT a.parent, a.cid, t.i, round(avg(a.v[t.i]), 6) AS m
+        FROM f_a{r} a, range(1, {dim + 1}) t(i)
+        GROUP BY a.parent, a.cid, t.i
+      ) GROUP BY parent, cid
+    )"""
+        )
+    parts.append(
+        f"""f_assign AS (
+      SELECT vec_id, parent, v, child FROM (
+        SELECT e.vec_id, e.cid AS parent, e.v, c.cid AS child,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rn
+        FROM km_assign e JOIN f_c{rounds} c ON c.parent = e.cid
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+_IVF2_CTES = _ivf2_cte_sql()
+
+
+@query(
+    "ivf2_cell_counts",
+    # exact (parent, child) histogram — deterministic end to end
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_IVF2_CTES}
+    SELECT CAST(parent AS INTEGER) AS parent_id,
+           CAST(child AS INTEGER) AS child_id,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM f_assign GROUP BY parent, child
+    """,
+    operators=("K9", "D1", "L4"),
+)
+def ivf2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, cents2, k1 = train_fine_centroids(spark, sf_dir)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    asg = assign_fine_cells(vectors, cents2, k1)
+    return asg.groupBy(
+        F.col("centroid_id").cast("int").alias("parent_id"),
+        F.col("child_id").cast("int").alias("child_id"),
+    ).agg(F.count("*").cast("bigint").alias("n_vectors"))
+
+
+@query(
+    "ivf2_topk_search",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_IVF2_CTES},
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM km_emb WHERE vec_id < 3),
+    p_parents AS (
+      SELECT probe_id, cid AS parent FROM (
+        SELECT e.vec_id AS probe_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c WHERE e.vec_id < 3
+      ) WHERE rn <= 2
+    ),
+    p_cells AS (
+      SELECT DISTINCT parent, child FROM (
+        SELECT pp.probe_id, pp.parent, c.cid AS child,
+               row_number() OVER (PARTITION BY pp.probe_id, pp.parent
+                 ORDER BY round(list_sum(list_transform(list_zip(p.pv, c.v),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c.cid) AS rn
+        FROM p_parents pp
+        JOIN p ON p.probe_id = pp.probe_id
+        JOIN f_c{_IVF2_ROUNDS} c ON c.parent = pp.parent
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, p.pv), 6) AS score
+      FROM f_assign a
+      JOIN p_cells pc ON pc.parent = a.parent AND pc.child = a.child
+      CROSS JOIN p
+      WHERE a.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K9", "K8", "E4"),
+)
+def ivf2_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical probe: top-2 parents, top-2 fine cells within each —
+    4 of 32 cells scanned — then BLAS exact top-10 over the pruned set.
+    One probe-collect job; cell selection is driver-side bounded work."""
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+    from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
+
+    path, cents2, k1 = train_fine_centroids(spark, sf_dir)
+    cents1 = index_centroids(spark, path)
+    probe_rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cells = set()
+    for r in probe_rows:
+        for parent in nearest_cells_py(r.embedding, cents1, 2):
+            for child in _fine_cells_py(r.embedding, cents2[parent], 2):
+                cells.add((parent, child))
+    probes_local = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in probe_rows],
+        schema="vec_id long, embedding array<float>",
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    asg = assign_fine_cells(vectors, cents2, k1)
+    cond = F.lit(False)
+    for parent, child in sorted(cells):
+        cond = cond | (
+            (F.col("centroid_id") == parent) & (F.col("child_id") == child)
+        )
+    pruned = asg.filter(cond).select("vec_id", "embedding")
+    return exact_knn_fast(pruned, probes_local, k=10)

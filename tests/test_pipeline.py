@@ -309,3 +309,33 @@ def test_ivf_compaction_one_file_per_cell(spark, sf_dir, tmp_path):
     a = {r.centroid_id: r.n for r in spark.read.parquet(out + "/vectors").groupBy("centroid_id").agg(F2.count("*").alias("n")).collect()}
     b = {r.centroid_id: r.n for r in after.groupBy("centroid_id").agg(F2.count("*").alias("n")).collect()}
     assert a == b
+
+
+def test_ivf2_hierarchy_recall_and_partition_of_corpus(spark, sf_dir):
+    """Two-level IVF: (a) the fine assignment partitions the corpus
+    (every vector in exactly one (parent, child) cell, children nested
+    inside their parent's vectors), (b) the 2x2-probe search recovers a
+    solid share of the exact top-10 while scanning ~4/32 cells."""
+    from cloudvectordb_spark.catalog import load as _load
+    from cloudvectordb_spark.operators.ivf2 import (
+        ivf2_cell_counts,
+        ivf2_topk_search,
+    )
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    emb = _load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cells = ivf2_cell_counts(spark, sf_dir).collect()
+    assert sum(r.n_vectors for r in cells) == n
+    assert len({(r.parent_id, r.child_id) for r in cells}) == len(cells)
+    assert len(cells) > 8, "fine level must split the 8 parents further"
+
+    probes = emb.filter(F.col("vec_id") < 3)
+    exact: dict = {}
+    for r in exact_knn(emb, probes, k=10).collect():
+        exact.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    got: dict = {}
+    for r in ivf2_topk_search(spark, sf_dir).collect():
+        got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[p] & got.get(p, set())) / len(exact[p]) for p in exact]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
