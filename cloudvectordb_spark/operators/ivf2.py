@@ -322,3 +322,86 @@ def ivf2_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     pruned = asg.filter(cond).select("vec_id", "embedding")
     return exact_knn_fast(pruned, probes_local, k=10)
+
+
+# ---------------------------------------------------------------------------
+# K8/B1 composition: metadata-filtered ANN through the IVF layout — the
+# two pruning mechanisms STACK: the literal cell filter prunes parquet
+# partitions, the label predicate pushes into the surviving cells' scans
+# (PushedFilters), and only then does vector math run. This is the
+# standard "filtered vector search" (pre-filter strategy) a vector DB
+# user expects; the exact form without the index is filtered_knn_search.
+# ---------------------------------------------------------------------------
+@query(
+    "filtered_ivf_knn",
+    oracle=f"""
+    WITH {_KM_CTES},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    probe_cells AS (
+      SELECT DISTINCT cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c WHERE e.vec_id < 3
+      ) WHERE rn <= 2
+    ),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM km_emb WHERE vec_id < 3),
+    scored AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id, lab.label,
+             round(list_cosine_similarity(a.v, p.pv), 6) AS score
+      FROM km_assign a
+      JOIN lab ON lab.vec_id = a.vec_id
+      CROSS JOIN p
+      WHERE a.cid IN (SELECT cid FROM probe_cells)
+        AND lab.label IN (1, 3)
+        AND a.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, label, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K8", "K9", "B1", "B4", "E4"),
+)
+def filtered_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 among label-{1,3} vectors inside the probes' top-2 cells:
+    partition pruning (literal isin on centroid_id) + predicate pushdown
+    (label isin) compose before any cosine is computed."""
+    from cloudvectordb_spark.functions import vector as V
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+
+    path = ensure_ivf_index(spark, sf_dir)
+    cents = index_centroids(spark, path)
+    probe_rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cell_ids = sorted(
+        {c for r in probe_rows for c in nearest_cells_py(r.embedding, cents, 2)}
+    )
+    pv = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in probe_rows],
+        schema="probe_id long, probe_vec array<float>",
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    scored = (
+        vectors.filter(
+            F.col("centroid_id").isin(cell_ids) & F.col("label").isin(1, 3)
+        )
+        .crossJoin(F.broadcast(pv))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
