@@ -1330,3 +1330,81 @@ def lsh_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_neighbor") / 10.0, 6).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K10 multi-probe: additionally check the +-1 neighboring bucket in each
+# hash table. A near neighbor split across a bucket boundary (the main
+# recall leak of bucketed projections) is caught by the adjacent probe
+# without adding hash tables — candidate volume grows ~3x per table
+# while recall approaches the exhaustive scan. Fully oracle-replayable:
+# the probe sequence is just bucket + {-1, 0, +1}.
+# ---------------------------------------------------------------------------
+@query(
+    "lsh_multiprobe_knn",
+    oracle=f"""
+    WITH {_LSH_CTES},
+    pb AS (
+      SELECT b.vec_id AS probe_id, b.table_id, b.bucket + o.o AS bucket
+      FROM lsh_b b, (SELECT unnest(generate_series(-1, 1)) AS o) o
+      WHERE b.vec_id < 3
+    ),
+    cand AS (
+      SELECT DISTINCT pb.probe_id, c.vec_id
+      FROM lsh_b c JOIN pb ON c.table_id = pb.table_id AND c.bucket = pb.bucket
+      WHERE c.vec_id <> pb.probe_id
+    ),
+    scored AS (
+      SELECT cand.probe_id, cand.vec_id AS neighbor_id,
+             round(list_distance(CAST(ec.embedding AS DOUBLE[]),
+                                 CAST(ep.embedding AS DOUBLE[])), 6) AS l2_dist
+      FROM cand
+      JOIN embeddings ec ON ec.vec_id = cand.vec_id
+      JOIN embeddings ep ON ep.vec_id = cand.probe_id
+    )
+    SELECT probe_id, neighbor_id, l2_dist, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY l2_dist, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K10", "K8", "E4"),
+)
+def lsh_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hashed = lsh_hashed(emb).select("vec_id", "table_id", "bucket")
+    probes = (
+        lsh_hashed(emb.filter(F.col("vec_id") < 3))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "table_id",
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        hashed.join(F.broadcast(probes), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    pv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(pv), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.l2_distance("embedding", "probe_vec"), 6).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

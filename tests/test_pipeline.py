@@ -339,3 +339,46 @@ def test_ivf2_hierarchy_recall_and_partition_of_corpus(spark, sf_dir):
         got.setdefault(r.probe_id, set()).add(r.neighbor_id)
     recalls = [len(exact[p] & got.get(p, set())) / len(exact[p]) for p in exact]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_lsh_multiprobe_beats_single_probe_recall(spark, sf_dir):
+    """+-1 bucket probing must recover at least as much of the exact
+    top-10 as the single-probe path (the boundary-split fix)."""
+    from pyspark.sql import Window
+    from cloudvectordb_spark.functions import vector as V
+    from cloudvectordb_spark.operators.pipeline import (
+        lsh_multiprobe_knn,
+        lsh_topk_search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.l2_distance("embedding", "probe_vec"), 6).alias("d"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact: dict = {}
+    for r in (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).collect()
+    ):
+        exact.setdefault(r.probe_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        rs = [len(exact[p] & got.get(p, set())) / len(exact[p]) for p in exact]
+        return sum(rs) / len(rs)
+
+    single = recall(lsh_topk_search(spark, sf_dir))
+    multi = recall(lsh_multiprobe_knn(spark, sf_dir))
+    assert multi >= single
+    assert multi >= 0.7
