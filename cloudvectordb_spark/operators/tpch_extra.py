@@ -712,3 +712,62 @@ def part_return_rate_offenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("vs_base"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q3-shape shipping priority: revenue of not-yet-shipped lineitems on
+# BUILDING-segment customers' pre-cutoff orders, top-10 orders. The
+# classic 3-table star probe: both date predicates push into the fact
+# scans, customer carries NO broadcast hint (it scales with SF — AQE
+# decides from runtime stats), and the top-10 is a
+# TakeOrderedAndProject — no global sort. (The fixture carries no
+# o_shippriority column; the ranking semantics are unchanged without it.)
+# ---------------------------------------------------------------------------
+@query(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           o.o_orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    operators=("C1", "C2", "B2", "D1", "F2"),
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1995-03-15")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    # no broadcast hint on customer: it SCALES with SF (fact-join policy,
+    # SCALE.md) — AQE broadcasts it from runtime stats while small and
+    # shuffles when not; the segment filter pre-shrinks it either way
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).join(
+        li, li["l_orderkey"] == orders["o_orderkey"]
+    )
+    agg = joined.groupBy(
+        F.col("l_orderkey").alias("o_orderkey"), "o_orderdate"
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
