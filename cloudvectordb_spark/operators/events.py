@@ -1366,3 +1366,87 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bounced).cast("long").alias("n_bounced"),
         F.round(F.sum(bounced) / F.count("*"), 5).alias("bounce_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J1/A3 "hypertable rollup": the continuous-aggregate pattern. History
+# is served from a MATERIALIZED hourly rollup (pre-aggregated parquet,
+# built once per fixture version and reused — the TimescaleDB/continuous
+# -aggregate shape); only the live tail (ts >= cutoff) scans raw events.
+# The merge query unions rollup + tail and re-aggregates to daily — so
+# at 100 TB a dashboard query reads |hours| x |types| rollup rows plus
+# the tail's raw slice, never the full history. The oracle recomputes
+# everything from raw, proving rollup + tail == ground truth.
+# ---------------------------------------------------------------------------
+_ROLLUP_CUTOFF = "2024-01-20 00:00:00"
+
+
+def ensure_hourly_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the pre-cutoff hourly rollup (mtime-keyed, atomic
+    publish — the same index-lifecycle discipline as ensure_ivf_index)."""
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = (
+        f"{sf_dir.strip('/').replace('/', '_')}_"
+        f"{int(os.path.getmtime(src))}_h1"
+    )
+    path = os.path.join(tempfile.gettempdir(), "cloudvectordb_rollup", tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build = f"{path}.build{os.getpid()}"
+        ev = load(spark, sf_dir, "events").filter(F.col("ts") < _ROLLUP_CUTOFF)
+        (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("hour"), "event_type", "n", "sum_value")
+            .write.mode("overwrite")
+            .parquet(build)
+        )
+        try:
+            os.rename(build, path)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    return path
+
+
+@query(
+    "events_hypertable_rollup",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    operators=("J1", "A3", "D1", "H5"),
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals over the FULL range, merged from the materialized
+    hourly rollup (history) + a raw scan of only the live tail."""
+    rollup = spark.read.parquet(ensure_hourly_rollup(spark, sf_dir)).select(
+        F.date_trunc("day", "hour").alias("day"),
+        "event_type",
+        F.col("n").alias("cnt"),
+        "sum_value",
+    )
+    tail = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts") >= _ROLLUP_CUTOFF)
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+            F.lit(1).cast("bigint").alias("cnt"),
+            F.col("value").alias("sum_value"),
+        )
+    )
+    return (
+        rollup.unionByName(tail)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )
