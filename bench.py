@@ -51,8 +51,11 @@ def main() -> None:
     # Steady-state latency: one untimed warm-up execution per query
     # (whole-stage codegen compile + AQE stats land there), then the best
     # of N timed runs — the standard warm "power run" methodology. Set
-    # SPARK_GRAFT_BENCH_RUNS=1 for single-shot cold timings.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # SPARK_GRAFT_BENCH_RUNS=1 for single-shot cold timings. Default 3:
+    # identical code measured 13.5-16.7 s across runs on the round-5 VM
+    # (per-query jitter +-0.3 s); a third sample materially tightens the
+    # min at ~+15 s total wall.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(all_queries().items()):
