@@ -40,10 +40,55 @@ def timed(fn):
     return round(time.perf_counter() - t0, 3), out
 
 
+def capfp(n_keys: int, n_probe: int = 2_000_000) -> int:
+    """Measure the bloom's false-positive rate IN THE CAPPED REGIME
+    (n_keys * 16 > _MAX_BITS): build on n_keys distinct longs, probe a
+    DISJOINT key range, report the fp share. Verdict r4 item 3's "record
+    fp at the cap" — the driver collect stays bounded at 2^20 words while
+    fp degrades gracefully instead of the bitmap growing."""
+    spark = get_session("bloom-capfp")
+    keys = spark.range(n_keys).select(F.col("id").alias("o_orderkey"))
+    t0 = time.perf_counter()
+    words, m_bits = sp.build_bloom(keys, "o_orderkey")
+    build_s = round(time.perf_counter() - t0, 2)
+    probe = spark.range(n_keys, n_keys + n_probe).select(
+        F.col("id").alias("o_orderkey")
+    )
+    fp = sp.bloom_filter_rows(probe, "o_orderkey", words, m_bits).count()
+    import math
+
+    k = 4
+    theory = (1 - math.exp(-k * n_keys / m_bits)) ** k
+    print(
+        json.dumps(
+            {
+                "mode": "capfp",
+                "n_keys": n_keys,
+                "m_bits": m_bits,
+                "bits_per_key": round(m_bits / n_keys, 2),
+                "bitmap_words_collected": m_bits >> 6,
+                "build_s": build_s,
+                "probe_disjoint_keys": n_probe,
+                "fp_rate": round(fp / n_probe, 4),
+                "fp_theory": round(theory, 4),
+            }
+        )
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lines", type=int, default=6_000_000)
+    ap.add_argument(
+        "--capfp-keys",
+        type=int,
+        default=0,
+        help="measure capped-regime fp with this many build keys (skips the join probe)",
+    )
     args = ap.parse_args()
+    if args.capfp_keys:
+        return capfp(args.capfp_keys)
 
     spark = get_session("runtime-filter-probe")
     root = os.path.join("/tmp", "cloudvectordb_relprobe", str(args.lines))
