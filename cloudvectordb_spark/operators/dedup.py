@@ -766,3 +766,71 @@ def chunk_level_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G5 containment dedup: directional near-dup — doc A is (almost) wholly
+# CONTAINED in doc B when |shingles(A) ∩ shingles(B)| >= tau * |A|. The
+# web-corpus case Jaccard misses: article + article-with-boilerplate has
+# low Jaccard (union inflated by the boilerplate) but containment ~1 for
+# the article side. Same inverted-index shape as the Jaccard path: only
+# pairs SHARING a shingle reach the counter — an equi-join on shingle,
+# never all-pairs; the size join is per-doc metadata.
+# ---------------------------------------------------------------------------
+_CONTAIN_TAU = 0.8
+_CONTAIN_LIM = 2000
+
+
+@query(
+    "containment_dup_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS g
+      FROM documents WHERE doc_id < {_CONTAIN_LIM}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+      FROM tok a JOIN tok b USING (g)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.a_id, s.b_id,
+           CAST(s.shared AS BIGINT) AS n_shared,
+           round(s.shared / CAST(na.n AS DOUBLE), 6) AS containment
+    FROM shared s JOIN sizes na ON na.doc_id = s.a_id
+    WHERE s.shared >= {_CONTAIN_TAU} * na.n
+    """,
+    operators=("G5", "K2", "C1", "D1"),
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs (a contained-in b) at tau=0.8 over
+    word trigrams. Output (a_id, b_id, n_shared, containment)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _CONTAIN_LIM)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.select(F.col("doc_id").alias("a_id"), "g")
+    b = tok.select(F.col("doc_id").alias("b_id"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes, shared["a_id"] == sizes["doc_id"])
+        .filter(F.col("shared") >= _CONTAIN_TAU * F.col("n"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("shared").cast("bigint").alias("n_shared"),
+            F.round(F.col("shared") / F.col("n").cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+    )
