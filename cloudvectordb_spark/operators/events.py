@@ -1450,3 +1450,44 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sum_value"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J1/H5 trending with exponential decay: score each event_type by
+# sum(value * 0.5^(age_days)) against the corpus max timestamp — the
+# standard "what's hot now" ranking where yesterday counts half. Closed
+# form, no loop: one scan computes the reference time (scalar broadcast)
+# and the decayed aggregate; at 100 TB the decay weight is a pure
+# per-row expression and the aggregate is a map-side-combined groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "events_trending_decay",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS tmax FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value * pow(0.5,
+                 date_diff('microsecond', ts, ref.tmax) / 86400000000.0)), 4)
+             AS decayed_score
+    FROM events, ref
+    GROUP BY event_type
+    """,
+    operators=("J1", "H5", "H6", "D1"),
+)
+def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("tmax"))
+    # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike (direct
+    # casts to long reject NTZ); MICROSECOND precision because SECOND
+    # truncation crosses boundaries differently in Spark vs DuckDB
+    age_days = F.expr("timestampdiff(MICROSECOND, ts, tmax)") / F.lit(86400000000.0)
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.pow(F.lit(0.5), age_days)), 4).alias(
+                "decayed_score"
+            ),
+        )
+    )
