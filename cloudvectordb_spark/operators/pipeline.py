@@ -1408,3 +1408,76 @@ def lsh_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# K12/K9 ops: the rebuild decision in one row. Combines the two signals
+# a real deployment watches — cell-size imbalance (probe tail latency,
+# Σ|cell|² dedup cost) and centroid drift (how far the data's per-cell
+# mean has moved from the frozen centroid) — into thresholded booleans
+# plus the raw numbers. Deterministic end to end, so even the
+# RECOMMENDATION carries a value oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "ivf_rebuild_decision",
+    oracle=f"""
+    WITH {_KM_CTES},
+    sizes AS (SELECT cid, count(*) AS n FROM km_assign GROUP BY cid),
+    bal AS (
+      SELECT max(n) / avg(n) AS imbalance FROM sizes
+    ),
+    cur_means AS (
+      SELECT cid, t.i AS dim, avg(a.v[t.i]) AS m
+      FROM km_assign a, range(1, 65) t(i)
+      GROUP BY cid, t.i
+    ),
+    drift AS (
+      SELECT sqrt(max(cell_d2)) AS max_drift FROM (
+        SELECT cm.cid, sum((cm.m - c.v[cm.dim]) * (cm.m - c.v[cm.dim])) AS cell_d2
+        FROM cur_means cm JOIN km_c{_IVF_ROUNDS} c ON c.cid = cm.cid
+        GROUP BY cm.cid
+      )
+    )
+    SELECT round(bal.imbalance, 6) AS imbalance,
+           round(drift.max_drift, 6) AS max_centroid_drift,
+           bal.imbalance > 2.0 AS rebalance_recommended,
+           drift.max_drift > 0.25 AS retrain_recommended
+    FROM bal, drift
+    """,
+    operators=("K12", "K9", "D2", "D5"),
+)
+def ivf_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row health verdict: cell imbalance + worst per-cell centroid
+    drift (L2 between the frozen centroid and the cell's CURRENT mean),
+    with thresholded recommendations."""
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cents_df = spark.read.parquet(f"{path}/centroids")
+    sizes = vectors.groupBy("centroid_id").agg(F.count("*").alias("n"))
+    bal = sizes.agg((F.max("n") / F.avg("n")).alias("imbalance"))
+    cur = (
+        vectors.select(
+            "centroid_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
+        )
+        .groupBy("centroid_id", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.avg("x").alias("m"))
+    )
+    drift = (
+        cur.join(cents_df, "centroid_id")
+        .select(
+            "centroid_id",
+            ((F.col("m") - F.element_at("centroid", F.col("dim").cast("int")))
+             * (F.col("m") - F.element_at("centroid", F.col("dim").cast("int")))
+             ).alias("d2"),
+        )
+        .groupBy("centroid_id")
+        .agg(F.sum("d2").alias("cell_d2"))
+        .agg(F.sqrt(F.max("cell_d2")).alias("max_drift"))
+    )
+    return bal.crossJoin(drift).select(
+        F.round("imbalance", 6).alias("imbalance"),
+        F.round("max_drift", 6).alias("max_centroid_drift"),
+        (F.col("imbalance") > 2.0).alias("rebalance_recommended"),
+        (F.col("max_drift") > 0.25).alias("retrain_recommended"),
+    )
