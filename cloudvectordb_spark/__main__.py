@@ -23,6 +23,9 @@ def main() -> int:
     ap.add_argument(
         "--explain", action="store_true", help="print the formatted plan instead"
     )
+    ap.add_argument(
+        "--oracle", action="store_true", help="print the DuckDB oracle SQL instead"
+    )
     args = ap.parse_args()
 
     from cloudvectordb_spark.registry import all_queries
@@ -37,6 +40,10 @@ def main() -> int:
     if args.query not in qs:
         print(f"unknown query {args.query!r}; --list shows all", file=sys.stderr)
         return 2
+    if args.oracle:
+        sql = qs[args.query].oracle
+        print(sql.strip() if sql else f"-- {args.query} is rows-only (no oracle)")
+        return 0
 
     from cloudvectordb_spark.session import get_session
 
