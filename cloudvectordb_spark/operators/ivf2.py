@@ -405,3 +405,197 @@ def filtered_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# K12 capstone: one verified dashboard row per ANN tier — mean recall@10
+# vs the exact baseline for the IVF cell probe, the multi-probe LSH
+# bucket join, and the sign-bit Hamming candidates. Each tier uses ITS
+# OWN ranking metric's exact baseline (cosine for IVF/binary, L2 for
+# LSH — identical rankings on the unit sphere, but rounded tie order
+# differs, so the baselines stay separate). All three tiers are
+# deterministic, so the whole matrix carries a value oracle.
+# ---------------------------------------------------------------------------
+def _tier_recall_sql() -> str:
+    from cloudvectordb_spark.operators.pipeline import _LSH_CTES
+    from cloudvectordb_spark.operators.vector_ops import _BQ_CODES_SQL
+
+    cos = (
+        "round(list_cosine_similarity(CAST({a}.embedding AS DOUBLE[]),"
+        " CAST({b}.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+    WITH {_KM_CTES},
+    {_LSH_CTES},
+    {_BQ_CODES_SQL},
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM km_emb WHERE vec_id < 3),
+    exact_cos AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC,
+                          e.vec_id) AS rn
+        FROM km_emb e, p WHERE e.vec_id <> p.probe_id
+      ) WHERE rn <= 10
+    ),
+    exact_l2 AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(list_sum(list_transform(list_zip(e.v, p.pv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6),
+                          e.vec_id) AS rn
+        FROM km_emb e, p WHERE e.vec_id <> p.probe_id
+      ) WHERE rn <= 10
+    ),
+    ivf_cells AS (
+      SELECT DISTINCT cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c WHERE e.vec_id < 3
+      ) WHERE rn <= 2
+    ),
+    ivf10 AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(list_cosine_similarity(a.v, p.pv), 6) DESC,
+                          a.vec_id) AS rn
+        FROM km_assign a, p
+        WHERE a.cid IN (SELECT cid FROM ivf_cells) AND a.vec_id <> p.probe_id
+      ) WHERE rn <= 10
+    ),
+    lsh_pb AS (
+      SELECT b.vec_id AS probe_id, b.table_id, b.bucket + o.o AS bucket
+      FROM lsh_b b, (SELECT unnest(generate_series(-1, 1)) AS o) o
+      WHERE b.vec_id < 3
+    ),
+    lsh10 AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT c2.probe_id, c2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY c2.probe_id
+                 ORDER BY round(list_sum(list_transform(
+                     list_zip(ec.v, p.pv),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c2.vec_id) AS rn
+        FROM (SELECT DISTINCT pb.probe_id, c.vec_id
+              FROM lsh_b c JOIN lsh_pb pb
+                ON c.table_id = pb.table_id AND c.bucket = pb.bucket
+              WHERE c.vec_id <> pb.probe_id) c2
+        JOIN km_emb ec ON ec.vec_id = c2.vec_id
+        JOIN p ON p.probe_id = c2.probe_id
+      ) WHERE rn <= 10
+    ),
+    bq_pb AS (SELECT vec_id AS probe_id, h0 AS p0, h1 AS p1 FROM bq WHERE vec_id < 3),
+    bq_cand AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT pb.probe_id, c.vec_id,
+               row_number() OVER (PARTITION BY pb.probe_id ORDER BY
+                 bit_count(xor(CAST(c.h0 AS BIGINT), CAST(pb.p0 AS BIGINT)))
+                 + bit_count(xor(CAST(c.h1 AS BIGINT), CAST(pb.p1 AS BIGINT))),
+                 c.vec_id) AS rn
+        FROM bq c, bq_pb pb WHERE c.vec_id <> pb.probe_id
+      ) WHERE rn <= 50
+    ),
+    bq10 AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT bc.probe_id, bc.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY bc.probe_id
+                 ORDER BY round(list_cosine_similarity(ec.v, p.pv), 6) DESC,
+                          bc.vec_id) AS rn
+        FROM bq_cand bc
+        JOIN km_emb ec ON ec.vec_id = bc.vec_id
+        JOIN p ON p.probe_id = bc.probe_id
+      ) WHERE rn <= 10
+    ),
+    tiers AS (
+      SELECT 'ivf' AS tier, e.probe_id,
+             count(t.neighbor_id) / 10.0 AS recall
+      FROM exact_cos e LEFT JOIN ivf10 t
+        ON t.probe_id = e.probe_id AND t.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id
+      UNION ALL
+      SELECT 'lsh_multiprobe', e.probe_id, count(t.neighbor_id) / 10.0
+      FROM exact_l2 e LEFT JOIN lsh10 t
+        ON t.probe_id = e.probe_id AND t.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id
+      UNION ALL
+      SELECT 'binary_hamming', e.probe_id, count(t.neighbor_id) / 10.0
+      FROM exact_cos e LEFT JOIN bq10 t
+        ON t.probe_id = e.probe_id AND t.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id
+    )
+    SELECT tier, round(avg(recall), 6) AS mean_recall_at_10
+    FROM tiers GROUP BY tier
+    """
+
+
+@query(
+    "ann_tier_recall_summary",
+    oracle=_tier_recall_sql(),
+    operators=("K12", "K8", "K9", "K10", "K6"),
+)
+def ann_tier_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean recall@10 per ANN tier (ivf, lsh_multiprobe, binary_hamming)
+    vs the matching exact baseline — the cross-tier quality dashboard,
+    composed from the already-verified per-tier search queries."""
+    from cloudvectordb_spark.functions import vector as V
+    from cloudvectordb_spark.operators.pipeline import (
+        ivf_topk_search,
+        lsh_multiprobe_knn,
+    )
+    from cloudvectordb_spark.operators.vector_ops import (
+        binary_quant_hamming_knn,
+        exact_knn,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    exact_cos = exact_knn(emb, probes, k=10).select("probe_id", "neighbor_id")
+
+    pv = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(pv))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.l2_distance("embedding", "probe_vec"), 6).alias("d"),
+        )
+    )
+    wl = Window.partitionBy("probe_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact_l2 = (
+        scored.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "neighbor_id")
+    )
+
+    def tier_recall(name: str, approx: DataFrame, exact: DataFrame) -> DataFrame:
+        a = approx.select("probe_id", F.col("neighbor_id").alias("a_n"))
+        per_probe = (
+            exact.join(
+                a,
+                (exact["probe_id"] == a["probe_id"])
+                & (exact["neighbor_id"] == a["a_n"]),
+                "left",
+            )
+            .groupBy(exact["probe_id"])
+            .agg((F.count("a_n") / 10.0).alias("recall"))
+        )
+        return per_probe.agg(
+            F.lit(name).alias("tier"),
+            F.round(F.avg("recall"), 6).alias("mean_recall_at_10"),
+        )
+
+    out = tier_recall("ivf", ivf_topk_search(spark, sf_dir), exact_cos)
+    out = out.unionByName(
+        tier_recall("lsh_multiprobe", lsh_multiprobe_knn(spark, sf_dir), exact_l2)
+    )
+    out = out.unionByName(
+        tier_recall(
+            "binary_hamming", binary_quant_hamming_knn(spark, sf_dir), exact_cos
+        )
+    )
+    return out
