@@ -1,0 +1,40 @@
+"""CLI runner (python -m cloudvectordb_spark): the no-Spark paths."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def _run(*args: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "cloudvectordb_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+
+
+def test_cli_list_names_every_query():
+    from cloudvectordb_spark.registry import all_queries
+
+    out = _run("--list")
+    assert out.returncode == 0
+    listed = {ln.split()[0] for ln in out.stdout.splitlines() if ln.strip()}
+    assert set(all_queries()) <= listed
+
+
+def test_cli_oracle_prints_sql_without_spark():
+    out = _run("pricing_summary", "--oracle")
+    assert out.returncode == 0
+    assert "SELECT" in out.stdout and "l_returnflag" in out.stdout
+
+    ro = _run("minhash_dedup_pairs", "--oracle")
+    assert ro.returncode == 0 and "rows-only" in ro.stdout
+
+
+def test_cli_unknown_query_is_loud():
+    out = _run("no_such_query")
+    assert out.returncode == 2
+    assert "unknown query" in out.stderr
