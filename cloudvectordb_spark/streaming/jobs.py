@@ -299,3 +299,15 @@ def run_vector_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """J2+J4 streaming-native: watermarked SLIDING window aggregate
+    (10 min window, 5 min slide — each event lands in two windows).
+    Works identically on batch and streaming frames, like tumbling_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )

@@ -257,3 +257,16 @@ def test_streaming_vector_ingest_restart_no_duplicates(spark, sf_dir, tmp_path):
     run_vector_ingest(spark, sf_dir, out, ckpt)  # restart, same checkpoint
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 > 0, "restart with committed offsets must not duplicate"
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    """J2 under the micro-batch engine: the sliding aggregate must equal
+    the batch twin window-for-window."""
+    from cloudvectordb_spark.streaming.jobs import sliding_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_to_memory(sliding_counts(stream), "t_sliding", mode="complete")
+    batch = sliding_counts(load(spark, sf_dir, "events"))
+    g = {(r.ws, r.event_type): (r.n, r.sum_value) for r in got.collect()}
+    b = {(r.ws, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
+    assert g == b and len(g) > 0
