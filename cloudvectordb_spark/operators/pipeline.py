@@ -1481,3 +1481,57 @@ def ivf_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("imbalance") > 2.0).alias("rebalance_recommended"),
         (F.col("max_drift") > 0.25).alias("retrain_recommended"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K12 data-quality: embedding outliers by assignment distance. Vectors
+# whose distance to their own centroid exceeds the corpus p99 are the
+# mis-embedded / out-of-distribution rows a pipeline quarantines before
+# they poison retrieval. Exact interpolated p99 (quantile_cont / R-7 —
+# the same definition Spark's percentile() computes), deterministic
+# layout => full value oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_outlier_audit",
+    oracle=f"""
+    WITH {_KM_CTES},
+    d AS (
+      SELECT a.vec_id, a.cid,
+             round(list_sum(list_transform(list_zip(a.v, c.v),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d2
+      FROM km_assign a JOIN km_c{_IVF_ROUNDS} c ON c.cid = a.cid
+    ),
+    thr AS (SELECT quantile_cont(d2, 0.99) AS p99 FROM d)
+    SELECT d.vec_id, CAST(d.cid AS INTEGER) AS centroid_id, d.d2,
+           round(thr.p99, 6) AS p99_d2
+    FROM d, thr
+    WHERE d.d2 > thr.p99
+    """,
+    operators=("K12", "K9", "D5", "B2"),
+)
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.operators.kmeans_det import _dist_structs
+
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cents = index_centroids(spark, path)
+    # d2 to the OWN assigned centroid: pick the struct whose cid matches
+    structs = _dist_structs(F.col("embedding"), cents)
+    own = F.element_at(
+        F.filter(structs, lambda s: s["cid"] == F.col("centroid_id")), 1
+    )
+    d = vectors.select(
+        "vec_id",
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        own["d"].alias("d2"),
+    )
+    thr = d.agg(
+        F.percentile(F.col("d2"), F.lit(0.99)).alias("p99")
+    )
+    return (
+        d.crossJoin(F.broadcast(thr))
+        .filter(F.col("d2") > F.col("p99"))
+        .select(
+            "vec_id", "centroid_id", "d2", F.round("p99", 6).alias("p99_d2")
+        )
+    )
