@@ -624,3 +624,17 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         run, schema="vec_id long, recon_err double"
     )
+
+
+# ---------------------------------------------------------------------------
+# K9 lifecycle for the compressed tier: append delta vectors' CODES
+# against the FROZEN codebooks (no retrain — codebook drift is handled
+# by periodic rebuilds, like the IVF centroids). Work ∝ delta size;
+# the ADC scan picks the new codes up on its next read.
+# ---------------------------------------------------------------------------
+def append_to_pq_index(
+    new_vectors: DataFrame, path: str, books: "np.ndarray"
+) -> None:
+    """Encode ``new_vectors`` (vec_id, embedding) with the existing
+    codebooks and append to the persisted code parquet."""
+    pq_encode(new_vectors, books).write.mode("append").parquet(path)

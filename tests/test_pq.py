@@ -68,3 +68,30 @@ def test_ivfpq_recall_vs_exact(spark, sf_dir):
     recalls = [len(exact[p] & got.get(p, set())) / len(exact[p]) for p in exact]
     assert min(recalls) >= 0.3, f"per-probe recall collapsed: {recalls}"
     assert sum(recalls) / len(recalls) >= 0.5, f"mean recall too low: {recalls}"
+
+
+def test_pq_append_matches_bulk_encoding(spark, sf_dir, tmp_path):
+    """Delta codes appended against frozen codebooks must equal the
+    codes a bulk re-encode would produce, and the layout must contain
+    every vector exactly once after the append."""
+    from cloudvectordb_spark.operators.pq import (
+        append_to_pq_index,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 50)
+    delta = emb.filter(F.col("vec_id") < 50)
+    books = train_pq_codebooks(spark, sf_dir)
+
+    out = str(tmp_path / "codes")
+    pq_encode(base, books).write.mode("overwrite").parquet(out)
+    append_to_pq_index(delta.select("vec_id", "embedding"), out, books)
+
+    after = spark.read.parquet(out)
+    assert after.count() == emb.count()
+    assert after.select("vec_id").distinct().count() == emb.count()
+    bulk = {r.vec_id: list(r.code) for r in pq_encode(emb, books).collect()}
+    got = {r.vec_id: list(r.code) for r in after.collect()}
+    assert got == bulk
