@@ -121,3 +121,29 @@ def test_every_oracle_parses_in_duckdb(sf_dir):
         except Exception as exc:  # noqa: BLE001
             bad.append(f"{name}: {type(exc).__name__}: {str(exc)[:120]}")
     assert not bad, "\n".join(bad)
+
+
+# The canonical SURVEY.md §2 inventory — exactly these 80 operator IDs.
+_SURVEY_S2_IDS = frozenset(
+    [f"A{i}" for i in range(1, 7)]
+    + [f"B{i}" for i in range(1, 9)]
+    + [f"C{i}" for i in range(1, 11)]
+    + [f"D{i}" for i in range(1, 9)]
+    + [f"E{i}" for i in range(1, 5)]
+    + [f"F{i}" for i in range(1, 4)]
+    + [f"G{i}" for i in range(1, 7)]
+    + [f"H{i}" for i in range(1, 11)]
+    + [f"J{i}" for i in range(1, 8)]
+    + [f"K{i}" for i in range(1, 13)]
+    + [f"L{i}" for i in range(1, 7)]
+)
+
+
+def test_operator_tags_are_canonical_survey_ids():
+    """A typo'd tag (e.g. 'K13') would silently create a phantom operator
+    in COVERAGE.md and could displace a real cover in the driver window —
+    every tag must be one of the 80 §2 IDs, and all 80 must be covered."""
+    qs = all_queries()
+    used = {op for s in qs.values() for op in s.operators}
+    assert used <= _SURVEY_S2_IDS, f"unknown tags: {sorted(used - _SURVEY_S2_IDS)}"
+    assert _SURVEY_S2_IDS <= used, f"uncovered IDs: {sorted(_SURVEY_S2_IDS - used)}"
