@@ -91,6 +91,31 @@ class VectorIndex:
         pruned = self.vectors.filter(F.col("centroid_id").isin(cells))
         return exact_knn_fast(pruned, probes_local, k=k, id_col=id_col, vec_col=vec_col)
 
+    def search_filtered(
+        self, probes: DataFrame, predicate, k: int = 10, nprobe: int = 2,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Metadata-filtered ANN: the literal cell filter prunes parquet
+        partitions AND ``predicate`` (a Column) pushes into the surviving
+        scans before any vector math — the stacked pre-filter strategy
+        (see operators.ivf2.filtered_ivf_knn for the verified query form)."""
+        from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+        from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
+
+        cents = self.centroids()
+        rows = probes.select(id_col, vec_col).collect()
+        cells = sorted(
+            {c for r in rows for c in nearest_cells_py(r[vec_col], cents, nprobe)}
+        )
+        probes_local = self.spark.createDataFrame(
+            [(r[id_col], r[vec_col]) for r in rows],
+            schema=f"{id_col} long, {vec_col} array<float>",
+        )
+        pruned = self.vectors.filter(
+            F.col("centroid_id").isin(cells) & predicate
+        )
+        return exact_knn_fast(pruned, probes_local, k=k, id_col=id_col, vec_col=vec_col)
+
     def stats(self) -> DataFrame:
         """Cell-balance health view (n_cells, min/max/avg, imbalance)."""
         sizes = self.vectors.groupBy("centroid_id").agg(F.count("*").alias("n"))

@@ -59,3 +59,27 @@ def test_vector_index_search_matches_registered_query(spark, sf_dir, tmp_path):
         for r in ivf_topk_search(spark, sf_dir).collect()
     }
     assert via_api == via_query
+
+
+def test_vector_index_search_filtered_respects_predicate(spark, sf_dir):
+    from cloudvectordb_spark.operators.pipeline import ensure_ivf_index
+
+    idx = VectorIndex.open(spark, ensure_ivf_index(spark, sf_dir))
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    hits = idx.search_filtered(probes, F.col("label").isin(1, 3), k=10)
+    rows = hits.collect()
+    assert rows
+    labels = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+    }
+    for r in rows:
+        assert labels[r.neighbor_id] in (1, 3)
+    # unfiltered search over the same cells returns a superset-or-equal
+    # neighbor pool per probe (the predicate can only shrink candidates)
+    unfiltered = {
+        (r.probe_id, r.neighbor_id) for r in idx.search(probes, k=50).collect()
+    }
+    for r in rows:
+        if labels[r.neighbor_id] in (1, 3):
+            pass  # membership in the unfiltered top-50 is not guaranteed at k cut

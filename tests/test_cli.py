@@ -38,3 +38,20 @@ def test_cli_unknown_query_is_loud():
     out = _run("no_such_query")
     assert out.returncode == 2
     assert "unknown query" in out.stderr
+
+
+def test_bench_compare_flags_only_beyond_noise(tmp_path):
+    import json
+    import subprocess
+
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({"value": 10.0, "queries": {"q1": 1.0, "q2": 2.0}}))
+    b.write_text(json.dumps({"value": 10.5, "queries": {"q1": 1.05, "q2": 2.5}}))
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_compare.py", str(a), str(b),
+         "--noise", "0.15"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0
+    assert "q2" in out.stdout and "q1" not in out.stdout.replace("q1 -> ", "")
