@@ -915,3 +915,74 @@ def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, schema="pick_order long, vec_id long, mmr double"
     )
+
+
+# ---------------------------------------------------------------------------
+# K2/K8 related-documents: for every doc in the slice, the top-3 most
+# similar OTHER docs by TF-IDF term overlap — the "related articles"
+# table a retrieval product precomputes. Candidates come from the
+# shared-term equi-join (docs sharing no term can't score), so the
+# candidate volume is term-bounded, never all-pairs; hot terms are the
+# skew axis and AQE splits them. Deterministic scoring (rounded before
+# the rank cut) => full value oracle.
+# ---------------------------------------------------------------------------
+_RELATED_LIM = 100
+
+
+@query(
+    "related_docs_tfidf_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < {_RELATED_LIM}
+      ) GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)) AS wt
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    pair AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(sum(a.wt * b.wt), 6) AS score
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY a_id
+                                   ORDER BY score DESC, b_id) AS rank
+      FROM pair
+    ) WHERE rank <= 3 AND score > 0
+    """,
+    operators=("K2", "K8", "E4", "C1", "D1"),
+)
+def related_docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _RELATED_LIM)
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = tf.select("doc_id").distinct().count()  # bounded slice
+    w = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("wt"),
+    )
+    a = w.select(F.col("doc_id").alias("a_id"), "tok", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("b_id"), "tok", F.col("wt").alias("wb"))
+    pair = (
+        a.join(b, "tok")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("score"))
+    )
+    wr = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("b_id"))
+    return (
+        pair.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter((F.col("rank") <= 3) & (F.col("score") > 0))
+    )
