@@ -1108,3 +1108,44 @@ def bpe_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("compression_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K1 token counting, BPE-ish regex flavor: the GPT-style pre-tokenizer
+# classes (letter runs | digit runs | single punctuation) instead of
+# whitespace splitting — the count that actually predicts byte-pair
+# token budgets (punctuation and numbers tokenize separately). Pure
+# regexp expression, one aggregate; the whitespace count rides along so
+# the per-language inflation factor (regex/ws) is the deliverable.
+# ---------------------------------------------------------------------------
+_BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@query(
+    "token_count_bpe_regex",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_ws_tokens,
+           round(avg(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}'))), 4)
+             AS avg_bpe_tokens,
+           round(avg(CAST(len(regexp_extract_all(text, '{_BPE_TOKEN_RE}')) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1)), 6)
+             AS avg_inflation
+    FROM documents
+    GROUP BY lang
+    """,
+    operators=("K1", "K2", "H2", "D1"),
+)
+def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_TOKEN_RE}', 0)"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(ws), 4).alias("avg_ws_tokens"),
+        F.round(F.avg(bpe), 4).alias("avg_bpe_tokens"),
+        F.round(
+            F.avg(bpe.cast("double") / F.greatest(ws, F.lit(1))), 6
+        ).alias("avg_inflation"),
+    )
