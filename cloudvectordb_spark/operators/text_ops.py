@@ -1149,3 +1149,79 @@ def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(bpe.cast("double") / F.greatest(ws, F.lit(1))), 6
         ).alias("avg_inflation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# H4/K2 document fingerprinting via a TRUE rolling hash (Rabin-Karp
+# polynomial over 8-char windows, B=257 mod 2^31-1) + winnowing-style
+# selection (min hash per block of 16 positions — the MOSS fingerprint
+# scheme). Every operation is exact integer arithmetic, so the oracle
+# matches bit-for-bit with no rounding discipline needed. At 100 TB the
+# position explode is the cost knob — winnowing keeps the STORED
+# fingerprints at len/16 per doc, which is the point of the scheme.
+# (doc_fingerprints is the whole-document md5 flavor; this is the
+# substring-resolution flavor plagiarism/overlap detectors need.)
+# ---------------------------------------------------------------------------
+_RH_POWERS = [1, 257, 66049, 16974593, 67503107, 168429323, 336663071, 623063367]
+_RH_MOD = 2147483647
+_RH_BLOCK = 16
+
+
+def _rh_terms_sql(textref: str, posref: str) -> str:
+    return " + ".join(
+        f"(ascii(substr({textref}, CAST({posref} + {j} AS INTEGER), 1)) * "
+        f"{p}::BIGINT % {_RH_MOD})"
+        for j, p in enumerate(_RH_POWERS)
+    )
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p
+      FROM documents WHERE doc_id < 200
+    ),
+    h AS (
+      SELECT doc_id, p, ({_rh_terms_sql('text', 'p')}) % {_RH_MOD} AS rh
+      FROM pos
+    ),
+    fp AS (
+      SELECT doc_id, (p - 1) // {_RH_BLOCK} AS block, min(rh) AS fp
+      FROM h GROUP BY doc_id, (p - 1) // {_RH_BLOCK}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+           CAST(min(fp) AS BIGINT) AS min_fp,
+           CAST(max(fp) AS BIGINT) AS max_fp
+    FROM fp GROUP BY doc_id
+    """,
+    operators=("H4", "K2", "H1", "D1"),
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+        ).alias("p"),
+    )
+    terms = None
+    for j, pw in enumerate(_RH_POWERS):
+        c = F.ascii(F.expr(f"substr(text, CAST(p + {j} AS INT), 1)")).cast("long")
+        t = (c * F.lit(pw).cast("long")) % F.lit(_RH_MOD).cast("long")
+        terms = t if terms is None else terms + t
+    h = pos.select("doc_id", "p", (terms % F.lit(_RH_MOD)).alias("rh"))
+    fp = (
+        h.groupBy("doc_id", F.expr(f"(p - 1) div {_RH_BLOCK}").alias("block"))
+        .agg(F.min("rh").alias("fp"))
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fingerprints"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct"),
+        F.min("fp").cast("bigint").alias("min_fp"),
+        F.max("fp").cast("bigint").alias("max_fp"),
+    )
