@@ -1225,3 +1225,74 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").cast("bigint").alias("min_fp"),
         F.max("fp").cast("bigint").alias("max_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# H4/G5: winnowing OVERLAP pairs — the use the fingerprints exist for.
+# Two docs sharing >= 5 distinct winnowed fingerprints share real
+# substring content (each fingerprint witnesses an identical 8-char
+# window that survived min-selection in both). The join is an equi-join
+# on fingerprint — the inverted-index shape again, never all-pairs;
+# shared-everywhere fingerprints (boilerplate) are the skew axis and the
+# df-cap prefilter is the standard lossy escalation.
+# ---------------------------------------------------------------------------
+_WINNOW_MIN_SHARED = 5
+
+
+@query(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p
+      FROM documents WHERE doc_id < 200
+    ),
+    h AS (
+      SELECT doc_id, p, ({_rh_terms_sql('text', 'p')}) % {_RH_MOD} AS rh
+      FROM pos
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, (p - 1) // {_RH_BLOCK} AS block, min(rh) AS fp
+        FROM h GROUP BY doc_id, (p - 1) // {_RH_BLOCK}
+      )
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(count(*) AS BIGINT) AS n_shared_fps
+    FROM fp a JOIN fp b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    operators=("H4", "G5", "C1", "D1"),
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+        ).alias("p"),
+    )
+    terms = None
+    for j, pw in enumerate(_RH_POWERS):
+        c = F.ascii(F.expr(f"substr(text, CAST(p + {j} AS INT), 1)")).cast("long")
+        t = (c * F.lit(pw).cast("long")) % F.lit(_RH_MOD).cast("long")
+        terms = t if terms is None else terms + t
+    h = pos.select("doc_id", "p", (terms % F.lit(_RH_MOD)).alias("rh"))
+    fp = (
+        h.groupBy("doc_id", F.expr(f"(p - 1) div {_RH_BLOCK}").alias("block"))
+        .agg(F.min("rh").alias("fp"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = fp.select(F.col("doc_id").alias("a_id"), "fp")
+    b = fp.select(F.col("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= _WINNOW_MIN_SHARED)
+    )
