@@ -1296,3 +1296,90 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= _WINNOW_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# K2 language-ID, the real n-gram heuristic: per-language character-
+# trigram PROFILES (top-20 trigrams by corpus frequency, the classic
+# Cavnar-Trenkle shape) self-trained from the labeled corpus, then each
+# doc classified by profile-overlap count (argmax, lexicographic lang
+# tiebreak). Output is the confusion matrix — the audit view that says
+# whether the declared lang tags are trustworthy. Profiles are
+# vocabulary-bounded (langs x 20 rows) and broadcast; the doc side is
+# one explode + join. Deterministic => full value oracle.
+# ---------------------------------------------------------------------------
+_LANGPROF_TOP = 20
+
+
+@query(
+    "lang_trigram_confusion",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 2, 0)),
+               i -> substr(lower(text), CAST(i AS INTEGER), 3)))) AS g
+      FROM documents
+    ),
+    prof AS (
+      SELECT lang, g FROM (
+        SELECT lang, g, count(*) AS n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, g) AS rn
+        FROM tri GROUP BY lang, g
+      ) WHERE rn <= {_LANGPROF_TOP}
+    ),
+    scores AS (
+      SELECT t.doc_id, t.lang AS true_lang, p.lang AS cand_lang,
+             count(*) AS score
+      FROM tri t JOIN prof p ON p.g = t.g
+      GROUP BY t.doc_id, t.lang, p.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand_lang AS pred_lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand_lang) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+    operators=("K2", "H2", "E1", "D1"),
+)
+def lang_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # trigram explode via expr: substring-with-column-start needs the SQL
+    # form inside the transform lambda
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(lower(text), i, 3)))"
+            )
+        ).alias("g"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("g"))
+    prof = (
+        tri.groupBy("lang", "g")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LANGPROF_TOP)
+        .select(F.col("lang").alias("cand_lang"), "g")
+    )
+    scores = (
+        tri.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    wp = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
