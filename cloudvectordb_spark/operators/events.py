@@ -1491,3 +1491,39 @@ def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J1 x E4: top event type per hour — the windowed-trending leaderboard
+# (rank WITHIN each window, so the window exchange carries only
+# per-(hour, type) partial counts and the rank sees |types| rows per
+# hour).
+# ---------------------------------------------------------------------------
+@query(
+    "events_hourly_top_types",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ws, event_type, n, sum_value, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY ws
+                                   ORDER BY n DESC, event_type) AS rank
+      FROM hourly
+    ) WHERE rank <= 2
+    """,
+    operators=("J1", "E4", "E1", "D1"),
+)
+def events_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+    wr = Window.partitionBy("ws").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        hourly.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 2)
+    )
