@@ -771,3 +771,94 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue")
     )
     return agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# B8/H5 ops view: open-order backlog aging. Non-finalized orders ('O' /
+# 'P') bucketed by age relative to the corpus max order date — the
+# fulfillment dashboard's aging report. One scan, calendar arithmetic,
+# map-side-combined aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH ref AS (SELECT max(o_orderdate) AS dmax FROM orders)
+    SELECT o_orderstatus,
+           CASE WHEN date_diff('day', o_orderdate, ref.dmax) < 365 THEN '<1y'
+                WHEN date_diff('day', o_orderdate, ref.dmax) < 1095 THEN '1-3y'
+                ELSE '3y+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS backlog_value
+    FROM orders, ref
+    WHERE o_orderstatus <> 'F'
+    GROUP BY 1, 2
+    """,
+    operators=("B8", "H5", "D1", "B2"),
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("dmax"))
+    age = F.datediff(F.col("dmax"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age < 365, "<1y").when(age < 1095, "1-3y").otherwise("3y+")
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(ref))
+        .groupBy("o_orderstatus", bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("backlog_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5 market-structure analytic: supplier revenue concentration per
+# nation as a Herfindahl-Hirschman index — sum of squared revenue
+# shares; 1/n for perfectly even supply, 1.0 for a monopoly. Two keyed
+# aggregates; the per-nation totals broadcast into the share division.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (SELECT s_nationkey, sum(r) AS t, count(*) AS n_sup
+            FROM rev GROUP BY s_nationkey)
+    SELECT rev.s_nationkey AS nationkey,
+           CAST(max(tot.n_sup) AS BIGINT) AS n_suppliers,
+           round(sum((rev.r / tot.t) * (rev.r / tot.t)), 6) AS hhi
+    FROM rev JOIN tot USING (s_nationkey)
+    GROUP BY rev.s_nationkey
+    """,
+    operators=("D5", "D1", "C1", "H6"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+        )
+    )
+    tot = rev.groupBy(F.col("s_nationkey").alias("tn")).agg(
+        F.sum("r").alias("t"), F.count("*").alias("n_sup")
+    )
+    share2 = (F.col("r") / F.col("t")) * (F.col("r") / F.col("t"))
+    return (
+        rev.join(F.broadcast(tot), rev["s_nationkey"] == tot["tn"])
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.max("n_sup").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(share2), 6).alias("hhi"),
+        )
+    )
