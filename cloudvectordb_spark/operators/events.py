@@ -1527,3 +1527,57 @@ def events_hourly_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# E2/D5 behavioral metric: inter-arrival gaps per user — the engagement
+# cadence number (median seconds between a user's consecutive events).
+# One lag window per user partition (parallel across users), then a
+# global exact-percentile summary per event count band.
+# ---------------------------------------------------------------------------
+@query(
+    "user_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, count(*) AS n_gaps,
+             quantile_cont(gap_us, 0.5) / 1e6 AS median_gap_s
+      FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT CASE WHEN n_gaps < 5 THEN 'light'
+                WHEN n_gaps < 20 THEN 'regular' ELSE 'heavy' END AS band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(median_gap_s), 4) AS avg_median_gap_s
+    FROM per_user GROUP BY 1
+    """,
+    operators=("E2", "D5", "B8", "H5"),
+)
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # MICROSECOND precision: SECOND-level truncation crosses boundaries
+    # differently in Spark vs DuckDB (same idiom as events_trending_decay)
+    gaps = ev.select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+               "(PARTITION BY user_id ORDER BY ts, event_id), ts)").alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        (F.percentile(F.col("gap_us"), F.lit(0.5)) / 1e6).alias("median_gap_s"),
+    )
+    band = (
+        F.when(F.col("n_gaps") < 5, "light")
+        .when(F.col("n_gaps") < 20, "regular")
+        .otherwise("heavy")
+    )
+    return per_user.groupBy(band.alias("band")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg("median_gap_s"), 4).alias("avg_median_gap_s"),
+    )
