@@ -1581,3 +1581,79 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_users"),
         F.round(F.avg("median_gap_s"), 4).alias("avg_median_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J3/D1 product view over sessionization: the session-duration histogram
+# — the engagement-depth distribution a product dashboard tracks. Same
+# gaps-and-islands sessionizer as events_sessions, then duration buckets
+# (microsecond-precision both engines) into a tiny aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "session_duration_histogram",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id,
+             date_diff('microsecond', min(ts), max(ts)) / 60000000.0 AS dur_min,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT CASE WHEN n_events = 1 THEN 'bounce'
+                WHEN dur_min < 5 THEN '<5m'
+                WHEN dur_min < 30 THEN '5-30m'
+                ELSE '30m+' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(n_events), 4) AS avg_events
+    FROM sessions GROUP BY 1
+    """,
+    operators=("J3", "D1", "B8", "H5"),
+)
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                       "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wr))
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        (
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))") / 60_000_000.0
+        ).alias("dur_min"),
+        F.count("*").alias("n_events"),
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "bounce")
+        .when(F.col("dur_min") < 5, "<5m")
+        .when(F.col("dur_min") < 30, "5-30m")
+        .otherwise("30m+")
+    )
+    return sessions.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+    )
