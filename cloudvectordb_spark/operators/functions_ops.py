@@ -1128,3 +1128,64 @@ def ordered_set_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pct.join(st, "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# D8 second cover: source x lang crosstab via pivot — one row per
+# source, one count column per language (the fixed 5-lang fixture set;
+# pivot values are EXPLICIT so the plan is one aggregate, no
+# distinct-values pre-pass).
+# ---------------------------------------------------------------------------
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "source_lang_pivot",
+    oracle="""
+    SELECT source,
+           CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+           CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+           CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+           CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+           CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+    FROM documents GROUP BY source
+    """,
+    operators=("D8", "D1", "K2"),
+)
+def source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .count()
+    )
+    # pivot leaves NULL for absent cells; the oracle's FILTER counts are 0
+    for lang in _PIVOT_LANGS:
+        out = out.withColumn(lang, F.coalesce(F.col(lang), F.lit(0)).cast("bigint"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# H9 second cover: JSON props -> MAP, then key-level frequency via
+# map_keys explode — the payload-schema census an events pipeline runs
+# before hardening a schema.
+# ---------------------------------------------------------------------------
+@query(
+    "props_key_frequency",
+    oracle="""
+    SELECT event_type, k AS prop_key, CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT event_type, unnest(json_keys(props)) AS k FROM events
+    )
+    GROUP BY event_type, k
+    """,
+    operators=("H9", "H10", "D1"),
+)
+def props_key_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select("event_type", F.explode(F.map_keys(m)).alias("prop_key"))
+        .groupBy("event_type", "prop_key")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )

@@ -1445,3 +1445,54 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.groupBy("d_early", "d_late").agg(
         F.count("*").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# G2/G3 second covers: month-over-month active-user set algebra —
+# retained users (INTERSECT of two monthly active sets) and lapsed users
+# (EXCEPT). Set ops de-dup by construction; each is one exchange on the
+# user key.
+# ---------------------------------------------------------------------------
+@query(
+    "retained_active_users",
+    oracle="""
+    SELECT user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-02-01'
+    """,
+    operators=("G2", "B3"),
+)
+def retained_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first = ev.filter(
+        (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-15")
+    ).select("user_id")
+    second = ev.filter(
+        (F.col("ts") >= "2024-01-15") & (F.col("ts") < "2024-02-01")
+    ).select("user_id")
+    return first.intersect(second)
+
+
+@query(
+    "lapsed_active_users",
+    oracle="""
+    SELECT user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+    EXCEPT
+    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-30'
+    """,
+    operators=("G3", "B3"),
+)
+def lapsed_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-month actives with NO event in the final-days tail — the
+    churn-watch list (set EXCEPT, one exchange per side)."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.filter(
+        (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-15")
+    ).select("user_id")
+    second = ev.filter(F.col("ts") >= "2024-01-30").select("user_id")
+    # subtract = SET except (SQL EXCEPT); exceptAll would be multiset
+    # semantics and leave users who merely had MORE first-half events
+    return first.subtract(second)
