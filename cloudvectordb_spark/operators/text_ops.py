@@ -1383,3 +1383,43 @@ def lang_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# H3 second cover: near-identical part names (edit distance <= 2) — the
+# catalog-hygiene scan that finds typo'd duplicate product entries.
+# Bounded slice; at scale the blocking key (first 4 chars) turns the
+# cross join into a per-block join.
+# ---------------------------------------------------------------------------
+@query(
+    "part_name_typo_pairs",
+    oracle="""
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+    WHERE a.p_partkey < 100 AND b.p_partkey < 100
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    operators=("H3", "C7", "B2"),
+)
+def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    a = part.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .withColumn("edit_dist", F.levenshtein("a_name", "b_name").cast("bigint"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("a_key", "b_key", "edit_dist")
+    )

@@ -423,3 +423,53 @@ def bot_like_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_cv", "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# F3 second cover: KEYSET pagination — the scale-correct form. OFFSET n
+# must scan-and-discard n rows on every page (page depth costs grow
+# linearly); the keyset form seeks WHERE key > last_seen and reads one
+# page — constant work per page at any depth, which is why every
+# large-result API paginates this way. Page 3 of the order list
+# (page size 20) via the (o_orderdate, o_orderkey) compound cursor.
+# ---------------------------------------------------------------------------
+_PAGE_SIZE = 20
+# the cursor a client would have kept from page 2's last row — derived
+# deterministically here so the oracle can replay it: the 40th row of
+# the global (o_orderdate, o_orderkey) order.
+@query(
+    "orders_keyset_pagination",
+    oracle=f"""
+    WITH cursor AS (
+      SELECT o_orderdate AS cd, o_orderkey AS ck FROM orders
+      ORDER BY o_orderdate, o_orderkey LIMIT 1 OFFSET {2 * _PAGE_SIZE - 1}
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o, cursor
+    WHERE (o.o_orderdate, o.o_orderkey) > (cursor.cd, cursor.ck)
+    ORDER BY o.o_orderdate, o.o_orderkey
+    LIMIT {_PAGE_SIZE}
+    """,
+    operators=("F3", "F1", "B2"),
+)
+def orders_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cur = (
+        orders.orderBy("o_orderdate", "o_orderkey")
+        .limit(2 * _PAGE_SIZE)
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            F.col("o_orderdate").alias("cd"), F.col("o_orderkey").alias("ck")
+        )
+        .collect()[0]  # bounded: the client's cursor
+    )
+    seek = (F.col("o_orderdate") > cur.cd) | (
+        (F.col("o_orderdate") == cur.cd) & (F.col("o_orderkey") > cur.ck)
+    )
+    return (
+        orders.filter(seek)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_PAGE_SIZE)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
