@@ -1657,3 +1657,95 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sessions"),
         F.round(F.avg("n_events"), 4).alias("avg_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J4 second cover: lateness census. Arrival order is the md5 permutation
+# of event_id (the fixture's event_id follows event time, so raw ids
+# would show zero lateness; the deterministic shuffle stands in for the
+# out-of-order ingest a real stream has): each event's lateness is how
+# far the event-time high-water mark had already advanced when it
+# arrived — exactly the quantity a watermark must cover. One arrival-
+# ordered running max; the summary says what watermark delay would have
+# accepted which share of the stream.
+# ---------------------------------------------------------------------------
+@query(
+    "events_lateness_census",
+    oracle="""
+    WITH arr AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM events
+    ),
+    lat AS (
+      SELECT date_diff('microsecond', ts, high_water) / 60000000.0
+               AS late_min
+      FROM arr
+    )
+    SELECT CASE WHEN late_min <= 0 THEN 'on_time'
+                WHEN late_min <= 60 THEN '<=1h'
+                WHEN late_min <= 360 THEN '<=6h'
+                ELSE '>6h' END AS lateness_band,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(late_min), 4) AS max_late_min
+    FROM lat GROUP BY 1
+    """,
+    operators=("J4", "E3", "D1", "H5"),
+)
+def events_lateness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.ranking import _zero
+
+    ev = load(spark, sf_dir, "events")
+    # single global running max over arrival order: the _zero partition
+    # trick keeps the window partitioned for the plan gate; events at
+    # fixture scale fit one partition, and at 100 TB this census would
+    # run per shard/day — the window shape is the point
+    w = (
+        Window.partitionBy(_zero(F.col("event_id")))
+        .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = ev.select(
+        "ts", F.max("ts").over(w).alias("high_water")
+    )
+    late_min = (
+        F.expr("timestampdiff(MICROSECOND, ts, high_water)") / 60_000_000.0
+    )
+    band = (
+        F.when(late_min <= 0, "on_time")
+        .when(late_min <= 60, "<=1h")
+        .when(late_min <= 360, "<=6h")
+        .otherwise(">6h")
+    )
+    return arr.select(band.alias("lateness_band"), late_min.alias("lm")).groupBy(
+        "lateness_band"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.max("lm"), 4).alias("max_late_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 second cover: dedup keeping the EARLIEST record per event_id, with
+# the duplicate count — the batch twin of streaming dropDuplicates that
+# also reports HOW duplicated the stream was.
+# ---------------------------------------------------------------------------
+@query(
+    "events_dedup_keep_first",
+    oracle="""
+    SELECT event_id,
+           min(ts) AS first_ts,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM events
+    GROUP BY event_id
+    HAVING count(*) >= 1 AND event_id < 500
+    """,
+    operators=("J5", "G4", "D1"),
+)
+def events_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.groupBy("event_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.count("*").cast("bigint").alias("n_copies"),
+    )
