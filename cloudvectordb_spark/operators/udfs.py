@@ -270,3 +270,59 @@ def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"qty_cap": 30},
     )
+
+
+# ---------------------------------------------------------------------------
+# J6/L3 second cover: per-user EWMA of event values — the genuinely
+# SEQUENTIAL per-key state (EWMA_t = a*x_t + (1-a)*EWMA_{t-1}) computed
+# the stateful way (applyInPandas loop per user, the batch twin of an
+# applyInPandasWithState stream), while the ORACLE uses the closed form
+# sum a*(1-a)^(n-i)*x_i — an iterative operator with a full value
+# oracle, no unrolling needed.
+# ---------------------------------------------------------------------------
+_EWMA_A = 0.5
+
+
+@query(
+    "user_value_ewma_stateful",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+             count(*)    OVER (PARTITION BY user_id)                        AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN i = 1
+                          THEN value * pow(1 - {_EWMA_A}, n - 1)
+                          ELSE {_EWMA_A} * value * pow(1 - {_EWMA_A}, n - i)
+                     END), 4) AS ewma_value
+    FROM ordered GROUP BY user_id
+    """,
+    operators=("J6", "L3", "E2", "D1"),
+)
+def user_value_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        e = None
+        for x in pdf["value"]:
+            e = x if e is None else _EWMA_A * x + (1 - _EWMA_A) * e
+        r4 = math.copysign(math.floor(abs(e) * 1e4 + 0.5), e) / 1e4
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_value": [r4],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, n_events bigint, ewma_value double"
+    )
