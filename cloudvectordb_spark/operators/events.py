@@ -1749,3 +1749,35 @@ def events_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.count("*").cast("bigint").alias("n_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J7 second cover: stream-static enrichment against the customer
+# dimension (user_id + 1 keys into c_custkey on the fixture) — the
+# identical join shape runs under the micro-batch engine with the dim as
+# the static side; per-segment rollup proves the values.
+# ---------------------------------------------------------------------------
+@query(
+    "events_customer_segment_rollup",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY c.c_mktsegment
+    """,
+    operators=("J7", "C1", "D3", "D1"),
+)
+def events_customer_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(cust, cust["c_custkey"] == ev["user_id"] + 1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
