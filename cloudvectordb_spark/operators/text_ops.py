@@ -1423,3 +1423,40 @@ def part_name_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 2)
         .select("a_key", "b_key", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# K2/H2: character-class profile per language — the encoding/content
+# census (letter/digit/punctuation/space shares) that catches OCR noise,
+# markup leakage, and mis-tagged languages in one scan of regex counts.
+# ---------------------------------------------------------------------------
+@query(
+    "char_class_profile",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(len(regexp_extract_all(text, '[a-zA-Z]'))
+                     / greatest(length(text), 1)), 6) AS letter_share,
+           round(avg(len(regexp_extract_all(text, '[0-9]'))
+                     / greatest(length(text), 1)), 6) AS digit_share,
+           round(avg(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+                     / greatest(length(text), 1)), 6) AS punct_share
+    FROM documents GROUP BY lang
+    """,
+    operators=("K2", "H2", "H1", "D1"),
+)
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ln = F.greatest(F.length("text"), F.lit(1))
+
+    def share(pat: str):
+        return F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast(
+            "double"
+        ) / ln
+
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg(share("[a-zA-Z]")), 6).alias("letter_share"),
+        F.round(F.avg(share("[0-9]")), 6).alias("digit_share"),
+        F.round(F.avg(share("[^a-zA-Z0-9 ]")), 6).alias("punct_share"),
+    )

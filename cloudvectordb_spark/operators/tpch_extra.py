@@ -862,3 +862,29 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share2), 6).alias("hhi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# H5/D1: weekday revenue profile — the calendar seasonality view
+# (ISO day-of-week so both engines number Monday=1..Sunday=7).
+# ---------------------------------------------------------------------------
+@query(
+    "weekday_revenue_profile",
+    oracle="""
+    SELECT CAST(isodow(o_orderdate) AS INTEGER) AS iso_weekday,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(avg(o_totalprice), 4) AS avg_order_value
+    FROM orders GROUP BY 1
+    """,
+    operators=("H5", "D1", "H6"),
+)
+def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    # Spark dayofweek: Sunday=1..Saturday=7; convert to ISO Monday=1..Sunday=7
+    iso = ((F.dayofweek("o_orderdate") + 5) % 7) + 1
+    return orders.groupBy(iso.cast("int").alias("iso_weekday")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+    )
