@@ -888,3 +888,39 @@ def weekday_revenue_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B8/D1 pricing view: quantity response by discount band — the
+# elasticity read a pricing review starts from (does deeper discounting
+# actually move volume?). Single scan, banded aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "discount_quantity_elasticity",
+    oracle="""
+    SELECT CASE WHEN l_discount < 0.03 THEN '0-2%'
+                WHEN l_discount < 0.06 THEN '3-5%'
+                WHEN l_discount < 0.09 THEN '6-8%'
+                ELSE '9%+' END AS discount_band,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(l_quantity), 4) AS avg_quantity,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+    FROM lineitem GROUP BY 1
+    """,
+    operators=("B8", "D1", "H6", "B3"),
+)
+def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") < 0.03, "0-2%")
+        .when(F.col("l_discount") < 0.06, "3-5%")
+        .when(F.col("l_discount") < 0.09, "6-8%")
+        .otherwise("9%+")
+    )
+    return li.groupBy(band.alias("discount_band")).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_quantity"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("net_revenue"),
+    )
