@@ -23,7 +23,7 @@ back to a shuffle join when they don't.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cloudvectordb_spark.catalog import load
@@ -923,4 +923,53 @@ def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("net_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5/H6 revenue-concentration curve: what share of total revenue the
+# top-decile customers carry — the 80/20 read on the customer base.
+# Exact interpolated decile via window percent_rank (identical
+# definition both engines when computed from the explicit rank/count).
+# ---------------------------------------------------------------------------
+@query(
+    "customer_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS r FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r DESC, o_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM rev
+    )
+    SELECT CAST(count(*) FILTER (WHERE rn <= ceil(n / 10.0)) AS BIGINT)
+             AS n_top_decile,
+           round(sum(r) FILTER (WHERE rn <= ceil(n / 10.0)) / sum(r), 6)
+             AS top_decile_revenue_share,
+           round(sum(r), 2) AS total_revenue
+    FROM ranked
+    """,
+    operators=("D5", "D1", "E1", "H6"),
+)
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.ranking import _zero
+
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    w = Window.partitionBy(_zero(F.col("o_custkey"))).orderBy(
+        F.desc("r"), F.asc("o_custkey")
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(_zero(F.col("o_custkey")))).alias("n"),
+    )
+    top = F.col("rn") <= F.ceil(F.col("n") / 10.0)
+    return ranked.agg(
+        F.count(F.when(top, 1)).cast("bigint").alias("n_top_decile"),
+        F.round(
+            F.sum(F.when(top, F.col("r"))) / F.sum("r"), 6
+        ).alias("top_decile_revenue_share"),
+        F.round(F.sum("r"), 2).alias("total_revenue"),
     )
