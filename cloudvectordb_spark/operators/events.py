@@ -1694,21 +1694,22 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("J4", "E3", "D1", "H5"),
 )
 def events_lateness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloudvectordb_spark.ranking import _zero
+    from cloudvectordb_spark.ranking import with_global_running_max
 
     ev = load(spark, sf_dir, "events")
-    # single global running max over arrival order: the _zero partition
-    # trick keeps the window partitioned for the plan gate; events at
-    # fixture scale fit one partition, and at 100 TB this census would
-    # run per shard/day — the window shape is the point
-    w = (
-        Window.partitionBy(_zero(F.col("event_id")))
-        .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    arr = ev.select(
-        "ts", F.max("ts").over(w).alias("high_water")
-    )
+    # distributed running max over arrival order: the first 2 hex chars
+    # of the md5 arrival key are a monotone coarsening of the order
+    # (256 uniform buckets), so with_global_running_max computes the
+    # exact global high-water mark with every exchange keyed — no
+    # corpus-proportional single-task window (round-5 verdict #2)
+    ord_key = F.md5(F.col("event_id").cast("string"))
+    arr = with_global_running_max(
+        ev.select("ts", "event_id").withColumn("_ord", ord_key),
+        bucket=F.substring(F.col("_ord"), 1, 2),
+        order=[F.asc("_ord"), F.asc("event_id")],
+        value_col="ts",
+        out_col="high_water",
+    ).select("ts", "high_water")
     late_min = (
         F.expr("timestampdiff(MICROSECOND, ts, high_water)") / 60_000_000.0
     )

@@ -953,18 +953,21 @@ def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("D5", "D1", "E1", "H6"),
 )
 def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloudvectordb_spark.ranking import _zero
+    from cloudvectordb_spark.ranking import with_global_row_number
 
     orders = load(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
-    w = Window.partitionBy(_zero(F.col("o_custkey"))).orderBy(
-        F.desc("r"), F.asc("o_custkey")
-    )
-    ranked = rev.select(
+    # bucketed exact global rank: the customer dimension is
+    # corpus-proportional (~15M rows/TB), so the rank must never funnel
+    # through one task — with_global_row_number keys every exchange
+    ranked = with_global_row_number(
+        rev,
         "r",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy(_zero(F.col("o_custkey")))).alias("n"),
-    )
+        [F.asc("o_custkey")],
+        descending=True,
+        rn_col="rn",
+        total_col="n",
+    ).select("r", "rn", "n")
     top = F.col("rn") <= F.ceil(F.col("n") / 10.0)
     return ranked.agg(
         F.count(F.when(top, 1)).cast("bigint").alias("n_top_decile"),

@@ -40,6 +40,10 @@ def physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
 _WINDOW_NODE = re.compile(r"(?<![A-Za-z])Window \[")
 
 
@@ -73,6 +77,144 @@ def single_partition_windows(physical_plan: str) -> int:
         if " ASC" in last or " DESC" in last:
             n += 1  # trailing list is an order spec -> empty partition
     return n
+
+
+# --- constant-keyed windows (round-5 verdict #3) --------------------------
+#
+# ``ranking._zero`` = pmod(xxhash64(col), 1): a constant-0 partition key
+# that survives constant folding. It keeps a window partitioned in the
+# plan while still funnelling EVERY row to one task — exactly as bad as
+# an empty partition spec when the input is corpus-proportional. The
+# empty-spec gate above is structurally blind to it (the spec is
+# non-empty), so this walk resolves the pattern explicitly: a window
+# whose partition key is (or aliases) pmod(xxhash64(...), 1) is flagged
+# UNLESS its input subtree is bounded before any corpus scan — by a
+# limit / top-k merge, or by a grouping aggregate whose key is one of
+# the declared bounded-cardinality keys below.
+#
+# BOUNDED_WINDOW_KEYS is a *declaration*, reviewed per entry: `_bucket`
+# (ranking.py range buckets, <= 256 rows), `decile` (10), `lang`
+# (fixture language codes, O(10)), `day` (calendar days — bounded by
+# retention, not corpus size). Keys NOT listed (customer keys, doc ids,
+# event ids …) are corpus-proportional and never make a constant-keyed
+# window safe.
+
+BOUNDED_WINDOW_KEYS = {"_bucket", "decile", "lang", "day"}
+
+_CONST_KEY = re.compile(r"pmod\(xxhash64\(.*?\), 1\)")
+_CONST_ALIAS = re.compile(r"pmod\(xxhash64\(.*?\), 1\) AS (\w+#\d+L?)")
+_BOUNDING_NODE = re.compile(
+    r"(GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject)"
+)
+# physical: HashAggregate(keys=[k#1L], ...) — keys=[] is a global agg
+_PHYS_AGG = re.compile(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[([^\]]*)\]")
+_AGG_OUTPUT = re.compile(r"output=\[(\w+)#")
+# logical: Aggregate [keys], [output]  (one list == global agg)
+_LOGI_AGG = re.compile(r"(?<![A-Za-z])Aggregate \[")
+_FIRST_AS = re.compile(r" AS (\w+)#")
+_SCAN_NODE = re.compile(
+    r"(FileScan|BatchScan|Scan parquet|RowDataSourceScan|Relation \[)"
+)
+
+
+def _indent(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _window_partition_spec(line: str) -> str | None:
+    """The partition-spec bracket group of a Window node line, or None if
+    the spec is empty/absent (that case is the empty-spec gate's job)."""
+    m = _WINDOW_NODE.search(line)
+    if not m:
+        return None
+    tail = line[m.start() :]
+    parts = tail.split("], [")
+    if len(parts) >= 3:
+        return parts[-2]
+    if len(parts) == 2:
+        last = parts[-1]
+        if " ASC" in last or " DESC" in last:
+            return None  # empty partition spec
+        return last
+    return None
+
+
+def _agg_verdict(line: str) -> bool | None:
+    """True/False if ``line`` is an aggregate node (bounded / unbounded
+    under BOUNDED_WINDOW_KEYS), None if it is not an aggregate.
+
+    Handles both formats. Physical ``HashAggregate(keys=[...])``: empty
+    keys = global agg = 1 row = bounded; else the key name decides, with
+    ``_groupingexpression`` resolved through the agg's first output
+    column. Logical ``Aggregate [keys], [output]``: a single bracket
+    list = global agg = bounded; else the first key name decides, with
+    ``_groupingexpression`` resolved through the output list's first
+    ``AS name#`` alias."""
+    m = _PHYS_AGG.search(line)
+    if m:
+        keys = m.group(1)
+        if not keys:
+            return True  # global aggregate: one row
+        km = re.match(r"(\w+)#", keys)
+        key = km.group(1) if km else keys
+        if key == "_groupingexpression":
+            mo = _AGG_OUTPUT.search(line)
+            key = mo.group(1) if mo else key
+        return key in BOUNDED_WINDOW_KEYS
+    m = _LOGI_AGG.search(line)
+    if m:
+        tail = line[m.end() :]
+        if "], [" not in tail:
+            return True  # single list: global aggregate
+        keys, output = tail.split("], [", 1)
+        km = re.match(r"(\w+)#", keys)
+        key = km.group(1) if km else keys
+        if key == "_groupingexpression":
+            mo = _FIRST_AS.search(output)
+            key = mo.group(1) if mo else key
+        return key in BOUNDED_WINDOW_KEYS
+    return None
+
+
+def unbounded_constant_key_windows(plan: str) -> int:
+    """Count Window nodes whose partition key is constant
+    (pmod(xxhash64(...), 1), inline or via a projected alias) and whose
+    input subtree hits a corpus scan or an unbounded-key aggregate
+    before any bounding node. Works on either tree format (indent
+    encodes the subtree); prefer ``optimizedPlan().toString()`` — the
+    physical toString can fold the pmod alias definition into an
+    aggregate's result list where it is textually invisible, so alias
+    resolution is only complete on the logical plan."""
+    lines = plan.splitlines()
+    aliases = set(_CONST_ALIAS.findall(plan))
+    bad = 0
+    for i, ln in enumerate(lines):
+        spec = _window_partition_spec(ln)
+        if spec is None:
+            continue
+        is_const = bool(_CONST_KEY.search(spec)) or any(a in spec for a in aliases)
+        if not is_const:
+            continue
+        d = _indent(ln)
+        verdict_bounded = False
+        for nxt in lines[i + 1 :]:
+            if _indent(nxt) <= d:
+                break  # left the subtree: nothing decisive -> flag
+            if _BOUNDING_NODE.search(nxt):
+                verdict_bounded = True
+                break
+            agg = _agg_verdict(nxt)
+            if agg is not None:
+                verdict_bounded = agg
+                break
+            if _SCAN_NODE.search(nxt):
+                break  # reached a corpus scan unbounded -> flag
+        if not verdict_bounded:
+            bad += 1
+    return bad
 
 
 # Nodes that bound the rows feeding a single-partition exchange: partial
@@ -125,7 +267,10 @@ def unbounded_single_partition_exchanges(plan: str) -> int:
 
 
 def audit_plan(
-    plan: str, *, allow_cartesian: bool = False
+    plan: str,
+    *,
+    allow_cartesian: bool = False,
+    allow_constant_window: bool = False,
 ) -> tuple[list[str], list[str]]:
     """Return (hard_flags, soft_flags) for one plan string (either
     ``explain("formatted")`` output or ``executedPlan().toString()``)."""
@@ -144,4 +289,11 @@ def audit_plan(
     n_bad = unbounded_single_partition_exchanges(plan)
     if n_bad:
         flags.append(f"Exchange SinglePartition (unbounded?) x{n_bad}")
+    # constant-keyed (ranking._zero) windows over unbounded input: the
+    # single-reducer pattern the empty-spec gate can't see. Opt-out is
+    # per-query and must carry a written rationale at the call site.
+    if not allow_constant_window:
+        n_ck = unbounded_constant_key_windows(plan)
+        if n_ck:
+            flags.append(f"constant-keyed Window over unbounded input x{n_ck}")
     return flags, soft

@@ -194,6 +194,52 @@ def with_global_prefix_sum(
     )
 
 
+def with_global_running_max(
+    df: DataFrame,
+    bucket: Column,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "run_max",
+) -> DataFrame:
+    """Add the exact INCLUSIVE global running max of ``value_col`` under
+    the total order (bucket ASC, *order), with no single-partition
+    exchange — the distributed form of
+    ``max(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+
+    ``bucket`` must be a monotone coarsening of the global order (every
+    row of bucket b sorts before every row of bucket b+1 — e.g. a
+    fixed-width prefix of the order key) with a bounded number of
+    distinct values. Same shape as ``with_global_prefix_sum``: reduce
+    each bucket to its max (tiny table, one row per bucket), take the
+    exclusive prefix-max over bucket maxima on that tiny table, then
+    combine with the bucket-local running max. Spark ``greatest`` skips
+    NULLs, so the first bucket (no predecessor) falls back to its local
+    running max alone.
+    """
+    tagged = df.withColumn("_bucket", bucket)
+    # tiny side: <= n_buckets rows, so the constant partition is bounded
+    wo = Window.partitionBy(_zero(F.col("_bucket"))).orderBy(F.asc("_bucket"))
+    offsets = (
+        tagged.groupBy("_bucket")
+        .agg(F.max(value_col).alias("_bmax"))
+        .withColumn(
+            "_prev_max",
+            F.max("_bmax").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .select("_bucket", "_prev_max")
+    )
+    wl = (
+        Window.partitionBy("_bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, F.greatest(F.max(value_col).over(wl), F.col("_prev_max")))
+        .drop("_bucket", "_prev_max")
+    )
+
+
 def ntile_from_row_number(rn: Column, total: Column, n: int) -> Column:
     """SQL ``ntile(n)`` from a precomputed global row number: the first
     ``total % n`` buckets take ``ceil(total/n)`` rows, the rest take

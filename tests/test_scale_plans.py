@@ -298,21 +298,66 @@ def test_no_single_partition_window_in_any_registered_query(spark, sf_dir):
     ``pmod(xxhash64(lit(0)), 1)``) silently becomes the single-partition
     "No Partition Defined" form — harmless on a 10-row input, a funnel of
     the entire corpus through one task anywhere else. Sweep the physical
-    plan of EVERY registered query; zero tolerance."""
-    from cloudvectordb_spark.plans import single_partition_windows
+    plan of EVERY registered query; zero tolerance. Same sweep also runs
+    the round-5 verdict #3 detector: a window partitioned by the
+    NON-foldable constant key (``ranking._zero``) over unbounded input
+    is the same single-reducer funnel wearing a partition spec — flagged
+    unless the subtree is bounded by a limit or a declared
+    bounded-cardinality grouping key (lint.BOUNDED_WINDOW_KEYS)."""
+    from cloudvectordb_spark.plans import (
+        single_partition_windows,
+        unbounded_constant_key_windows,
+    )
 
     from cloudvectordb_spark.registry import all_queries
+
+    from cloudvectordb_spark.plans import optimized_plan
 
     offenders: dict[str, object] = {}
     for name, spec in sorted(all_queries().items()):
         try:
-            n = single_partition_windows(_executed_plan(spec.fn(spark, sf_dir)))
+            df = spec.fn(spark, sf_dir)
+            plan = _executed_plan(df)
         except Exception as exc:  # noqa: BLE001
             offenders[name] = f"plan build error: {exc}"
             continue
+        n = single_partition_windows(plan)
         if n:
             offenders[name] = f"{n} single-partition Window node(s)"
+        # constant-key detection needs the optimized LOGICAL plan — the
+        # physical toString folds pmod alias definitions out of sight
+        n_ck = unbounded_constant_key_windows(optimized_plan(df))
+        if n_ck:
+            offenders[name] = f"{n_ck} constant-keyed Window(s) over unbounded input"
     assert not offenders, offenders
+
+
+def test_constant_key_window_detector_flags_planted_repro(spark, sf_dir):
+    """Plant the exact round-5 finding (a per-customer revenue frame
+    ranked under a ``_zero`` constant-partition window) and assert the
+    detector flags it — and that the repaired registered queries are
+    clean. The planted frame groups on a corpus-proportional key, so no
+    bounded-key declaration may excuse it."""
+    from pyspark.sql import Window
+
+    from cloudvectordb_spark.plans import optimized_plan, unbounded_constant_key_windows
+    from cloudvectordb_spark.ranking import _zero
+
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    w = Window.partitionBy(_zero(F.col("o_custkey"))).orderBy(F.desc("r"))
+    bad = rev.withColumn("rn", F.row_number().over(w))
+    assert unbounded_constant_key_windows(optimized_plan(bad)) == 1
+
+    from cloudvectordb_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in ("customer_revenue_concentration", "events_lateness_census"):
+        plan = optimized_plan(qs[name].fn(spark, sf_dir))
+        assert unbounded_constant_key_windows(plan) == 0, name
 
 
 def test_ivfpq_code_scan_prunes_partitions(spark, sf_dir):
