@@ -962,6 +962,118 @@ def embed_documents_trained_artifact(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# K4 value-level cover (round-5 verdict next-round #2): a TRAINED linear
+# head whose training loop is fully SQL-replayable. Full-batch gradient
+# descent on a linear probe — features = intercept + the first 8
+# embedding dims, target y = (label == 0) — for a fixed 3 rounds from
+# w = 0. Each round's mean gradient rounds half-up to 6 dp before the
+# update and the weights re-round to 6 dp, so cross-engine summation-
+# order ulps (~1e-13) can never reach a comparison: the whole descent
+# unrolls into DuckDB CTEs that carry the 1-row weight vector forward
+# (same discipline as kmeans_det / pq — see the oracle-determinism
+# recipe there). Spark executes the same rounds distributed: one
+# map-side-combined aggregate per round (9 partial sums + count), the
+# driver holds only the 9-float weight vector between rounds. The
+# per-row prediction sums features in a FIXED left-associated order on
+# both engines, so residuals are bit-identical before any aggregation.
+# ---------------------------------------------------------------------------
+_GD_DIMS = 8  # embedding dims used (plus intercept x0 = 1)
+_GD_ROUNDS = 3
+
+
+def _gd_oracle_sql() -> str:
+    xs = [f"x{j}" for j in range(_GD_DIMS + 1)]
+    feat_cols = ",\n             ".join(
+        ["1.0 AS x0"]
+        + [f"CAST(embedding[{j}] AS DOUBLE) AS x{j}" for j in range(1, _GD_DIMS + 1)]
+    )
+    zero = ", ".join(f"0.0 AS w{j}" for j in range(_GD_DIMS + 1))
+    pred = " + ".join(f"w.w{j}*f.{x}" for j, x in enumerate(xs))
+    ctes = [
+        f"""feat AS (
+      SELECT CAST(label = 0 AS DOUBLE) AS y,
+             {feat_cols}
+      FROM embeddings
+    )""",
+        f"w0_ AS (SELECT {zero})",
+    ]
+    prev = "w0_"
+    for r in range(1, _GD_ROUNDS + 1):
+        upd = ",\n             ".join(
+            f"round(any_value(w.w{j}) - round(avg(f.{x} * (({pred}) - f.y)), 6), 6)"
+            f" AS w{j}"
+            for j, x in enumerate(xs)
+        )
+        ctes.append(
+            f"""w{r}_ AS (
+      SELECT {upd}
+      FROM feat f CROSS JOIN {prev} w
+    )"""
+        )
+        prev = f"w{r}_"
+    wsel = ", ".join(f"w.w{j}" for j in range(_GD_DIMS + 1))
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block},
+    mse AS (
+      SELECT round(avg((({pred}) - f.y) * (({pred}) - f.y)), 6) AS train_mse
+      FROM feat f CROSS JOIN {prev} w
+    )
+    SELECT {wsel}, m.train_mse FROM {prev} w CROSS JOIN mse m
+    """
+
+
+def _half_up6(x: float) -> float:
+    """Scalar round-half-away-from-zero at 6 dp — Spark F.round / DuckDB
+    round() convention; Python round() is half-even and would diverge."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x) if x else 0.0
+
+
+@query(
+    "linear_probe_train_gd",
+    oracle=_gd_oracle_sql(),
+    operators=("K4", "D2", "H6", "H8"),
+)
+def linear_probe_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic trained head with a FULL value oracle: 3 rounds of
+    full-batch GD on a linear probe over the embedding table (see the
+    block comment above). Returns the trained weight vector and the
+    final training MSE as one row."""
+    emb = load(spark, sf_dir, "embeddings")
+    nf = _GD_DIMS + 1
+    feat = emb.select(
+        (F.col("label") == 0).cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        *[
+            F.element_at("embedding", j).cast("double").alias(f"x{j}")
+            for j in range(1, _GD_DIMS + 1)
+        ],
+    )
+    w = [0.0] * nf
+
+    def _pred():
+        p = F.lit(w[0]) * F.col("x0")
+        for j in range(1, nf):
+            p = p + F.lit(w[j]) * F.col(f"x{j}")
+        return p
+
+    for _ in range(_GD_ROUNDS):
+        resid = _pred() - F.col("y")
+        g = feat.agg(
+            *[F.avg(F.col(f"x{j}") * resid).alias(f"g{j}") for j in range(nf)]
+        ).collect()[0]
+        w = [_half_up6(w[j] - _half_up6(g[f"g{j}"])) for j in range(nf)]
+
+    resid = _pred() - F.col("y")
+    out = feat.agg(F.round(F.avg(resid * resid), 6).alias("train_mse"))
+    for j in range(nf):
+        out = out.withColumn(f"w{j}", F.lit(w[j]))
+    return out.select(*[f"w{j}" for j in range(nf)], "train_mse")
+
+
+# ---------------------------------------------------------------------------
 # K12: cluster-label purity — the K9 assignment x label crosstab named
 # in SURVEY §2. Per-cell majority-label share, weighted into one corpus
 # purity number. Deterministic trainer => the EXACT purity value (and
