@@ -80,7 +80,7 @@ def events_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessions",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              -- >= (not >) matches Spark's half-open session_window: a gap
              -- of exactly 30 minutes STARTS a new session (session spans
              -- [start, last+gap) exclusive of the right edge).
@@ -91,7 +91,9 @@ def events_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- event_id tiebreak matches the Spark window's total order
+             -- (equal-ts rows make a ROWS-frame running sum ambiguous)
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -1601,7 +1603,9 @@ def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             -- event_id tiebreak: with a ROWS frame, equal-ts rows make
+             -- the running sum order-ambiguous between engines
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     ), sessions AS (
@@ -1637,7 +1641,7 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")  # tiebreak keeps the ROWS frame total-ordered
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     numbered = flagged.withColumn("session_id", F.sum("new_session").over(wr))

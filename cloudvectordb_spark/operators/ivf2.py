@@ -442,8 +442,12 @@ def _tier_recall_sql() -> str:
       SELECT probe_id, neighbor_id FROM (
         SELECT p.probe_id, e.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY p.probe_id
-                 ORDER BY round(list_sum(list_transform(list_zip(e.v, p.pv),
-                   z -> (z[1] - z[2]) * (z[1] - z[2]))), 6),
+                 -- rank by round(sqrt(d2), 6) to match the Spark side's
+                 -- rounded DISTANCE: d and d2 order identically but
+                 -- their rounded tie-sets differ, so the vec_id
+                 -- tiebreak could flip top-10 boundary membership
+                 ORDER BY round(sqrt(list_sum(list_transform(list_zip(e.v, p.pv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])))), 6),
                           e.vec_id) AS rn
         FROM km_emb e, p WHERE e.vec_id <> p.probe_id
       ) WHERE rn <= 10
@@ -475,9 +479,11 @@ def _tier_recall_sql() -> str:
       SELECT probe_id, neighbor_id FROM (
         SELECT c2.probe_id, c2.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY c2.probe_id
-                 ORDER BY round(list_sum(list_transform(
+                 -- round(sqrt(d2), 6): same rounded metric as Spark's
+                 -- lsh_multiprobe_knn (see exact_l2 note above)
+                 ORDER BY round(sqrt(list_sum(list_transform(
                      list_zip(ec.v, p.pv),
-                     z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), c2.vec_id) AS rn
+                     z -> (z[1] - z[2]) * (z[1] - z[2])))), 6), c2.vec_id) AS rn
         FROM (SELECT DISTINCT pb.probe_id, c.vec_id
               FROM lsh_b c JOIN lsh_pb pb
                 ON c.table_id = pb.table_id AND c.bucket = pb.bucket

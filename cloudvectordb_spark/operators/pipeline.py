@@ -366,8 +366,60 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # does numpy all-pairs ONLY within each cell (applyInPandas), so cost is
 # sum over cells of |cell|^2 — with balanced cells, ~n^2/k — and each
 # cell's matmul is one vectorized BLAS call instead of per-element
-# lambda interpretation.
+# lambda interpretation. The per-cell kernel is BLOCKED (round-5 verdict
+# #4): a skewed/hot cell of n rows must not materialize an n x n
+# similarity matrix — duplicate-heavy corpora produce exactly such
+# cells. The kernel tiles the upper triangle into _CELL_BLOCK-sized
+# square blocks, so peak memory is O(_CELL_BLOCK^2) + O(n*d) regardless
+# of cell size, while the emitted pair set (and the oracle hash) is
+# bit-identical to the unblocked form.
 # ---------------------------------------------------------------------------
+_CELL_BLOCK = 4096  # rows per matmul tile; peak sims memory = BLOCK^2 * 8B
+
+
+def _cell_pairs_kernel(tau: float):
+    """Grouped-map kernel: all within-cell pairs with cos >= tau, tiled
+    so a hot cell can never OOM an executor (see block comment)."""
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        B = _CELL_BLOCK
+        out = [empty]
+        for i0 in range(0, len(ids), B):
+            mi = m[i0 : i0 + B]
+            for j0 in range(i0, len(ids), B):
+                sims = mi @ m[j0 : j0 + B].T
+                mask = sims >= tau
+                if i0 == j0:
+                    mask = np.triu(mask, k=1)
+                ii, jj = np.nonzero(mask)
+                if len(ii) == 0:
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a_id": ids[i0 + ii],
+                            "b_id": ids[j0 + jj],
+                            # half-up to match the oracle's round()
+                            "cos_sim": np.sign(sims[ii, jj])
+                            * np.floor(np.abs(sims[ii, jj]) * 1e6 + 0.5)
+                            / 1e6,
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    return cell_pairs
+
+
 @query(
     "semantic_dup_pairs_ivf",
     # Full value oracle: deterministic top-2 cell assignment => the exact
@@ -410,28 +462,8 @@ def semantic_dup_pairs_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.3) -
         vectors.drop("centroid_id").select("vec_id", "embedding"), cents
     )
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
-            )
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= tau
-        return pd.DataFrame(
-            {
-                "a_id": ids[iu[keep]],
-                "b_id": ids[ju[keep]],
-                "cos_sim": np.round(sims[iu[keep], ju[keep]], 6),
-            }
-        )
-
     pairs = assigned2.groupBy("centroid_id").applyInPandas(
-        cell_pairs, "a_id bigint, b_id bigint, cos_sim double"
+        _cell_pairs_kernel(tau), "a_id bigint, b_id bigint, cos_sim double"
     )
     # a pair can surface from up to 2 shared cells -> dedupe
     return pairs.dropDuplicates(["a_id", "b_id"])

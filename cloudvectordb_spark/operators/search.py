@@ -510,14 +510,13 @@ def rerank_cross_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches):
         for pdf in batches:
             out = pdf[["probe_id", "neighbor_id"]].copy()
-            out["ce_score"] = np.round(
-                _stub_cross_encoder(
-                    pdf["probe_id"].to_numpy(),
-                    pdf["neighbor_id"].to_numpy(),
-                    pdf["score"].to_numpy(),
-                ),
-                6,
+            ce = _stub_cross_encoder(
+                pdf["probe_id"].to_numpy(),
+                pdf["neighbor_id"].to_numpy(),
+                pdf["score"].to_numpy(),
             )
+            # half-up to match the oracle's round() (np.round is half-even)
+            out["ce_score"] = np.sign(ce) * np.floor(np.abs(ce) * 1e6 + 0.5) / 1e6
             yield out
 
     scored = cands.mapInPandas(

@@ -281,7 +281,10 @@ def exact_knn_fast(
                 # raw-score near-tie straddling the local-k boundary can drop
                 # the row the oracle ranks first. Threshold-select on the
                 # rounded score (keeping boundary ties), then exact-sort.
-                r = np.round(col[cand], 6)
+                # half-up (Spark F.round / DuckDB round() convention):
+                # np.round is banker's half-even and would diverge from
+                # the oracle at exact .5e-7 boundaries
+                r = np.sign(col[cand]) * np.floor(np.abs(col[cand]) * 1e6 + 0.5) / 1e6
                 if len(cand) > k:
                     thr = np.partition(r, len(r) - k)[len(r) - k]
                     keep = np.flatnonzero(r >= thr)
