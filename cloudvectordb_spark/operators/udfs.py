@@ -158,17 +158,30 @@ def sql_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFr
     # SHUFFLE_HASH(lineitem): keyed shuffle for the fact-fact join — the
     # returnflag filter keeps ~25% of lineitem, which Catalyst's fixture
     # estimate would otherwise broadcast (fact-sized at 100 TB).
+    # Q10's GROUP BY (c_custkey, c_name, n_name) is functionally
+    # determined by c_custkey, so the dimension joins move AFTER the
+    # top-20 cut: the fact-fact join and the aggregate shuffle carry
+    # only (custkey, revenue) — no customer-name strings through two
+    # exchanges — and customer/nation broadcast-join onto 20 rows.
+    # Identical result under FK integrity (orphan custkeys would be
+    # dropped post- instead of pre-limit; referential_orphan_audit
+    # shows the fixtures have none, as does TPC-H by spec).
     return spark.sql(
         """
-        SELECT /*+ SHUFFLE_HASH(lineitem) */
-               c_custkey, c_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
+        SELECT c_custkey, c_name, n_name, revenue
+        FROM (
+          SELECT /*+ SHUFFLE_HASH(lineitem) */
+                 o_custkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM orders
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+          GROUP BY o_custkey
+          ORDER BY revenue DESC, o_custkey
+          LIMIT 20
+        ) top
+        JOIN customer ON c_custkey = o_custkey
         JOIN nation   ON c_nationkey = n_nationkey
-        WHERE l_returnflag = 'R'
-        GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
         """
