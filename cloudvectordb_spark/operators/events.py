@@ -74,6 +74,45 @@ def events_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J2 second cover (round-5 verdict #6): hourly rolling activity on a
+# 15-minute slide — each event lands in exactly 4 windows; the oracle
+# materializes all four via UNION ALL of shifted epoch-aligned 15-minute
+# buckets (15 min divides 1 h, so bucket starts coincide with Spark's
+# window starts). Adds COUNT(DISTINCT) inside a sliding window — the
+# shape the 10m/5m twin doesn't exercise.
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_hour_users",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - k.k * INTERVAL '15 minutes' AS ws,
+             user_id, value
+      FROM events, (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT ws,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM b
+    GROUP BY ws
+    """,
+    operators=("J2", "D3", "D1"),
+)
+def events_sliding_hour_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "n_events", "n_users", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # J3: session window (30-minute gap) — oracle twin via lag-gap islands
 # ---------------------------------------------------------------------------
 @query(

@@ -25,6 +25,15 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     g = {(r.ws, r.event_type): (r.n, r.sum_value) for r in got.collect()}
     b = {(r.ws, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
     assert g == b and len(g) > 0
+    # …and against the ORACLE-REGISTERED batch query (events_tumbling_hour),
+    # so the micro-batch engine is held to the same values DuckDB checks
+    from cloudvectordb_spark.operators.events import events_tumbling_hour
+
+    reg = {
+        (r.ws, r.event_type): (r.n, r.sum_value)
+        for r in events_tumbling_hour(spark, sf_dir).collect()
+    }
+    assert g == reg
 
 
 def test_streaming_sessionize_matches_batch(spark, sf_dir):
@@ -43,6 +52,20 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     )
     n_batch = load(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
     assert got.count() == n_batch
+    # value-level, not count-only: exactly one surviving row per
+    # event_id, the id set equals the batch id set, and the registered
+    # oracle-backed query (events_dedup_ids) agrees on both totals
+    from cloudvectordb_spark.operators.events import events_dedup_ids
+
+    got_ids = [r.event_id for r in got.select("event_id").collect()]
+    assert len(got_ids) == len(set(got_ids))
+    batch_ids = {
+        r.event_id
+        for r in load(spark, sf_dir, "events").select("event_id").distinct().collect()
+    }
+    assert set(got_ids) == batch_ids
+    reg = events_dedup_ids(spark, sf_dir).collect()[0]
+    assert reg.n_unique == len(got_ids)
 
 
 def test_streaming_stateful_running_totals_matches_batch(spark, sf_dir):
