@@ -1070,6 +1070,56 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cohort retention triangle: users bucketed by first-seen week, tracked
+# by distinct activity in each subsequent week — the classic retention
+# matrix every growth dashboard draws. Scale shape: first-seen is one
+# keyed reduction on user_id, activity weeks one keyed distinct, the
+# join is user-keyed, and the final aggregate's key space is
+# calendar x calendar (bounded by retention horizon, not corpus size).
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH first AS (
+      -- TIMESTAMP on both engines: Spark date_trunc yields timestamp,
+      -- DuckDB yields DATE, and pandas dtypes must agree for the gate
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS BIGINT)
+             AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    operators=("H5", "D3", "D1", "C1"),
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Behavioral entropy: Shannon entropy of each user's event-type mix —
 # the diversity feature separating single-action accounts (entropy ~ 0,
 # often automation) from full-surface users (entropy ~ ln 5). Two

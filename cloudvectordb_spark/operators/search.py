@@ -532,6 +532,149 @@ def rerank_cross_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MMR diversified rerank: greedy maximal-marginal-relevance over the
+# exact top-C candidates — pick the most relevant, then repeatedly the
+# candidate maximizing lambda*rel - (1-lambda)*max_sim_to_selected.
+# The standard redundancy killer for retrieval-augmented pipelines
+# (near-duplicate chunks crowd out coverage). Fixed K=5 greedy steps,
+# every comparison key rounded half-up at 6 dp, ties broken by id — so
+# the whole greedy unrolls into DuckDB CTEs (selection state carried
+# forward per step, the kmeans_det recipe applied to a ranking loop).
+# Scale shape: candidate generation is the broadcast-probe kNN; the
+# greedy runs per-probe over C<=10 rows inside one grouped-map task.
+# ---------------------------------------------------------------------------
+_MMR_C = 10  # candidate pool per probe
+_MMR_K = 5  # diversified picks
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle_sql() -> str:
+    steps = []
+    prev = "selall1"
+    for t in range(2, _MMR_K + 1):
+        steps.append(f"""
+    pen{t} AS (
+      SELECT c.probe_id, c.vec_id, any_value(c.rel) AS rel, max(s.s) AS pen
+      FROM cand c
+      JOIN sim s ON s.probe_id = c.probe_id AND s.i = c.vec_id
+      JOIN {prev} q ON q.probe_id = s.probe_id AND q.vec_id = s.j
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                        WHERE x.probe_id = c.probe_id AND x.vec_id = c.vec_id)
+      GROUP BY c.probe_id, c.vec_id
+    ),
+    sel{t} AS (
+      SELECT probe_id, vec_id, {t} AS rank, mmr AS mmr_score FROM (
+        SELECT probe_id, vec_id,
+               round({_MMR_LAMBDA}*rel - {round(1 - _MMR_LAMBDA, 6)}*pen, 6) AS mmr,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY round({_MMR_LAMBDA}*rel - {round(1 - _MMR_LAMBDA, 6)}*pen, 6) DESC,
+                          vec_id) AS rn
+        FROM pen{t}
+      ) WHERE rn = 1
+    ),
+    selall{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{t})""")
+        prev = f"selall{t}"
+    step_block = ",".join(steps)
+    return f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cand AS (
+      SELECT probe_id, vec_id, rel FROM (
+        SELECT p.probe_id, e.vec_id,
+               round(list_cosine_similarity(e.v, p.pv), 6) AS rel,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(list_cosine_similarity(e.v, p.pv), 6) DESC,
+                          e.vec_id) AS rn
+        FROM e, p WHERE e.vec_id <> p.probe_id
+      ) WHERE rn <= {_MMR_C}
+    ),
+    sim AS (
+      SELECT a.probe_id, a.vec_id AS i, b.vec_id AS j,
+             round(list_cosine_similarity(ea.v, eb.v), 6) AS s
+      FROM cand a
+      JOIN cand b ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+    ),
+    selall1 AS (
+      SELECT probe_id, vec_id, 1 AS rank, rel AS mmr_score FROM (
+        SELECT probe_id, vec_id, rel,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),{step_block}
+    SELECT probe_id, CAST(rank AS BIGINT) AS rank,
+           vec_id AS neighbor_id, mmr_score
+    FROM {prev}
+    """
+
+
+@query(
+    "mmr_rerank_topk",
+    oracle=_mmr_oracle_sql(),
+    operators=("K8", "E4", "L3", "K12"),
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR over the exact top-10, lambda=0.7, 5 picks per probe
+    (see block comment; oracle = the same greedy unrolled into CTEs)."""
+    import numpy as np
+    import pandas as pd
+
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    cands = exact_knn(emb, probes, k=_MMR_C).select(
+        "probe_id", "neighbor_id", F.col("score").alias("rel")
+    )
+    with_vec = cands.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+
+    lam = _MMR_LAMBDA
+    mu = round(1 - _MMR_LAMBDA, 6)
+
+    def _hu6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = _hu6(m @ m.T)
+        # ids ascend, so argmax's first-match IS the (key DESC, id ASC)
+        # tie-break row_number() picks on the oracle side
+        chosen = [int(np.argmax(rel))]
+        scores = [rel[chosen[0]]]
+        for _t in range(1, min(_MMR_K, len(ids))):
+            pen = sims[:, chosen].max(axis=1)
+            mmr = _hu6(lam * rel - mu * pen)
+            mmr[chosen] = -np.inf
+            nxt = int(np.argmax(mmr))
+            chosen.append(nxt)
+            scores.append(mmr[nxt])
+        return pd.DataFrame(
+            {
+                "probe_id": pdf["probe_id"].iloc[0],
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+                "neighbor_id": ids[chosen],
+                "mmr_score": scores,
+            }
+        )
+
+    return with_vec.groupBy("probe_id").applyInPandas(
+        greedy, "probe_id bigint, rank bigint, neighbor_id bigint, mmr_score double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Filtered ANN, POST-filter strategy: over-fetch an unfiltered top-C,
 # then apply the metadata predicate and re-rank. The complement of
 # filtered_knn_search's pre-filter: pre-filter wins when the predicate

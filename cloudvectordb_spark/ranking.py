@@ -19,6 +19,15 @@ ranking shape this engine uses:
   exchanges are keyed (no single-partition stage); the only caveat is
   value skew concentrating one bucket, the same caveat AQE skew-split
   already mitigates for joins.
+
+Cost note: like Spark's own RangePartitioner (sample pass before a
+global sort), these helpers take a second pass over the input for the
+(min, max) / per-bucket stats. The input subtree therefore appears
+several times in the LOGICAL plan, but AQE exchange reuse collapses the
+duplicates at runtime — the final adaptive plan of
+customer_revenue_concentration shows the input aggregate's exchange
+computed once and ReusedExchange everywhere else. Callers feeding an
+expensive non-exchange-terminated subtree should persist it first.
 """
 
 from __future__ import annotations

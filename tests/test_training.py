@@ -174,3 +174,24 @@ def test_trained_artifact_matches_committed_golden(spark):
     assert live["proj_shape"] == golden["proj_shape"]
     assert live["emb_sha"] == golden["emb_sha"], "embedded output drifted"
     assert live["n_emb_rows"] == golden["n_emb_rows"]
+
+
+def test_linear_probe_gd_learns_and_is_oracle_shaped(spark, sf_dir):
+    """K4 value-oracle query: the 3-round GD probe must actually LEARN
+    (final MSE beats the w=0 baseline, whose MSE is exactly the positive
+    rate) and stay within the rounding discipline (every weight a
+    6-dp-exact double)."""
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.pipeline import linear_probe_train_gd
+
+    row = linear_probe_train_gd(spark, sf_dir).collect()[0].asDict()
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .selectExpr("avg(cast(label = 0 as double)) AS p")
+        .collect()[0]
+        .p
+    )
+    assert row["train_mse"] < base, "probe failed to beat the w=0 baseline"
+    for k, v in row.items():
+        assert v == round(v, 6), f"{k} not 6-dp exact: {v}"
+    assert any(abs(row[f"w{j}"]) > 0 for j in range(9)), "weights never moved"
