@@ -210,6 +210,9 @@ def test_fact_fact_joins_shuffle_not_broadcast(spark, sf_dir):
     from cloudvectordb_spark.operators.relational import revenue_topk_orders
     from cloudvectordb_spark.operators.udfs import sql_returned_revenue_by_customer
 
+    import re
+
+    bounded = re.compile(r"(TakeOrderedAndProject|GlobalLimit|CollectLimit)")
     for fn in (revenue_topk_orders, sql_returned_revenue_by_customer):
         lines = _executed_plan(fn(spark, sf_dir)).splitlines()
         assert any("ShuffledHashJoin" in ln for ln in lines), fn.__name__
@@ -217,9 +220,18 @@ def test_fact_fact_joins_shuffle_not_broadcast(spark, sf_dir):
             if "BroadcastExchange" not in ln:
                 continue
             depth = len(ln) - len(ln.lstrip(" :+-"))
+            subtree = []
             for below in lines[i + 1 :]:
                 if len(below) - len(below.lstrip(" :+-")) <= depth:
                     break
+                subtree.append(below)
+            # a broadcast whose subtree is limit-bounded (e.g. Q10's
+            # top-20 revenue rows) may legally DERIVE from lineitem; a
+            # broadcast that reaches the lineitem scan without passing a
+            # bounding node is the flagged fact-broadcast
+            if subtree and bounded.search(subtree[0]):
+                continue
+            for below in subtree:
                 assert "lineitem.parquet" not in below, fn.__name__
 
 
