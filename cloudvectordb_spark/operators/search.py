@@ -203,6 +203,119 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hybrid search, weighted LINEAR fusion — the other standard hybrid
+# formulation next to RRF: min-max-normalize each retriever's top-N
+# score list to [0,1], fuse as alpha*bm + (1-alpha)*vec (missing list
+# membership contributes 0). Same scale shape as the RRF twin: two
+# TakeOrderedAndProject top-N lists, min/max computed over the N-row
+# lists only (broadcast scalar fan-out), fusion join on <= 2N rows.
+# ---------------------------------------------------------------------------
+_LIN_ALPHA = 0.6
+
+
+@query(
+    "hybrid_linear_fusion_search",
+    oracle=f"""
+    WITH {{_BM25}},
+    bm AS (
+      SELECT doc_id, bm25 FROM (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM scored
+      ) WHERE r <= {_RRF_N}
+    ),
+    bmn AS (
+      SELECT doc_id,
+             CASE WHEN max(bm25) OVER () = min(bm25) OVER () THEN 0.0
+                  ELSE round((bm25 - min(bm25) OVER ())
+                             / (max(bm25) OVER () - min(bm25) OVER ()), 6)
+             END AS bnorm
+      FROM bm
+    ),
+    vecl AS (
+      SELECT doc_id, sim FROM (
+        SELECT d.vec_id AS doc_id,
+               round(list_cosine_similarity(CAST(d.embedding AS DOUBLE[]),
+                                            CAST(p.embedding AS DOUBLE[])), 6) AS sim,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(CAST(d.embedding AS DOUBLE[]),
+                                                       CAST(p.embedding AS DOUBLE[])), 6) DESC,
+                          d.vec_id) AS r
+        FROM embeddings d
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+        WHERE d.vec_id IN (SELECT doc_id FROM documents)
+      ) WHERE r <= {_RRF_N}
+    ),
+    vecn AS (
+      SELECT doc_id,
+             CASE WHEN max(sim) OVER () = min(sim) OVER () THEN 0.0
+                  ELSE round((sim - min(sim) OVER ())
+                             / (max(sim) OVER () - min(sim) OVER ()), 6)
+             END AS vnorm
+      FROM vecl
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             round({_LIN_ALPHA} * COALESCE(b.bnorm, 0)
+                 + {round(1 - _LIN_ALPHA, 6)} * COALESCE(v.vnorm, 0), 6)
+               AS fused_score
+      FROM bmn b FULL OUTER JOIN vecn v USING (doc_id)
+    )
+    SELECT doc_id, fused_score,
+           CAST(row_number() OVER (ORDER BY fused_score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM fused QUALIFY rank <= 10
+    """.replace("{_BM25}", _BM25_SCORED_SQL),
+    operators=("K8", "K7", "E4", "C1", "C2", "F2", "H6"),
+)
+def hybrid_linear_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    def _minmax(df: DataFrame, col: str, out: str) -> DataFrame:
+        # stats over the N-row list only: bounded broadcast fan-out
+        stats = df.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
+        norm = F.when(F.col("_mx") == F.col("_mn"), F.lit(0.0)).otherwise(
+            F.round((F.col(col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")), 6)
+        )
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .select("doc_id", norm.alias(out))
+        )
+
+    bm = global_topk_ranked(
+        bm25_scores(docs), [F.desc("bm25"), F.asc("doc_id")], _RRF_N, "krank"
+    ).select("doc_id", "bm25")
+    bmn = _minmax(bm, "bm25", "bnorm")
+
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    sims = (
+        emb.join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("sim"),
+        )
+    )
+    vec = global_topk_ranked(
+        sims, [F.desc("sim"), F.asc("doc_id")], _RRF_N, "vrank"
+    ).select("doc_id", "sim")
+    vecn = _minmax(vec, "sim", "vnorm")
+
+    fused = bmn.join(vecn, ["doc_id"], "full_outer").select(
+        "doc_id",
+        F.round(
+            _LIN_ALPHA * F.coalesce(F.col("bnorm"), F.lit(0.0))
+            + round(1 - _LIN_ALPHA, 6) * F.coalesce(F.col("vnorm"), F.lit(0.0)),
+            6,
+        ).alias("fused_score"),
+    )
+    return global_topk_ranked(fused, [F.desc("fused_score"), F.asc("doc_id")], 10)
+
+
+# ---------------------------------------------------------------------------
 # Filtered ANN: metadata predicate + exact kNN. The predicate is a plain
 # Column filter, so Catalyst pushes it into the parquet scan (PushedFilters)
 # — the corpus is pre-shrunk BEFORE any vector math, the pre-filter
@@ -528,6 +641,58 @@ def rerank_cross_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Faceted search: alongside the top-k hits, a search engine returns per-
+# facet candidate counts so the UI can offer drill-downs. Facets here =
+# the label column over the exact top-50 candidate pool per probe:
+# (count, best rank, best score) per (probe, label). One broadcast-probe
+# kNN + one keyed aggregate — the facet agg rides the candidate pool,
+# never re-scans the corpus.
+# ---------------------------------------------------------------------------
+_FACET_C = 50
+
+
+@query(
+    "search_with_facets",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id < 3
+    ),
+    cand AS (
+      SELECT probe_id, vec_id, label, score, rnk FROM (
+        SELECT p.probe_id, e.vec_id, e.label,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
+                 AS score,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6) DESC,
+                          e.vec_id) AS rnk
+        FROM embeddings e, p WHERE e.vec_id <> p.probe_id
+      ) WHERE rnk <= {_FACET_C}
+    )
+    SELECT probe_id, label,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(min(rnk) AS BIGINT) AS best_rank,
+           max(score) AS best_score
+    FROM cand GROUP BY probe_id, label
+    """,
+    operators=("K8", "E4", "D1", "C2"),
+)
+def search_with_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    cand = exact_knn(emb, probes, k=_FACET_C).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    return cand.groupBy("probe_id", "label").agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.min("rank").cast("bigint").alias("best_rank"),
+        F.max("score").alias("best_score"),
     )
 
 
