@@ -85,17 +85,24 @@ def revenue_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
-    # shuffle_hash pins the fact-fact join to a keyed shuffle: Catalyst's
-    # fixture-scale estimate would broadcast the shipdate-filtered
-    # lineitem, which at 100 TB is still fact-sized.
+    # Pre-aggregate lineitem by orderkey BEFORE the fact-fact join: the
+    # group key (o_orderkey, o_orderdate) is determined by l_orderkey,
+    # so per-order revenue partials combine map-side, the join carries
+    # one row per order instead of one per line, and the post-join
+    # aggregate exchange disappears (the join output IS per-order).
+    # shuffle_hash pins the fact-fact join to a keyed shuffle:
+    # Catalyst's fixture-scale estimate would broadcast the filtered
+    # side, which at 100 TB is still fact-sized.
+    li_rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
     co = cust.join(orders, cust.c_custkey == orders.o_custkey)
     return (
-        li.join(co.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        li_rev.join(co.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("_rev"), 2).alias("revenue"),
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
