@@ -778,31 +778,17 @@ def _mmr_oracle_sql() -> str:
     """
 
 
-@query(
-    "mmr_rerank_topk",
-    oracle=_mmr_oracle_sql(),
-    operators=("K8", "E4", "L3", "K12"),
-)
-def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy MMR over the exact top-10, lambda=0.7, 5 picks per probe
-    (see block comment; oracle = the same greedy unrolled into CTEs)."""
+def _mmr_greedy_kernel(lam: float, k: int):
+    """The per-probe greedy MMR selection as a grouped-map kernel,
+    shared by mmr_rerank_topk and mmr_diversified_search. Input pdf:
+    (probe_id, neighbor_id, rel, embedding); output: k rows of
+    (probe_id, rank, neighbor_id, mmr_score). All comparison keys
+    rounded half-up at 6 dp so the greedy replays exactly as the
+    CTE-unrolled DuckDB oracle."""
     import numpy as np
     import pandas as pd
 
-    from cloudvectordb_spark.operators.vector_ops import exact_knn
-
-    emb = load(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 3)
-    cands = exact_knn(emb, probes, k=_MMR_C).select(
-        "probe_id", "neighbor_id", F.col("score").alias("rel")
-    )
-    with_vec = cands.join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-        "neighbor_id",
-    )
-
-    lam = _MMR_LAMBDA
-    mu = round(1 - _MMR_LAMBDA, 6)
+    mu = round(1 - lam, 6)
 
     def _hu6(x):
         return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
@@ -818,7 +804,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tie-break row_number() picks on the oracle side
         chosen = [int(np.argmax(rel))]
         scores = [rel[chosen[0]]]
-        for _t in range(1, min(_MMR_K, len(ids))):
+        for _t in range(1, min(k, len(ids))):
             pen = sims[:, chosen].max(axis=1)
             mmr = _hu6(lam * rel - mu * pen)
             mmr[chosen] = -np.inf
@@ -834,8 +820,31 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    return greedy
+
+
+@query(
+    "mmr_rerank_topk",
+    oracle=_mmr_oracle_sql(),
+    operators=("K8", "E4", "L3", "K12"),
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR over the exact top-10, lambda=0.7, 5 picks per probe
+    (see block comment; oracle = the same greedy unrolled into CTEs)."""
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    cands = exact_knn(emb, probes, k=_MMR_C).select(
+        "probe_id", "neighbor_id", F.col("score").alias("rel")
+    )
+    with_vec = cands.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
     return with_vec.groupBy("probe_id").applyInPandas(
-        greedy, "probe_id bigint, rank bigint, neighbor_id bigint, mmr_score double"
+        _mmr_greedy_kernel(_MMR_LAMBDA, _MMR_K),
+        "probe_id bigint, rank bigint, neighbor_id bigint, mmr_score double",
     )
 
 
@@ -1094,18 +1103,18 @@ def bm25_per_lang_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # K8/E4 result diversification: Maximal Marginal Relevance over the
-# vector top-N. The production shape: the DISTRIBUTED part scores the
-# corpus and builds the bounded candidate pool (top-20 by cosine) plus
-# its pairwise sims (20x20); the greedy 5-pick selection is driver-side
-# over those bounded rows — exactly how a reranking service composes
-# with a retrieval engine, and the same bounded-driver-state policy as
-# the IVF probe path. Fully deterministic (rounded scores, vec_id
+# vector top-N. The DISTRIBUTED part scores the corpus and builds the
+# bounded candidate pool (top-20 by cosine); the greedy 5-pick selection
+# runs inside ONE grouped-map task over those 20 rows — the same shared
+# kernel as mmr_rerank_topk (since round 7; the original driver-side
+# collect-then-loop form is gone — no registered query collects and
+# iterates on the driver). Fully deterministic (rounded scores, vec_id
 # tiebreak), so the oracle unrolls the 5 greedy rounds into CTE stages
 # like the BPE/Lloyd loops.
 # ---------------------------------------------------------------------------
-_MMR_POOL = 20
-_MMR_K = 5
-_MMR_LAMBDA = 0.7
+_MMRD_POOL = 20
+_MMRD_K = 5
+_MMRD_LAMBDA = 0.7
 
 
 def _mmr_oracle() -> str:
@@ -1121,7 +1130,7 @@ def _mmr_oracle() -> str:
         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS pv
                     FROM embeddings WHERE vec_id = 0) p
         WHERE e.vec_id <> 0
-      ) WHERE rn <= {_MMR_POOL}
+      ) WHERE rn <= {_MMRD_POOL}
     )""",
         """psim AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1136,8 +1145,8 @@ def _mmr_oracle() -> str:
     )""",
         "acc1 AS (SELECT vec_id FROM sel1)",
     ]
-    lam = _MMR_LAMBDA
-    for r in range(2, _MMR_K + 1):
+    lam = _MMRD_LAMBDA
+    for r in range(2, _MMRD_K + 1):
         parts.append(
             f"""sel{r} AS (
       SELECT p.vec_id,
@@ -1155,7 +1164,7 @@ def _mmr_oracle() -> str:
         )
     union = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS pick_order, vec_id, mmr FROM sel{r}"
-        for r in range(1, _MMR_K + 1)
+        for r in range(1, _MMRD_K + 1)
     )
     return "WITH " + ",\n    ".join(parts) + f"\n    SELECT * FROM ({union})"
 
@@ -1168,59 +1177,32 @@ def _mmr_oracle() -> str:
 def mmr_diversified_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR rerank of the probe-0 top-20: pick 5 greedily maximizing
     lambda*rel - (1-lambda)*max_sim_to_selected (rounded 6, vec_id
-    tiebreak — the oracle replays the rounds as CTE stages)."""
-    import math
+    tiebreak — the oracle replays the rounds as CTE stages).
+
+    Since round 7 this runs on the SAME grouped-map kernel as
+    mmr_rerank_topk (r6 verdict #6): candidate generation is the
+    distributed broadcast-probe top-k, and the bounded 20-row greedy
+    executes inside one executor task — no driver-side collect-then-
+    loop anywhere in a registered query path."""
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
 
     emb = load(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("pv")
+    probes = emb.filter(F.col("vec_id") == 0)
+    cands = exact_knn(emb, probes, k=_MMRD_POOL).select(
+        "probe_id", "neighbor_id", F.col("score").alias("rel")
     )
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(probe))
-        .select(
-            "vec_id",
-            "embedding",
-            F.round(V.cosine("embedding", "pv"), 6).alias("rel"),
-        )
+    with_vec = cands.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
     )
-    pool = global_topk_ranked(
-        scored, [F.desc("rel"), F.asc("vec_id")], _MMR_POOL
-    ).select("vec_id", "embedding", "rel")
-    a = pool.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"), "rel"
+    picked = with_vec.groupBy("probe_id").applyInPandas(
+        _mmr_greedy_kernel(_MMRD_LAMBDA, _MMRD_K),
+        "probe_id bigint, rank bigint, neighbor_id bigint, mmr_score double",
     )
-    b = pool.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
-    sims = (
-        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", F.round(V.cosine("va", "vb"), 6).alias("sim"))
-        .collect()  # bounded: _MMR_POOL^2 rows
-    )
-    rels = {r.vec_id: r.rel for r in pool.select("vec_id", "rel").collect()}
-    sim = {(r.a_id, r.b_id): r.sim for r in sims}
-
-    def r6(x: float) -> float:  # half-up away from zero, like SQL round()
-        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
-
-    picks: list[tuple[int, int, float]] = []
-    selected: list[int] = []
-    remaining = set(rels)
-    for order in range(1, _MMR_K + 1):
-        if order == 1:
-            best = max(remaining, key=lambda v: (rels[v], -v))
-            score = rels[best]
-        else:
-            def mmr(v: int) -> float:
-                pen = max(sim[(v, s)] for s in selected)
-                return r6(_MMR_LAMBDA * rels[v] - (1 - _MMR_LAMBDA) * pen)
-
-            best = max(remaining, key=lambda v: (mmr(v), -v))
-            score = mmr(best)
-        picks.append((order, best, score))
-        selected.append(best)
-        remaining.discard(best)
-    return spark.createDataFrame(
-        picks, schema="pick_order long, vec_id long, mmr double"
+    return picked.select(
+        F.col("rank").alias("pick_order"),
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("mmr_score").alias("mmr"),
     )
 
 

@@ -101,14 +101,20 @@ def single_partition_windows(physical_plan: str) -> int:
 
 BOUNDED_WINDOW_KEYS = {"_bucket", "decile", "lang", "day"}
 
-_CONST_KEY = re.compile(r"pmod\(xxhash64\(.*?\), 1\)")
-_CONST_ALIAS = re.compile(r"pmod\(xxhash64\(.*?\), 1\) AS (\w+#\d+L?)")
+# balanced-paren match (one nesting level inside xxhash64's arg list):
+# a lazy `.*?` could span unrelated text on one plan line, e.g.
+# 'pmod(xxhash64(a#1, 42), 16) ... foo(b, 1)' would false-positive.
+_BAL_ARGS = r"[^()]*(?:\([^()]*\)[^()]*)*"
+_CONST_KEY = re.compile(r"pmod\(xxhash64\(" + _BAL_ARGS + r"\), 1\)")
+_CONST_ALIAS = re.compile(
+    r"pmod\(xxhash64\(" + _BAL_ARGS + r"\), 1\) AS (\w+#\d+L?)"
+)
 _BOUNDING_NODE = re.compile(
     r"(GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject)"
 )
 # physical: HashAggregate(keys=[k#1L], ...) — keys=[] is a global agg
 _PHYS_AGG = re.compile(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[([^\]]*)\]")
-_AGG_OUTPUT = re.compile(r"output=\[(\w+)#")
+_OUTPUT_LIST = re.compile(r"output=\[([^\]]*)\]")
 # logical: Aggregate [keys], [output]  (one list == global agg)
 _LOGI_AGG = re.compile(r"(?<![A-Za-z])Aggregate \[")
 _FIRST_AS = re.compile(r" AS (\w+)#")
@@ -142,40 +148,61 @@ def _window_partition_spec(line: str) -> str | None:
     return None
 
 
+def _key_names(keys: str) -> list[str]:
+    """Key names from an aggregate key list string like
+    ``day#12, _groupingexpression#45L`` (attribute references only —
+    a computed key expression yields its leading identifier)."""
+    names = []
+    for part in keys.split(","):
+        km = re.match(r"\s*(\w+)#", part)
+        names.append(km.group(1) if km else part.strip())
+    return names
+
+
 def _agg_verdict(line: str) -> bool | None:
     """True/False if ``line`` is an aggregate node (bounded / unbounded
     under BOUNDED_WINDOW_KEYS), None if it is not an aggregate.
 
+    Output cardinality of a grouped aggregate is the PRODUCT of its key
+    cardinalities, so the tuple is bounded only when EVERY key is
+    bounded — ``[day, user_id]`` is corpus-proportional even though its
+    first key alone is bounded (advisor r6 #1: judging by the first key
+    only was a false negative).
+
     Handles both formats. Physical ``HashAggregate(keys=[...])``: empty
-    keys = global agg = 1 row = bounded; else the key name decides, with
-    ``_groupingexpression`` resolved through the agg's first output
-    column. Logical ``Aggregate [keys], [output]``: a single bracket
-    list = global agg = bounded; else the first key name decides, with
-    ``_groupingexpression`` resolved through the output list's first
-    ``AS name#`` alias."""
+    keys = global agg = 1 row = bounded; else every key name must be
+    bounded, with ``_groupingexpression`` keys resolved positionally
+    through the agg's output columns (grouping columns lead the output
+    list). Logical ``Aggregate [keys], [output]``: a single bracket
+    list = global agg = bounded; else every key name must be bounded,
+    with ``_groupingexpression`` resolved through the output list's
+    ``AS name#`` aliases in order."""
     m = _PHYS_AGG.search(line)
     if m:
         keys = m.group(1)
         if not keys:
             return True  # global aggregate: one row
-        km = re.match(r"(\w+)#", keys)
-        key = km.group(1) if km else keys
-        if key == "_groupingexpression":
-            mo = _AGG_OUTPUT.search(line)
-            key = mo.group(1) if mo else key
-        return key in BOUNDED_WINDOW_KEYS
+        names = _key_names(keys)
+        outs = re.findall(r"(\w+)#", _OUTPUT_LIST.search(line).group(1)) if _OUTPUT_LIST.search(line) else []
+        resolved = [
+            outs[i] if n.startswith("_groupingexpression") and i < len(outs) else n
+            for i, n in enumerate(names)
+        ]
+        return all(n in BOUNDED_WINDOW_KEYS for n in resolved)
     m = _LOGI_AGG.search(line)
     if m:
         tail = line[m.end() :]
         if "], [" not in tail:
             return True  # single list: global aggregate
         keys, output = tail.split("], [", 1)
-        km = re.match(r"(\w+)#", keys)
-        key = km.group(1) if km else keys
-        if key == "_groupingexpression":
-            mo = _FIRST_AS.search(output)
-            key = mo.group(1) if mo else key
-        return key in BOUNDED_WINDOW_KEYS
+        names = _key_names(keys)
+        aliases = _FIRST_AS.findall(output)
+        ai = iter(aliases)
+        resolved = [
+            next(ai, n) if n.startswith("_groupingexpression") else n
+            for n in names
+        ]
+        return all(n in BOUNDED_WINDOW_KEYS for n in resolved)
     return None
 
 
@@ -271,9 +298,18 @@ def audit_plan(
     *,
     allow_cartesian: bool = False,
     allow_constant_window: bool = False,
+    logical_plan: str | None = None,
 ) -> tuple[list[str], list[str]]:
     """Return (hard_flags, soft_flags) for one plan string (either
-    ``explain("formatted")`` output or ``executedPlan().toString()``)."""
+    ``explain("formatted")`` output or ``executedPlan().toString()``).
+
+    The constant-key window check needs a toString-style plan carrying
+    Window partition specs — ``explain("formatted")`` tree sections don't
+    have them, so on formatted input the check would silently pass
+    (advisor r6 #3). Pass ``logical_plan=optimized_plan(df)`` to run it
+    on the plan format where alias resolution is complete; when omitted,
+    the check falls back to ``plan`` and is only meaningful if ``plan``
+    is itself a toString-style tree."""
     flags: list[str] = []
     soft: list[str] = []
     for f in HARD_FLAGS:
@@ -293,7 +329,9 @@ def audit_plan(
     # single-reducer pattern the empty-spec gate can't see. Opt-out is
     # per-query and must carry a written rationale at the call site.
     if not allow_constant_window:
-        n_ck = unbounded_constant_key_windows(plan)
+        n_ck = unbounded_constant_key_windows(
+            logical_plan if logical_plan is not None else plan
+        )
         if n_ck:
             flags.append(f"constant-keyed Window over unbounded input x{n_ck}")
     return flags, soft

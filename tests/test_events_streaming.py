@@ -103,9 +103,10 @@ def test_streaming_parquet_sink_checkpoint_no_duplicates(spark, sf_dir, tmp_path
     assert again.count() == n_expected, "restart duplicated rows"
 
 
-def test_streaming_sliding_matches_batch(spark, sf_dir):
+def test_streaming_sliding_inline_window_matches_batch(spark, sf_dir):
     """J2 streaming-native: 10-min/5-min sliding windows through the
-    micro-batch engine equal the batch shape."""
+    micro-batch engine equal the batch shape (inline window expr; the
+    jobs.sliding_counts twin is asserted separately below)."""
     from pyspark.sql import functions as F2
 
     def sliding(df):

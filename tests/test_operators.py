@@ -190,3 +190,46 @@ def test_bpe_oracle_adjacent_repeats():
             con.execute("INSERT INTO documents VALUES (?)", [t])
         duck = [tuple(r) for r in con.execute(_BPE_ORACLE + " ORDER BY merge_rank").fetchall()]
         assert duck == greedy_reference(texts), texts
+
+
+def test_q10_fk_precondition_and_restructure_equivalence(spark, sf_dir):
+    """The restructured Q10 (udfs.sql_returned_revenue_by_customer) joins
+    customer/nation AFTER the top-20 cut, which is equivalent to the
+    textbook form only under FK integrity — an orphan o_custkey would
+    surface as a silently-missing row post-limit. Pin both halves so a
+    fixture regen with orphans fails loudly instead of producing a wrong
+    top-20: (a) the fixture precondition (zero orders-side orphans per
+    referential_orphan_audit), and (b) end-to-end equality with the
+    naive dims-before-limit form."""
+    from cloudvectordb_spark.operators.functions_ops import referential_orphan_audit
+    from cloudvectordb_spark.operators.udfs import sql_returned_revenue_by_customer
+
+    audit = {
+        r.check_name: r.n_violations
+        for r in referential_orphan_audit(spark, sf_dir).collect()
+    }
+    assert audit["order_without_customer"] == 0, (
+        "fixture has orphan o_custkey rows: the dims-after-limit Q10 "
+        "restructure is no longer result-equivalent — revert it or fix "
+        "the fixture"
+    )
+
+    got = [tuple(r) for r in sql_returned_revenue_by_customer(spark, sf_dir).collect()]
+    naive = [
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM orders
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+            """
+        ).collect()
+    ]
+    assert got == naive

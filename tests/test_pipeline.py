@@ -181,9 +181,13 @@ def test_cell_pairs_kernel_blocked_matches_naive(monkeypatch):
     sims = m32 @ m32.T
     iu, ju = np.triu_indices(n, k=1)
     keep = sims[iu, ju] >= tau
+    # the kernel rounds HALF-UP to 6 dp (oracle round() convention);
+    # np.round is banker's half-even and would diverge on .5e-7 boundaries
+    kept = sims[iu, ju][keep]
+    rounded = np.sign(kept) * np.floor(np.abs(kept) * 1e6 + 0.5) / 1e6
     want = {
         (int(a), int(b), float(s))
-        for a, b, s in zip(iu[keep], ju[keep], np.round(sims[iu, ju][keep], 6))
+        for a, b, s in zip(iu[keep], ju[keep], rounded)
     }
     assert want, "synthetic hot cell must contain pairs above tau"
     got_set = {

@@ -228,8 +228,26 @@ def test_fact_fact_joins_shuffle_not_broadcast(spark, sf_dir):
             # a broadcast whose subtree is limit-bounded (e.g. Q10's
             # top-20 revenue rows) may legally DERIVE from lineitem; a
             # broadcast that reaches the lineitem scan without passing a
-            # bounding node is the flagged fact-broadcast
-            if subtree and bounded.search(subtree[0]):
+            # bounding node is the flagged fact-broadcast. Walk the
+            # subtree prefix THROUGH pass-through nodes (Filter /
+            # Project / ColumnarToRow / WholeStageCodegen / InputAdapter)
+            # to the first bounding node or scan — Q10 plans the top-20
+            # broadcast as `BroadcastExchange -> Filter isnotnull(...)
+            # -> TakeOrderedAndProject(limit=20) -> ...`, which is
+            # exactly the bounded shape this test exists to demand.
+            passthrough = re.compile(
+                r"^(Filter|Project|ColumnarToRow|WholeStageCodegen"
+                r"|InputAdapter|\*?\(\d+\)\s*(Filter|Project|ColumnarToRow))"
+            )
+            limit_bounded = False
+            for below in subtree:
+                stripped = below.lstrip(" :+-*")
+                if bounded.search(stripped):
+                    limit_bounded = True
+                    break
+                if not passthrough.match(stripped):
+                    break
+            if limit_bounded:
                 continue
             for below in subtree:
                 assert "lineitem.parquet" not in below, fn.__name__
