@@ -91,16 +91,85 @@ def minhash_candidate_pairs(
 
 @query(
     "minhash_dedup_pairs",
-    oracle=None,  # MLlib MinHashLSH is seeded; invariants pytest-gated.
-    # Kept as the MLlib API-parity form; the G5 BENCH representative is
-    # minhash_banded_pairs_md5 below — same banded-join plan shape, but
-    # md5-replayable signatures give it a FULL value oracle (round-4
-    # verdict item 6: don't spend a no_oracle bench slot on a twin).
+    # MLlib MinHashLSH's seeded hashes aren't DuckDB-replayable, so the
+    # registered form carries an INVARIANT value oracle (r6 verdict #7)
+    # instead of the raw pair list: two DuckDB-recomputed counts plus two
+    # invariants of the emitted set that must be exactly zero. The G5
+    # BENCH representative stays minhash_banded_pairs_md5 below (same
+    # banded-join plan shape, fully replayable signatures); the raw MLlib
+    # pair list remains available via minhash_candidate_pairs.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents WHERE doc_id < 100
+    ),
+    p AS (
+      SELECT CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS i,
+             CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS u
+      FROM t a, t b WHERE a.doc_id < b.doc_id
+    )
+    SELECT CAST(count(*) FILTER (WHERE 1.0 - i / u <= 0.9) AS BIGINT)
+             AS n_exact_pairs_at_tau,
+           CAST(count(*) FILTER (WHERE i = u) AS BIGINT) AS n_identical_pairs,
+           CAST(0 AS BIGINT) AS n_emitted_outside_tau,
+           CAST(0 AS BIGINT) AS n_identical_missed
+    FROM p
+    """,
     operators=("G5", "K1", "L3"),
 )
 def minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH parity path, value-checked via invariants:
+
+    - soundness: every emitted pair's EXACT token-set Jaccard distance
+      is within the requested tau. Not probabilistic — MLlib's
+      approxSimilarityJoin post-filters candidates on the true
+      keyDistance, so an out-of-tau emission would be a real bug (or a
+      HashingTF index collision shifting a boundary pair; zero on the
+      fixtures at both sf, asserted by the oracle row).
+    - completeness floor: pairs with IDENTICAL token sets produce
+      identical signatures, collide in every band, and must ALL be
+      emitted (the fixtures contain such pairs, so this is non-vacuous).
+
+    The two count columns (exact pairs at tau, identical pairs) are
+    recomputed independently by DuckDB, giving the row real value-level
+    content beyond the zero assertions."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return minhash_candidate_pairs(docs, dist_threshold=0.9)
+    emitted = minhash_candidate_pairs(docs, dist_threshold=0.9)
+    tok = docs.select(
+        "doc_id", F.array_distinct(TX.tokens("text")).alias("toks")
+    )
+    a = tok.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("ta"))
+    b = tok.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("ta", "tb"))).cast("double")
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        (1.0 - F.try_divide(inter, union)).alias("dist"),
+        (inter == union).alias("identical"),
+    )
+    stats = pairs.agg(
+        F.count(F.when(F.col("dist") <= 0.9, 1))
+        .cast("bigint")
+        .alias("n_exact_pairs_at_tau"),
+        F.count(F.when(F.col("identical"), 1))
+        .cast("bigint")
+        .alias("n_identical_pairs"),
+    )
+    outside = (
+        emitted.join(pairs, ["a_id", "b_id"], "left")
+        .agg(
+            F.count(F.when(F.col("dist") > 0.9, 1))
+            .cast("bigint")
+            .alias("n_emitted_outside_tau")
+        )
+    )
+    missed = (
+        pairs.filter("identical")
+        .join(emitted, ["a_id", "b_id"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_identical_missed"))
+    )
+    return stats.crossJoin(outside).crossJoin(missed)
 
 
 # ---------------------------------------------------------------------------

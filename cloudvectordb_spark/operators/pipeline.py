@@ -1106,6 +1106,122 @@ def linear_probe_train_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K4 second value-level cover (round-6 verdict #8): a CLOSED-FORM trained
+# head — ridge regression by normal equations, no iteration at all. One
+# map-side-combined aggregate computes the 3x3 Gram matrix + RHS (avg of
+# feature products; intercept + first 2 embedding dims), every entry
+# rounds half-up to 6 dp BEFORE the solve (the GD probe's discipline, so
+# cross-engine summation-order ulps never reach a comparison), lambda=0.1
+# adds to the diagonal, and the solve is Cramer's rule written as the
+# SAME left-associated expression text in Python (driver, 9 floats) and
+# DuckDB SQL — identical IEEE-754 DAG on identical inputs, so the
+# unrounded weights are bit-equal before their final 6 dp round. Scale
+# shape: the corpus is touched twice (Gram pass, MSE pass), both
+# all-reduce aggregates; driver state is 9 floats.
+# ---------------------------------------------------------------------------
+_RIDGE_LAMBDA = 0.1
+
+# Cramer's 3x3 cofactor expansions. ONE source of truth for the exact
+# expression text, formatted for either engine: Python eval on driver
+# floats and DuckDB SQL both parse */ then left-associated +- the same
+# way, so the resulting float DAGs are identical.
+_RIDGE_DET = "a00*(a11*a22-a12*a12) - a01*(a01*a22-a12*a02) + a02*(a01*a12-a11*a02)"
+_RIDGE_NUM = {
+    "w0": "b0*(a11*a22-a12*a12) - a01*(b1*a22-a12*b2) + a02*(b1*a12-a11*b2)",
+    "w1": "a00*(b1*a22-b2*a12) - b0*(a01*a22-a12*a02) + a02*(a01*b2-b1*a02)",
+    "w2": "a00*(a11*b2-a12*b1) - a01*(a01*b2-b1*a02) + b0*(a01*a12-a11*a02)",
+}
+
+
+def _ridge_oracle_sql() -> str:
+    lam = _RIDGE_LAMBDA
+    solved = ",\n             ".join(
+        f"round(({_RIDGE_NUM[w]}) / ({_RIDGE_DET}), 6) AS {w}"
+        for w in ("w0", "w1", "w2")
+    )
+    pred = "w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2"
+    return f"""
+    WITH feat AS (
+      SELECT CAST(label = 0 AS DOUBLE) AS y,
+             1.0 AS x0,
+             CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2
+      FROM embeddings
+    ),
+    gram AS (
+      SELECT round(avg(x0*x0), 6) + {lam} AS a00,
+             round(avg(x0*x1), 6) AS a01,
+             round(avg(x0*x2), 6) AS a02,
+             round(avg(x1*x1), 6) + {lam} AS a11,
+             round(avg(x1*x2), 6) AS a12,
+             round(avg(x2*x2), 6) + {lam} AS a22,
+             round(avg(x0*y), 6) AS b0,
+             round(avg(x1*y), 6) AS b1,
+             round(avg(x2*y), 6) AS b2
+      FROM feat
+    ),
+    solved AS (
+      SELECT {solved}
+      FROM gram
+    ),
+    mse AS (
+      SELECT round(avg((({pred}) - f.y) * (({pred}) - f.y)), 6) AS train_mse
+      FROM feat f CROSS JOIN solved w
+    )
+    SELECT w.w0, w.w1, w.w2, m.train_mse FROM solved w CROSS JOIN mse m
+    """
+
+
+@query(
+    "linear_probe_train_ridge",
+    oracle=_ridge_oracle_sql(),
+    operators=("K4", "D2", "H6"),
+)
+def linear_probe_train_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge-trained linear head with a FULL value oracle —
+    the non-iterative K4 cover (see block comment): one Gram aggregate,
+    a Cramer's-rule solve shared expression-for-expression with the
+    DuckDB oracle, one MSE aggregate."""
+    emb = load(spark, sf_dir, "embeddings")
+    feat = emb.select(
+        (F.col("label") == 0).cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.element_at("embedding", 1).cast("double").alias("x1"),
+        F.element_at("embedding", 2).cast("double").alias("x2"),
+    )
+    x = ["x0", "x1", "x2"]
+    gram_row = feat.agg(
+        *[
+            F.round(F.avg(F.col(x[j]) * F.col(x[k])), 6).alias(f"a{j}{k}")
+            for j in range(3)
+            for k in range(j, 3)
+        ],
+        *[
+            F.round(F.avg(F.col(x[j]) * F.col("y")), 6).alias(f"b{j}")
+            for j in range(3)
+        ],
+    ).collect()[0]  # bounded: 9 floats of driver state
+    env = {k: float(v) for k, v in gram_row.asDict().items()}
+    for j in range(3):
+        env[f"a{j}{j}"] = env[f"a{j}{j}"] + _RIDGE_LAMBDA
+    # eval the SAME expression text the oracle solves with — identical
+    # IEEE DAG on identical rounded inputs, then the same 6 dp round
+    det = eval(_RIDGE_DET, {"__builtins__": {}}, env)  # noqa: S307
+    w = [
+        _half_up6(eval(_RIDGE_NUM[f"w{j}"], {"__builtins__": {}}, env) / det)  # noqa: S307
+        for j in range(3)
+    ]
+    pred = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(
+        w[2]
+    ) * F.col("x2")
+    resid = pred - F.col("y")
+    out = feat.agg(F.round(F.avg(resid * resid), 6).alias("train_mse"))
+    for j in range(3):
+        out = out.withColumn(f"w{j}", F.lit(w[j]))
+    return out.select("w0", "w1", "w2", "train_mse")
+
+
+# ---------------------------------------------------------------------------
 # K12: cluster-label purity — the K9 assignment x label crosstab named
 # in SURVEY §2. Per-cell majority-label share, weighted into one corpus
 # purity number. Deterministic trainer => the EXACT purity value (and

@@ -17,8 +17,17 @@ ranking shape this engine uses:
   number = bucket offset + local row number — exact for any bucket
   boundaries because bucketing is monotone in the order value. All
   exchanges are keyed (no single-partition stage); the only caveat is
-  value skew concentrating one bucket, the same caveat AQE skew-split
-  already mitigates for joins.
+  value skew concentrating one bucket: equal values share a bucket by
+  construction, so a hot value held by p% of rows funnels p% of the
+  input through one bucket's local window. Measured at 60M rows
+  (tools/relational_scale_probe.py, BASELINE.md): uniform 12.4 s, 50%
+  hot value 23.8 s (1.9x). Mitigation for known-skewed order values:
+  pre-aggregate per distinct value and rank the (value, count) table
+  instead (the customer_revenue_concentration pattern), or pick a
+  higher-cardinality order column. The all-equal degenerate case
+  (span = 0) puts every row in bucket 0 — equivalent to the
+  single-reducer window this helper replaces — and means a global
+  order on that column is meaningless anyway.
 
 Cost note: like Spark's own RangePartitioner (sample pass before a
 global sort), these helpers take a second pass over the input for the

@@ -195,3 +195,25 @@ def test_linear_probe_gd_learns_and_is_oracle_shaped(spark, sf_dir):
     for k, v in row.items():
         assert v == round(v, 6), f"{k} not 6-dp exact: {v}"
     assert any(abs(row[f"w{j}"]) > 0 for j in range(9)), "weights never moved"
+
+
+def test_linear_probe_ridge_learns_and_is_oracle_shaped(spark, sf_dir):
+    """K4 second value-oracle query (closed-form): the normal-equation
+    ridge solve must beat the intercept-free w=0 baseline (MSE = the
+    positive rate), keep 6-dp-exact weights, and produce a nonzero
+    intercept (the solve actually ran — an all-zero solution would mean
+    a degenerate Gram matrix slipped through)."""
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.pipeline import linear_probe_train_ridge
+
+    row = linear_probe_train_ridge(spark, sf_dir).collect()[0].asDict()
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .selectExpr("avg(cast(label = 0 as double)) AS p")
+        .collect()[0]
+        .p
+    )
+    assert row["train_mse"] < base, "ridge failed to beat the w=0 baseline"
+    for k, v in row.items():
+        assert v == round(v, 6), f"{k} not 6-dp exact: {v}"
+    assert abs(row["w0"]) > 0, "intercept is zero: degenerate solve"

@@ -114,13 +114,95 @@ def main() -> int:
         ).groupBy().agg(F.count("*").alias("n"), F.round(F.sum("rt"), 0).alias("s"))
     )
 
+    # --- global ranking primitives (ranking.py) at the same row scale ---
+    # These are the engine's distributed replacements for the
+    # single-reducer global rank / cumsum / running-max windows; the
+    # probe proves the keyed-exchange forms hold beyond fixture scale
+    # and quantifies the value-skew caveat (equal values share a bucket,
+    # so a hot value concentrates one bucket's local window).
+    from cloudvectordb_spark.ranking import (
+        with_global_prefix_sum,
+        with_global_row_number,
+        with_global_running_max,
+    )
+
+    n = args.lines
+
+    def base(skewed: bool):
+        # uniform: ~1M distinct values; skewed: HALF the rows share one
+        # hot value (worst realistic case short of all-equal)
+        v_uniform = F.pmod(F.xxhash64("id"), 1_000_000).cast("double")
+        v = (
+            F.when(F.pmod(F.xxhash64("id", F.lit(7)), 2) == 0, F.lit(500_000.0))
+            .otherwise(v_uniform)
+            if skewed
+            else v_uniform
+        )
+        return spark.range(n).select(
+            "id",
+            v.alias("v"),
+            (F.pmod(F.xxhash64("id", F.lit(9)), 100) + 1.0).alias("wt"),
+        )
+
+    def rank_probe(skewed: bool):
+        def run():
+            ranked = with_global_row_number(base(skewed), "v", [F.col("id")])
+            return ranked.agg(
+                F.count("*").alias("n"),
+                F.max("global_rn").alias("mx"),
+                F.sum("global_rn").alias("s"),
+            )
+
+        sec = timed(run)
+        row = run().collect()[0]
+        assert row.n == n and row.mx == n and row.s == n * (n + 1) // 2, (
+            "global row number not a permutation of 1..n"
+        )
+        return sec
+
+    def prefix_probe():
+        def run():
+            cum = with_global_prefix_sum(base(False), "id", "wt")
+            return cum.agg(
+                F.count("*").alias("n"),
+                F.max(F.col("cum_before") + F.col("wt")).alias("mx"),
+                F.max("_total_weight").alias("tot"),
+            )
+
+        sec = timed(run)
+        row = run().collect()[0]
+        assert row.n == n and row.mx == row.tot, "prefix sum total mismatch"
+        return sec
+
+    def runmax_probe():
+        width = -(-n // 256)  # ceil: 256 monotone buckets over the id order
+
+        def run():
+            rm = with_global_running_max(
+                base(False), F.floor(F.col("id") / width), [F.asc("id")], "v"
+            )
+            return rm.agg(
+                F.count("*").alias("n"), F.max("run_max").alias("mx"),
+                F.max("v").alias("vmax"),
+            )
+
+        sec = timed(run)
+        row = run().collect()[0]
+        assert row.n == n and row.mx == row.vmax, "running max mismatch"
+        return sec
+
     out = {
         "n_lineitem": args.lines,
         "q1_scan_agg_s": timed(q1),
         "q3_join_topk_s": timed(q3),
         "window_running_total_s": timed(qw),
+        "global_rank_s": rank_probe(False),
+        "global_rank_hot_value_s": rank_probe(True),
+        "global_prefix_sum_s": prefix_probe(),
+        "global_running_max_s": runmax_probe(),
     }
     out["q1_rows_per_s"] = int(args.lines / out["q1_scan_agg_s"])
+    out["global_rank_rows_per_s"] = int(n / out["global_rank_s"])
     print(json.dumps(out))
     return 0
 
