@@ -303,16 +303,31 @@ def test_ivf_incremental_append_and_search(spark, sf_dir, tmp_path):
 
 
 def test_embed_with_trained_artifact_deterministic(spark, sf_dir):
+    """The registered query asserts the embedding CONTRACT (coverage,
+    dim, unit norm — now oracle-checked); this test keeps the trained
+    COMPONENT determinism the query no longer exposes: two embedding
+    passes through the artifact must agree bit-for-bit per component."""
+    from pyspark.sql import functions as F2
+
+    from cloudvectordb_spark.catalog import load as _load
     from cloudvectordb_spark.operators.pipeline import (
         embed_documents_trained_artifact,
+        embed_with_artifact,
+        ensure_trained_artifact,
     )
 
-    r1 = {(r.doc_id): (r.dim, r.c1, r.c2)
+    r1 = {(r.doc_id): (r.dim, r.unit_norm)
           for r in embed_documents_trained_artifact(spark, sf_dir).collect()}
-    r2 = {(r.doc_id): (r.dim, r.c1, r.c2)
-          for r in embed_documents_trained_artifact(spark, sf_dir).collect()}
-    assert r1 == r2 and len(r1) > 0
-    assert all(dim == 64 for dim, _, _ in r1.values())
+    assert len(r1) > 0
+    assert all(dim == 64 and norm == 1.0 for dim, norm in r1.values())
+
+    art = ensure_trained_artifact(spark, sf_dir)
+    docs = _load(spark, sf_dir, "documents").filter(F2.col("doc_id") < 50)
+    e1 = {r.doc_id: tuple(r.embedding)
+          for r in embed_with_artifact(docs, art).collect()}
+    e2 = {r.doc_id: tuple(r.embedding)
+          for r in embed_with_artifact(docs, art).collect()}
+    assert e1 == e2 and len(e1) == 50
 
 def test_ivf_compaction_one_file_per_cell(spark, sf_dir, tmp_path):
     """After appends fragment the layout, compaction rewrites each cell
