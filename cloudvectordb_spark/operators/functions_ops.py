@@ -191,6 +191,62 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D4 mergeable-sketch architecture: Apache DataSketches HLL via Spark's
+# hll_sketch_agg / hll_union_agg. The 100 TB pattern this demonstrates:
+# per-partition (here per-day) sketches are built ONCE, stored small
+# (~4 KB each), and any rollup (week, month, all-time) is a UNION of
+# sketches — never a rescan of raw events. The union of same-lgK HLL
+# sketches is register-wise max, so estimate(union(daily)) must equal
+# estimate(direct-over-all-rows) EXACTLY — that equality is the oracle-
+# checked merge invariant, alongside the approx_distinct_users-style
+# 5% accuracy envelope vs the exact distinct. Sketch bytes themselves
+# are engine-specific and stay out of the compared columns.
+# ---------------------------------------------------------------------------
+@query(
+    "hll_daily_merge_rollup",
+    oracle="""
+    SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total,
+           CAST((SELECT sum(d) FROM (
+              SELECT count(DISTINCT user_id) AS d
+              FROM events GROUP BY CAST(ts AS DATE))) AS BIGINT)
+             AS sum_daily_exact,
+           true AS merged_equals_direct,
+           true AS merged_within_5pct
+    FROM events
+    """,
+    operators=("D4", "D3", "H5"),
+)
+def hll_daily_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("d_exact"),
+    )
+    rolled = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est_merged"),
+        F.sum("d_exact").cast("bigint").alias("sum_daily_exact"),
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est_direct"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_total"),
+    )
+    return rolled.crossJoin(direct).select(
+        "n_days",
+        "exact_total",
+        "sum_daily_exact",
+        (F.col("_est_merged") == F.col("_est_direct")).alias(
+            "merged_equals_direct"
+        ),
+        (
+            F.abs(F.col("_est_merged") - F.col("exact_total"))
+            <= 0.05 * F.col("exact_total")
+        ).alias("merged_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # K2: language-ID heuristic (marker-word overlap, argmax)
 # ---------------------------------------------------------------------------
 _EN = ("the", "and", "of", "to", "in", "a")

@@ -30,8 +30,10 @@ def test_cli_oracle_prints_sql_without_spark():
     assert out.returncode == 0
     assert "SELECT" in out.stdout and "l_returnflag" in out.stdout
 
+    # since round 7 every registered query carries an oracle (the old
+    # rows-only example minhash_dedup_pairs now prints its invariant SQL)
     ro = _run("minhash_dedup_pairs", "--oracle")
-    assert ro.returncode == 0 and "rows-only" in ro.stdout
+    assert ro.returncode == 0 and "n_emitted_outside_tau" in ro.stdout
 
 
 def test_cli_unknown_query_is_loud():

@@ -197,6 +197,31 @@ def test_global_prefix_sum_matches_python_cumsum(spark, weights):
     assert got == expect
 
 
+@settings(max_examples=20, deadline=None)
+@given(rank_vals, st.integers(min_value=1, max_value=8))
+def test_global_running_max_matches_python_scan(spark, vals, n_buckets):
+    """with_global_running_max == the single-window running max for ANY
+    values (duplicates, negatives, all-equal) and ANY monotone bucket
+    width — including the 1-bucket degenerate case."""
+    from cloudvectordb_spark.ranking import with_global_running_max
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    width = -(-len(vals) // n_buckets)  # ceil: monotone coarsening of id
+    got = {
+        r.id: r.run_max
+        for r in with_global_running_max(
+            df, F.floor(F.col("id") / width), [F.asc("id")], "v"
+        ).collect()
+    }
+    run, expect = float("-inf"), {}
+    for i, v in enumerate(vals):
+        run = max(run, float(v))
+        expect[i] = run
+    assert got == expect
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(

@@ -147,3 +147,16 @@ def test_operator_tags_are_canonical_survey_ids():
     used = {op for s in qs.values() for op in s.operators}
     assert used <= _SURVEY_S2_IDS, f"unknown tags: {sorted(used - _SURVEY_S2_IDS)}"
     assert _SURVEY_S2_IDS <= used, f"uncovered IDs: {sorted(_SURVEY_S2_IDS - used)}"
+
+
+def test_registry_has_no_rows_only_queries():
+    """Round-7 invariant: every registered query carries a DuckDB value
+    oracle (full or invariant-style). A new rows-only registration is a
+    deliberate decision — if genuinely unavoidable, document why the
+    output admits no invariant oracle (see minhash_dedup_pairs and
+    embed_documents_trained_artifact for the conversion patterns) and
+    update this test."""
+    from cloudvectordb_spark.registry import all_queries
+
+    rows_only = [n for n, s in all_queries().items() if s.oracle is None]
+    assert rows_only == [], rows_only

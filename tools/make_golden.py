@@ -40,18 +40,29 @@ def file_sha(path: str) -> str:
 
 def compute(spark) -> dict:
     import numpy as np
+    from pyspark.sql import functions as F
 
+    from cloudvectordb_spark.catalog import load
     from cloudvectordb_spark.operators.pipeline import (
-        embed_documents_trained_artifact,
+        embed_with_artifact,
         ensure_trained_artifact,
     )
 
     art = ensure_trained_artifact(spark, SF_DIR)
     proj = np.load(os.path.join(art, "encoder.npz"))["proj"]
-    rows = sorted(
-        (r.doc_id, r.dim, r.c1, r.c2)
-        for r in embed_documents_trained_artifact(spark, SF_DIR).collect()
+    # (doc_id, dim, c1, c2) per doc — the summary the registered query
+    # used to expose before it switched to contract invariants in round 7;
+    # computed here directly from the embeddings so the committed golden
+    # emb_sha stays comparable across that change.
+    out = embed_with_artifact(
+        load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 200), art
+    ).select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 5).alias("c1"),
+        F.round(F.element_at("embedding", 2).cast("double"), 5).alias("c2"),
     )
+    rows = sorted((r.doc_id, r.dim, r.c1, r.c2) for r in out.collect())
     emb_repr = ";".join(f"{d}:{dim}:{c1:.5f}:{c2:.5f}" for d, dim, c1, c2 in rows)
     return {
         "sf_dir": SF_DIR,
