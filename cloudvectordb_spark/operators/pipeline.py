@@ -1239,6 +1239,119 @@ def linear_probe_train_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K4 with train/test DISCIPLINE: the same closed-form ridge solve, but
+# fit on the md5-hash train split only (the corpus_split_counts
+# convention: first md5 hex char < 'c' ~= 75%) and evaluated on BOTH
+# splits — the holdout-generalization query an embedding-quality
+# dashboard runs after every training job. Fully value-oracled: the
+# split is md5-replayable in DuckDB, the Gram/solve reuse the ridge
+# recipe above, and both MSEs are conditional averages in one pass.
+# ---------------------------------------------------------------------------
+def _ridge_holdout_oracle_sql() -> str:
+    lam = _RIDGE_LAMBDA
+    solved = ",\n             ".join(
+        f"round(({_RIDGE_NUM[w]}) / ({_RIDGE_DET}), 6) AS {w}"
+        for w in ("w0", "w1", "w2")
+    )
+    pred = "w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2"
+    return f"""
+    WITH feat AS (
+      SELECT CAST(label = 0 AS DOUBLE) AS y,
+             1.0 AS x0,
+             CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+      FROM embeddings
+    ),
+    gram AS (
+      SELECT round(avg(x0*x0), 6) + {lam} AS a00,
+             round(avg(x0*x1), 6) AS a01,
+             round(avg(x0*x2), 6) AS a02,
+             round(avg(x1*x1), 6) + {lam} AS a11,
+             round(avg(x1*x2), 6) AS a12,
+             round(avg(x2*x2), 6) + {lam} AS a22,
+             round(avg(x0*y), 6) AS b0,
+             round(avg(x1*y), 6) AS b1,
+             round(avg(x2*y), 6) AS b2
+      FROM feat WHERE is_train
+    ),
+    solved AS (
+      SELECT {solved}
+      FROM gram
+    ),
+    mse AS (
+      SELECT round(avg(CASE WHEN f.is_train THEN sq END), 6) AS train_mse,
+             round(avg(CASE WHEN NOT f.is_train THEN sq END), 6) AS test_mse,
+             CAST(count(*) FILTER (WHERE f.is_train) AS BIGINT) AS n_train,
+             CAST(count(*) FILTER (WHERE NOT f.is_train) AS BIGINT) AS n_test
+      FROM (
+        SELECT f.is_train,
+               (({pred}) - f.y) * (({pred}) - f.y) AS sq
+        FROM feat f CROSS JOIN solved w
+      ) f
+    )
+    SELECT w.w0, w.w1, w.w2, m.train_mse, m.test_mse, m.n_train, m.n_test
+    FROM solved w CROSS JOIN mse m
+    """
+
+
+@query(
+    "linear_probe_holdout_eval",
+    oracle=_ridge_holdout_oracle_sql(),
+    operators=("K4", "K12", "D2", "H6", "B8"),
+)
+def linear_probe_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge head fit on the md5 train split, MSE reported on train AND
+    held-out rows (see block comment). Same scale shape as the ridge
+    probe: two all-reduce aggregates, 9 floats of driver state."""
+    emb = load(spark, sf_dir, "embeddings")
+    is_train = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "c"
+    feat = emb.select(
+        (F.col("label") == 0).cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.element_at("embedding", 1).cast("double").alias("x1"),
+        F.element_at("embedding", 2).cast("double").alias("x2"),
+        is_train.alias("is_train"),
+    )
+    x = ["x0", "x1", "x2"]
+    tr = feat.filter("is_train")
+    gram_row = tr.agg(
+        *[
+            F.round(F.avg(F.col(x[j]) * F.col(x[k])), 6).alias(f"a{j}{k}")
+            for j in range(3)
+            for k in range(j, 3)
+        ],
+        *[
+            F.round(F.avg(F.col(x[j]) * F.col("y")), 6).alias(f"b{j}")
+            for j in range(3)
+        ],
+    ).collect()[0]  # bounded: 9 floats of driver state
+    env = {k: float(v) for k, v in gram_row.asDict().items()}
+    for j in range(3):
+        env[f"a{j}{j}"] = env[f"a{j}{j}"] + _RIDGE_LAMBDA
+    det = eval(_RIDGE_DET, {"__builtins__": {}}, env)  # noqa: S307
+    w = [
+        _half_up6(eval(_RIDGE_NUM[f"w{j}"], {"__builtins__": {}}, env) / det)  # noqa: S307
+        for j in range(3)
+    ]
+    pred = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(
+        w[2]
+    ) * F.col("x2")
+    sq = (pred - F.col("y")) * (pred - F.col("y"))
+    out = feat.agg(
+        F.round(F.avg(F.when(F.col("is_train"), sq)), 6).alias("train_mse"),
+        F.round(F.avg(F.when(~F.col("is_train"), sq)), 6).alias("test_mse"),
+        F.count(F.when(F.col("is_train"), 1)).cast("bigint").alias("n_train"),
+        F.count(F.when(~F.col("is_train"), 1)).cast("bigint").alias("n_test"),
+    )
+    for j in range(3):
+        out = out.withColumn(f"w{j}", F.lit(w[j]))
+    return out.select(
+        "w0", "w1", "w2", "train_mse", "test_mse", "n_train", "n_test"
+    )
+
+
+# ---------------------------------------------------------------------------
 # K12: cluster-label purity — the K9 assignment x label crosstab named
 # in SURVEY §2. Per-cell majority-label share, weighted into one corpus
 # purity number. Deterministic trainer => the EXACT purity value (and
