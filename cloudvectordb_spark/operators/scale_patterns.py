@@ -561,3 +561,121 @@ def pareto_frontier_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "l_orderkey", "l_linenumber", F.round("price", 2).alias("price"), "qty"
     )
+
+
+# ---------------------------------------------------------------------------
+# D4: Count-Min sketch with a FULL value oracle. The mergeable frequency
+# sketch (Cormode-Muthukrishnan): D=4 hash rows x W=512 buckets of
+# counters; point estimate = min over rows of the probed bucket counts —
+# never an undercount, overcounts bounded by collisions. Built here over
+# the document term stream with md5-derived bucket hashes, which makes
+# every counter (and therefore every estimate) bit-for-bit replayable in
+# DuckDB via the md5_number_upper byteswap bridge (the minhash_md5 /
+# simhash recipe) — no envelope booleans needed, the oracle checks the
+# exact estimates. Scale shape: one posexplode (4 rows per token) into a
+# (d, bucket)-keyed count — map-side combined into <= D*W = 2048 rows —
+# exact top-k terms via TakeOrderedAndProject, probe join against the
+# broadcast sketch. The sketch table is the mergeable artifact: daily
+# sketches sum counter-wise, like the HLL rollup's union.
+# ---------------------------------------------------------------------------
+_CM_W = 512
+_CM_D = 4
+_CM_TOPK = 8
+
+# DuckDB twin of Spark's conv(substr(md5(s), 1, 15), 16, 10): the first
+# 15 hex chars as a 60-bit int == byteswapped md5_number_upper // 16.
+_MD5_60 = """CAST((
+          (CAST((md5_number_upper({s}) >> 0)  & 255 AS HUGEINT) * 72057594037927936) +
+          (CAST((md5_number_upper({s}) >> 8)  & 255 AS HUGEINT) * 281474976710656) +
+          (CAST((md5_number_upper({s}) >> 16) & 255 AS HUGEINT) * 1099511627776) +
+          (CAST((md5_number_upper({s}) >> 24) & 255 AS HUGEINT) * 4294967296) +
+          (CAST((md5_number_upper({s}) >> 32) & 255 AS HUGEINT) * 16777216) +
+          (CAST((md5_number_upper({s}) >> 40) & 255 AS HUGEINT) * 65536) +
+          (CAST((md5_number_upper({s}) >> 48) & 255 AS HUGEINT) * 256) +
+          CAST((md5_number_upper({s}) >> 56) & 255 AS HUGEINT)
+        ) // 16 AS BIGINT)"""
+
+_CM_BUCKET = _MD5_60.format(s="CAST(d AS VARCHAR) || ':' || term") + f" % {_CM_W}"
+
+
+@query(
+    "cm_sketch_term_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    ds AS (SELECT unnest(generate_series(0, {_CM_D - 1})) AS d),
+    hb AS (
+      SELECT d, {_CM_BUCKET} AS bucket FROM toks CROSS JOIN ds
+    ),
+    sketch AS (SELECT d, bucket, count(*) AS cnt FROM hb GROUP BY d, bucket),
+    exact AS (SELECT term, count(*) AS exact_count FROM toks GROUP BY term),
+    top AS (
+      SELECT term, exact_count FROM exact
+      ORDER BY exact_count DESC, term LIMIT {_CM_TOPK}
+    ),
+    probe AS (
+      SELECT t.term, t.exact_count, d.d, {_CM_BUCKET} AS bucket
+      FROM top t CROSS JOIN ds d
+    ),
+    est AS (
+      SELECT p.term, any_value(p.exact_count) AS exact_count,
+             min(s.cnt) AS cm_estimate
+      FROM probe p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+      GROUP BY p.term
+    )
+    SELECT term, CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(cm_estimate - exact_count AS BIGINT) AS overcount
+    FROM est
+    """,
+    operators=("D4", "H4", "K2", "D1", "E4"),
+)
+def cm_sketch_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.functions import text as TX
+    from cloudvectordb_spark.ranking import global_topk_ranked
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("term"))
+
+    def bucket(d: int):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{d}:"), F.col("term"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_CM_W),
+        )
+
+    buckets = F.array(*[bucket(d) for d in range(_CM_D)])
+    hb = toks.select(F.posexplode(buckets).alias("d", "bucket"))
+    sketch = hb.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+
+    exact = toks.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    top = global_topk_ranked(
+        exact, [F.desc("exact_count"), F.asc("term")], _CM_TOPK
+    ).select("term", "exact_count")
+    probe = top.select(
+        "term", "exact_count", F.posexplode(buckets).alias("d", "bucket")
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("term")
+        .agg(
+            F.any_value("exact_count").alias("exact_count"),
+            F.min("cnt").cast("bigint").alias("cm_estimate"),
+        )
+    )
+    return est.select(
+        "term",
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overcount"),
+    )
