@@ -163,3 +163,23 @@ def test_mmr_diversifies_and_keeps_relevance(spark, sf_dir):
     # (greedy argmax over a shrinking set with a growing penalty)
     scores = [p[2] for p in picks[1:]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_indexed_equals_inline_bit_for_bit(spark, sf_dir):
+    """The persisted inverted index must serve EXACTLY the scores the
+    inline tokenize path computes — counts are stored exactly, so any
+    difference means index staleness or a scoring-path divergence."""
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.search import (
+        bm25_scores,
+        bm25_scores_indexed,
+    )
+
+    inline = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(load(spark, sf_dir, "documents")).collect()
+    }
+    indexed = {
+        r.doc_id: r.bm25 for r in bm25_scores_indexed(spark, sf_dir).collect()
+    }
+    assert inline == indexed and len(inline) > 0
