@@ -1354,3 +1354,102 @@ def related_docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter((F.col("rank") <= 3) & (F.col("score") > 0))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental postings maintenance (round 7): the update story for the
+# persisted inverted index above. New documents arrive as a delta batch;
+# delta postings are built from the BATCH ONLY (work proportional to new
+# docs, never a corpus rescan) and merge into the base by (term, doc_id)
+# count addition — postings are a mergeable artifact exactly like the
+# CM/HLL sketch tables. The query proves the contract the maintenance
+# job ships with: merged(base + delta) == full-rebuild, per query term,
+# value-for-value. Split is md5-deterministic so DuckDB replays the
+# whole check; the equality columns carry the invariant, the per-term
+# stats carry real recomputed content.
+# ---------------------------------------------------------------------------
+@query(
+    "postings_incremental_merge",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' AS in_base,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    base_p AS (
+      SELECT term, doc_id, count(*) AS tf FROM tok
+      WHERE in_base AND term IN {_TERMS_SQL} GROUP BY term, doc_id
+    ),
+    delta_p AS (
+      SELECT term, doc_id, count(*) AS tf FROM tok
+      WHERE NOT in_base AND term IN {_TERMS_SQL} GROUP BY term, doc_id
+    ),
+    merged AS (
+      SELECT term, doc_id, CAST(sum(tf) AS BIGINT) AS tf FROM (
+        SELECT * FROM base_p UNION ALL SELECT * FROM delta_p
+      ) GROUP BY term, doc_id
+    ),
+    full_p AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE term IN {_TERMS_SQL} GROUP BY term, doc_id
+    ),
+    ddocs AS (SELECT DISTINCT doc_id FROM delta_p)
+    SELECT m.term,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m.tf) AS BIGINT) AS total_tf,
+           bool_and(m.tf = f.tf) AS merged_equals_full,
+           CAST(count(*) FILTER (
+             WHERE m.doc_id NOT IN (SELECT doc_id FROM ddocs)
+           ) AS BIGINT) AS n_docs_untouched_by_delta
+    FROM merged m
+    JOIN full_p f ON f.term = m.term AND f.doc_id = m.doc_id
+    GROUP BY m.term
+    """,
+    operators=("K2", "D1", "G1", "H4"),
+)
+def postings_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    in_base = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "e"
+    )
+    tok = docs.select(
+        "doc_id",
+        in_base.alias("in_base"),
+        F.explode(TX.tokens("text")).alias("term"),
+    ).filter(F.col("term").isin(*_QUERY_TERMS))
+    base_p = (
+        tok.filter("in_base").groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    )
+    delta_p = (
+        tok.filter(~F.col("in_base"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    merged = (
+        base_p.unionAll(delta_p)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+    )
+    full_p = (
+        tok.groupBy("term", "doc_id").agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    delta_docs = delta_p.select("doc_id").distinct().withColumn("_d", F.lit(True))
+    return (
+        merged.join(
+            full_p.select(
+                F.col("term"), F.col("doc_id"), F.col("tf").alias("full_tf")
+            ),
+            ["term", "doc_id"],
+        )
+        .join(F.broadcast(delta_docs), "doc_id", "left")
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.min(F.col("tf") == F.col("full_tf")).alias("merged_equals_full"),
+            F.count(F.when(F.col("_d").isNull(), 1))
+            .cast("bigint")
+            .alias("n_docs_untouched_by_delta"),
+        )
+    )
