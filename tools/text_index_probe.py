@@ -1,0 +1,152 @@
+"""Text-index scale probe: synthesize a ~1M-doc corpus in /tmp (Spark
+range + deterministic word soup, mtime-cached) and measure the BM25
+query path inline (re-tokenize corpus per query) vs served from the
+persisted inverted index (ensure-style build amortized, query reads
+query-term postings only).
+
+The fixture documents table tops out at ~60k rows; this probe is the
+scale evidence for SCALE.md's build-once/query-postings section — the
+inline path's cost grows with corpus tokens while the indexed query
+cost grows with query-term postings only.
+
+Usage: python tools/text_index_probe.py [--docs 1000000]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.session import get_session
+
+_VOCAB = 10_000
+_WORDS_PER_DOC = 20
+_TERMS = ("w12", "w345", "w6789")  # query terms drawn from the vocab
+
+
+def ensure_docs(spark, n_docs: int, root: str) -> str:
+    path = f"{root}/documents"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return path
+    # deterministic word soup: word_j of doc i = "w" + (xxhash64(i, j) % V)
+    # with a Zipf-ish skew from squaring the uniform hash fraction
+    words = F.array(
+        *[
+            F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.floor(
+                        F.pow(
+                            F.pmod(F.xxhash64("id", F.lit(j)), _VOCAB)
+                            / float(_VOCAB),
+                            2.0,
+                        )
+                        * _VOCAB
+                    ).cast("long"),
+                    F.lit(_VOCAB),
+                ),
+            )
+            for j in range(_WORDS_PER_DOC)
+        ]
+    )
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words, " ").alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    spark = get_session("text-index-probe")
+    root = os.path.join("/tmp", "cloudvectordb_textprobe", str(args.docs))
+    docs_path = ensure_docs(spark, args.docs, root)
+    docs = spark.read.parquet(docs_path)
+
+    from cloudvectordb_spark.operators.search import (
+        _bm25_from_parts,
+        bm25_scores,
+    )
+    from cloudvectordb_spark.ranking import global_topk_ranked
+
+    def topk(scored):
+        return global_topk_ranked(
+            scored, [F.desc("bm25"), F.asc("doc_id")], 20
+        )
+
+    def timed(fn):
+        fn().collect()  # warm
+        best = 9e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    inline_s = timed(lambda: topk(bm25_scores(docs, _TERMS)))
+
+    # index build (the once-per-corpus cost), then the indexed query
+    idx = f"{root}/textindex"
+    t0 = time.perf_counter()
+    if not os.path.exists(f"{idx}/postings/_SUCCESS"):
+        tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        (
+            tok.groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .repartition(16, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{idx}/postings")
+        )
+        dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        dl.write.mode("overwrite").parquet(f"{idx}/dl")
+        dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/stats")
+    build_s = round(time.perf_counter() - t0, 3)
+
+    def indexed():
+        tf = spark.read.parquet(f"{idx}/postings").filter(
+            F.col("term").isin(*_TERMS)
+        )
+        dl = spark.read.parquet(f"{idx}/dl")
+        stats = spark.read.parquet(f"{idx}/stats")
+        return topk(_bm25_from_parts(tf, dl, stats))
+
+    indexed_s = timed(indexed)
+
+    # sanity: both paths agree on the top-20
+    a = [(r.doc_id, r.bm25) for r in topk(bm25_scores(docs, _TERMS)).collect()]
+    b = [(r.doc_id, r.bm25) for r in indexed().collect()]
+    assert a == b, "indexed and inline top-20 diverged"
+
+    out = {
+        "n_docs": args.docs,
+        "n_tokens": args.docs * _WORDS_PER_DOC,
+        "inline_query_s": inline_s,
+        "index_build_s": build_s,
+        "indexed_query_s": indexed_s,
+        "speedup_x": round(inline_s / indexed_s, 2),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
