@@ -152,3 +152,30 @@ def test_pareto_frontier_no_dominated_rows(spark, sf_dir):
         assert not any(
             (p2 < p and q2 > q) for p2, q2 in pts
         ), "frontier contains a strictly dominated point"
+
+
+def test_bloom_onepass_resizes_when_provisional_undersized(spark):
+    """build_bloom_onepass's rare second pass: a provisional bitmap too
+    small for the build cardinality (< 16 bits/key) must trigger a
+    rebuild at the properly-sized m, and the resulting filter must keep
+    every build key (no false negatives at any size)."""
+    from pyspark.sql import functions as F2
+
+    from cloudvectordb_spark.operators.scale_patterns import (
+        _bloom_bits_for,
+        bloom_filter_rows,
+        build_bloom_onepass,
+    )
+
+    n = 20_000  # 20k keys need 320k bits; provisional 2^16 = 65k is short
+    keys = spark.range(n).select(F2.col("id").alias("k"))
+    words, m_bits = build_bloom_onepass(keys, "k", provisional_bits=1 << 16)
+    assert m_bits == _bloom_bits_for(n) > (1 << 16)
+    kept = bloom_filter_rows(keys, "k", words, m_bits).count()
+    assert kept == n, "bloom dropped a build key (false negative)"
+
+    # and the common case: provisional big enough -> kept as-is, exact
+    # count piggybacked (no resize)
+    words2, m2 = build_bloom_onepass(keys, "k", provisional_bits=1 << 20)
+    assert m2 == 1 << 20
+    assert bloom_filter_rows(keys, "k", words2, m2).count() == n
