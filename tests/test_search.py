@@ -183,3 +183,26 @@ def test_bm25_indexed_equals_inline_bit_for_bit(spark, sf_dir):
         r.doc_id: r.bm25 for r in bm25_scores_indexed(spark, sf_dir).collect()
     }
     assert inline == indexed and len(inline) > 0
+
+
+def test_text_index_rebuilds_on_fixture_mtime(spark, sf_dir, tmp_path):
+    """Index staleness guard: the postings artifact is keyed on the
+    documents fixture's mtime, so a regenerated fixture must produce a
+    NEW index directory (and the old one can never serve stale scores)."""
+    import os
+    import shutil
+
+    from cloudvectordb_spark.operators.search import ensure_text_index
+
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        sfd / "documents.parquet",
+    )
+    r1 = ensure_text_index(spark, str(sfd))
+    assert os.path.exists(os.path.join(r1, "_DONE"))
+    st = os.stat(sfd / "documents.parquet")
+    os.utime(sfd / "documents.parquet", (st.st_atime, st.st_mtime + 10))
+    r2 = ensure_text_index(spark, str(sfd))
+    assert r1 != r2 and os.path.exists(os.path.join(r2, "_DONE"))
