@@ -196,10 +196,15 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-partition (here per-day) sketches are built ONCE, stored small
 # (~4 KB each), and any rollup (week, month, all-time) is a UNION of
 # sketches — never a rescan of raw events. The union of same-lgK HLL
-# sketches is register-wise max, so estimate(union(daily)) must equal
-# estimate(direct-over-all-rows) EXACTLY — that equality is the oracle-
-# checked merge invariant, alongside the approx_distinct_users-style
-# 5% accuracy envelope vs the exact distinct. Sketch bytes themselves
+# sketches is register-wise max, so estimate(union(daily)) must track
+# estimate(direct-over-all-rows) to well under the sketch's own
+# standard error — the oracle-checked merge invariant uses a 1%
+# envelope (union results read through DataSketches' composite
+# estimator, update-built sketches through HIP, and whether the
+# direct agg internally merges depends on partition layout, so exact
+# equality could flake under different parallelism), alongside the
+# approx_distinct_users-style 5% accuracy envelope vs the exact
+# distinct. Sketch bytes themselves
 # are engine-specific and stay out of the compared columns.
 # ---------------------------------------------------------------------------
 @query(
@@ -211,7 +216,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
               SELECT count(DISTINCT user_id) AS d
               FROM events GROUP BY CAST(ts AS DATE))) AS BIGINT)
              AS sum_daily_exact,
-           true AS merged_equals_direct,
+           true AS merged_matches_direct,
            true AS merged_within_5pct
     FROM events
     """,
@@ -236,9 +241,17 @@ def hll_daily_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "exact_total",
         "sum_daily_exact",
-        (F.col("_est_merged") == F.col("_est_direct")).alias(
-            "merged_equals_direct"
-        ),
+        # 1% envelope, not exact equality: a union result reads through
+        # DataSketches' composite estimator while an update-built sketch
+        # uses HIP, and whether the "direct" agg internally merges
+        # depends on partition layout — exact equality can flake under
+        # different parallelism even when both estimates are sound
+        # (round-7 ADVICE). 1% is far tighter than the lgK=12 standard
+        # error (~1.6%) yet robust to the estimator-path difference.
+        (
+            F.abs(F.col("_est_merged") - F.col("_est_direct"))
+            <= 0.01 * F.col("_est_direct")
+        ).alias("merged_matches_direct"),
         (
             F.abs(F.col("_est_merged") - F.col("exact_total"))
             <= 0.05 * F.col("exact_total")

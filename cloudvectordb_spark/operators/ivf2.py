@@ -37,8 +37,8 @@ _K2 = 4
 _IVF2_ROUNDS = 2
 _FIT_CAP = 100_000
 
-# centroids-by-parent cache, keyed on the (immutable) level-1 index path
-_IVF2_CACHE: dict = {}
+# centroids-by-parent cached per (immutable) level-1 index path in the
+# unified cloudvectordb_spark.cache (plain floats — process-wide entry)
 
 GroupCents = dict[int, list[tuple[int, list[float]]]]
 
@@ -89,10 +89,18 @@ def train_fine_centroids(
 ) -> tuple[str, GroupCents, int]:
     """(level1_path, {parent: [(child_id, centroid)]}, k1). md5-seeded
     per-parent Lloyd's on the pinned fit sample; cached per index path."""
+    from cloudvectordb_spark.cache import artifact_cache
+
     path = ensure_ivf_index(spark, sf_dir)
-    key = (path, k2, rounds)
-    if key in _IVF2_CACHE:
-        return _IVF2_CACHE[key]
+    return artifact_cache(
+        ("ivf2_fine", path, k2, rounds),
+        lambda: _train_fine_centroids_impl(spark, path, k2, rounds),
+    )
+
+
+def _train_fine_centroids_impl(
+    spark: SparkSession, path: str, k2: int, rounds: int
+) -> tuple[str, GroupCents, int]:
     k1 = len(index_centroids(spark, path))
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("vec_id") < _FIT_CAP
@@ -149,9 +157,7 @@ def train_fine_centroids(
             ]
             for p, children in sorted(nxt.items())
         }
-    out = (path, cents2, k1)
-    _IVF2_CACHE[key] = out
-    return out
+    return (path, cents2, k1)
 
 
 def _fine_cells_py(vec, cents2_for_parent, nprobe: int = 2) -> list[int]:

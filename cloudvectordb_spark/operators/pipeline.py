@@ -209,18 +209,27 @@ def ensure_ivf_index(
     import hashlib
     import os
     import tempfile
+    import uuid
+
+    from cloudvectordb_spark.cache import build_lock, source_tag
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{k}|{seed}|lloyd{_IVF_ROUNDS}".encode()
-    ).hexdigest()[:10]
-    tag = f"{key}_{int(os.path.getmtime(src))}"
+    # mtime_ns+size fingerprint (cache.source_tag) — a same-second
+    # fixture regen still invalidates.
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{k}|{seed}|lloyd{_IVF_ROUNDS}"
+        f"|{source_tag(src)}".encode()
+    ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), "cloudvectordb_ivf", tag)
     marker = os.path.join(path, "_BUILT")
-    if not os.path.exists(marker):
-        # build privately, then publish with an atomic rename so a
-        # concurrent process never reads a half-written index
-        build_dir = f"{path}.build{os.getpid()}"
+    if os.path.exists(marker):
+        return path
+    # same-process threads serialize; cross-process builders race
+    # benignly via unique build dirs + atomic rename
+    with build_lock(path):
+        if os.path.exists(marker):
+            return path
+        build_dir = f"{path}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
         emb = load(spark, sf_dir, "embeddings")
         assigned, centroids = build_ivf_assignments(emb, k=k, seed=seed)
         write_ivf_index(assigned, centroids, build_dir)
@@ -236,26 +245,37 @@ def ensure_ivf_index(
 
 
 def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    return spark.read.parquet(f"{path}/vectors"), spark.read.parquet(
-        f"{path}/centroids"
+    """The two index frames, cached per (session, immutable index path)
+    so repeat searches skip the per-call file-listing/footer driver jobs
+    (the round-7 bench tax on every `spark.read.parquet` call)."""
+    from cloudvectordb_spark.cache import artifact_cache, session_key
+
+    return artifact_cache(
+        ("ivf_frames", path, session_key(spark)),
+        lambda: (
+            spark.read.parquet(f"{path}/vectors"),
+            spark.read.parquet(f"{path}/centroids"),
+        ),
     )
 
 
-# A published index is immutable (mtime-keyed path, atomic rename), so
-# the k*dim centroid list is cached per path — probe queries skip the
-# centroid-parquet collect job on every execution after the first
-# (measured ~0.2 s/job of pure driver round-trip at sf0.1).
-_CENTROID_CACHE: dict = {}
-
-
+# A published index is immutable (fingerprint-keyed path, atomic
+# rename), so the k*dim centroid list is cached per path — probe
+# queries skip the centroid-parquet collect job on every execution
+# after the first (measured ~0.2 s/job of pure driver round-trip at
+# sf0.1). Process-wide entry in the unified cache (plain floats, not
+# session-bound).
 def index_centroids(spark: SparkSession, path: str) -> list:
-    if path not in _CENTROID_CACHE:
+    from cloudvectordb_spark.cache import artifact_cache
+
+    def build():
         rows = spark.read.parquet(f"{path}/centroids").collect()
-        _CENTROID_CACHE[path] = [
+        return [
             (r.centroid_id, list(r.centroid))
             for r in sorted(rows, key=lambda r: r.centroid_id)
         ]
-    return _CENTROID_CACHE[path]
+
+    return artifact_cache(("ivf_centroids", path), build)
 
 
 from cloudvectordb_spark.operators.kmeans_det import kmeans_cte_sql as _kmeans_cte_sql

@@ -310,40 +310,53 @@ _PQ_RESCORE_SQL = f"""
 """
 
 
-_PQ_BOOK_CACHE: dict = {}  # in-process: tag -> codebooks ndarray
-
-
 def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
     """(encoded codes DataFrame, codebooks) for ``sf_dir``, building each
     at most once per fixture version — codebook training and corpus
     encoding are INDEX-BUILD work (the S4 bulk phase), so repeat searches
     read the persisted code parquet instead of re-running Lloyd + the
-    encode scan. Same mtime-keyed atomic-rename publish as the IVF index."""
+    encode scan. Fingerprint-keyed atomic-rename publish like the IVF
+    index; codebooks process-wide + codes frame session-cached in the
+    unified cloudvectordb_spark.cache."""
     import hashlib
     import os
     import shutil
     import tempfile
+    import uuid
+
+    from cloudvectordb_spark.cache import (
+        artifact_cache,
+        build_lock,
+        session_key,
+        source_tag,
+    )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{_M}|{_K}|md5lloyd{_PQ_ROUNDS}".encode()
-    ).hexdigest()[:10]
-    tag = f"{key}_{int(os.path.getmtime(src))}"
-    if tag not in _PQ_BOOK_CACHE:
-        _PQ_BOOK_CACHE[tag] = train_pq_codebooks(spark, sf_dir)
-    books = _PQ_BOOK_CACHE[tag]
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{_M}|{_K}|md5lloyd{_PQ_ROUNDS}"
+        f"|{source_tag(src)}".encode()
+    ).hexdigest()[:16]
+    books = artifact_cache(
+        ("pq_books", tag), lambda: train_pq_codebooks(spark, sf_dir)
+    )
     path = os.path.join(tempfile.gettempdir(), "cloudvectordb_pq", tag)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        build_dir = f"{path}.build{os.getpid()}"
-        pq_encode(load(spark, sf_dir, "embeddings"), books).write.mode(
-            "overwrite"
-        ).parquet(build_dir)
-        try:
-            os.rename(build_dir, path)
-        except OSError:  # concurrent publisher won — use theirs
-            shutil.rmtree(build_dir, ignore_errors=True)
-    return spark.read.parquet(path), books
+        with build_lock(path):
+            if not os.path.exists(marker):
+                build_dir = f"{path}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
+                pq_encode(load(spark, sf_dir, "embeddings"), books).write.mode(
+                    "overwrite"
+                ).parquet(build_dir)
+                try:
+                    os.rename(build_dir, path)
+                except OSError:  # concurrent publisher won — use theirs
+                    shutil.rmtree(build_dir, ignore_errors=True)
+    codes = artifact_cache(
+        ("pq_codes_frame", path, session_key(spark)),
+        lambda: spark.read.parquet(path),
+    )
+    return codes, books
 
 
 def _normalized_probes(emb: DataFrame, n: int = 3) -> list[tuple[int, np.ndarray]]:
@@ -459,35 +472,51 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.
     import os
     import shutil
     import tempfile
+    import uuid
 
+    from cloudvectordb_spark.cache import (
+        artifact_cache,
+        build_lock,
+        session_key,
+        source_tag,
+    )
     from cloudvectordb_spark.operators.pipeline import (
         ensure_ivf_index,
         index_centroids,
+        read_ivf_index,
     )
 
     ivf_path = ensure_ivf_index(spark, sf_dir)
     cents = index_centroids(spark, ivf_path)
     src = os.path.join(sf_dir, "embeddings.parquet")
-    key = hashlib.md5(
-        f"ivfpq|{os.path.abspath(sf_dir)}|{_M}|{_K}|md5lloyd{_PQ_ROUNDS}".encode()
-    ).hexdigest()[:10]
-    tag = f"{key}_{int(os.path.getmtime(src))}"
-    if tag not in _PQ_BOOK_CACHE:
-        _PQ_BOOK_CACHE[tag] = train_pq_codebooks(spark, sf_dir)
-    books = _PQ_BOOK_CACHE[tag]
+    tag = hashlib.md5(
+        f"ivfpq|{os.path.abspath(sf_dir)}|{_M}|{_K}|md5lloyd{_PQ_ROUNDS}"
+        f"|{source_tag(src)}".encode()
+    ).hexdigest()[:16]
+    books = artifact_cache(
+        ("pq_books", tag), lambda: train_pq_codebooks(spark, sf_dir)
+    )
     path = os.path.join(tempfile.gettempdir(), "cloudvectordb_ivfpq", tag)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_dir = f"{path}.build{os.getpid()}"
-        vectors = spark.read.parquet(f"{ivf_path}/vectors")
-        codes = pq_encode(vectors, books).join(
-            vectors.select("vec_id", "centroid_id"), "vec_id"
-        )
-        codes.write.mode("overwrite").partitionBy("centroid_id").parquet(build_dir)
-        try:
-            os.rename(build_dir, path)
-        except OSError:  # concurrent publisher won
-            shutil.rmtree(build_dir, ignore_errors=True)
-    return spark.read.parquet(path), books, cents
+        with build_lock(path):
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                build_dir = f"{path}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
+                vectors, _ = read_ivf_index(spark, ivf_path)
+                codes = pq_encode(vectors, books).join(
+                    vectors.select("vec_id", "centroid_id"), "vec_id"
+                )
+                codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+                    build_dir
+                )
+                try:
+                    os.rename(build_dir, path)
+                except OSError:  # concurrent publisher won
+                    shutil.rmtree(build_dir, ignore_errors=True)
+    codes = artifact_cache(
+        ("ivfpq_codes_frame", path, session_key(spark)),
+        lambda: spark.read.parquet(path),
+    )
+    return codes, books, cents
 
 
 def _ivfpq_oracle() -> str:

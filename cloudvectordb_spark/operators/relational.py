@@ -133,6 +133,7 @@ def revenue_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    from cloudvectordb_spark.cache import source_tag
     from cloudvectordb_spark.operators.scale_patterns import (
         bloom_filter_rows,
         cached_bloom_onepass,
@@ -163,8 +164,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (
             "q5_orderkeys_1996_1998",
-            sf_dir,
-            int(os.path.getmtime(os.path.join(sf_dir, "orders.parquet"))),
+            # mtime_ns+size fingerprint: a fixture regenerated within
+            # the same second as the prior build still invalidates.
+            source_tag(os.path.join(sf_dir, "orders.parquet")),
         ),
     )
     li_pre = bloom_filter_rows(li, "l_orderkey", words, m_bits, bf_df=bf_df)

@@ -122,15 +122,33 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = _QUERY_TERMS) -> DataF
 # row groups, doc-partitioned within term, rebuilt incrementally.
 # ---------------------------------------------------------------------------
 def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
     import os
     import shutil
     import tempfile
+    import uuid
+
+    from cloudvectordb_spark.cache import build_lock, source_tag
 
     src = os.path.join(sf_dir, "documents.parquet")
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{int(os.path.getmtime(src))}"
+    # mtime_ns + size fingerprint (cache.source_tag): a fixture
+    # regenerated within the same second as the prior build still gets
+    # a fresh index (round-7 ADVICE). md5 keeps the dir name short.
+    # "v2" = index format version (postings + dl + stats + term_meta);
+    # bump whenever the artifact schema changes so an old on-disk index
+    # can never be read by newer code.
+    fp = hashlib.md5(f"v2|{source_tag(src)}".encode()).hexdigest()[:16]
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp}"
     root = os.path.join(tempfile.gettempdir(), "cloudvectordb_textindex", tag)
-    if not os.path.exists(os.path.join(root, "_DONE")):
-        build = f"{root}.build{os.getpid()}"
+    if os.path.exists(os.path.join(root, "_DONE")):
+        return root
+    # Same-process threads serialize on a per-root lock; cross-process
+    # builders still race benignly via unique build dirs + atomic
+    # rename (identical deterministic artifacts, first rename wins).
+    with build_lock(root):
+        if os.path.exists(os.path.join(root, "_DONE")):
+            return root
+        build = f"{root}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
         docs = load(spark, sf_dir, "documents")
         tok = docs.select(
             "doc_id", F.explode(TX.tokens("text")).alias("term")
@@ -144,17 +162,67 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(build, "postings"))
         )
+        # Per-term max impact for WAND-style top-k pruning (round 8):
+        # the BM25 tf-saturation term tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+        # is maximized over a term's postings at index-build time using
+        # the EXACT (tf, dl) pairs, so idf * max_impact is a true upper
+        # bound on any doc's contribution from that term. Stored beside
+        # df so the query-time pruner needs no extra corpus pass.
         dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
         dl.write.mode("overwrite").parquet(os.path.join(build, "dl"))
-        dl.agg(
+        stats = dl.agg(
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-        ).write.mode("overwrite").parquet(os.path.join(build, "stats"))
+        )
+        stats.write.mode("overwrite").parquet(os.path.join(build, "stats"))
+        tf_sat = (F.col("tf") * (_K1 + 1.0)) / (
+            F.col("tf")
+            + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+        (
+            postings.join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("term")
+            .agg(
+                F.count("*").cast("bigint").alias("df"),
+                F.max(tf_sat).alias("max_impact"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(build, "term_meta"))
+        )
         open(os.path.join(build, "_DONE"), "w").close()
         try:
             os.rename(build, root)
         except OSError:
             shutil.rmtree(build, ignore_errors=True)
     return root
+
+
+def text_index_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(postings, dl, stats, term_meta) DataFrames for the fixture's
+    persisted index, cached per (session, index root). Round-7's driver
+    bench showed every `spark.read.parquet` call costs a driver-side
+    file listing + footer read (~0.2 s/job on the bench host) and
+    bm25_scores_indexed paid it 3x PER CALL; the frames are pure
+    functions of the immutable index root, so they are built once per
+    session (mirroring cached_bloom_onepass). dl and stats are tiny
+    relative to the corpus text (two ints / one row) and every BM25
+    query touches them, so they are persisted."""
+    from cloudvectordb_spark.cache import artifact_cache, session_key
+
+    root = ensure_text_index(spark, sf_dir)
+
+    def build():
+        postings = spark.read.parquet(f"{root}/postings")
+        dl = spark.read.parquet(f"{root}/dl").persist()
+        stats = spark.read.parquet(f"{root}/stats").persist()
+        term_meta = spark.read.parquet(f"{root}/term_meta")
+        return postings, dl, stats, term_meta
+
+    return artifact_cache(
+        ("text_index_frames", root, session_key(spark)), build
+    )
 
 
 def bm25_scores_indexed(
@@ -164,13 +232,127 @@ def bm25_scores_indexed(
     reads query-term postings (term-sorted row groups -> pushed IN-list
     prunes the read), never the raw text. Bit-identical to the inline
     path; the oracle twins recompute from documents unchanged."""
-    root = ensure_text_index(spark, sf_dir)
-    tf = spark.read.parquet(f"{root}/postings").filter(
-        F.col("term").isin(*terms)
-    )
-    dl = spark.read.parquet(f"{root}/dl")
-    stats = spark.read.parquet(f"{root}/stats")
+    postings, dl, stats, _ = text_index_frames(spark, sf_dir)
+    tf = postings.filter(F.col("term").isin(*terms))
     return _bm25_from_parts(tf, dl, stats)
+
+
+# ---------------------------------------------------------------------------
+# WAND / max-score top-k pruning (round 8): the persisted index already
+# restricts every BM25 query to its query-term postings; pruning makes
+# the EXPENSIVE part of scoring (the dl join + float scoring math)
+# sublinear in postings length too. term_meta stores, per term, the df
+# and the max tf-saturation over the term's postings (computed at build
+# time from the exact (tf, dl) pairs), so idf_t * max_impact_t is a
+# true per-term upper bound on any doc's contribution:
+#
+#   1. ub(d) = sum of ub_t over the query terms d contains — a sum of
+#      per-term CONSTANTS over the same pushed postings scan, no dl
+#      join, map-side combined.
+#   2. theta = k-th EXACT score among the top-k docs by ub. The k-th
+#      order statistic over a subset lower-bounds the k-th over the
+#      full set, and every true top-k doc d has ub(d) >= exact(d) >=
+#      final k-th >= theta — so dropping ub < theta is LOSSLESS.
+#   3. Exact-score only the survivors (typically a small multiple of k
+#      on skewed postings) and take the final top-k.
+#
+# df comes from term_meta (identical integers to the inline
+# countDistinct — one row per (term, doc) in postings), so pruned
+# scores are bit-identical to bm25_scores / bm25_scores_indexed and
+# the DuckDB oracle (which recomputes from raw text) is unchanged.
+# At 100 TB this is the standard top-k keyword-serving shape: postings
+# already shard by term; the candidate phase streams constants, the
+# scoring phase touches ~k docs per query instead of every match.
+# ---------------------------------------------------------------------------
+_ROUND_SLOP = 1e-6  # exact scores round half-up to 6 dp before ranking
+
+
+def _bm25_pruned_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = _QUERY_TERMS,
+    k: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """(survivor tf pairs, scored survivors) — split out so tests can
+    count exactly how many (doc, term) pairs reach the scoring join."""
+    postings, dl, stats, term_meta = text_index_frames(spark, sf_dir)
+    tf = postings.filter(F.col("term").isin(*terms))
+    meta = (
+        term_meta.filter(F.col("term").isin(*terms))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "df",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("max_impact")
+            ).alias("ub_t"),
+        )
+    )
+    # Phase 1: per-doc upper bounds — constants summed over the pushed
+    # postings scan (map-side combine; no dl join, no per-pair floats).
+    ub = (
+        tf.join(F.broadcast(meta.select("term", "ub_t")), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("ub_t").alias("ub"))
+    )
+
+    def exact_scores(pairs: DataFrame) -> DataFrame:
+        # identical arithmetic to _bm25_from_parts, df from term_meta
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+            F.col("tf")
+            + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            pairs.join(F.broadcast(meta.select("term", "df")), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+        )
+
+    # Phase 2: theta = k-th exact score among the top-k docs BY UB.
+    cand = global_topk_ranked(ub, [F.desc("ub"), F.asc("doc_id")], k).select(
+        "doc_id"
+    )
+    theta = (
+        exact_scores(tf.join(F.broadcast(cand), "doc_id"))
+        .agg(F.min("bm25").alias("theta"))
+    )
+    # Phase 3: survivors — ub >= theta (minus the 6-dp rounding slop on
+    # exact scores, so half-up rounding can never evict a tied doc).
+    survivor_ids = (
+        ub.crossJoin(F.broadcast(theta))
+        .filter(F.col("ub") >= F.col("theta") - _ROUND_SLOP)
+        .select("doc_id")
+    )
+    survivor_pairs = tf.join(F.broadcast(survivor_ids), "doc_id")
+    return survivor_pairs, exact_scores(survivor_pairs)
+
+
+@query(
+    "bm25_topk_pruned",
+    # Pruning is lossless for top-k, so the oracle is EXACTLY the
+    # unpruned bm25_keyword_search oracle — DuckDB recomputes full BM25
+    # from raw text and the pruned engine path must hash-match it.
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+    operators=("K2", "E4", "F2", "C2"),
+)
+def bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, scored = _bm25_pruned_parts(spark, sf_dir, _QUERY_TERMS, 20)
+    return global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 20)
 
 
 @query(

@@ -101,10 +101,14 @@ def single_partition_windows(physical_plan: str) -> int:
 
 BOUNDED_WINDOW_KEYS = {"_bucket", "decile", "lang", "day"}
 
-# balanced-paren match (one nesting level inside xxhash64's arg list):
+# balanced-paren match (three nesting levels inside xxhash64's arg
+# list — enough for e.g. xxhash64(coalesce(cast(x as bigint), 0), 42)):
 # a lazy `.*?` could span unrelated text on one plan line, e.g.
-# 'pmod(xxhash64(a#1, 42), 16) ... foo(b, 1)' would false-positive.
-_BAL_ARGS = r"[^()]*(?:\([^()]*\)[^()]*)*"
+# 'pmod(xxhash64(a#1, 42), 16) ... foo(b, 1)' would false-positive,
+# so the group is an explicit fixed-depth balanced matcher instead.
+_BAL_ARGS = r"[^()]*"
+for _ in range(3):
+    _BAL_ARGS = r"[^()]*(?:\(" + _BAL_ARGS + r"\)[^()]*)*"
 _CONST_KEY = re.compile(r"pmod\(xxhash64\(" + _BAL_ARGS + r"\), 1\)")
 _CONST_ALIAS = re.compile(
     r"pmod\(xxhash64\(" + _BAL_ARGS + r"\), 1\) AS (\w+#\d+L?)"

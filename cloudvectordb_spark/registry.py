@@ -125,6 +125,7 @@ _OPERATOR_MODULES = (
     "events",
     "functions_ops",
     "graph",
+    "ingest",
     "ivf2",
     "multimodal",
     "pipeline",

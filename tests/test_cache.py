@@ -1,0 +1,133 @@
+"""Unified artifact cache (cloudvectordb_spark.cache) — the single
+keying/staleness story behind the IVF/PQ/bloom/text-index caches
+(round-8 verdict task 6 + round-7 ADVICE items 1-3)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+
+import pytest
+
+from cloudvectordb_spark.cache import (
+    artifact_cache,
+    build_lock,
+    invalidate,
+    session_key,
+    source_tag,
+)
+
+
+def test_source_tag_subsecond_mtime_sensitivity(tmp_path):
+    """A file rewritten within the SAME second (same floor(mtime)) must
+    still change the tag — the whole-second truncation hole the ad-hoc
+    caches had (ADVICE: use st_mtime_ns + size)."""
+    p = tmp_path / "f.parquet"
+    p.write_bytes(b"abc")
+    t1 = source_tag(str(p))
+    st = os.stat(p)
+    # +1 microsecond: identical int(mtime), different mtime_ns
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000))
+    t2 = source_tag(str(p))
+    assert t1 != t2
+    assert int(os.path.getmtime(p)) == int(st.st_mtime)  # same whole second
+
+
+def test_source_tag_size_sensitivity(tmp_path):
+    p = tmp_path / "f.parquet"
+    p.write_bytes(b"abc")
+    t1 = source_tag(str(p))
+    st = os.stat(p)
+    p.write_bytes(b"abcd")
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))  # pin mtime: size alone
+    assert source_tag(str(p)) != t1
+
+
+def test_artifact_cache_memoizes_and_invalidates():
+    calls = []
+
+    def build():
+        calls.append(1)
+        return object()
+
+    key = ("test_cache_unit", "k1")
+    a = artifact_cache(key, build)
+    b = artifact_cache(key, build)
+    assert a is b and len(calls) == 1
+    assert invalidate(("test_cache_unit",)) == 1
+    c = artifact_cache(key, build)
+    assert c is not a and len(calls) == 2
+    invalidate(("test_cache_unit",))
+
+
+def test_build_lock_is_per_token_and_exclusive():
+    lk1 = build_lock("/tmp/test_cache_root_a")
+    lk2 = build_lock("/tmp/test_cache_root_a")
+    lk3 = build_lock("/tmp/test_cache_root_b")
+    assert lk1 is lk2 and lk1 is not lk3
+    order = []
+
+    def worker(i):
+        with build_lock("/tmp/test_cache_root_a"):
+            order.append(("enter", i))
+            order.append(("exit", i))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    with lk1:  # hold: workers must queue behind us
+        for t in ts:
+            t.start()
+    for t in ts:
+        t.join()
+    # strict enter/exit alternation == no two threads inside at once
+    assert [e for e, _ in order] == ["enter", "exit"] * 4
+
+
+def test_session_key_stable_and_not_id_based(spark):
+    k1 = session_key(spark)
+    k2 = session_key(spark)
+    assert k1 == k2
+    assert k1[0] == spark.sparkContext.applicationId
+    # the key must not be the (reusable-after-gc) CPython object id
+    assert id(spark) not in k1
+
+
+# --- staleness, parameterized over artifact kinds (verdict task 6:
+# one eviction/staleness story for every cache) -------------------------
+
+
+def _text_index_root(spark, sfd):
+    from cloudvectordb_spark.operators.search import ensure_text_index
+
+    return ensure_text_index(spark, sfd)
+
+
+def _ivf_index_root(spark, sfd):
+    from cloudvectordb_spark.operators.pipeline import ensure_ivf_index
+
+    return ensure_ivf_index(spark, sfd)
+
+
+@pytest.mark.parametrize(
+    "source,builder",
+    [
+        ("documents.parquet", _text_index_root),
+        ("embeddings.parquet", _ivf_index_root),
+    ],
+    ids=["text_index", "ivf_index"],
+)
+def test_artifact_rebuilds_on_subsecond_source_change(
+    spark, sf_dir, tmp_path, source, builder
+):
+    """Sub-second fixture regeneration must yield a NEW artifact root
+    for every persisted-index kind (the text-index-only mtime test from
+    round 7, generalized per the unified staleness story)."""
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    shutil.copy(os.path.join(sf_dir, source), sfd / source)
+    r1 = builder(spark, str(sfd))
+    st = os.stat(sfd / source)
+    os.utime(sfd / source, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000))
+    r2 = builder(spark, str(sfd))
+    assert r1 != r2
+    assert int(os.path.getmtime(sfd / source)) == int(st.st_mtime)

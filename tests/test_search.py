@@ -185,6 +185,62 @@ def test_bm25_indexed_equals_inline_bit_for_bit(spark, sf_dir):
     assert inline == indexed and len(inline) > 0
 
 
+def test_bm25_pruned_lossless_and_strictly_fewer_pairs(spark, tmp_path):
+    """WAND/max-score pruning (round 8): on a skewed corpus the pruned
+    path must (a) return EXACTLY the unpruned top-k — bit-identical
+    scores and ranks — while (b) exact-scoring strictly fewer
+    (doc, term) pairs than the full postings scan. Skew: 'data' is a
+    stopword-like term in every doc (flat, low idf), 'query' appears
+    with high tf in a handful of docs (high idf, dominates top-k) —
+    most docs' upper bounds can't reach the top-20 threshold."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.operators.search import (
+        _bm25_pruned_parts,
+        bm25_scores_indexed,
+        text_index_frames,
+    )
+    from cloudvectordb_spark.ranking import global_topk_ranked
+
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    rows = []
+    for i in range(500):
+        if i < 30:  # >=k contenders with the rare term, so the top-20
+            # threshold exceeds the common term's max-score bound and
+            # every data-only doc is provably out of reach
+            text = "data " + "query " * (5 + i) + "filler"
+        else:  # the crowd: common term only, varying length
+            text = "data " + "pad " * (i % 17 + 1) + "noise"
+        rows.append((i, text.strip(), "en", f"s{i}", len(text)))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(sfd / "documents.parquet")
+
+    terms = ("data", "query", "fast")
+    unpruned = {
+        (r.doc_id, r.bm25, r.rank)
+        for r in global_topk_ranked(
+            bm25_scores_indexed(spark, str(sfd), terms),
+            [F.desc("bm25"), F.asc("doc_id")],
+            20,
+        ).collect()
+    }
+    pairs, scored = _bm25_pruned_parts(spark, str(sfd), terms, 20)
+    pruned = {
+        (r.doc_id, r.bm25, r.rank)
+        for r in global_topk_ranked(
+            scored, [F.desc("bm25"), F.asc("doc_id")], 20
+        ).collect()
+    }
+    assert pruned == unpruned and len(pruned) == 20
+    postings = text_index_frames(spark, str(sfd))[0]
+    full_pairs = postings.filter(F.col("term").isin(*terms)).count()
+    scored_pairs = pairs.count()
+    assert scored_pairs < full_pairs, (scored_pairs, full_pairs)
+
+
 def test_text_index_rebuilds_on_fixture_mtime(spark, sf_dir, tmp_path):
     """Index staleness guard: the postings artifact is keyed on the
     documents fixture's mtime, so a regenerated fixture must produce a

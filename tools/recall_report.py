@@ -5,6 +5,15 @@ widths. Prints one JSON line:
 each with per-probe recall and the mean.
 
 Usage: python tools/recall_report.py [--sf /root/testdata/sf0.01]
+                                     [--structured N]
+
+--structured N replaces the fixture embeddings (RANDOM vectors, where
+cluster/sketch structure provably cannot exist and the measured recall
+is a floor, not a regression signal) with an N-row STUB-ENCODED corpus
+— the encoder the pipeline actually ships, whose outputs have real
+cosine structure. Recall gates belong on this corpus
+(tests/test_recall_gates.py pins per-tier minimums); the fixture
+numbers remain in the report for contrast. (Round-8 verdict task 5.)
 """
 
 from __future__ import annotations
@@ -19,6 +28,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cloudvectordb_spark.session import get_session
 
 
+def ensure_structured_corpus(spark, n: int, root: str) -> str:
+    """Write {root}/embeddings.parquet with stub-encoded vectors
+    (vec_id 0..n-1, embedding = stub_encode(vec_id), label = vec_id %
+    10) so any sf_dir-shaped consumer can point at it. Idempotent."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.operators.pipeline import stub_encode
+
+    path = f"{root}/embeddings.parquet"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return root
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = stub_encode(ids)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": list(vecs),
+                    "label": (ids % 10).astype("int32"),
+                }
+            )
+
+    (
+        spark.range(n)
+        .repartition(max(2, spark.sparkContext.defaultParallelism))
+        .mapInPandas(
+            gen, schema="vec_id long, embedding array<float>, label int"
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return root
+
+
 def topk_sets(df, probe_col="probe_id", n_col="neighbor_id", k=10):
     got: dict = {}
     for r in df.collect():
@@ -30,9 +77,16 @@ def topk_sets(df, probe_col="probe_id", n_col="neighbor_id", k=10):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--structured", type=int, default=0)
     args = ap.parse_args()
 
     spark = get_session("recall-report")
+    if args.structured:
+        args.sf = ensure_structured_corpus(
+            spark,
+            args.structured,
+            os.path.join("/tmp", "cloudvectordb_structured", str(args.structured)),
+        )
     from cloudvectordb_spark.operators.pq import ivfpq_topk_search, pq_topk_search
     from cloudvectordb_spark.operators.pipeline import ivf_topk_search
     from cloudvectordb_spark.operators.vector_ops import (

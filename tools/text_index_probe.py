@@ -33,7 +33,10 @@ _TERMS = ("w12", "w345", "w6789")  # query terms drawn from the vocab
 
 
 def ensure_docs(spark, n_docs: int, root: str) -> str:
-    path = f"{root}/documents"
+    # written as {root}/sf/documents.parquet so the probe corpus is a
+    # drop-in sf_dir for ensure_text_index / bm25_scores_indexed — the
+    # probe measures the REAL package index path, not a replica.
+    path = f"{root}/sf/documents.parquet"
     if os.path.exists(f"{path}/_SUCCESS"):
         return path
     # deterministic word soup: word_j of doc i = "w" + (xxhash64(i, j) % V)
@@ -77,11 +80,15 @@ def main() -> int:
     spark = get_session("text-index-probe")
     root = os.path.join("/tmp", "cloudvectordb_textprobe", str(args.docs))
     docs_path = ensure_docs(spark, args.docs, root)
+    sf_dir = os.path.dirname(docs_path)
     docs = spark.read.parquet(docs_path)
 
     from cloudvectordb_spark.operators.search import (
-        _bm25_from_parts,
+        _bm25_pruned_parts,
         bm25_scores,
+        bm25_scores_indexed,
+        ensure_text_index,
+        text_index_frames,
     )
     from cloudvectordb_spark.ranking import global_topk_ranked
 
@@ -101,40 +108,33 @@ def main() -> int:
 
     inline_s = timed(lambda: topk(bm25_scores(docs, _TERMS)))
 
-    # index build (the once-per-corpus cost), then the indexed query
-    idx = f"{root}/textindex"
+    # index build (the once-per-corpus cost) via the REAL package
+    # builder (postings + dl + stats + term_meta, term-sorted row
+    # groups), then the indexed and WAND-pruned query paths it serves
     t0 = time.perf_counter()
-    if not os.path.exists(f"{idx}/postings/_SUCCESS"):
-        tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        (
-            tok.groupBy("term", "doc_id")
-            .agg(F.count("*").alias("tf"))
-            .repartition(16, "term")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .parquet(f"{idx}/postings")
-        )
-        dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-        dl.write.mode("overwrite").parquet(f"{idx}/dl")
-        dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
-            "overwrite"
-        ).parquet(f"{idx}/stats")
+    ensure_text_index(spark, sf_dir)
     build_s = round(time.perf_counter() - t0, 3)
 
-    def indexed():
-        tf = spark.read.parquet(f"{idx}/postings").filter(
-            F.col("term").isin(*_TERMS)
-        )
-        dl = spark.read.parquet(f"{idx}/dl")
-        stats = spark.read.parquet(f"{idx}/stats")
-        return topk(_bm25_from_parts(tf, dl, stats))
+    indexed_s = timed(
+        lambda: topk(bm25_scores_indexed(spark, sf_dir, _TERMS))
+    )
+    pruned_s = timed(
+        lambda: topk(_bm25_pruned_parts(spark, sf_dir, _TERMS, 20)[1])
+    )
 
-    indexed_s = timed(indexed)
-
-    # sanity: both paths agree on the top-20
+    # sanity: all three paths agree on the top-20
     a = [(r.doc_id, r.bm25) for r in topk(bm25_scores(docs, _TERMS)).collect()]
-    b = [(r.doc_id, r.bm25) for r in indexed().collect()]
-    assert a == b, "indexed and inline top-20 diverged"
+    b = [
+        (r.doc_id, r.bm25)
+        for r in topk(bm25_scores_indexed(spark, sf_dir, _TERMS)).collect()
+    ]
+    pairs, scored = _bm25_pruned_parts(spark, sf_dir, _TERMS, 20)
+    c = [(r.doc_id, r.bm25) for r in topk(scored).collect()]
+    assert a == b == c, "indexed/pruned/inline top-20 diverged"
+
+    postings = text_index_frames(spark, sf_dir)[0]
+    full_pairs = postings.filter(F.col("term").isin(*_TERMS)).count()
+    scored_pairs = pairs.count()
 
     out = {
         "n_docs": args.docs,
@@ -142,7 +142,11 @@ def main() -> int:
         "inline_query_s": inline_s,
         "index_build_s": build_s,
         "indexed_query_s": indexed_s,
+        "pruned_query_s": pruned_s,
         "speedup_x": round(inline_s / indexed_s, 2),
+        "postings_pairs": full_pairs,
+        "pruned_scored_pairs": scored_pairs,
+        "pair_reduction_x": round(full_pairs / max(scored_pairs, 1), 2),
     }
     print(json.dumps(out))
     return 0
