@@ -17,6 +17,14 @@ from cloudvectordb_spark.catalog import load
 from cloudvectordb_spark.registry import query
 
 
+def _src_fp(p):
+    # mtime_ns+size fingerprint (cache.source_tag): same-second
+    # fixture regens still invalidate derived artifacts
+    from cloudvectordb_spark.cache import source_tag
+
+    return source_tag(p)
+
+
 # ---------------------------------------------------------------------------
 # J1: tumbling window aggregate (1 hour)
 # ---------------------------------------------------------------------------
@@ -1192,7 +1200,7 @@ def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "events.parquet")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(src))}".encode()
+        f"{os.path.abspath(sf_dir)}|{_src_fp(src)}".encode()
     ).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), "cloudvectordb_stream_sink", tag)
     run_to_parquet_sink(
@@ -1479,10 +1487,12 @@ def ensure_hourly_rollup(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
+    import hashlib
+
     src = os.path.join(sf_dir, "events.parquet")
     tag = (
         f"{sf_dir.strip('/').replace('/', '_')}_"
-        f"{int(os.path.getmtime(src))}_h1"
+        f"{hashlib.md5(_src_fp(src).encode()).hexdigest()[:12]}_h1"
     )
     path = os.path.join(tempfile.gettempdir(), "cloudvectordb_rollup", tag)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

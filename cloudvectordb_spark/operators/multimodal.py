@@ -61,13 +61,20 @@ def _materialize_binary_corpus(spark: SparkSession, sf_dir: str, limit: int = 50
     import os
     import tempfile
 
-    # key the cache on the fixture's mtime too: regenerated testdata must
-    # re-materialize or the oracle (which reads the live table) mismatches
-    src_mtime = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    # key the cache on the fixture's fingerprint too: regenerated testdata
+    # must re-materialize or the oracle (which reads the live table)
+    # mismatches; mtime_ns+size so same-second regens invalidate
+    import hashlib
+
+    from cloudvectordb_spark.cache import source_tag
+
+    src_fp = hashlib.md5(
+        source_tag(os.path.join(sf_dir, "documents.parquet")).encode()
+    ).hexdigest()[:12]
     out = os.path.join(
         tempfile.gettempdir(),
         "cloudvectordb_blobs",
-        f"{sf_dir.strip('/').replace('/', '_')}_{src_mtime}",
+        f"{sf_dir.strip('/').replace('/', '_')}_{src_fp}",
     )
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):

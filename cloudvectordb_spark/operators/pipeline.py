@@ -971,11 +971,17 @@ def ensure_trained_artifact(spark: SparkSession, sf_dir: str) -> str:
 
     from cloudvectordb_spark.training import train_encoder_spark
 
-    src_mtime = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    import hashlib
+
+    from cloudvectordb_spark.cache import source_tag
+
+    src_fp = hashlib.md5(
+        source_tag(os.path.join(sf_dir, "documents.parquet")).encode()
+    ).hexdigest()[:12]
     art = os.path.join(
         tempfile.gettempdir(),
         "cloudvectordb_artifact",
-        f"{sf_dir.strip('/').replace('/', '_')}_{src_mtime}_sgd",
+        f"{sf_dir.strip('/').replace('/', '_')}_{src_fp}_sgd",
     )
     if not os.path.exists(os.path.join(art, "encoder.npz")):
         build = f"{art}.build{os.getpid()}"

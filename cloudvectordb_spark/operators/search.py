@@ -134,10 +134,10 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     # mtime_ns + size fingerprint (cache.source_tag): a fixture
     # regenerated within the same second as the prior build still gets
     # a fresh index (round-7 ADVICE). md5 keeps the dir name short.
-    # "v2" = index format version (postings + dl + stats + term_meta);
-    # bump whenever the artifact schema changes so an old on-disk index
-    # can never be read by newer code.
-    fp = hashlib.md5(f"v2|{source_tag(src)}".encode()).hexdigest()[:16]
+    # "v3" = index format version (postings + dl + stats + term_meta +
+    # positional postings); bump whenever the artifact schema changes so
+    # an old on-disk index can never be read by newer code.
+    fp = hashlib.md5(f"v3|{source_tag(src)}".encode()).hexdigest()[:16]
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp}"
     root = os.path.join(tempfile.gettempdir(), "cloudvectordb_textindex", tag)
     if os.path.exists(os.path.join(root, "_DONE")):
@@ -150,9 +150,12 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
             return root
         build = f"{root}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
         docs = load(spark, sf_dir, "documents")
-        tok = docs.select(
-            "doc_id", F.explode(TX.tokens("text")).alias("term")
+        # posexplode: keep the 0-based token position for the
+        # positional postings (phrase / proximity serving, round 8)
+        ptok = docs.select(
+            "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "term")
         )
+        tok = ptok.select("doc_id", "term")
         postings = tok.groupBy("term", "doc_id").agg(
             F.count("*").alias("tf")
         )
@@ -161,6 +164,18 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
             .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite")
             .parquet(os.path.join(build, "postings"))
+        )
+        # positional postings: one row per (term, doc), positions as a
+        # sorted int array — the standard phrase-serving layout, term-
+        # sorted row groups like the tf postings so the per-query
+        # IN-list scan prunes identically.
+        (
+            ptok.groupBy("term", "doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .repartition(8, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(build, "positions"))
         )
         # Per-term max impact for WAND-style top-k pruning (round 8):
         # the BM25 tf-saturation term tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
@@ -353,6 +368,145 @@ def _bm25_pruned_parts(
 def bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, scored = _bm25_pruned_parts(spark, sf_dir, _QUERY_TERMS, 20)
     return global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 20)
+
+
+def positional_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional postings DataFrame (term, doc_id, positions
+    array<int>, 0-based), session-cached like text_index_frames."""
+    from cloudvectordb_spark.cache import artifact_cache, session_key
+
+    root = ensure_text_index(spark, sf_dir)
+    return artifact_cache(
+        ("text_index_positions", root, session_key(spark)),
+        lambda: spark.read.parquet(f"{root}/positions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phrase + proximity search (round 8): the one common keyword-serving
+# surface the engine lacked. Served from the positional postings — the
+# query reads ONLY the phrase terms' position lists (same pushed
+# IN-list row-group pruning as the tf postings), joins them on doc_id,
+# and counts adjacency (phrase) or within-window pairs (proximity) with
+# array intrinsics. Never a raw-text scan at query time; the DuckDB
+# oracles recompute from raw text, proving the positional index
+# faithful. At 100 TB: position lists ride the same term-sorted shards,
+# so a phrase query touches exactly its terms' row groups.
+# ---------------------------------------------------------------------------
+_PHRASE = ("data", "query")
+_PROX_TERMS = ("data", "fast")
+_PROX_WINDOW = 3
+
+
+def phrase_match_counts(
+    spark: SparkSession, sf_dir: str, phrase: tuple[str, ...]
+) -> DataFrame:
+    """(doc_id, n_occurrences) for an exact consecutive phrase, folded
+    left-to-right: after step i, `starts` holds the start positions
+    whose first i+1 phrase terms match consecutively."""
+    pos = positional_frame(spark, sf_dir)
+    acc = (
+        pos.filter(F.col("term") == phrase[0])
+        .select("doc_id", F.col("positions").alias("starts"))
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("_p")
+        )
+        # NB: the transform lambda must take exactly ONE parameter — a
+        # two-parameter lambda makes pyspark pass the array INDEX as
+        # the second argument, silently shadowing a captured default.
+        offset = F.lit(i)
+        acc = (
+            acc.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    "starts",
+                    F.transform("_p", lambda x: x - offset),  # noqa: B023
+                ).alias("starts"),
+            )
+            .filter(F.size("starts") > 0)
+        )
+    return acc.select(
+        "doc_id", F.size("starts").cast("bigint").alias("n_occurrences")
+    )
+
+
+@query(
+    "phrase_search",
+    oracle=f"""
+    SELECT doc_id, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+                  i -> toks[i] = '{_PHRASE[0]}' AND toks[i+1] = '{_PHRASE[1]}'))
+               AS BIGINT) AS n_occurrences
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ) WHERE n_occurrences > 0
+    QUALIFY rank <= 20
+    """,
+    operators=("K2", "H7", "H8", "E4", "C1"),
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs by exact-phrase occurrence count for "data query",
+    served from positional postings (the oracle scans raw text)."""
+    counts = phrase_match_counts(spark, sf_dir, _PHRASE)
+    return global_topk_ranked(
+        counts, [F.desc("n_occurrences"), F.asc("doc_id")], 20
+    )
+
+
+@query(
+    "proximity_search",
+    oracle=f"""
+    SELECT doc_id, n_pairs,
+           CAST(row_number() OVER (ORDER BY n_pairs DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM (
+      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(range(1, len(toks) + 1),
+                      i -> toks[i] = '{_PROX_TERMS[0]}')) AS pa
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      ) a
+      JOIN (
+        SELECT doc_id,
+               unnest(list_filter(range(1, len(toks) + 1),
+                      i -> toks[i] = '{_PROX_TERMS[1]}')) AS pb
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      ) b ON a.doc_id = b.doc_id AND abs(a.pa - b.pb) <= {_PROX_WINDOW}
+      GROUP BY a.doc_id
+    ) QUALIFY rank <= 20
+    """,
+    operators=("K2", "H7", "H8", "E4", "C6"),
+)
+def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs by count of ("data", "fast") position pairs within
+    a 3-token window — positional-postings-served proximity ranking.
+    The pair count explodes both terms' position lists for matching
+    docs only (bounded by per-doc term frequency, never corpus-wide)."""
+    pos = positional_frame(spark, sf_dir)
+    a = (
+        pos.filter(F.col("term") == _PROX_TERMS[0])
+        .select("doc_id", F.explode("positions").alias("pa"))
+    )
+    b = (
+        pos.filter(F.col("term") == _PROX_TERMS[1])
+        .select("doc_id", F.explode("positions").alias("pb"))
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= _PROX_WINDOW)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+    return global_topk_ranked(
+        pairs, [F.desc("n_pairs"), F.asc("doc_id")], 20
+    )
 
 
 @query(

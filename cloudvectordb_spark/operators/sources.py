@@ -21,6 +21,14 @@ from pyspark.sql import types as T
 from cloudvectordb_spark.catalog import load
 from cloudvectordb_spark.registry import query
 
+
+def _src_fp(p):
+    # mtime_ns+size fingerprint (cache.source_tag): same-second
+    # fixture regens still invalidate derived artifacts
+    from cloudvectordb_spark.cache import source_tag
+
+    return source_tag(p)
+
 # per-process root: concurrent engine processes (e.g. a parallel bench
 # while the gate runs) must not clobber each other's roundtrip files
 _IO_ROOT = os.path.join(
@@ -197,7 +205,7 @@ def versioned_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uuid tree per call.
     src = os.path.join(sf_dir, "embeddings.parquet")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(src))}".encode()
+        f"{os.path.abspath(sf_dir)}|{_src_fp(src)}".encode()
     ).hexdigest()[:10]
     root = os.path.join(_IO_ROOT, f"versioned_{tag}")
     if not (
@@ -247,7 +255,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     src = os.path.join(sf_dir, "orders.parquet")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(src))}".encode()
+        f"{os.path.abspath(sf_dir)}|{_src_fp(src)}".encode()
     ).hexdigest()[:10]
     loc = os.path.join(tempfile.gettempdir(), "cloudvectordb_buckets")
     spark.sql(
@@ -412,7 +420,7 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshots instead of leaking a fresh uuid-named tree per call.
     src = os.path.join(sf_dir, "embeddings.parquet")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{int(os.path.getmtime(src))}".encode()
+        f"{os.path.abspath(sf_dir)}|{_src_fp(src)}".encode()
     ).hexdigest()[:10]
     old_root = os.path.join(_IO_ROOT, f"snapdiff_old_{tag}")
     new_root = os.path.join(_IO_ROOT, f"snapdiff_new_{tag}")

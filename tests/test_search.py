@@ -241,6 +241,35 @@ def test_bm25_pruned_lossless_and_strictly_fewer_pairs(spark, tmp_path):
     assert scored_pairs < full_pairs, (scored_pairs, full_pairs)
 
 
+def test_phrase_match_trigram_fold(spark, tmp_path):
+    """phrase_match_counts folds left-to-right over the positional
+    postings; a 3-term phrase exercises the multi-step offset logic
+    (including overlapping occurrences and decoy prefixes)."""
+    import pandas as pd
+
+    from cloudvectordb_spark.operators.search import phrase_match_counts
+
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    rows = [
+        (0, "big data query fast big data query engine", "en", "s", 1),
+        (1, "big data queries big data slow", "en", "s", 1),  # decoy prefix
+        (2, "data query big big data query big data query", "en", "s", 1),
+        (3, "nothing here at all", "en", "s", 1),
+        (4, "big data big data query", "en", "s", 1),  # partial then full
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(sfd / "documents.parquet")
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_match_counts(
+            spark, str(sfd), ("big", "data", "query")
+        ).collect()
+    }
+    assert got == {0: 2, 2: 2, 4: 1}
+
+
 def test_text_index_rebuilds_on_fixture_mtime(spark, sf_dir, tmp_path):
     """Index staleness guard: the postings artifact is keyed on the
     documents fixture's mtime, so a regenerated fixture must produce a
