@@ -152,15 +152,42 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
         docs = load(spark, sf_dir, "documents")
         # posexplode: keep the 0-based token position for the
         # positional postings (phrase / proximity serving, round 8)
+        # The corpus-sized token stream is exploded and shuffled ONCE
+        # into the grouped (term, doc_id) frame; all four artifacts
+        # (postings, positions, dl, term_meta) derive from it. A first
+        # cut re-exploded the stream per artifact — four corpus passes
+        # — and went superlinear at 10M docs (282 s build; BASELINE.md
+        # round 8). The grouped frame persists MEMORY_AND_DISK for the
+        # derived writes, then unpersists.
+        from pyspark import StorageLevel
+
         ptok = docs.select(
             "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "term")
         )
-        tok = ptok.select("doc_id", "term")
-        postings = tok.groupBy("term", "doc_id").agg(
-            F.count("*").alias("tf")
+        grouped = (
+            ptok.groupBy("term", "doc_id")
+            .agg(
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+                F.count("*").alias("tf"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # dl + corpus stats first: the one-row stats agg also sizes the
+        # term-partition width (~1 partition / 25M tokens, floor 8) so
+        # per-partition sort volume stays flat as the corpus grows.
+        # Partition width never changes artifact VALUES.
+        dl = grouped.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(os.path.join(build, "dl"))
+        stats = dl.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        stats.write.mode("overwrite").parquet(os.path.join(build, "stats"))
+        srow = stats.collect()[0]  # bounded: one row
+        n_tokens = int((srow.n_docs or 0) * (srow.avgdl or 0.0))
+        n_parts = max(8, min(256, n_tokens // 25_000_000 + 1))
+        postings = grouped.select("term", "doc_id", "tf")
         (
-            postings.repartition(8, "term")
+            postings.repartition(n_parts, "term")
             .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite")
             .parquet(os.path.join(build, "postings"))
@@ -170,9 +197,8 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
         # sorted row groups like the tf postings so the per-query
         # IN-list scan prunes identically.
         (
-            ptok.groupBy("term", "doc_id")
-            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-            .repartition(8, "term")
+            grouped.select("term", "doc_id", "positions")
+            .repartition(n_parts, "term")
             .sortWithinPartitions("term", "doc_id")
             .write.mode("overwrite")
             .parquet(os.path.join(build, "positions"))
@@ -183,12 +209,6 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
         # the EXACT (tf, dl) pairs, so idf * max_impact is a true upper
         # bound on any doc's contribution from that term. Stored beside
         # df so the query-time pruner needs no extra corpus pass.
-        dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-        dl.write.mode("overwrite").parquet(os.path.join(build, "dl"))
-        stats = dl.agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-        )
-        stats.write.mode("overwrite").parquet(os.path.join(build, "stats"))
         tf_sat = (F.col("tf") * (_K1 + 1.0)) / (
             F.col("tf")
             + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
@@ -204,6 +224,7 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(build, "term_meta"))
         )
+        grouped.unpersist()
         open(os.path.join(build, "_DONE"), "w").close()
         try:
             os.rename(build, root)

@@ -311,3 +311,58 @@ def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
     )
+
+
+def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    phys = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(phys)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def delta_postings_stream(docs: DataFrame) -> DataFrame:
+    """Per-micro-batch postings build: explode -> (term, doc_id, tf).
+    Aggregation is WITHIN a batch only (docs are immutable rows, each
+    appears in exactly one micro-batch), so this runs under foreachBatch
+    on the batch frame — no unbounded streaming state."""
+    from cloudvectordb_spark.functions import text as TX
+
+    return (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def run_postings_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Continuous text-index maintenance (round 8): stream documents,
+    build each micro-batch's delta postings, append them as shards with
+    a checkpoint (restart-safe: committed batches never reprocess).
+    The serving view is the tf-addition rollup over shards — the same
+    mergeable-postings contract `postings_incremental_merge` and
+    `incremental_ingest_e2e` prove against a full rebuild; here the
+    micro-batch engine is the delta producer instead of an md5 split.
+    At scale this is the Kafka->index maintenance topology: shard
+    appends per batch, compaction amortized elsewhere."""
+    docs = read_docs_stream(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta_postings_stream(batch_df).write.mode("append").parquet(out_path)
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

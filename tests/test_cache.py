@@ -92,6 +92,30 @@ def test_session_key_stable_and_not_id_based(spark):
     assert id(spark) not in k1
 
 
+def test_fixture_load_cache_invalidates_on_regen(spark, tmp_path):
+    """catalog.load caches the scan DataFrame per (session, source
+    fingerprint) — the round-8 bench win. A regenerated fixture (same
+    path, new content, even same-second) MUST be re-read, and the two
+    loads of an unchanged file must be the same cached object."""
+    import pandas as pd
+
+    from cloudvectordb_spark.catalog import load
+
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    p = sfd / "region.parquet"
+    pd.DataFrame({"r_regionkey": [1, 2], "r_name": ["A", "B"]}).to_parquet(p)
+    df1 = load(spark, str(sfd), "region")
+    assert df1.count() == 2
+    assert load(spark, str(sfd), "region") is df1  # cached object
+    pd.DataFrame(
+        {"r_regionkey": [1, 2, 3], "r_name": ["A", "B", "C"]}
+    ).to_parquet(p)
+    df2 = load(spark, str(sfd), "region")
+    assert df2 is not df1
+    assert df2.count() == 3
+
+
 # --- staleness, parameterized over artifact kinds (verdict task 6:
 # one eviction/staleness story for every cache) -------------------------
 

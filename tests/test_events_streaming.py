@@ -294,3 +294,36 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
     g = {(r.ws, r.event_type): (r.n, r.sum_value) for r in got.collect()}
     b = {(r.ws, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_streaming_postings_ingest_equals_batch_index(spark, sf_dir, tmp_path):
+    """Round-8 continuous text-index maintenance: delta-postings shards
+    appended per micro-batch, rolled up by tf-addition, must equal the
+    batch-built postings artifact row-for-row (the same mergeable-
+    postings contract incremental_ingest_e2e proves for the md5 split,
+    here produced by the micro-batch engine with a checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.operators.search import text_index_frames
+    from cloudvectordb_spark.streaming.jobs import run_postings_ingest
+
+    out = str(tmp_path / "stream_postings")
+    ckpt = str(tmp_path / "ckpt_postings")
+    run_postings_ingest(spark, sf_dir, out, ckpt)
+
+    rolled = (
+        spark.read.parquet(out)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+    )
+    batch_postings = text_index_frames(spark, sf_dir)[0].select(
+        "term", "doc_id", F.col("tf").cast("bigint").alias("tf")
+    )
+    assert rolled.exceptAll(batch_postings).count() == 0
+    assert batch_postings.exceptAll(rolled).count() == 0
+    assert rolled.count() > 0
+
+    # restart with the same checkpoint: committed offsets, no reprocess
+    n1 = spark.read.parquet(out).count()
+    run_postings_ingest(spark, sf_dir, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
