@@ -390,12 +390,23 @@ def _normalized_probes(emb: DataFrame, n: int = 3) -> list[tuple[int, np.ndarray
     operators=("K9", "K8", "K6", "L2", "L3", "E4"),
     bench=True,
 )
-def pq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_topk_search(
+    spark: SparkSession, sf_dir: str, rescore_c: int | None = None
+) -> DataFrame:
     """PQ-ADC candidate generation + exact cosine rescore, top-10 for 3
     probes. Output matches the exact-kNN shape (probe_id, neighbor_id,
-    score, rank) so recall is directly measurable against it."""
+    score, rank) so recall is directly measurable against it.
+
+    ``rescore_c`` (default ``_RESCORE_C``, the oracle's constant): the
+    candidate-pool width. A FIXED pool is the measured recall cliff at
+    1M structured vectors (BASELINE.md round 8) — 8-byte-code distance
+    margins drop below quantization error, true neighbors fall outside
+    the top-100 ADC order. The production knob is scaling C with
+    corpus size (rescore cost stays trivial: C exact cosines/probe);
+    tools/recall_report.py --rescore-c measures the recovery."""
     from cloudvectordb_spark.functions import vector as V
 
+    c = _RESCORE_C if rescore_c is None else rescore_c
     emb = load(spark, sf_dir, "embeddings")
     encoded, books = ensure_pq_index(spark, sf_dir)
     probes = _normalized_probes(emb)
@@ -406,7 +417,7 @@ def pq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
     cands = (
         scores.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= _RESCORE_C)
+        .filter(F.col("crank") <= c)
         .select("probe_id", "vec_id")
     )
     pv = emb.filter(F.col("vec_id") < 3).select(
@@ -555,12 +566,16 @@ def _ivfpq_oracle() -> str:
     oracle=_ivfpq_oracle(),
     operators=("K9", "K8", "K6", "L2", "L3", "E4", "A3"),
 )
-def ivfpq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_topk_search(
+    spark: SparkSession, sf_dir: str, rescore_c: int | None = None
+) -> DataFrame:
     """Cell-pruned ADC + exact rescore, top-10 for 3 probes; output shape
-    matches exact kNN so recall is directly measurable."""
+    matches exact kNN so recall is directly measurable. ``rescore_c``:
+    see pq_topk_search — the corpus-scaled candidate-pool knob."""
     from cloudvectordb_spark.functions import vector as V
     from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
 
+    c = _RESCORE_C if rescore_c is None else rescore_c
     emb = load(spark, sf_dir, "embeddings")
     codes, books, cents = ensure_ivfpq_index(spark, sf_dir)
     probes = _normalized_probes(emb)
@@ -584,7 +599,7 @@ def ivfpq_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
     cands = (
         scores.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= _RESCORE_C)
+        .filter(F.col("crank") <= c)
         .select("probe_id", "vec_id")
     )
     rescored = (

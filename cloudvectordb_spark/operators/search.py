@@ -530,6 +530,161 @@ def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Snippet extraction (round 8): the last hop of the serving pipeline —
+# retrieve (phrase match on positional postings) -> locate (first
+# occurrence position, already IN the index, no text re-scan to find
+# it) -> render (one bounded slice of the matched doc's tokens). Only
+# the matched docs' text rows are ever touched; at 100 TB snippets are
+# a broadcast-join of the ~k result ids back to the doc store.
+# ---------------------------------------------------------------------------
+_SNIPPET_PAD = 3  # tokens of context either side of the phrase
+
+
+@query(
+    "phrase_search_snippets",
+    oracle=f"""
+    SELECT doc_id, first_pos, snippet FROM (
+      SELECT doc_id,
+             CAST(hits[1] AS BIGINT) - 1 AS first_pos,  -- 0-based, engine parity
+             array_to_string(
+               toks[greatest(1, hits[1] - {_SNIPPET_PAD}) :
+                    least(len(toks), hits[1] + 1 + {_SNIPPET_PAD})],
+               ' ') AS snippet
+      FROM (
+        SELECT doc_id, toks,
+               list_filter(range(1, len(toks)),
+                 i -> toks[i] = '{_PHRASE[0]}' AND toks[i+1] = '{_PHRASE[1]}')
+                 AS hits
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      ) WHERE len(hits) > 0
+    ) ORDER BY doc_id LIMIT 10
+    """,
+    operators=("K2", "H1", "H7", "C2", "F3"),
+)
+def phrase_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence snippet (±3 tokens) for the first 10 docs
+    matching the "data query" phrase. The occurrence position comes
+    from the positional index; only matched docs' text is read."""
+    pos = positional_frame(spark, sf_dir)
+    a = pos.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = pos.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    first = (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.array_min(
+                F.array_intersect(
+                    "pa", F.transform("pb", lambda x: x - 1)
+                )
+            ).alias("first_pos"),
+        )
+        .filter(F.col("first_pos").isNotNull())
+    )
+    docs = load(spark, sf_dir, "documents")
+    matched = global_topk_ranked(
+        first, [F.asc("doc_id")], 10
+    ).drop("rank")
+    toks = TX.tokens("text")
+    # slice() is 1-based: phrase starts at token first_pos+1; window
+    # covers [start-PAD, start+1+PAD] clamped to the doc
+    start1 = F.col("first_pos") + 1
+    lo = F.greatest(F.lit(1), start1 - _SNIPPET_PAD)
+    hi = F.least(F.size(toks), start1 + 1 + _SNIPPET_PAD)
+    return (
+        docs.join(F.broadcast(matched), "doc_id")
+        .select(
+            "doc_id",
+            F.col("first_pos").cast("bigint").alias("first_pos"),
+            F.array_join(
+                F.slice(toks, lo, hi - lo + 1), " "
+            ).alias("snippet"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse-vector search (round 8): the SPLADE/learned-sparse serving
+# shape — query = sparse (term -> weight) vector, doc = sparse tf-idf
+# vector, score = sparse dot product. Served from the SAME persisted
+# postings + term_meta + stats artifacts as BM25 (pushed IN-list over
+# term-sorted row groups); only the scoring expression differs, which
+# is exactly why an inverted index is the universal sparse-retrieval
+# layout. The query weights here stand in for a learned sparse
+# encoder's output (a handful of nonzero terms).
+# ---------------------------------------------------------------------------
+_SPARSE_Q = (("data", 1.0), ("query", 0.7), ("engine", 0.5), ("fast", 0.25))
+
+
+def sparse_dot_scores(
+    spark: SparkSession, sf_dir: str, qweights=_SPARSE_Q
+) -> DataFrame:
+    terms = tuple(t for t, _ in qweights)
+    postings, _, stats, term_meta = text_index_frames(spark, sf_dir)
+    qw = spark.createDataFrame(
+        list(qweights), schema="term string, qw double"
+    )
+    tf = postings.filter(F.col("term").isin(*terms))
+    meta = term_meta.filter(F.col("term").isin(*terms)).select("term", "df")
+    # tf-idf weight: tf * ln(n_docs / df); score = sum over shared terms
+    return (
+        tf.join(F.broadcast(meta), "term")
+        .join(F.broadcast(qw), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("qw")
+                    * F.col("tf")
+                    * F.log(F.col("n_docs") / F.col("df"))
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+
+
+@query(
+    "sparse_dot_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    qw(term, qw) AS (VALUES {", ".join(f"('{t}', {w})" for t, w in _SPARSE_Q)}),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN (SELECT term FROM qw) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN (SELECT term FROM qw) GROUP BY term)
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM (
+      SELECT tf.doc_id,
+             round(sum(qw.qw * tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE))), 6)
+               AS score
+      FROM tf JOIN df USING (term) JOIN qw USING (term) CROSS JOIN n
+      GROUP BY tf.doc_id
+    ) QUALIFY rank <= 20
+    """,
+    operators=("K2", "K7", "E4", "C2", "D1"),
+)
+def sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs by sparse query-doc dot product, index-served (the
+    oracle recomputes tf-idf from raw text)."""
+    return global_topk_ranked(
+        sparse_dot_scores(spark, sf_dir),
+        [F.desc("score"), F.asc("doc_id")],
+        20,
+    )
+
+
 @query(
     "bm25_keyword_search",
     oracle=f"""

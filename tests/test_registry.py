@@ -160,3 +160,30 @@ def test_registry_has_no_rows_only_queries():
 
     rows_only = [n for n, s in all_queries().items() if s.oracle is None]
     assert rows_only == [], rows_only
+
+
+def test_driver_window_tail_rotates_with_round_salt():
+    """Round-8 sample rotation: a different round-artifact salt must
+    reshuffle the post-cover tail of the ordering while the covering
+    window itself keeps covering every operator ID and bench query."""
+    from cloudvectordb_spark import registry as R
+
+    qs = all_queries()
+    try:
+        R._SALT_CACHE.clear()
+        R._SALT_CACHE.append("salt-a")
+        order_a = list(R._priority_order(dict(qs)))
+        R._SALT_CACHE.clear()
+        R._SALT_CACHE.append("salt-b")
+        order_b = list(R._priority_order(dict(qs)))
+    finally:
+        R._SALT_CACHE.clear()
+    assert set(order_a) == set(order_b)
+    assert order_a != order_b, "tail must reshuffle with the salt"
+    # covering prefix invariant holds under BOTH salts
+    for order in (order_a, order_b):
+        window = order[: R.DRIVER_SAMPLE]
+        covered = {op for n in window for op in qs[n].operators}
+        all_ids = {op for s in qs.values() for op in s.operators}
+        assert all_ids <= covered
+        assert all(n in window for n, s in qs.items() if s.bench)

@@ -270,6 +270,52 @@ def test_phrase_match_trigram_fold(spark, tmp_path):
     assert got == {0: 2, 2: 2, 4: 1}
 
 
+def test_phrase_match_fuzz_vs_naive(spark, tmp_path):
+    """Seeded fuzz: 40 random word-soup docs, three random phrases —
+    the positional-postings fold must agree with a naive Python scan
+    on every doc (counts, not just membership)."""
+    import random
+
+    import pandas as pd
+
+    from cloudvectordb_spark.operators.search import phrase_match_counts
+
+    rng = random.Random(8)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        for _ in range(40)
+    ]
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(sfd / "documents.parquet")
+
+    def naive(text: str, phrase: tuple) -> int:
+        toks = text.split(" ")
+        m = len(phrase)
+        return sum(
+            1
+            for i in range(len(toks) - m + 1)
+            if tuple(toks[i : i + m]) == phrase
+        )
+
+    for plen in (2, 3, 4):
+        phrase = tuple(rng.choice(vocab) for _ in range(plen))
+        got = {
+            r.doc_id: r.n_occurrences
+            for r in phrase_match_counts(spark, str(sfd), phrase).collect()
+        }
+        exp = {
+            i: naive(t, phrase)
+            for i, t in enumerate(docs)
+            if naive(t, phrase) > 0
+        }
+        assert got == exp, (phrase, got, exp)
+
+
 def test_text_index_rebuilds_on_fixture_mtime(spark, sf_dir, tmp_path):
     """Index staleness guard: the postings artifact is keyed on the
     documents fixture's mtime, so a regenerated fixture must produce a

@@ -78,6 +78,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--structured", type=int, default=0)
+    ap.add_argument(
+        "--rescore-c",
+        type=int,
+        default=0,
+        help="override the PQ/IVF-PQ rescore candidate-pool width "
+        "(0 = the oracle's default; scale with corpus size to recover "
+        "recall at large N — BASELINE.md round 8)",
+    )
     args = ap.parse_args()
 
     spark = get_session("recall-report")
@@ -97,10 +105,11 @@ def main() -> int:
 
     exact = topk_sets(knn_exact_cosine(spark, args.sf))
 
+    c = args.rescore_c or None
     methods = {
         "ivf": ivf_topk_search,
-        "pq": pq_topk_search,
-        "ivfpq": ivfpq_topk_search,
+        "pq": lambda s, sf: pq_topk_search(s, sf, rescore_c=c),
+        "ivfpq": lambda s, sf: ivfpq_topk_search(s, sf, rescore_c=c),
         "binary": binary_quant_hamming_topk,
         "matryoshka": matryoshka_truncated_knn,
     }
