@@ -253,3 +253,310 @@ def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("final_corpus_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete lifecycle (round 8): the other half of index maintenance.
+# incremental_ingest_e2e proves ADDS maintain every artifact with
+# work ∝ delta; these two queries prove DELETES do too — the way a
+# production vector/text store actually handles them:
+#
+#   serve-time  — a tombstone set (doc ids) is anti-joined into the
+#                 query-term postings and the doc-length table; corpus
+#                 stats (N, Σdl) are DECREMENTED, not recomputed from
+#                 text. No raw-text scan anywhere on the serve path.
+#   compaction  — tombstoned rows are physically dropped from the
+#                 postings artifact; the invariant (proved in-plan,
+#                 both exceptAll directions) is that the compacted
+#                 index equals a FULL REBUILD on the surviving corpus,
+#                 and that the integer stat/df decrements equal a
+#                 recount.
+#
+# WAND note: term_meta's max_impact entries are computed against the
+# pre-delete avgdl. Deletes shrink postings (bounds can only loosen as
+# pair sets shrink) but also CHANGE avgdl, which can push a surviving
+# doc's tf-saturation above the stored bound — so the pruned path must
+# not be served between delete and compaction without recomputing
+# term_meta; compaction (which rebuilds term_meta from the surviving
+# (tf, dl) pairs) restores tightness. bm25_after_deletes therefore
+# serves the UNPRUNED scoring join. All comparisons in the compaction
+# invariant are integers/booleans — nothing in the gate rides on
+# cross-engine float summation order.
+# ---------------------------------------------------------------------------
+_TOMB_HEX = "0"  # md5(doc_id) first hex char — ~1/16 of docs deleted
+
+
+def _tombstones(dl: DataFrame) -> DataFrame:
+    """Deterministic tombstone set, derived from the persisted doc-
+    length artifact (NOT from raw documents — the serve path never
+    touches text): md5(doc_id) starting '0', ~6% of the corpus."""
+    return dl.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == _TOMB_HEX
+    ).select("doc_id")
+
+
+@query(
+    "bm25_after_deletes",
+    # Oracle: full BM25 recomputed from the raw SURVIVING corpus.
+    # avgdl is sum/count (exact bigint sum, one double division) on
+    # both sides, so scores are bit-identical.
+    oracle=f"""
+    WITH surv AS (
+      SELECT doc_id, text FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '{_TOMB_HEX}'
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM surv
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN {_TERMS_SQL} GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+    operators=("K2", "C5", "E4", "F2", "C2"),
+)
+def bm25_after_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BM25 over the corpus AFTER a ~6% tombstone delete,
+    served entirely from the persisted index artifacts:
+
+    - query-term postings anti-join tombstones (hash-partitioned on
+      doc_id; at fixture scale AQE broadcasts the small side itself),
+    - doc lengths anti-join tombstones,
+    - corpus stats recomputed from the surviving dl rows as exact
+      bigint (count, Σdl) then ONE double division — the decremental
+      form (N−d, Σdl−Σdl_deleted) is integer-identical, proved by
+      index_delete_compaction.
+
+    The raw documents table is never read: delete visibility costs one
+    anti-join per artifact touched, which is the 100 TB design — a
+    tombstone set shuffles ~|deletes| rows, never the corpus.
+    """
+    from cloudvectordb_spark.operators.search import (
+        _QUERY_TERMS,
+        _bm25_from_parts,
+        text_index_frames,
+    )
+
+    postings, dl, _stats, _meta = text_index_frames(spark, sf_dir)
+    tomb = _tombstones(dl)
+    tf = postings.filter(F.col("term").isin(*_QUERY_TERMS)).join(
+        tomb, "doc_id", "left_anti"
+    )
+    live_dl = dl.join(tomb, "doc_id", "left_anti")
+    stats2 = live_dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    scored = _bm25_from_parts(tf, live_dl, stats2)
+    from cloudvectordb_spark.ranking import global_topk_ranked
+
+    return global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 20)
+
+
+@query(
+    "index_delete_compaction",
+    # Every output is an integer count or a boolean over integer set
+    # compares — the cross-engine gate never touches float order.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    tomb AS (
+      SELECT doc_id FROM dl
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{_TOMB_HEX}'
+    ),
+    pfull AS (
+      SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+    ),
+    compacted AS (
+      SELECT * FROM pfull WHERE doc_id NOT IN (SELECT doc_id FROM tomb)
+    ),
+    rebuild AS (
+      SELECT term, doc_id, count(*) AS tf FROM tok
+      WHERE doc_id NOT IN (SELECT doc_id FROM tomb)
+      GROUP BY term, doc_id
+    ),
+    eq AS (
+      SELECT
+        (SELECT count(*) FROM
+          (SELECT * FROM compacted EXCEPT ALL SELECT * FROM rebuild)) = 0
+        AND
+        (SELECT count(*) FROM
+          (SELECT * FROM rebuild EXCEPT ALL SELECT * FROM compacted)) = 0
+          AS ok
+    ),
+    live_dl AS (
+      SELECT * FROM dl WHERE doc_id NOT IN (SELECT doc_id FROM tomb)
+    ),
+    dfchk AS (
+      SELECT min(
+        coalesce(f.df, 0) - coalesce(r.removed, 0) = coalesce(c.df2, 0)
+      ) AS ok
+      FROM (SELECT term, count(DISTINCT doc_id) AS df FROM pfull
+            WHERE term IN {_TERMS_SQL} GROUP BY term) f
+      LEFT JOIN (SELECT term, count(DISTINCT doc_id) AS removed FROM pfull
+                 WHERE term IN {_TERMS_SQL}
+                   AND doc_id IN (SELECT doc_id FROM tomb)
+                 GROUP BY term) r USING (term)
+      LEFT JOIN (SELECT term, count(DISTINCT doc_id) AS df2 FROM compacted
+                 WHERE term IN {_TERMS_SQL} GROUP BY term) c USING (term)
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM dl)        AS n_docs_before,
+      (SELECT CAST(count(*) AS BIGINT) FROM tomb)      AS n_tombstones,
+      (SELECT CAST(count(*) AS BIGINT) FROM live_dl)   AS n_live_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM pfull)     AS n_postings_before,
+      (SELECT CAST(count(*) AS BIGINT) FROM pfull)
+        - (SELECT CAST(count(*) AS BIGINT) FROM compacted)
+                                                       AS n_postings_removed,
+      (SELECT CAST(count(*) AS BIGINT) FROM compacted) AS n_postings_after,
+      (SELECT ok FROM eq)                              AS compaction_equals_rebuild,
+      (SELECT (SELECT count(*) FROM dl) - (SELECT count(*) FROM tomb)
+              = (SELECT count(*) FROM live_dl)
+          AND (SELECT sum(dl) FROM dl)
+              - coalesce((SELECT sum(dl) FROM dl
+                          WHERE doc_id IN (SELECT doc_id FROM tomb)), 0)
+              = (SELECT sum(dl) FROM live_dl))         AS stats_decrement_ok,
+      (SELECT ok FROM dfchk)                           AS df_decrement_ok
+    """,
+    operators=("C5", "G1", "D3", "K2", "D1"),
+)
+def index_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row proof that deleting ~6% of docs from the persisted text
+    index via tombstones is equivalent to a full rebuild:
+
+    - ``compaction_equals_rebuild`` — postings anti-join tombstones vs
+      re-tokenizing the surviving corpus, compared exceptAll in BOTH
+      directions in one plan (full vocabulary, not just query terms).
+    - ``stats_decrement_ok`` — (N, Σdl) maintained by integer
+      decrement equals a recount over surviving doc lengths; this is
+      the exact arithmetic bm25_after_deletes' serve path relies on.
+    - ``df_decrement_ok`` — per-query-term document frequency
+      maintained as df − |tombstoned docs containing term| equals a
+      recount over the compacted postings.
+
+    Compaction work is ∝ index size, never ∝ raw corpus (one anti-join
+    + rewrite of term-sorted shards); the rebuild side here exists only
+    to PROVE equivalence at fixture scale.
+    """
+    from cloudvectordb_spark.operators.search import (
+        _QUERY_TERMS,
+        text_index_frames,
+    )
+
+    postings, dl, _stats, term_meta = text_index_frames(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    tomb = _tombstones(dl)
+
+    compacted = postings.join(tomb, "doc_id", "left_anti").select(
+        "term", "doc_id", "tf"
+    )
+    surv_docs = docs.join(tomb, "doc_id", "left_anti")
+    rebuild = (
+        surv_docs.select(
+            "doc_id", F.explode(TX.tokens("text")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .select("term", "doc_id", "tf")
+    )
+    d1 = compacted.exceptAll(rebuild).agg(F.count("*").alias("_d1"))
+    d2 = rebuild.exceptAll(compacted).agg(F.count("*").alias("_d2"))
+
+    live_dl = dl.join(tomb, "doc_id", "left_anti")
+    s_all = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs_before"),
+        F.sum("dl").alias("_sum_all"),
+    )
+    s_tomb = dl.join(tomb, "doc_id", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_tombstones"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("_sum_tomb"),
+    )
+    s_live = live_dl.agg(
+        F.count("*").cast("bigint").alias("n_live_docs"),
+        F.sum("dl").alias("_sum_live"),
+    )
+    s_pb = postings.agg(F.count("*").cast("bigint").alias("n_postings_before"))
+    s_pa = compacted.agg(F.count("*").cast("bigint").alias("n_postings_after"))
+
+    # df decrement vs recount, per query term (integer compare)
+    df_full = term_meta.filter(F.col("term").isin(*_QUERY_TERMS)).select(
+        "term", "df"
+    )
+    removed = (
+        postings.filter(F.col("term").isin(*_QUERY_TERMS))
+        .join(tomb, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("removed"))
+    )
+    recount = (
+        compacted.filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df2"))
+    )
+    dfchk = (
+        df_full.join(removed, "term", "left")
+        .join(recount, "term", "left")
+        .agg(
+            F.min(
+                F.coalesce(F.col("df"), F.lit(0))
+                - F.coalesce(F.col("removed"), F.lit(0))
+                == F.coalesce(F.col("df2"), F.lit(0))
+            ).alias("df_decrement_ok")
+        )
+    )
+
+    return (
+        s_all.crossJoin(s_tomb)
+        .crossJoin(s_live)
+        .crossJoin(s_pb)
+        .crossJoin(s_pa)
+        .crossJoin(d1)
+        .crossJoin(d2)
+        .crossJoin(dfchk)
+        .select(
+            "n_docs_before",
+            "n_tombstones",
+            "n_live_docs",
+            "n_postings_before",
+            (F.col("n_postings_before") - F.col("n_postings_after"))
+            .cast("bigint")
+            .alias("n_postings_removed"),
+            "n_postings_after",
+            ((F.col("_d1") == 0) & (F.col("_d2") == 0)).alias(
+                "compaction_equals_rebuild"
+            ),
+            (
+                (
+                    F.col("n_docs_before") - F.col("n_tombstones")
+                    == F.col("n_live_docs")
+                )
+                & (
+                    F.col("_sum_all") - F.col("_sum_tomb")
+                    == F.col("_sum_live")
+                )
+            ).alias("stats_decrement_ok"),
+            "df_decrement_ok",
+        )
+    )

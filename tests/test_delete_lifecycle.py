@@ -1,0 +1,120 @@
+"""Delete lifecycle (operators/ingest.py round-8 additions) and
+partition-count invariance.
+
+The delete tests pin the serve-path contract (tombstoned docs are
+invisible, results stay a full top-k) and the compaction invariants
+(tombstone-compacted index == full rebuild; integer stat/df decrements
+== recounts).
+
+The invariance tests pin a 1000-executor claim the oracle gate can't
+see: registered query RESULTS must not depend on
+``spark.sql.shuffle.partitions``. Every reduction is either a proper
+aggregate, a keyed window with a total order, or a seeded (md5)
+operator — so re-running under a different partition count must
+produce value-identical output. A query whose result drifts with
+parallelism (e.g. a first()/limit without order, or a trainer seeded
+by partition layout) fails here even though each single run looks
+oracle-green.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.operators.ingest import (
+    _TOMB_HEX,
+    bm25_after_deletes,
+    index_delete_compaction,
+)
+from cloudvectordb_spark.registry import all_queries
+
+
+def test_tombstoned_docs_never_served(spark, sf_dir):
+    rows = bm25_after_deletes(spark, sf_dir).collect()
+    assert len(rows) == 20
+    served = spark.createDataFrame(
+        [(r.doc_id,) for r in rows], "doc_id long"
+    )
+    n_tomb = served.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        == _TOMB_HEX
+    ).count()
+    assert n_tomb == 0
+
+
+def test_compaction_invariants_hold(spark, sf_dir):
+    row = index_delete_compaction(spark, sf_dir).collect()[0]
+    assert row.compaction_equals_rebuild is True
+    assert row.stats_decrement_ok is True
+    assert row.df_decrement_ok is True
+    assert row.n_live_docs == row.n_docs_before - row.n_tombstones
+    # the md5-hex tombstone rule must actually delete something, or the
+    # equivalence above is vacuous
+    assert row.n_tombstones > 0
+    assert row.n_postings_removed > 0
+    assert (
+        row.n_postings_after
+        == row.n_postings_before - row.n_postings_removed
+    )
+
+
+def test_deletes_change_the_ranking(spark, sf_dir):
+    """The tombstone set must actually perturb the result (otherwise
+    the serve-path test is vacuous): scores shift via the decremented
+    (N, avgdl, df) stats and/or tombstoned docs drop out."""
+    from cloudvectordb_spark.operators.search import bm25_keyword_search
+
+    before = {
+        (r.doc_id, r.bm25)
+        for r in bm25_keyword_search(spark, sf_dir).collect()
+    }
+    after = {
+        (r.doc_id, r.bm25)
+        for r in bm25_after_deletes(spark, sf_dir).collect()
+    }
+    assert before != after
+
+
+# ---------------------------------------------------------------------------
+# Partition-count invariance
+# ---------------------------------------------------------------------------
+def _norm(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf) == 0:
+        return pdf.reset_index(drop=True)
+    return (
+        pdf.astype(str)
+        .sort_values(by=list(pdf.columns), kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+# One representative per determinism-risk class: seeded iterative
+# trainer (ivf), seeded hashing + banded self-join (minhash), persisted
+# index + data-dependent pruning threshold (wand), multi-stage composed
+# pipeline with exceptAll equality (ingest e2e), tombstone anti-joins +
+# decremented stats (deletes).
+_INVARIANCE_SET = [
+    "ivf_topk_search",
+    "minhash_banded_pairs_md5",
+    "bm25_topk_pruned",
+    "incremental_ingest_e2e",
+    "bm25_after_deletes",
+]
+
+
+@pytest.mark.parametrize("qname", _INVARIANCE_SET)
+def test_results_invariant_to_shuffle_partitions(spark, sf_dir, qname):
+    fn = all_queries()[qname].fn
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _norm(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = _norm(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    pd.testing.assert_frame_equal(a, b)
