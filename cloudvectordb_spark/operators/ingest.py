@@ -560,3 +560,165 @@ def index_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df_decrement_ok",
         )
     )
+
+
+@query(
+    "knn_after_deletes",
+    # Oracle: exact cosine top-10 over the surviving embeddings only.
+    oracle=f"""
+    WITH surv AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> '{_TOMB_HEX}'
+    ),
+    p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+      FROM surv WHERE vec_id < 5
+    ), scored AS (
+      SELECT p.probe_id,
+             e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          p.probe_vec), 6) AS score
+      FROM surv e, p
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K8", "K7", "C5", "E4", "C2"),
+)
+def knn_after_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN with delete visibility on the VECTOR side: the same
+    md5 tombstone set is anti-joined into the corpus before scoring, so
+    deleted vectors can neither be neighbors nor probes. One anti-join
+    on vec_id ahead of the broadcast-probe scan — delete cost ∝
+    |tombstones|, the scan plan is unchanged from knn_exact_cosine."""
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    tomb = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        == _TOMB_HEX
+    ).select("vec_id")
+    live = emb.join(tomb, "vec_id", "left_anti")
+    probes = live.filter(F.col("vec_id") < 5)
+    return exact_knn(live, probes, k=10)
+
+
+def _ivf_delete_oracle() -> str:
+    from cloudvectordb_spark.operators.pipeline import _KM_CTES
+
+    return f"""
+    WITH {_KM_CTES},
+    tomb AS (
+      SELECT vec_id FROM km_assign
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '{_TOMB_HEX}'
+    ),
+    compacted AS (
+      SELECT vec_id, cid FROM km_assign
+      WHERE vec_id NOT IN (SELECT vec_id FROM tomb)
+    ),
+    reassign AS (
+      SELECT vec_id, cid FROM km_assign
+      WHERE vec_id NOT IN (SELECT vec_id FROM tomb)
+    ),
+    eq AS (
+      SELECT count(*) = 0 AS ok FROM compacted c
+      FULL JOIN reassign r ON c.vec_id = r.vec_id
+      WHERE c.cid IS DISTINCT FROM r.cid
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM km_assign) AS n_vectors_before,
+      (SELECT CAST(count(*) AS BIGINT) FROM tomb)      AS n_tombstones,
+      (SELECT CAST(count(*) AS BIGINT) FROM compacted) AS n_vectors_after,
+      (SELECT CAST(count(DISTINCT cid) AS BIGINT)
+       FROM km_assign WHERE vec_id IN (SELECT vec_id FROM tomb))
+                                                       AS n_cells_touched,
+      (SELECT ok FROM eq)                              AS compaction_equals_reassign
+    """
+
+
+@query(
+    "ivf_delete_compaction",
+    oracle=_ivf_delete_oracle(),
+    operators=("K9", "C5", "D3", "D1"),
+)
+def ivf_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF delete lifecycle: dropping tombstoned rows from the
+    PERSISTED cell lists must equal re-assigning the surviving vectors
+    to the FROZEN centroids (vec-level exceptAll, both directions, in
+    one plan). The engine genuinely runs two paths — the stored
+    partitioned layout anti-joined vs a fresh assign_cells over the
+    surviving raw embeddings; the deterministic md5-seeded trainer's
+    CTEs replay both for DuckDB. Deleting from an IVF index never
+    moves a survivor (assignment is per-row), so compaction is a
+    per-cell-partition rewrite of only the ``n_cells_touched``
+    partitions — work ∝ touched cells, never a retrain."""
+    from cloudvectordb_spark.operators.kmeans_det import assign_cells
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        index_centroids,
+        read_ivf_index,
+    )
+
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors, _ = read_ivf_index(spark, path)
+    stored = vectors.select(
+        "vec_id", F.col("centroid_id").cast("int").alias("cid")
+    )
+    tomb = stored.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        == _TOMB_HEX
+    ).select("vec_id")
+    compacted = stored.join(tomb, "vec_id", "left_anti")
+
+    emb = load(spark, sf_dir, "embeddings")
+    surv = emb.join(tomb, "vec_id", "left_anti")
+    cents = index_centroids(spark, path)
+    reassign = assign_cells(surv, cents).select(
+        "vec_id", F.col("centroid_id").cast("int").alias("cid")
+    )
+
+    # Row-level equality as a full-outer join mismatch count (vec_id is
+    # unique per side, so this is exactly set equality). exceptAll is
+    # deliberately avoided here: with both sides sharing the stored/tomb
+    # subtrees inside one multi-branch plan, Spark 4.1's exceptAll
+    # rewrite trips an attribute-dedup bug ("key not found") during
+    # optimization; the join formulation is also one shuffle cheaper.
+    mism = (
+        compacted.select("vec_id", F.col("cid").alias("cid_c"))
+        .join(
+            reassign.select("vec_id", F.col("cid").alias("cid_r")),
+            "vec_id",
+            "full_outer",
+        )
+        .filter(~F.expr("cid_c <=> cid_r"))
+        .agg(F.count("*").alias("_n_mismatch"))
+    )
+    s_all = stored.agg(
+        F.count("*").cast("bigint").alias("n_vectors_before")
+    )
+    s_tomb = tomb.agg(F.count("*").cast("bigint").alias("n_tombstones"))
+    s_after = compacted.agg(
+        F.count("*").cast("bigint").alias("n_vectors_after")
+    )
+    s_cells = stored.join(tomb, "vec_id", "left_semi").agg(
+        F.countDistinct("cid").cast("bigint").alias("n_cells_touched")
+    )
+    return (
+        s_all.crossJoin(s_tomb)
+        .crossJoin(s_after)
+        .crossJoin(s_cells)
+        .crossJoin(mism)
+        .select(
+            "n_vectors_before",
+            "n_tombstones",
+            "n_vectors_after",
+            "n_cells_touched",
+            (F.col("_n_mismatch") == 0).alias(
+                "compaction_equals_reassign"
+            ),
+        )
+    )

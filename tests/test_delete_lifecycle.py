@@ -27,6 +27,8 @@ from cloudvectordb_spark.operators.ingest import (
     _TOMB_HEX,
     bm25_after_deletes,
     index_delete_compaction,
+    ivf_delete_compaction,
+    knn_after_deletes,
 )
 from cloudvectordb_spark.registry import all_queries
 
@@ -75,6 +77,28 @@ def test_deletes_change_the_ranking(spark, sf_dir):
         for r in bm25_after_deletes(spark, sf_dir).collect()
     }
     assert before != after
+
+
+def test_knn_never_returns_tombstoned_neighbors(spark, sf_dir):
+    rows = knn_after_deletes(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ids = {r.neighbor_id for r in rows} | {r.probe_id for r in rows}
+    id_df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    n_tomb = id_df.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+        == _TOMB_HEX
+    ).count()
+    assert n_tomb == 0
+
+
+def test_ivf_compaction_invariants_hold(spark, sf_dir):
+    row = ivf_delete_compaction(spark, sf_dir).collect()[0]
+    assert row.compaction_equals_reassign is True
+    assert row.n_tombstones > 0
+    assert (
+        row.n_vectors_after == row.n_vectors_before - row.n_tombstones
+    )
+    assert 0 < row.n_cells_touched <= 8
 
 
 # ---------------------------------------------------------------------------
