@@ -722,3 +722,174 @@ def ivf_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "incremental_upsert_delete_e2e",
+    # The full maintenance cycle in one oracle: base/delta split,
+    # tombstone deletes on the base, content-hash dedup screen vs the
+    # SURVIVING base, then maintained postings (base − deleted + delta)
+    # proved equal to a rebuild on the final corpus via a keyed
+    # full-join mismatch count (postings key (term, doc_id) is unique).
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' AS in_delta,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{_TOMB_HEX}'
+               AS in_tomb
+      FROM documents
+    ),
+    base AS (SELECT doc_id, text FROM d WHERE NOT in_delta),
+    live_base AS (SELECT doc_id, text FROM d WHERE NOT in_delta AND NOT in_tomb),
+    delta AS (SELECT doc_id, text FROM d WHERE in_delta),
+    screened AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM delta
+        WHERE md5(text) NOT IN (SELECT md5(text) FROM live_base)
+      ) WHERE rn = 1
+    ),
+    corpus AS (
+      SELECT * FROM live_base UNION ALL SELECT * FROM screened
+    ),
+    bp AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM base
+      ) WHERE term IN {_TERMS_SQL} GROUP BY term, doc_id
+    ),
+    bp_live AS (
+      SELECT * FROM bp WHERE doc_id NOT IN (SELECT doc_id FROM d WHERE in_tomb)
+    ),
+    dp AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM screened
+      ) WHERE term IN {_TERMS_SQL} GROUP BY term, doc_id
+    ),
+    maintained AS (
+      SELECT term, doc_id, CAST(sum(tf) AS BIGINT) AS tf
+      FROM (SELECT * FROM bp_live UNION ALL SELECT * FROM dp)
+      GROUP BY term, doc_id
+    ),
+    rebuild AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+      ) WHERE term IN {_TERMS_SQL} GROUP BY term, doc_id
+    ),
+    eq AS (
+      SELECT count(*) = 0 AS ok FROM maintained m
+      FULL JOIN rebuild r
+        ON m.term = r.term AND m.doc_id = r.doc_id
+      WHERE m.tf IS DISTINCT FROM r.tf
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM base)      AS n_base_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM base)
+        - (SELECT CAST(count(*) AS BIGINT) FROM live_base)
+                                                       AS n_deleted,
+      (SELECT CAST(count(*) AS BIGINT) FROM delta)     AS n_delta_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM screened)  AS n_ingested,
+      (SELECT CAST(count(*) AS BIGINT) FROM maintained) AS n_postings_maintained,
+      (SELECT CAST(sum(tf) AS BIGINT) FROM maintained) AS maintained_total_tf,
+      (SELECT ok FROM eq)                              AS maintained_equals_rebuild,
+      (SELECT CAST(count(*) AS BIGINT) FROM corpus)    AS final_corpus_docs
+    """,
+    operators=("H4", "C5", "G1", "K2", "G4", "D1"),
+)
+def incremental_upsert_delete_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One full maintenance cycle with adds AND deletes interleaved —
+    the batch shape a production corpus actually sees:
+
+      1. tombstone ~6% of the already-ingested base (md5 '0' rule;
+         disjoint from the delta split's >= 'e' rule by construction),
+      2. screen the arriving delta against the SURVIVING base's content
+         hashes (a delete can legitimately reopen a content slot),
+      3. maintain postings as (base − deleted) + delta tf-merge,
+      4. prove maintained == full rebuild on (surviving ∪ ingested) via
+         a keyed full-join tf compare — work ∝ |delete| + |delta| on
+         the maintain side; the rebuild side exists to be disproved.
+
+    Everything integer; the only floats anywhere are absent.
+    """
+    in_tomb = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        == _TOMB_HEX
+    )
+    docs = load(spark, sf_dir, "documents")
+    base, delta = _split(docs)
+    live_base = base.filter(~in_tomb)
+
+    # dedup screen vs the SURVIVING base only
+    live_hashes = live_base.select(F.md5("text").alias("h")).distinct()
+    fresh = delta.withColumn("h", F.md5("text")).join(
+        live_hashes, "h", "left_anti"
+    )
+    wb = Window.partitionBy("h").orderBy("doc_id")
+    scr = (
+        fresh.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "h")
+    )
+
+    def postings(d: DataFrame) -> DataFrame:
+        return (
+            d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+            .filter(F.col("term").isin(*_TERMS))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").cast("bigint").alias("tf"))
+        )
+
+    tomb_ids = base.filter(in_tomb).select("doc_id")
+    maintained = (
+        postings(base)
+        .join(tomb_ids, "doc_id", "left_anti")
+        # the anti-join moves the key column first; align by NAME
+        .unionByName(postings(scr))
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+    )
+    rebuild = postings(live_base.unionByName(scr))
+    mism = (
+        maintained.select("term", "doc_id", F.col("tf").alias("tf_m"))
+        .join(
+            rebuild.select("term", "doc_id", F.col("tf").alias("tf_r")),
+            ["term", "doc_id"],
+            "full_outer",
+        )
+        .filter(~F.expr("tf_m <=> tf_r"))
+        .agg(F.count("*").alias("_n_mismatch"))
+    )
+
+    s_base = base.agg(F.count("*").cast("bigint").alias("n_base_docs"))
+    s_live = live_base.agg(
+        F.count("*").cast("bigint").alias("_n_live_base")
+    )
+    s_delta = delta.agg(F.count("*").cast("bigint").alias("n_delta_docs"))
+    s_scr = scr.agg(F.count("*").cast("bigint").alias("n_ingested"))
+    s_post = maintained.agg(
+        F.count("*").cast("bigint").alias("n_postings_maintained"),
+        F.sum("tf").cast("bigint").alias("maintained_total_tf"),
+    )
+    return (
+        s_base.crossJoin(s_live)
+        .crossJoin(s_delta)
+        .crossJoin(s_scr)
+        .crossJoin(s_post)
+        .crossJoin(mism)
+        .select(
+            "n_base_docs",
+            (F.col("n_base_docs") - F.col("_n_live_base"))
+            .cast("bigint")
+            .alias("n_deleted"),
+            "n_delta_docs",
+            "n_ingested",
+            "n_postings_maintained",
+            "maintained_total_tf",
+            (F.col("_n_mismatch") == 0).alias("maintained_equals_rebuild"),
+            (F.col("_n_live_base") + F.col("n_ingested"))
+            .cast("bigint")
+            .alias("final_corpus_docs"),
+        )
+    )

@@ -79,6 +79,22 @@ def test_deletes_change_the_ranking(spark, sf_dir):
     assert before != after
 
 
+def test_upsert_delete_cycle_invariants(spark, sf_dir):
+    from cloudvectordb_spark.operators.ingest import (
+        incremental_upsert_delete_e2e,
+    )
+
+    row = incremental_upsert_delete_e2e(spark, sf_dir).collect()[0]
+    assert row.maintained_equals_rebuild is True
+    # the cycle must exercise BOTH maintenance directions
+    assert row.n_deleted > 0
+    assert row.n_ingested > 0
+    assert (
+        row.final_corpus_docs
+        == row.n_base_docs - row.n_deleted + row.n_ingested
+    )
+
+
 def test_knn_never_returns_tombstoned_neighbors(spark, sf_dir):
     rows = knn_after_deletes(spark, sf_dir).collect()
     assert len(rows) > 0
@@ -127,6 +143,7 @@ _INVARIANCE_SET = [
     "bm25_topk_pruned",
     "incremental_ingest_e2e",
     "bm25_after_deletes",
+    "incremental_upsert_delete_e2e",
 ]
 
 
