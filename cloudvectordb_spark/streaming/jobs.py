@@ -366,3 +366,65 @@ def run_postings_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_cdc_postings_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    tomb_path: str,
+    checkpoint_path: str,
+) -> None:
+    """CDC-shaped continuous index maintenance (round 8, delete half):
+    every micro-batch appends BOTH its delta-postings shards and its
+    delete tombstones (doc ids whose md5 starts '0' — the same
+    deterministic rule as the batch delete-lifecycle queries, standing
+    in for the stream's delete ops). The serving view is
+
+        rollup(postings shards)  ANTI JOIN  tombstone shards
+
+    — tf-addition stays mergeable, deletes stay a doc-id set, and
+    compaction (physically dropping tombstoned rows, proved equivalent
+    by index_delete_compaction) can run whenever it is amortized.
+    Checkpointed like run_postings_ingest: committed batches never
+    reprocess, so a restart appends neither duplicate shards nor
+    duplicate tombstones. At scale this is the Kafka CDC topic ->
+    index topology with delete markers flowing beside upserts."""
+    docs = read_docs_stream(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta_postings_stream(batch_df).write.mode("append").parquet(out_path)
+        (
+            batch_df.filter(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                == "0"
+            )
+            .select("doc_id")
+            .write.mode("append")
+            .parquet(tomb_path)
+        )
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def cdc_serving_postings(
+    spark: SparkSession, out_path: str, tomb_path: str
+) -> DataFrame:
+    """The logically-current postings under the CDC shards: tf-addition
+    rollup anti-joined with the tombstone set."""
+    rolled = (
+        spark.read.parquet(out_path)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+    )
+    tomb = spark.read.parquet(tomb_path).distinct()
+    return rolled.join(tomb, "doc_id", "left_anti")

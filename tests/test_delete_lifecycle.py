@@ -159,3 +159,41 @@ def test_results_invariant_to_shuffle_partitions(spark, sf_dir, qname):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cdc_stream_serving_equals_compacted_index(spark, sf_dir, tmp_path):
+    """Streaming CDC maintenance (postings shards + tombstone shards)
+    must serve exactly the compacted batch index: rollup − tombstones
+    == persisted postings anti-join the same tombstone rule. Also
+    restart-safe: a second run on the same checkpoint appends nothing."""
+    from cloudvectordb_spark.operators.search import text_index_frames
+    from cloudvectordb_spark.streaming.jobs import (
+        cdc_serving_postings,
+        run_cdc_postings_ingest,
+    )
+
+    out = str(tmp_path / "cdc_postings")
+    tomb = str(tmp_path / "cdc_tomb")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    run_cdc_postings_ingest(spark, sf_dir, out, tomb, ckpt)
+
+    serving = cdc_serving_postings(spark, out, tomb).select(
+        "term", "doc_id", F.col("tf").cast("bigint").alias("tf")
+    )
+    batch = text_index_frames(spark, sf_dir)[0]
+    compacted = batch.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        != _TOMB_HEX
+    ).select("term", "doc_id", F.col("tf").cast("bigint").alias("tf"))
+
+    assert serving.exceptAll(compacted).count() == 0
+    assert compacted.exceptAll(serving).count() == 0
+    n_tomb = spark.read.parquet(tomb).count()
+    assert n_tomb > 0  # deletes actually flowed
+    assert serving.count() > 0
+
+    # restart on the same checkpoint: no duplicate shards/tombstones
+    n_shards = spark.read.parquet(out).count()
+    run_cdc_postings_ingest(spark, sf_dir, out, tomb, ckpt)
+    assert spark.read.parquet(out).count() == n_shards
+    assert spark.read.parquet(tomb).count() == n_tomb
