@@ -64,6 +64,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--deltas", type=str, default="10000,100000")
+    ap.add_argument(
+        "--delete-batch",
+        type=int,
+        default=0,
+        help="also measure the DELETE side: tombstone this many base "
+        "docs, report append / serve-overhead / compaction / "
+        "rebuild-on-survivors costs (one extra JSON line)",
+    )
     args = ap.parse_args()
     deltas = [int(x) for x in args.deltas.split(",")]
 
@@ -161,6 +169,73 @@ def main() -> int:
                     "batch_vs_rebuild_x": round(rebuild_s / incr_s, 2),
                     "sharded_equals_rebuild": True,
                     "merged_postings": r.count(),
+                }
+            )
+        )
+
+    if args.delete_batch > 0:
+        # ------------------------------------------------------------------
+        # The DELETE side (round 8 late): unlike IVF (one doc = one cell
+        # partition), a text doc's postings touch MANY terms, so delete
+        # compaction is corpus-proportional BY NATURE — which is exactly
+        # why production serving defers it behind a tombstone anti-join.
+        # Measured here: what a delete batch costs per batch (tombstone
+        # append), what deferral costs per query (serve overhead), and
+        # what the amortized compaction / naive rebuild cost when they
+        # eventually run. Equality gate before any timing.
+        # ------------------------------------------------------------------
+        nt = args.delete_batch
+        tomb_path = f"{root}/tombstones_{base_n}_{nt}"
+        # every k-th base doc -> exactly ~nt tombstones, deterministic
+        k = max(1, base_n // nt)
+        tomb = base.filter(F.col("doc_id") % k == 0).select("doc_id")
+
+        append_s = timed(
+            lambda: tomb.write.mode("overwrite").parquet(tomb_path)
+        )
+        tomb_df = spark.read.parquet(tomb_path)
+
+        serve_plain_s = timed(lambda: base_postings.count())
+        serve_tomb_s = timed(
+            lambda: base_postings.join(tomb_df, "doc_id", "left_anti").count()
+        )
+
+        dcompact_path = f"{root}/del_compacted_{base_n}_{nt}"
+        dcompact_s = timed(
+            lambda: base_postings.join(tomb_df, "doc_id", "left_anti")
+            .select("term", "doc_id", "tf")  # join moves the key first
+            .repartition(8, "term")
+            .write.mode("overwrite")
+            .parquet(dcompact_path)
+        )
+        drebuild_path = f"{root}/del_rebuilt_{base_n}_{nt}"
+        drebuild_s = timed(
+            lambda: build_postings(
+                base.join(tomb_df, "doc_id", "left_anti")
+            )
+            .repartition(8, "term")
+            .write.mode("overwrite")
+            .parquet(drebuild_path)
+        )
+        c = spark.read.parquet(dcompact_path)
+        r = spark.read.parquet(drebuild_path)
+        d1 = c.exceptAll(r).count()
+        d2 = r.exceptAll(c).count()
+        assert d1 == 0 and d2 == 0, f"del compaction != rebuild ({d1}, {d2})"
+        print(
+            json.dumps(
+                {
+                    "n_base_docs": base_n,
+                    "n_tombstones": tomb_df.count(),
+                    "tombstone_append_s": append_s,
+                    "serve_rollup_s": serve_plain_s,
+                    "serve_rollup_with_tombstones_s": serve_tomb_s,
+                    "delete_compaction_s": dcompact_s,
+                    "rebuild_on_survivors_s": drebuild_s,
+                    "compaction_vs_rebuild_x": round(
+                        drebuild_s / dcompact_s, 2
+                    ),
+                    "compacted_equals_rebuild": True,
                 }
             )
         )
