@@ -1965,3 +1965,182 @@ def postings_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_untouched_by_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered-ANN strategy planner (round 8, late): the canonical vector-DB
+# planner decision. A metadata predicate can be applied BEFORE scoring
+# (prefilter: the filter reaches the parquet scan, every surviving row
+# is scored exactly — right when the predicate is selective, because the
+# scan shrinks and IVF cell pruning would throw away most survivors
+# anyway) or AFTER candidate generation (ivf_postfilter: the persisted
+# cell layout prunes the scan to nprobe cells, the predicate drops
+# candidates in-flight — right when the predicate keeps most rows, so
+# cells stay full and recall is unaffected in expectation). The choice
+# is a pure cost call; this operator makes it from measured selectivity
+# (one scalar aggregate — at 100 TB the same number comes free from
+# catalog column stats) and the DuckDB oracle REPLAYS THE DECISION: all
+# four (case x strategy) arms exist in SQL, each gated on the same
+# selectivity threshold, so a drifted engine-side decision hash-fails.
+# ---------------------------------------------------------------------------
+_ADAPTIVE_SEL_THRESHOLD = 0.3
+
+
+def _adaptive_oracle() -> str:
+    from cloudvectordb_spark.operators.pipeline import (
+        _IVF_ROUNDS,
+        _KM_CTES,
+        _KM_D2,
+    )
+
+    t = _ADAPTIVE_SEL_THRESHOLD
+    arms = []
+    for case, pred in (("selective", "label = 1"), ("broad", "label >= 1")):
+        for strat, src, gate in (
+            ("prefilter", f"pre_{case}", f"(SELECT s FROM sel_{case}) < {t}"),
+            (
+                "ivf_postfilter",
+                f"post_{case}",
+                f"(SELECT s FROM sel_{case}) >= {t}",
+            ),
+        ):
+            arms.append(
+                f"SELECT '{case}' AS case_name, '{strat}' AS strategy,"
+                f" probe_id, neighbor_id, score, rank FROM {src}"
+                f" WHERE {gate}"
+            )
+    arm_sql = "\n    UNION ALL ".join(arms)
+
+    def topk(src: str) -> str:
+        return f"""(
+      SELECT probe_id, neighbor_id, score,
+             CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM {src}
+      ) WHERE rank <= 10
+    )"""
+
+    return f"""
+    WITH {_KM_CTES},
+    sel_selective AS (
+      SELECT avg(CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) AS s
+      FROM embeddings),
+    sel_broad AS (
+      SELECT avg(CASE WHEN label >= 1 THEN 1.0 ELSE 0.0 END) AS s
+      FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id < 3),
+    probe_cells AS (
+      SELECT DISTINCT cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c WHERE e.vec_id < 3
+      ) WHERE rn <= 2
+    ),
+    pre_scored_selective AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          p.pv), 6) AS score
+      FROM embeddings e, p
+      WHERE e.label = 1 AND e.vec_id <> p.probe_id),
+    pre_scored_broad AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          p.pv), 6) AS score
+      FROM embeddings e, p
+      WHERE e.label >= 1 AND e.vec_id <> p.probe_id),
+    post_scored_selective AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, p.pv), 6) AS score
+      FROM km_assign a JOIN embeddings l ON a.vec_id = l.vec_id, p
+      WHERE a.cid IN (SELECT cid FROM probe_cells)
+        AND l.label = 1 AND a.vec_id <> p.probe_id),
+    post_scored_broad AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, p.pv), 6) AS score
+      FROM km_assign a JOIN embeddings l ON a.vec_id = l.vec_id, p
+      WHERE a.cid IN (SELECT cid FROM probe_cells)
+        AND l.label >= 1 AND a.vec_id <> p.probe_id),
+    pre_selective AS {topk("pre_scored_selective")},
+    pre_broad AS {topk("pre_scored_broad")},
+    post_selective AS {topk("post_scored_selective")},
+    post_broad AS {topk("post_scored_broad")}
+    {arm_sql}
+    """
+
+
+@query(
+    "filtered_knn_adaptive",
+    oracle=_adaptive_oracle(),
+    operators=("K8", "K9", "E4", "B1"),
+)
+def filtered_knn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two predicate regimes through the planner in one result:
+    'selective' (label = 1, ~9%) must route to prefilter; 'broad'
+    (label >= 1, ~90%) must route to ivf_postfilter. The strategy
+    column is part of the oracle-checked output — the DECISION is
+    gated, not just the rows."""
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        index_centroids,
+        read_ivf_index,
+    )
+    from cloudvectordb_spark.operators.vector_ops import (
+        exact_knn,
+        exact_knn_fast,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    preds = {
+        "selective": F.col("label") == 1,
+        "broad": F.col("label") >= 1,
+    }
+    # one bounded driver scalar per case (catalog column stats at scale)
+    sel_row = emb.agg(
+        F.count("*").alias("n"),
+        *[
+            F.count(F.when(p, 1)).alias(name)
+            for name, p in preds.items()
+        ],
+    ).collect()[0]
+
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors, _ = read_ivf_index(spark, path)
+    cents = index_centroids(spark, path)
+    probe_rows = (
+        emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    )
+    cell_ids = sorted(
+        {c for r in probe_rows for c in nearest_cells_py(r.embedding, cents, 2)}
+    )
+    probes_local = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in probe_rows],
+        schema="vec_id long, embedding array<float>",
+    )
+
+    parts = []
+    for name, pred in preds.items():
+        selectivity = sel_row[name] / sel_row["n"]
+        if selectivity < _ADAPTIVE_SEL_THRESHOLD:
+            strategy = "prefilter"
+            res = exact_knn(emb.filter(pred), probes_local, k=10)
+        else:
+            strategy = "ivf_postfilter"
+            cand = vectors.filter(
+                F.col("centroid_id").isin(cell_ids)
+            ).filter(pred)
+            res = exact_knn_fast(cand, probes_local, k=10)
+        parts.append(
+            res.select(
+                F.lit(name).alias("case_name"),
+                F.lit(strategy).alias("strategy"),
+                "probe_id",
+                "neighbor_id",
+                "score",
+                "rank",
+            )
+        )
+    return parts[0].unionByName(parts[1])

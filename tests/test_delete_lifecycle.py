@@ -197,3 +197,21 @@ def test_cdc_stream_serving_equals_compacted_index(spark, sf_dir, tmp_path):
     run_cdc_postings_ingest(spark, sf_dir, out, tomb, ckpt)
     assert spark.read.parquet(out).count() == n_shards
     assert spark.read.parquet(tomb).count() == n_tomb
+
+
+def test_adaptive_planner_routes_by_selectivity(spark, sf_dir):
+    """The strategy DECISION is part of the contract: ~9% predicate
+    must route prefilter, ~90% must route ivf_postfilter, and each
+    case serves a full top-10 for all 3 probes."""
+    from cloudvectordb_spark.operators.search import filtered_knn_adaptive
+
+    rows = filtered_knn_adaptive(spark, sf_dir).collect()
+    strat = {r.case_name: r.strategy for r in rows}
+    assert strat == {
+        "selective": "prefilter",
+        "broad": "ivf_postfilter",
+    }
+    from collections import Counter
+
+    per_case = Counter(r.case_name for r in rows)
+    assert per_case == {"selective": 30, "broad": 30}
