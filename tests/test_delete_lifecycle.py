@@ -144,6 +144,7 @@ _INVARIANCE_SET = [
     "incremental_ingest_e2e",
     "bm25_after_deletes",
     "incremental_upsert_delete_e2e",
+    "filtered_knn_adaptive",
 ]
 
 
