@@ -52,6 +52,64 @@ def _fine_matrices(cents2: GroupCents, k1: int):
     return F.lit(mats), F.lit(cids)
 
 
+def assign_fine_cells_blas(
+    df: DataFrame,
+    cents2: GroupCents,
+    k1: int,
+    parent_col: str = "centroid_id",
+    vec_col: str = "embedding",
+    out: str = "child_id",
+) -> DataFrame:
+    """Arrow-batched BLAS fine assignment (round 8): at probe scale the
+    expression path below carries a k1*k2*dim literal tree (320k
+    literals at 100x50x64) and interprets per-row array lambdas — the
+    10M-doc IMI probe measured it eating most of the two-level build's
+    theoretical n*(k1+k2) win. This kernel groups each Arrow batch by
+    parent and runs one ||x||^2+||c||^2-2xC' matmul per parent group —
+    same rounding (floor(|d2|*1e6+0.5)/1e6 == round(d2,6) for d2 >= 0
+    up to matmul-summation ulps, the assign_cells_blas precedent) and
+    same tie order (child ids ascending within a parent, np.argmin
+    takes the first minimum), so layouts match the expression path —
+    pytest-pinned on the fixture index."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    mats = {
+        p: (
+            np.array([cid for cid, _ in cents2[p]], dtype=np.int64),
+            np.array([c for _, c in cents2[p]], dtype=np.float64),
+        )
+        for p in range(k1)
+    }
+    for p, (cids_p, _) in mats.items():
+        assert (np.diff(cids_p) > 0).all(), "child ids must ascend"
+
+    def run(batches):
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            parents = pdf[parent_col].to_numpy()
+            child = np.empty(len(pdf), dtype=np.int64)
+            for p in np.unique(parents):
+                idx = np.where(parents == p)[0]
+                cids_p, cmat = mats[int(p)]
+                xs = x[idx]
+                d2 = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    + (cmat * cmat).sum(axis=1)[None, :]
+                    - 2.0 * (xs @ cmat.T)
+                )
+                d2 = np.floor(np.abs(d2) * 1e6 + 0.5) / 1e6
+                child[idx] = cids_p[d2.argmin(axis=1)]
+            pdf = pdf.copy()
+            pdf[out] = child.astype(np.int32)
+            yield pdf
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.IntegerType())]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
 def assign_fine_cells(
     df: DataFrame,
     cents2: GroupCents,
@@ -62,7 +120,18 @@ def assign_fine_cells(
 ) -> DataFrame:
     """Per-row nearest FINE centroid within the row's parent cell —
     round(d2, 6) argmin, ties to the smaller child id (the oracle's
-    total order), via one 3-deep literal lookup."""
+    total order), via one 3-deep literal lookup. Dispatches to the
+    BLAS kernel above when the literal tree would be large (total fine
+    cells x dim past the kmeans_det threshold); every registered query
+    (k1=8, k2<=4) stays on the JVM expression path."""
+    from cloudvectordb_spark.operators.kmeans_det import (
+        _BLAS_CELLS_THRESHOLD,
+    )
+
+    n_cells = sum(len(v) for v in cents2.values())
+    dim = len(next(iter(cents2.values()))[0][1])
+    if n_cells * dim > _BLAS_CELLS_THRESHOLD:
+        return assign_fine_cells_blas(df, cents2, k1, parent_col, vec_col, out)
     mats, cids = _fine_matrices(cents2, k1)
     v = F.col(vec_col).cast("array<double>")
     pmat = F.element_at(mats, F.col(parent_col) + 1)

@@ -216,3 +216,26 @@ def test_adaptive_planner_routes_by_selectivity(spark, sf_dir):
 
     per_case = Counter(r.case_name for r in rows)
     assert per_case == {"selective": 30, "broad": 30}
+
+
+def test_fine_assign_blas_matches_expression_path(spark, sf_dir):
+    """The BLAS fine-assign kernel (scale dispatch) must reproduce the
+    expression path's (vec_id -> child_id) layout exactly on the
+    fixture two-level index."""
+    from cloudvectordb_spark.operators.ivf2 import (
+        assign_fine_cells,
+        assign_fine_cells_blas,
+        train_fine_centroids,
+    )
+
+    path, cents2, k1 = train_fine_centroids(spark, sf_dir)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    expr = {
+        (r.vec_id, int(r.child_id))
+        for r in assign_fine_cells(vectors, cents2, k1).collect()
+    }
+    blas = {
+        (r.vec_id, int(r.child_id))
+        for r in assign_fine_cells_blas(vectors, cents2, k1).collect()
+    }
+    assert expr == blas and len(expr) > 0
