@@ -893,3 +893,167 @@ def incremental_upsert_delete_e2e(
             .alias("final_corpus_docs"),
         )
     )
+
+
+def compact_postings_shards(shards: list[DataFrame]) -> DataFrame:
+    """LSM-style tier merge (round 8, late): fold N DELTA SHARDS into
+    one — never touching the base postings. The 10M measurement
+    (BASELINE.md "Delete maintenance costs") showed that merging a
+    shard INTO the full base postings (199M rows) costs MORE than a
+    raw-text rebuild; the production fix is standard LSM tiering:
+    level-0 shards merge with each other (cost ∝ Σ|shard|, bounded by
+    the batch sizes), and only a rare top-level compaction pays the
+    base-sized merge. Serving reads base ∪ all live shards with the
+    same tf-addition rollup either way, so tiering changes WHEN work
+    happens, never WHAT a query sees (pytest-pinned)."""
+    out = shards[0]
+    for s in shards[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("term", "doc_id").agg(
+        F.sum("tf").cast("bigint").alias("tf")
+    )
+
+
+@query(
+    "postings_tier_compaction",
+    # Integer counts and boolean set-equality only — no float ordering
+    # crosses the engine boundary.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, h1, unnest(string_split(text, ' ')) AS term FROM d
+    ),
+    pb AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE h1 < 'c' GROUP BY term, doc_id
+    ),
+    p1 AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE h1 >= 'c' AND h1 < 'e' GROUP BY term, doc_id
+    ),
+    p2 AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE h1 >= 'e' GROUP BY term, doc_id
+    ),
+    tier AS (
+      SELECT term, doc_id, CAST(sum(tf) AS BIGINT) AS tf
+      FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+      GROUP BY term, doc_id
+    ),
+    serving AS (
+      SELECT term, doc_id, CAST(sum(tf) AS BIGINT) AS tf
+      FROM (SELECT * FROM pb UNION ALL SELECT * FROM tier)
+      GROUP BY term, doc_id
+    ),
+    rebuild AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+      GROUP BY term, doc_id
+    ),
+    mism AS (
+      SELECT count(*) AS n FROM serving s
+      FULL OUTER JOIN rebuild r USING (term, doc_id)
+      WHERE s.tf IS DISTINCT FROM r.tf
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM d WHERE h1 < 'c')
+                                                    AS n_base_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM d WHERE h1 >= 'c' AND h1 < 'e')
+                                                    AS n_shard1_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM d WHERE h1 >= 'e')
+                                                    AS n_shard2_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM tier)   AS n_tier_postings,
+      (SELECT CAST(count(*) AS BIGINT) FROM serving)
+                                                    AS n_serving_postings,
+      (SELECT CAST(sum(tf) AS BIGINT) FROM serving) AS serving_total_tf,
+      (SELECT n FROM mism) = 0                      AS tiered_equals_rebuild
+    """,
+    operators=("G1", "D1", "C3", "H4", "K2"),
+)
+def postings_tier_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row proof that LSM shard tiering is invisible to the text
+    serving view: two delta postings shards folded into one tier shard
+    (``compact_postings_shards`` — base postings NEVER read), then the
+    serving rollup base ∪ tier compared against a full rebuild on the
+    whole corpus, keyed full-outer-join equality on (term, doc_id, tf).
+
+    Why tiering: the 10M-doc measurement (BASELINE.md, delete/LSM
+    maintenance) shows merging a delta INTO full base postings costs
+    more than a raw-text rebuild — base-sized shuffle per batch. Tier
+    merges cost ∝ Σ|shard| (batch-sized), and only a rare top-level
+    compaction pays the base-sized merge; this query pins the
+    correctness half of that trade at fixture scale.
+
+    The deterministic md5 three-way split (base < 'c', shard1 'c'..'d',
+    shard2 >= 'e') lets DuckDB replay every stage value-for-value.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    docs = docs.withColumn("_h1", h1)
+
+    def postings(d: DataFrame) -> DataFrame:
+        return (
+            d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").cast("bigint").alias("tf"))
+        )
+
+    base_d = docs.filter(F.col("_h1") < "c")
+    s1_d = docs.filter((F.col("_h1") >= "c") & (F.col("_h1") < "e"))
+    s2_d = docs.filter(F.col("_h1") >= "e")
+
+    tier = compact_postings_shards([postings(s1_d), postings(s2_d)])
+    serving = (
+        postings(base_d)
+        .unionByName(tier)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+    )
+    rebuild = postings(docs)
+
+    # Keyed full-outer equality (not exceptAll): (term, doc_id) is
+    # unique per side after the rollups, so a tf mismatch count IS set
+    # equality — and it avoids Spark 4.1's exceptAll attribute-dedup
+    # bug on multi-branch plans sharing the documents scan subtree
+    # (see ivf_delete_compaction).
+    mism = (
+        serving.select("term", "doc_id", F.col("tf").alias("tf_s"))
+        .join(
+            rebuild.select("term", "doc_id", F.col("tf").alias("tf_r")),
+            ["term", "doc_id"],
+            "full_outer",
+        )
+        .filter(~F.expr("tf_s <=> tf_r"))
+        .agg(F.count("*").alias("_n_mismatch"))
+    )
+    s_counts = docs.agg(
+        F.sum((F.col("_h1") < "c").cast("bigint")).alias("n_base_docs"),
+        F.sum(
+            ((F.col("_h1") >= "c") & (F.col("_h1") < "e")).cast("bigint")
+        ).alias("n_shard1_docs"),
+        F.sum((F.col("_h1") >= "e").cast("bigint")).alias("n_shard2_docs"),
+    )
+    s_tier = tier.agg(
+        F.count("*").cast("bigint").alias("n_tier_postings")
+    )
+    s_serv = serving.agg(
+        F.count("*").cast("bigint").alias("n_serving_postings"),
+        F.sum("tf").cast("bigint").alias("serving_total_tf"),
+    )
+    return (
+        s_counts.crossJoin(s_tier)
+        .crossJoin(s_serv)
+        .crossJoin(mism)
+        .select(
+            "n_base_docs",
+            "n_shard1_docs",
+            "n_shard2_docs",
+            "n_tier_postings",
+            "n_serving_postings",
+            "serving_total_tf",
+            (F.col("_n_mismatch") == 0).alias("tiered_equals_rebuild"),
+        )
+    )

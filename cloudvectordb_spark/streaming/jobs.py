@@ -416,6 +416,125 @@ def run_cdc_postings_ingest(
         q.stop()
 
 
+def _read_shard_manifest(root: str) -> list[str]:
+    import json
+    import os
+
+    p = os.path.join(root, "manifest.json")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_shard_manifest(root: str, shards: list[str]) -> None:
+    """Atomic manifest replace (tmp + os.rename): the manifest IS the
+    commit point — a compaction that dies before this rename leaves the
+    old manifest (and the still-live L0 shards) serving; one that dies
+    after it leaves only garbage dirs for the GC pass. Readers never
+    see a half-compacted state."""
+    import json
+    import os
+    import uuid
+
+    tmp = os.path.join(root, f".manifest.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(shards, f)
+    os.rename(tmp, os.path.join(root, "manifest.json"))
+
+
+def run_tiered_postings_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    out_root: str,
+    checkpoint_path: str,
+    tier_width: int = 4,
+) -> None:
+    """LSM-tiered continuous text-index maintenance (round 8, late):
+    like run_postings_ingest, each micro-batch appends a level-0
+    delta-postings shard — but when ``tier_width`` L0 shards are live,
+    they are folded into ONE level-1 tier shard
+    (``compact_postings_shards``: cost ∝ Σ|shard|, the BASE postings
+    are never read — the into-base merge measured slower than a rebuild
+    at 10M docs, BASELINE.md). A JSON manifest names the live shards;
+    compaction commits by atomically replacing the manifest, then
+    physically deletes the consumed L0 dirs (pure GC — a crash between
+    commit and GC leaves unreferenced dirs, never a wrong view).
+
+    The serving view (``tiered_serving_postings``) is the same
+    tf-addition rollup over the manifest's shards whatever the tier
+    layout, so tiering changes WHEN merge work happens, never WHAT a
+    query sees — pytest-pinned against the batch-built index.
+
+    ``docs_dir`` is a directory of parquet doc files streamed with
+    maxFilesPerTrigger=1 (one file per micro-batch), the local stand-in
+    for a Kafka doc topic. Checkpointed: committed batches never
+    reprocess; shard writes are mode("overwrite") into a per-batch-id
+    dir, so even a replayed batch is idempotent."""
+    import os
+    import shutil
+
+    from cloudvectordb_spark.operators.ingest import (
+        compact_postings_shards,
+    )
+
+    os.makedirs(out_root, exist_ok=True)
+    phys = spark.read.option("recursiveFileLookup", "true").parquet(
+        docs_dir
+    ).schema
+    docs = (
+        spark.readStream.schema(phys)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        shard_dir = os.path.join(out_root, "L0", f"shard-{batch_id}")
+        delta_postings_stream(batch_df).write.mode("overwrite").parquet(
+            shard_dir
+        )
+        manifest = _read_shard_manifest(out_root)
+        if shard_dir not in manifest:
+            manifest = manifest + [shard_dir]
+            _commit_shard_manifest(out_root, manifest)
+        l0 = [s for s in manifest if f"{os.sep}L0{os.sep}" in s]
+        if len(l0) >= tier_width:
+            tier_dir = os.path.join(out_root, "L1", f"tier-{batch_id}")
+            compact_postings_shards(
+                [spark.read.parquet(p) for p in l0]
+            ).write.mode("overwrite").parquet(tier_dir)
+            survivors = [s for s in manifest if s not in l0] + [tier_dir]
+            _commit_shard_manifest(out_root, survivors)  # commit point
+            for p in l0:  # GC after commit — safe to die anywhere here
+                shutil.rmtree(p, ignore_errors=True)
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def tiered_serving_postings(spark: SparkSession, out_root: str) -> DataFrame:
+    """The logically-current postings under the tier manifest: union
+    the live shards (whatever their level), tf-addition rollup."""
+    shards = _read_shard_manifest(out_root)
+    frames = [spark.read.parquet(p) for p in shards]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("term", "doc_id").agg(
+        F.sum("tf").cast("bigint").alias("tf")
+    )
+
+
 def cdc_serving_postings(
     spark: SparkSession, out_path: str, tomb_path: str
 ) -> DataFrame:

@@ -239,3 +239,43 @@ def test_fine_assign_blas_matches_expression_path(spark, sf_dir):
         for r in assign_fine_cells_blas(vectors, cents2, k1).collect()
     }
     assert expr == blas and len(expr) > 0
+
+
+def test_lsm_tier_merge_preserves_serving_view(spark, sf_dir):
+    """Tiering is invisible to queries: base ∪ compact(shard1, shard2)
+    must equal base ∪ shard1 ∪ shard2 (flat rollup) must equal a full
+    rebuild's postings on the combined corpus."""
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.functions import text as TX
+    from cloudvectordb_spark.operators.ingest import (
+        compact_postings_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+
+    def postings(d):
+        return (
+            d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").cast("bigint").alias("tf"))
+        )
+
+    base = postings(docs.filter(first < "c"))
+    s1 = postings(docs.filter((first >= "c") & (first < "e")))
+    s2 = postings(docs.filter(first >= "e"))
+
+    tiered = base.unionByName(compact_postings_shards([s1, s2]))
+    flat = base.unionByName(s1).unionByName(s2)
+
+    def rollup(d):
+        return d.groupBy("term", "doc_id").agg(
+            F.sum("tf").cast("bigint").alias("tf")
+        )
+
+    a, b = rollup(tiered), rollup(flat)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    rebuild = postings(docs)
+    assert rollup(tiered).exceptAll(rebuild).count() == 0
+    assert rebuild.exceptAll(rollup(tiered)).count() == 0

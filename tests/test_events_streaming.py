@@ -327,3 +327,66 @@ def test_streaming_postings_ingest_equals_batch_index(spark, sf_dir, tmp_path):
     n1 = spark.read.parquet(out).count()
     run_postings_ingest(spark, sf_dir, out, ckpt)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_tiered_postings_ingest_equals_batch_and_compacts(
+    spark, sf_dir, tmp_path
+):
+    """LSM tiering under the micro-batch engine: 5 one-file batches at
+    tier_width=2 must (a) serve postings identical to the batch-built
+    index, (b) leave fewer than tier_width L0 shards (compactions
+    actually fired, consumed dirs GC'd), and (c) reprocess nothing on a
+    checkpointed restart (manifest byte-identical)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.search import text_index_frames
+    from cloudvectordb_spark.streaming.jobs import (
+        _read_shard_manifest,
+        run_tiered_postings_ingest,
+        tiered_serving_postings,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    docs_dir = str(tmp_path / "doc_chunks")
+    for i in range(5):
+        (
+            docs.filter(F.col("doc_id") % 5 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{docs_dir}/chunk{i}")
+        )
+    out_root = str(tmp_path / "tiered_postings")
+    ckpt = str(tmp_path / "ckpt_tiered")
+    run_tiered_postings_ingest(
+        spark, docs_dir, out_root, ckpt, tier_width=2
+    )
+
+    serving = tiered_serving_postings(spark, out_root)
+    batch_postings = text_index_frames(spark, sf_dir)[0].select(
+        "term", "doc_id", F.col("tf").cast("bigint").alias("tf")
+    )
+    assert serving.exceptAll(batch_postings).count() == 0
+    assert batch_postings.exceptAll(serving).count() == 0
+    assert serving.count() > 0
+
+    manifest = _read_shard_manifest(out_root)
+    sep = os.sep
+    l0 = [s for s in manifest if f"{sep}L0{sep}" in s]
+    l1 = [s for s in manifest if f"{sep}L1{sep}" in s]
+    assert len(l0) < 2 and len(l1) >= 1
+    for s in manifest:  # every live shard exists; consumed dirs GC'd
+        assert os.path.exists(s)
+    l0_on_disk = (
+        os.listdir(os.path.join(out_root, "L0"))
+        if os.path.isdir(os.path.join(out_root, "L0"))
+        else []
+    )
+    assert len(l0_on_disk) == len(l0)
+
+    run_tiered_postings_ingest(
+        spark, docs_dir, out_root, ckpt, tier_width=2
+    )
+    assert _read_shard_manifest(out_root) == manifest

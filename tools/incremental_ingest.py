@@ -72,6 +72,13 @@ def main() -> int:
         "docs, report append / serve-overhead / compaction / "
         "rebuild-on-survivors costs (one extra JSON line)",
     )
+    ap.add_argument(
+        "--lsm",
+        action="store_true",
+        help="also time an LSM shard-tier merge (shards folded into "
+        "each other, base untouched) against the into-base merge, "
+        "using the largest delta's shard (one extra JSON line)",
+    )
     args = ap.parse_args()
     deltas = [int(x) for x in args.deltas.split(",")]
 
@@ -236,6 +243,47 @@ def main() -> int:
                         drebuild_s / dcompact_s, 2
                     ),
                     "compacted_equals_rebuild": True,
+                }
+            )
+        )
+    if args.lsm:
+        # ------------------------------------------------------------------
+        # LSM tiering measurement: the 10M run above shows folding a
+        # shard into FULL base postings costs more than rebuild. Tier
+        # merge (shard+shard -> one shard, base untouched) is the fix;
+        # time both on the same shard. compact_postings_shards is the
+        # engine-owned implementation (ingest.py, equality pytest).
+        # ------------------------------------------------------------------
+        from cloudvectordb_spark.operators.ingest import (
+            compact_postings_shards,
+        )
+
+        nd = max(deltas)
+        shard = spark.read.parquet(f"{root}/delta_shard_{base_n}_{nd}")
+        tier_path = f"{root}/lsm_tier_{base_n}_{nd}"
+        tier_s = timed(
+            lambda: compact_postings_shards([shard, shard])
+            .repartition(4, "term")
+            .write.mode("overwrite")
+            .parquet(tier_path)
+        )
+        into_base_path = f"{root}/lsm_into_base_{base_n}_{nd}"
+        into_base_s = timed(
+            lambda: base_postings.unionByName(shard)
+            .groupBy("term", "doc_id")
+            .agg(F.sum("tf").cast("bigint").alias("tf"))
+            .repartition(8, "term")
+            .write.mode("overwrite")
+            .parquet(into_base_path)
+        )
+        print(
+            json.dumps(
+                {
+                    "n_base_docs": base_n,
+                    "n_shard_docs": nd,
+                    "lsm_tier_merge_s": tier_s,
+                    "merge_into_base_s": into_base_s,
+                    "tier_vs_into_base_x": round(into_base_s / tier_s, 2),
                 }
             )
         )
