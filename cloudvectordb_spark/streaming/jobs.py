@@ -466,12 +466,19 @@ def run_tiered_postings_ingest(
     layout, so tiering changes WHEN merge work happens, never WHAT a
     query sees — pytest-pinned against the batch-built index.
 
+    Tiering CASCADES: when any level n accumulates ``tier_width``
+    shards they fold into one level-(n+1) shard, so merge work stays
+    geometrically amortized exactly like an LSM tree — each posting row
+    is rewritten O(log_width(batches)) times total, and no single merge
+    ever exceeds width × (largest shard at that level).
+
     ``docs_dir`` is a directory of parquet doc files streamed with
     maxFilesPerTrigger=1 (one file per micro-batch), the local stand-in
     for a Kafka doc topic. Checkpointed: committed batches never
     reprocess; shard writes are mode("overwrite") into a per-batch-id
     dir, so even a replayed batch is idempotent."""
     import os
+    import re
     import shutil
 
     from cloudvectordb_spark.operators.ingest import (
@@ -499,15 +506,37 @@ def run_tiered_postings_ingest(
         if shard_dir not in manifest:
             manifest = manifest + [shard_dir]
             _commit_shard_manifest(out_root, manifest)
-        l0 = [s for s in manifest if f"{os.sep}L0{os.sep}" in s]
-        if len(l0) >= tier_width:
-            tier_dir = os.path.join(out_root, "L1", f"tier-{batch_id}")
+
+        def level_of(p: str) -> int:
+            return int(
+                re.search(r"L(\d+)$", os.path.dirname(p)).group(1)
+            )
+
+        # Cascade: fold any full level into the next one, lowest level
+        # first, until no level holds tier_width shards.
+        while True:
+            by_level: dict[int, list[str]] = {}
+            for s in manifest:
+                by_level.setdefault(level_of(s), []).append(s)
+            full = [
+                lv for lv in sorted(by_level)
+                if len(by_level[lv]) >= tier_width
+            ]
+            if not full:
+                break
+            lv = full[0]
+            consumed = by_level[lv]
+            tier_dir = os.path.join(
+                out_root, f"L{lv + 1}", f"tier-{batch_id}-{lv}"
+            )
             compact_postings_shards(
-                [spark.read.parquet(p) for p in l0]
+                [spark.read.parquet(p) for p in consumed]
             ).write.mode("overwrite").parquet(tier_dir)
-            survivors = [s for s in manifest if s not in l0] + [tier_dir]
-            _commit_shard_manifest(out_root, survivors)  # commit point
-            for p in l0:  # GC after commit — safe to die anywhere here
+            manifest = [s for s in manifest if s not in consumed] + [
+                tier_dir
+            ]
+            _commit_shard_manifest(out_root, manifest)  # commit point
+            for p in consumed:  # GC after commit — dying here is safe
                 shutil.rmtree(p, ignore_errors=True)
 
     q = (

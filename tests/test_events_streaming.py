@@ -332,12 +332,14 @@ def test_streaming_postings_ingest_equals_batch_index(spark, sf_dir, tmp_path):
 def test_tiered_postings_ingest_equals_batch_and_compacts(
     spark, sf_dir, tmp_path
 ):
-    """LSM tiering under the micro-batch engine: 5 one-file batches at
+    """LSM tiering under the micro-batch engine: 9 one-file batches at
     tier_width=2 must (a) serve postings identical to the batch-built
-    index, (b) leave fewer than tier_width L0 shards (compactions
-    actually fired, consumed dirs GC'd), and (c) reprocess nothing on a
-    checkpointed restart (manifest byte-identical)."""
+    index, (b) cascade — no level holds tier_width shards at rest and
+    at least one level-2+ tier exists (folds of folds fired, consumed
+    dirs GC'd), and (c) reprocess nothing on a checkpointed restart
+    (manifest byte-identical)."""
     import os
+    import re
 
     from pyspark.sql import functions as F
 
@@ -351,9 +353,9 @@ def test_tiered_postings_ingest_equals_batch_and_compacts(
 
     docs = load(spark, sf_dir, "documents")
     docs_dir = str(tmp_path / "doc_chunks")
-    for i in range(5):
+    for i in range(9):
         (
-            docs.filter(F.col("doc_id") % 5 == i)
+            docs.filter(F.col("doc_id") % 9 == i)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{docs_dir}/chunk{i}")
@@ -373,10 +375,12 @@ def test_tiered_postings_ingest_equals_batch_and_compacts(
     assert serving.count() > 0
 
     manifest = _read_shard_manifest(out_root)
-    sep = os.sep
-    l0 = [s for s in manifest if f"{sep}L0{sep}" in s]
-    l1 = [s for s in manifest if f"{sep}L1{sep}" in s]
-    assert len(l0) < 2 and len(l1) >= 1
+    by_level = {}
+    for s in manifest:
+        lv = int(re.search(r"L(\d+)$", os.path.dirname(s)).group(1))
+        by_level.setdefault(lv, []).append(s)
+    assert all(len(v) < 2 for v in by_level.values())  # nothing full
+    assert max(by_level) >= 2  # folds of folds actually cascaded
     for s in manifest:  # every live shard exists; consumed dirs GC'd
         assert os.path.exists(s)
     l0_on_disk = (
@@ -384,7 +388,7 @@ def test_tiered_postings_ingest_equals_batch_and_compacts(
         if os.path.isdir(os.path.join(out_root, "L0"))
         else []
     )
-    assert len(l0_on_disk) == len(l0)
+    assert len(l0_on_disk) == len(by_level.get(0, []))
 
     run_tiered_postings_ingest(
         spark, docs_dir, out_root, ckpt, tier_width=2

@@ -337,3 +337,36 @@ def test_text_index_rebuilds_on_fixture_mtime(spark, sf_dir, tmp_path):
     os.utime(sfd / "documents.parquet", (st.st_atime, st.st_mtime + 10))
     r2 = ensure_text_index(spark, str(sfd))
     assert r1 != r2 and os.path.exists(os.path.join(r2, "_DONE"))
+
+
+def test_fuzzy_bm25_recovers_clean_query(spark, sf_dir):
+    """The typo set ("dta", "qery", "fast") must correct to the clean
+    query terms, so bm25_fuzzy_search's top-20 is bit-identical to
+    bm25_keyword_search's."""
+    from cloudvectordb_spark.operators.search import (
+        bm25_fuzzy_search,
+        bm25_keyword_search,
+    )
+
+    a = [
+        (r.doc_id, r.bm25, r.rank)
+        for r in bm25_fuzzy_search(spark, sf_dir)
+        .select("doc_id", "bm25", "rank")
+        .collect()
+    ]
+    b = [
+        (r.doc_id, r.bm25, r.rank)
+        for r in bm25_keyword_search(spark, sf_dir)
+        .select("doc_id", "bm25", "rank")
+        .collect()
+    ]
+    assert sorted(a) == sorted(b) and len(a) == 20
+
+
+def test_fuzzy_hits_exclude_distance_two(spark, sf_dir):
+    """"scna" (transposition of "scan") shares deletion variants with
+    "scan" ("sca", "scn") so the variant join ADMITS the candidate, but
+    plain Levenshtein distance is 2 — the verify filter must drop it."""
+    from cloudvectordb_spark.operators.search import _fuzzy_hits
+
+    assert _fuzzy_hits(spark, sf_dir, ("scna",)).count() == 0
