@@ -95,7 +95,11 @@ def main() -> int:
             args.structured,
             os.path.join("/tmp", "cloudvectordb_structured", str(args.structured)),
         )
-    from cloudvectordb_spark.operators.pq import ivfpq_topk_search, pq_topk_search
+    from cloudvectordb_spark.operators.pq import (
+        ivfpq_residual_topk_search,
+        ivfpq_topk_search,
+        pq_topk_search,
+    )
     from cloudvectordb_spark.operators.pipeline import ivf_topk_search
     from cloudvectordb_spark.operators.vector_ops import (
         binary_quant_hamming_topk,
@@ -110,6 +114,9 @@ def main() -> int:
         "ivf": ivf_topk_search,
         "pq": lambda s, sf: pq_topk_search(s, sf, rescore_c=c),
         "ivfpq": lambda s, sf: ivfpq_topk_search(s, sf, rescore_c=c),
+        "ivfpq_residual": lambda s, sf: ivfpq_residual_topk_search(
+            s, sf, rescore_c=c
+        ),
         "binary": binary_quant_hamming_topk,
         "matryoshka": matryoshka_truncated_knn,
     }
