@@ -301,6 +301,52 @@ def run_vector_ingest(
         q.stop()
 
 
+def run_residual_code_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Continuous residual-IVF-PQ maintenance (round 8, late): stream
+    vectors, assign each to its FROZEN IVF cell, residual-encode
+    against the FROZEN residual codebooks (normalized vector minus
+    normalized cell centroid — operators.pq's 'rpq' space), append
+    codes partitioned by cell with a checkpoint. The vector twin of
+    run_postings_ingest: both quantizers are trained at bulk-build
+    time; per-batch work is assignment + encode over the DELTA only,
+    and the streamed shards are row-for-row the codes a full batch
+    rebuild would produce (pytest-pinned), so compaction is a pure
+    layout concern exactly as for the text shards."""
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        index_centroids,
+    )
+    from cloudvectordb_spark.operators.pq import (
+        ensure_ivfpq_residual_index,
+        pq_encode_residual,
+    )
+
+    cents = index_centroids(spark, ensure_ivf_index(spark, sf_dir))
+    _, books, _ = ensure_ivfpq_residual_index(spark, sf_dir)
+    assigned = assign_vectors_stream(read_vectors_stream(spark, sf_dir), cents)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pq_encode_residual(batch_df, books, cents).write.mode(
+            "append"
+        ).partitionBy("centroid_id").parquet(out_path)
+
+    q = (
+        assigned.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """J2+J4 streaming-native: watermarked SLIDING window aggregate
     (10 min window, 5 min slide — each event lands in two windows).

@@ -394,3 +394,33 @@ def test_tiered_postings_ingest_equals_batch_and_compacts(
         spark, docs_dir, out_root, ckpt, tier_width=2
     )
     assert _read_shard_manifest(out_root) == manifest
+
+
+def test_streaming_residual_code_ingest_equals_batch_index(
+    spark, sf_dir, tmp_path
+):
+    """The streamed residual-code shards must be row-for-row the codes
+    the batch bulk build produces (same frozen centroids + codebooks),
+    and a checkpointed restart appends nothing."""
+    from cloudvectordb_spark.operators.pq import (
+        ensure_ivfpq_residual_index,
+    )
+    from cloudvectordb_spark.streaming.jobs import run_residual_code_ingest
+
+    out = str(tmp_path / "stream_rcodes")
+    ckpt = str(tmp_path / "ckpt_rcodes")
+    run_residual_code_ingest(spark, sf_dir, out, ckpt)
+
+    streamed = {
+        (r.vec_id, tuple(r.code), r.centroid_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_codes, _, _ = ensure_ivfpq_residual_index(spark, sf_dir)
+    batch = {
+        (r.vec_id, tuple(r.code), r.centroid_id)
+        for r in batch_codes.collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+    run_residual_code_ingest(spark, sf_dir, out, ckpt)
+    assert spark.read.parquet(out).count() == len(streamed)
