@@ -134,10 +134,11 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     # mtime_ns + size fingerprint (cache.source_tag): a fixture
     # regenerated within the same second as the prior build still gets
     # a fresh index (round-7 ADVICE). md5 keeps the dir name short.
-    # "v3" = index format version (postings + dl + stats + term_meta +
-    # positional postings); bump whenever the artifact schema changes so
-    # an old on-disk index can never be read by newer code.
-    fp = hashlib.md5(f"v3|{source_tag(src)}".encode()).hexdigest()[:16]
+    # "v4" = index format version (postings + dl + stats + term_meta +
+    # positional postings + term deletion variants); bump whenever the
+    # artifact schema changes so an old on-disk index can never be read
+    # by newer code.
+    fp = hashlib.md5(f"v4|{source_tag(src)}".encode()).hexdigest()[:16]
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp}"
     root = os.path.join(tempfile.gettempdir(), "cloudvectordb_textindex", tag)
     if os.path.exists(os.path.join(root, "_DONE")):
@@ -213,7 +214,7 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
             F.col("tf")
             + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
         )
-        (
+        term_meta_f = (
             postings.join(dl, "doc_id")
             .crossJoin(F.broadcast(stats))
             .groupBy("term")
@@ -221,8 +222,26 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
                 F.count("*").cast("bigint").alias("df"),
                 F.max(tf_sat).alias("max_impact"),
             )
+        )
+        term_meta_f.write.mode("overwrite").parquet(
+            os.path.join(build, "term_meta")
+        )
+        # Symmetric-deletion variants (v4): the persisted candidate key
+        # for the fuzzy lookup family — vocab-sized × (len+1) rows,
+        # var-sorted so a query's variant IN-list prunes row groups the
+        # same way query terms prune the postings.
+        (
+            spark.read.parquet(os.path.join(build, "term_meta"))
+            .select(
+                "term",
+                "df",
+                F.explode(_deletion_variants("term")).alias("var"),
+            )
+            .distinct()
+            .repartition(8, "var")
+            .sortWithinPartitions("var")
             .write.mode("overwrite")
-            .parquet(os.path.join(build, "term_meta"))
+            .parquet(os.path.join(build, "term_variants"))
         )
         grouped.unpersist()
         open(os.path.join(build, "_DONE"), "w").close()
@@ -258,6 +277,18 @@ def text_index_frames(
 
     return artifact_cache(
         ("text_index_frames", root, session_key(spark)), build
+    )
+
+
+def text_index_variant_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df, var) — the persisted symmetric-deletion variant
+    artifact (index v4), session-cached like the other index frames."""
+    from cloudvectordb_spark.cache import artifact_cache, session_key
+
+    root = ensure_text_index(spark, sf_dir)
+    return artifact_cache(
+        ("text_index_variants", root, session_key(spark)),
+        lambda: spark.read.parquet(f"{root}/term_variants"),
     )
 
 
@@ -2194,15 +2225,10 @@ def _fuzzy_hits(
 ) -> DataFrame:
     """(query_term, term, dist, df): vocabulary terms within
     Levenshtein distance 1 of each query term, candidates from the
-    symmetric-deletion-variant equi-join against term_meta."""
-    _postings, _dl, _stats, term_meta = text_index_frames(spark, sf_dir)
-    dict_var = (
-        term_meta.select(
-            "term",
-            "df",
-            F.explode(_deletion_variants("term")).alias("var"),
-        )
-    ).distinct()
+    symmetric-deletion-variant equi-join against the PERSISTED variant
+    artifact (index v4) — built once with the index, var-sorted row
+    groups, never re-derived per query."""
+    dict_var = text_index_variant_frame(spark, sf_dir)
     q = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in qterms])).alias(
             "query_term"
@@ -2410,4 +2436,151 @@ def bm25_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _bm25_from_parts(tf, dl, stats)
     return global_topk_ranked(
         scored, [F.desc("bm25"), F.asc("doc_id")], 20
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-query serving (round 8, continuation): a serving tier
+# never runs one Spark job per user query — it drains a QUERY BATCH in
+# one plan. The batch is a (query_id, term) table broadcast into the
+# same postings join every single-query path uses: the postings scan is
+# read ONCE for the union of all query terms (one pushed IN-list), the
+# per-(query, doc) scores reduce map-side, and the per-query top-k is a
+# window keyed by query_id — so driver/job overhead and the corpus scan
+# amortize over the whole batch instead of multiplying with it. Per
+# query the arithmetic is exactly _bm25_from_parts (df from term_meta,
+# same integers), so batch slot 0 reproduces bm25_keyword_search
+# bit-for-bit (pytest-pinned).
+# ---------------------------------------------------------------------------
+_BATCH_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, _QUERY_TERMS),
+    (1, ("merge", "stream")),
+    (2, ("vector", "window", "scan")),
+    (3, ("join", "hash", "sort")),
+)
+_BATCH_K = 10
+
+
+def bm25_scores_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: tuple[tuple[int, tuple[str, ...]], ...] = _BATCH_QUERIES,
+) -> DataFrame:
+    """(query_id, doc_id, bm25) for every query in the batch, from ONE
+    postings scan. df comes from term_meta (identical integers to the
+    inline countDistinct), so per-query scores are bit-identical to
+    bm25_scores_indexed for the same term set."""
+    postings, dl, stats, term_meta = text_index_frames(spark, sf_dir)
+    all_terms = sorted({t for _, ts in batch for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in batch for t in ts],
+        schema="query_id int, term string",
+    )
+    tf = postings.filter(F.col("term").isin(*all_terms))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(term_meta.select("term", "df")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+
+
+def _batch_qt_sql() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BATCH_QUERIES for t in ts
+    )
+    return f"qt(query_id, term) AS (VALUES {rows})"
+
+
+@query(
+    "bm25_batch_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    {_batch_qt_sql()},
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_K1} + 1.0)
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN qt USING (term)
+      JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, bm25,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored QUALIFY rank <= {_BATCH_K}
+    """,
+    operators=("K2", "E4", "D1", "C2"),
+)
+def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per query for a 4-query batch, served in ONE plan from
+    the persisted index. The per-query rank window partitions by
+    query_id — bounded per partition by that query's matching docs, the
+    same shape ivf_topk_search uses per probe; at scale the batch
+    dimension is the parallelism, and AQE splits a skewed query's
+    partition if one term matches half the corpus."""
+    scored = bm25_scores_batch(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rank") <= _BATCH_K)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+@query(
+    "prefix_autocomplete",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term LIKE 's%' GROUP BY term)
+    SELECT term, df,
+           CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT)
+             AS rank
+    FROM df QUALIFY rank <= 10
+    """,
+    operators=("K2", "B5", "F2"),
+)
+def prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-box autocomplete: top-10 completions of prefix 's' by
+    document frequency, served ENTIRELY from the vocabulary-sized
+    term_meta artifact — the StartsWith filter pushes into its parquet
+    scan, no postings or raw-text read at all. At 100 TB term_meta is
+    the (tiny) dictionary shard; autocomplete never touches the corpus.
+    The oracle recomputes df from raw text."""
+    _postings, _dl, _stats, term_meta = text_index_frames(spark, sf_dir)
+    cand = term_meta.filter(F.col("term").startswith("s")).select(
+        "term", "df"
+    )
+    return global_topk_ranked(
+        cand, [F.desc("df"), F.asc("term")], 10
     )

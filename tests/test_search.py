@@ -370,3 +370,88 @@ def test_fuzzy_hits_exclude_distance_two(spark, sf_dir):
     from cloudvectordb_spark.operators.search import _fuzzy_hits
 
     assert _fuzzy_hits(spark, sf_dir, ("scna",)).count() == 0
+
+
+def test_bm25_batch_slot0_equals_single_query(spark, sf_dir):
+    """Batch slot 0 carries the bm25_keyword_search term set, so its
+    per-query top-10 must be bit-for-bit the single-query top-10 —
+    batching may change the plan shape, never the arithmetic."""
+    from cloudvectordb_spark.operators.search import (
+        bm25_batch_topk,
+        bm25_keyword_search,
+    )
+
+    batch = {
+        (r.doc_id, r.bm25, r.rank)
+        for r in bm25_batch_topk(spark, sf_dir)
+        .filter("query_id = 0")
+        .select("doc_id", "bm25", "rank")
+        .collect()
+    }
+    single = {
+        (r.doc_id, r.bm25, r.rank)
+        for r in bm25_keyword_search(spark, sf_dir)
+        .filter("rank <= 10")
+        .select("doc_id", "bm25", "rank")
+        .collect()
+    }
+    assert batch == single and len(batch) == 10
+
+
+def test_bm25_batch_one_postings_scan_serves_all_queries(spark, sf_dir):
+    """The whole batch must be served from ONE postings scan (one
+    pushed IN-list over the union of query terms) — per-query scans
+    would re-multiply the corpus cost batching exists to amortize.
+    Also pins every batch query present with a full 1..k rank."""
+    from cloudvectordb_spark.operators.search import (
+        _BATCH_K,
+        _BATCH_QUERIES,
+        bm25_batch_topk,
+        bm25_scores_batch,
+    )
+
+    df = bm25_scores_batch(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # each FileScan prints its read schema once; postings is the only
+    # index artifact carrying a tf column, so exactly one FileScan line
+    # with tf in its column list == exactly one postings scan (the plan
+    # string truncates Location, so the path itself isn't matchable)
+    assert plan.count("textindex") >= 1
+    assert (
+        sum(
+            1
+            for ln in plan.splitlines()
+            if "FileScan" in ln and ",tf#" in ln
+        )
+        == 1
+    )
+
+    out = bm25_batch_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {qid for qid, _ in _BATCH_QUERIES}
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, _BATCH_K + 1))
+
+
+def test_prefix_autocomplete_pushes_startswith(spark, sf_dir):
+    """Autocomplete serves from term_meta only: the prefix predicate
+    must push into the term_meta parquet scan, and no postings or
+    documents scan may appear anywhere in the plan."""
+    import contextlib
+    import io
+
+    from cloudvectordb_spark.operators.search import prefix_autocomplete
+
+    df = prefix_autocomplete(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    assert "StringStartsWith(term,s)" in txt
+    assert "/postings" not in txt and "documents.parquet" not in txt
+
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r.term.startswith("s") for r in rows)
