@@ -2542,15 +2542,18 @@ def bm25_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape ivf_topk_search uses per probe; at scale the batch
     dimension is the parallelism, and AQE splits a skewed query's
     partition if one term matches half the corpus."""
-    scored = bm25_scores_batch(spark, sf_dir)
+    return batch_topk_per_query(bm25_scores_batch(spark, sf_dir), _BATCH_K)
+
+
+def batch_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over (query_id, doc_id, bm25) batch scores —
+    shared by the registered 4-query demo and the scale probe."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("bm25"), F.asc("doc_id")
     )
     return (
-        scored.withColumn(
-            "rank", F.row_number().over(w).cast("bigint")
-        )
-        .filter(F.col("rank") <= _BATCH_K)
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "bm25", "rank")
     )
 

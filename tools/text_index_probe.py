@@ -72,9 +72,90 @@ def ensure_docs(spark, n_docs: int, root: str) -> str:
     return path
 
 
+def _probe_batch(n_queries: int) -> tuple[tuple[int, tuple[str, ...]], ...]:
+    """Deterministic query batch: 3 terms per query drawn from the
+    probe vocab with a multiplicative-hash stride (mixes hot Zipf-head
+    terms with cold tail terms the way a real query log does)."""
+    return tuple(
+        (
+            qid,
+            tuple(
+                f"w{((qid * 3 + j) * 2654435761) % _VOCAB}" for j in range(3)
+            ),
+        )
+        for qid in range(n_queries)
+    )
+
+
+def run_batch_mode(spark, sf_dir: str, n_queries: int) -> dict:
+    """Batched multi-query serving vs one-job-per-query, same index.
+
+    Sequential = the single-query indexed path run once per query (one
+    Spark job each — the anti-pattern a serving tier must avoid);
+    batched = ONE plan scoring every query from one postings scan
+    (bm25_scores_batch). Results asserted identical per query first."""
+    from cloudvectordb_spark.operators.search import (
+        batch_topk_per_query,
+        bm25_scores_batch,
+        bm25_scores_indexed,
+        ensure_text_index,
+    )
+    from cloudvectordb_spark.ranking import global_topk_ranked
+
+    ensure_text_index(spark, sf_dir)
+    batch = _probe_batch(n_queries)
+
+    def seq_one(terms):
+        return global_topk_ranked(
+            bm25_scores_indexed(spark, sf_dir, terms),
+            [F.desc("bm25"), F.asc("doc_id")],
+            10,
+        )
+
+    def batched():
+        return batch_topk_per_query(
+            bm25_scores_batch(spark, sf_dir, batch), 10
+        )
+
+    # equality first: every query's batched top-10 == its sequential
+    got = {}
+    for r in batched().collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.bm25))
+    for qid, terms in batch:
+        want = [
+            (r.rank, r.doc_id, r.bm25) for r in seq_one(terms).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(want), f"q{qid} diverged"
+
+    # timings: warm both paths once (above), then best-of-2
+    def timed(fn):
+        best = 9e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    seq_s = timed(lambda: [seq_one(t).collect() for _, t in batch])
+    batch_s = timed(lambda: batched().collect())
+    return {
+        "n_queries": n_queries,
+        "sequential_s": seq_s,
+        "batched_s": batch_s,
+        "amortization_x": round(seq_s / batch_s, 2),
+        "per_query_ms_batched": round(1000 * batch_s / n_queries, 1),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument(
+        "--batch",
+        type=int,
+        default=0,
+        help="measure batched Q-query serving vs Q sequential jobs",
+    )
     args = ap.parse_args()
 
     spark = get_session("text-index-probe")
@@ -82,6 +163,12 @@ def main() -> int:
     docs_path = ensure_docs(spark, args.docs, root)
     sf_dir = os.path.dirname(docs_path)
     docs = spark.read.parquet(docs_path)
+
+    if args.batch:
+        out = {"n_docs": args.docs}
+        out.update(run_batch_mode(spark, sf_dir, args.batch))
+        print(json.dumps(out))
+        return 0
 
     from cloudvectordb_spark.operators.search import (
         _bm25_pruned_parts,
