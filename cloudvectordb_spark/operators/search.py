@@ -2461,22 +2461,17 @@ _BATCH_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
 _BATCH_K = 10
 
 
-def bm25_scores_batch(
-    spark: SparkSession,
-    sf_dir: str,
-    batch: tuple[tuple[int, tuple[str, ...]], ...] = _BATCH_QUERIES,
+def _batch_scoring_join(
+    tf: DataFrame,
+    qt: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    term_meta: DataFrame,
 ) -> DataFrame:
-    """(query_id, doc_id, bm25) for every query in the batch, from ONE
-    postings scan. df comes from term_meta (identical integers to the
-    inline countDistinct), so per-query scores are bit-identical to
-    bm25_scores_indexed for the same term set."""
-    postings, dl, stats, term_meta = text_index_frames(spark, sf_dir)
-    all_terms = sorted({t for _, ts in batch for t in ts})
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in batch for t in ts],
-        schema="query_id int, term string",
-    )
-    tf = postings.filter(F.col("term").isin(*all_terms))
+    """The shared batch BM25 join: term-pruned postings × broadcast
+    query table × broadcast df/stats, reduced per (query_id, doc_id).
+    Same arithmetic and rounding as _bm25_from_parts, df from term_meta
+    (identical integers to the inline countDistinct)."""
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -2491,6 +2486,47 @@ def bm25_scores_batch(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
     )
+
+
+def bm25_scores_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: tuple[tuple[int, tuple[str, ...]], ...] = _BATCH_QUERIES,
+) -> DataFrame:
+    """(query_id, doc_id, bm25) for every query in the batch, from ONE
+    postings scan whose pushed IN-list is the union of query terms."""
+    postings, dl, stats, term_meta = text_index_frames(spark, sf_dir)
+    all_terms = sorted({t for _, ts in batch for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in batch for t in ts],
+        schema="query_id int, term string",
+    )
+    tf = postings.filter(F.col("term").isin(*all_terms))
+    return _batch_scoring_join(tf, qt, dl, stats, term_meta)
+
+
+def serve_query_batch(
+    spark: SparkSession, sf_dir: str, qt: DataFrame, k: int = _BATCH_K
+) -> DataFrame:
+    """Score an ARBITRARY (query_id, term) query table against the
+    persisted index — the foreachBatch body of the continuous serving
+    job (streaming/jobs.run_query_serving). The batch's distinct terms
+    are collected (bounded by the batch's own vocabulary — query
+    batches are small by construction, never corpus-sized) so the
+    postings scan still gets a pushed IN-list per micro-batch."""
+    terms = sorted(
+        r.term for r in qt.select("term").distinct().collect()
+    )
+    if not terms:
+        return qt.sparkSession.createDataFrame(
+            [], schema="query_id int, doc_id long, bm25 double, rank long"
+        )
+    postings, dl, stats, term_meta = text_index_frames(spark, sf_dir)
+    tf = postings.filter(F.col("term").isin(*terms))
+    scored = _batch_scoring_join(
+        tf, qt.select("query_id", "term"), dl, stats, term_meta
+    )
+    return batch_topk_per_query(scored, k)
 
 
 def _batch_qt_sql() -> str:

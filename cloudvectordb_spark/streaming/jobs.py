@@ -347,6 +347,56 @@ def run_residual_code_ingest(
         q.stop()
 
 
+def run_query_serving(
+    spark: SparkSession,
+    sf_dir: str,
+    queries_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    k: int = 10,
+) -> None:
+    """Continuous QUERY serving (round 8, continuation): the index side
+    of the engine consumed as a stream processor — queries arrive as
+    micro-batches (a parquet file stream standing in for the request
+    topic), each batch is scored against the STATIC persisted text
+    index in one plan (operators.search.serve_query_batch: pushed
+    IN-list postings scan for the batch's term union, broadcast query
+    table, per-query top-k), and per-query results append under a
+    checkpoint — committed request batches never rescore on restart.
+    maxFilesPerTrigger=1 keeps one request file per micro-batch, the
+    shape a Kafka trigger would give. This is the J7 stream-static join
+    topology applied to serving rather than enrichment: the corpus
+    artifacts never re-shuffle per batch, only the (small) query side
+    moves."""
+    from cloudvectordb_spark.operators.search import (
+        ensure_text_index,
+        serve_query_batch,
+    )
+
+    ensure_text_index(spark, sf_dir)  # build once, before the stream
+    queries = (
+        spark.readStream.schema("query_id int, term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(queries_path)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        serve_query_batch(spark, sf_dir, batch_df, k).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        queries.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """J2+J4 streaming-native: watermarked SLIDING window aggregate
     (10 min window, 5 min slide — each event lands in two windows).

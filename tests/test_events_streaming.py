@@ -424,3 +424,52 @@ def test_streaming_residual_code_ingest_equals_batch_index(
 
     run_residual_code_ingest(spark, sf_dir, out, ckpt)
     assert spark.read.parquet(out).count() == len(streamed)
+
+
+def test_streaming_query_serving_matches_batch_and_checkpoints(
+    spark, sf_dir, tmp_path
+):
+    """Queries streamed as two request files must each be served
+    against the static index with results bit-identical to the batch
+    path (bm25_scores_batch + batch_topk_per_query on the same query
+    table), and a checkpointed restart rescores nothing."""
+    from cloudvectordb_spark.operators.search import (
+        batch_topk_per_query,
+        bm25_scores_batch,
+    )
+    from cloudvectordb_spark.streaming.jobs import run_query_serving
+
+    qdir = str(tmp_path / "queries")
+    out = str(tmp_path / "served")
+    ckpt = str(tmp_path / "ckpt_serving")
+
+    batch_a = ((0, ("data", "query")), (1, ("merge", "stream")))
+    batch_b = ((2, ("vector", "scan")), (3, ("join", "sort", "hash")))
+    for batch in (batch_a, batch_b):
+        (
+            spark.createDataFrame(
+                [(qid, t) for qid, ts in batch for t in ts],
+                schema="query_id int, term string",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(qdir)
+        )
+
+    run_query_serving(spark, sf_dir, qdir, out, ckpt, k=10)
+
+    served = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in batch_topk_per_query(
+            bm25_scores_batch(spark, sf_dir, batch_a + batch_b), 10
+        ).collect()
+    }
+    assert served == expected and len(served) > 0
+    assert {q for q, *_ in served} == {0, 1, 2, 3}
+
+    run_query_serving(spark, sf_dir, qdir, out, ckpt, k=10)
+    assert spark.read.parquet(out).count() == len(served)
