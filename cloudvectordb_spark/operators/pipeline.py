@@ -378,6 +378,148 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_knn_fast(pruned, probes_local, k=10)
 
 
+def ivf_batch_search_strict(
+    spark: SparkSession,
+    vectors: DataFrame,
+    probe_rows: list,
+    cents: list,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Batched IVF search with STRICT per-probe nprobe semantics: probe
+    p's candidates are exactly the vectors assigned to p's own nprobe
+    nearest cells (not the union of all probes' cells, which
+    ivf_topk_search accepts as a recall-improving superset). One plan
+    for the whole probe batch:
+
+    1. (probe_id, centroid_id) pairs — nprobe rows per probe, computed
+       driver-side over the cached centroid list (bounded work) and
+       BROADCAST into a join with the cell-partitioned vectors, so each
+       probe's candidate set materializes tagged with its probe_id and
+       non-selected cells never leave disk.
+    2. An Arrow-batched kernel scores each batch's rows against their
+       OWN probe's unit vector (grouped matmul per probe present in the
+       batch) and emits only the local top-k per probe — the exchange
+       carries <= k * n_probes rows per partition.
+    3. Global per-probe top-k window over the unioned local winners.
+
+    Identical rounding/tie order to exact_knn_fast (half-up 6 dp, then
+    score DESC, neighbor_id ASC), so per-probe results are bit-equal to
+    running the sequential single-probe path on the same cells — the
+    amortization claim is measured against an identical answer
+    (tools/ann_batch_probe.py). At 100 TB this is the serving shape:
+    the request batch is the broadcast side, the index never reshuffles,
+    and per-batch cost is the sum of the probed cells' sizes."""
+    import numpy as np
+    import pandas as pd
+
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+
+    pvecs = {}
+    pc_pairs = []
+    for r in probe_rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        pvecs[int(r.vec_id)] = v / np.linalg.norm(v)
+        for cid in nearest_cells_py(r.embedding, cents, nprobe):
+            pc_pairs.append((int(r.vec_id), int(cid)))
+    pc_df = spark.createDataFrame(
+        pc_pairs, schema="probe_id long, centroid_id int"
+    )
+    cand = (
+        vectors.withColumn(
+            "centroid_id", F.col("centroid_id").cast("int")
+        )
+        .join(F.broadcast(pc_df), "centroid_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "embedding")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            out_p, out_n, out_s = [], [], []
+            for pid, grp in pdf.groupby("probe_id", sort=False):
+                pv = pvecs[int(pid)]
+                ids = grp["vec_id"].to_numpy()
+                m = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                col = m @ pv
+                # half-up 6 dp BEFORE selection (oracle / exact_knn_fast
+                # parity); threshold-keep boundary ties, then exact-sort
+                r6 = np.sign(col) * np.floor(np.abs(col) * 1e6 + 0.5) / 1e6
+                if len(r6) > k:
+                    thr = np.partition(r6, len(r6) - k)[len(r6) - k]
+                    keep = np.flatnonzero(r6 >= thr)
+                else:
+                    keep = np.arange(len(r6))
+                order = np.lexsort((ids[keep], -r6[keep]))[:k]
+                top = keep[order]
+                out_p.extend([int(pid)] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(r6[top])
+            yield pd.DataFrame(
+                {"probe_id": out_p, "neighbor_id": out_n, "score": out_s}
+            )
+
+    local = cand.mapInPandas(
+        score, schema="probe_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return local.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
+
+
+@query(
+    "ivf_strict_nprobe_search",
+    # Full value oracle: per-probe cell restriction (JOIN on the probe's
+    # OWN top-nprobe cells) instead of ivf_topk_search's union superset.
+    oracle=f"""
+    WITH {_KM_CTES},
+    pc AS (
+      SELECT vec_id AS probe_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c WHERE e.vec_id < 3
+      ) WHERE rn <= 2
+    ),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM km_emb WHERE vec_id < 3),
+    scored AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, p.pv), 6) AS score
+      FROM km_assign a
+      JOIN pc ON a.cid = pc.cid
+      JOIN p ON p.probe_id = pc.probe_id
+      WHERE a.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K9", "K8", "E4", "L5"),
+)
+def ivf_strict_nprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-nprobe batched ANN over the persisted IVF layout: each
+    probe scores ONLY its own 2 nearest cells (the classic FAISS nprobe
+    contract), the whole batch in one plan."""
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors, _ = read_ivf_index(spark, path)
+    cents = index_centroids(spark, path)
+    probe_rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return ivf_batch_search_strict(
+        spark, vectors, probe_rows, cents, nprobe=2, k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # G6 scale path: IVF-bucketed semantic near-dup. The exact all-pairs form
 # (operators.vector_ops.semantic_dup_pairs) is O(n^2) in interpreted

@@ -443,3 +443,62 @@ def test_lsh_multiprobe_beats_single_probe_recall(spark, sf_dir):
     multi = recall(lsh_multiprobe_knn(spark, sf_dir))
     assert multi >= single
     assert multi >= 0.7
+
+
+def test_ivf_strict_nprobe_candidates_and_seq_parity(spark, sf_dir):
+    """Strict-nprobe batched search must (a) only return neighbors
+    assigned to the PROBE'S OWN top-2 cells — never another probe's
+    cell (the union superset ivf_topk_search accepts) — and (b) match
+    the sequential single-probe path bit-for-bit per probe."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        index_centroids,
+        ivf_strict_nprobe_search,
+        read_ivf_index,
+    )
+    from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
+
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors, _ = read_ivf_index(spark, path)
+    cents = index_centroids(spark, path)
+    cell_of = {
+        r.vec_id: r.centroid_id
+        for r in vectors.select("vec_id", "centroid_id").collect()
+    }
+    probes = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    own_cells = {
+        r.vec_id: set(nearest_cells_py(r.embedding, cents, 2))
+        for r in probes
+    }
+
+    out = ivf_strict_nprobe_search(spark, sf_dir).collect()
+    assert len(out) > 0
+    by_probe = {}
+    for r in out:
+        assert cell_of[r.neighbor_id] in own_cells[r.probe_id]
+        by_probe.setdefault(r.probe_id, []).append(
+            (r.rank, r.neighbor_id, r.score)
+        )
+
+    for pr in probes:
+        pruned = vectors.filter(
+            F.col("centroid_id").isin(list(own_cells[pr.vec_id]))
+        )
+        single = spark.createDataFrame(
+            [(pr.vec_id, list(pr.embedding))],
+            schema="vec_id long, embedding array<float>",
+        )
+        want = [
+            (r.rank, r.neighbor_id, r.score)
+            for r in exact_knn_fast(pruned, single, k=10).collect()
+        ]
+        assert sorted(by_probe[pr.vec_id]) == sorted(want)
