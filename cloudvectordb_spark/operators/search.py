@@ -2623,3 +2623,114 @@ def prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_topk_ranked(
         cand, [F.desc("df"), F.asc("term")], 10
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage cascade retrieval (round 8, continuation): the standard
+# candidate-generation -> rerank serving pipeline as ONE plan. Stage 1
+# is the cheap retriever (indexed BM25 — postings-only, pushed IN-list)
+# producing a bounded candidate list; stage 2 rescoring touches ONLY the
+# candidates' embeddings (the candidate ids broadcast into the embedding
+# join), so the expensive scorer's cost is O(candidates), never
+# O(corpus). hybrid_rrf_search FUSES two full rankings; the cascade is
+# the other canonical topology — stage 2 REPLACES stage 1's order and
+# only ever sees stage 1's survivors.
+# ---------------------------------------------------------------------------
+_CASCADE_N = 50
+
+
+@query(
+    "cascade_rerank_search",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL},
+    cand AS (
+      SELECT doc_id, bm25,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS krank
+      FROM scored QUALIFY krank <= {_CASCADE_N}
+    ),
+    rescored AS (
+      SELECT c.doc_id, c.bm25,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(p.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.doc_id
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+    )
+    SELECT doc_id, bm25, cos_sim,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM rescored QUALIFY rank <= 10
+    """,
+    operators=("K2", "K8", "K7", "E4", "C1", "C2"),
+)
+def cascade_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by SECOND-stage (embedding cosine) score over the BM25
+    top-50 candidate set — candidates without an embedding row drop
+    (inner join), matching the oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    cand = global_topk_ranked(
+        bm25_scores_indexed(spark, sf_dir),
+        [F.desc("bm25"), F.asc("doc_id")],
+        _CASCADE_N,
+        "krank",
+    ).select("doc_id", "bm25")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    rescored = (
+        emb.join(F.broadcast(cand), emb.vec_id == cand.doc_id)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(V.cosine("embedding", "probe_vec"), 6).alias("cos_sim"),
+        )
+    )
+    return global_topk_ranked(
+        rescored, [F.desc("cos_sim"), F.asc("doc_id")], 10
+    )
+
+
+@query(
+    "text_index_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+    SELECT CAST(stats.n_docs AS BIGINT) AS n_docs,
+           round(stats.avgdl, 6) AS avgdl,
+           CAST((SELECT count(*) FROM df) AS BIGINT) AS vocab_size,
+           CAST((SELECT count(*) FROM tf) AS BIGINT) AS n_postings,
+           CAST((SELECT max(df) FROM df) AS BIGINT) AS max_df
+    FROM stats
+    """,
+    operators=("K2", "D2"),
+)
+def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index monitoring surface: one row of collection statistics
+    served ENTIRELY from the persisted artifacts (stats + term_meta +
+    postings counts — no raw-text read); the oracle recomputes every
+    number from documents, so this also VERIFIES the artifacts agree
+    with the corpus they index. The operational health check a serving
+    tier runs after every compaction."""
+    postings, _dl, stats, term_meta = text_index_frames(spark, sf_dir)
+    vocab = term_meta.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.max("df").cast("bigint").alias("max_df"),
+    )
+    np_ = postings.agg(F.count("*").cast("bigint").alias("n_postings"))
+    return (
+        stats.select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round("avgdl", 6).alias("avgdl"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(np_))
+        .select("n_docs", "avgdl", "vocab_size", "n_postings", "max_df")
+    )
