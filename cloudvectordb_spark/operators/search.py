@@ -360,6 +360,24 @@ def _bm25_pruned_parts(
             ).alias("ub_t"),
         )
     )
+    return _wand_pruned_parts(tf, dl, stats, meta, k)
+
+
+def _wand_pruned_parts(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    meta: DataFrame,
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The 3-phase WAND/max-score kernel, generic over where the
+    per-term metadata came from. ``meta`` carries (term, df, ub_t)
+    where ub_t is any VALID upper bound on a doc's contribution from
+    that term — exact build-time max-impact (``_bm25_pruned_parts``)
+    or the mergeable (tf_max, dl_min) bound
+    (``bm25_pruned_merged_bounds``). Looser bounds keep losslessness
+    (every true top-k doc still clears theta) and only admit more
+    survivors into exact scoring."""
     # Phase 1: per-doc upper bounds — constants summed over the pushed
     # postings scan (map-side combine; no dl join, no per-pair floats).
     ub = (
@@ -419,6 +437,116 @@ def _bm25_pruned_parts(
 )
 def bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, scored = _bm25_pruned_parts(spark, sf_dir, _QUERY_TERMS, 20)
+    return global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 20)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable WAND bounds (round 8, continuation): the exact build-time
+# max_impact is NOT mergeable — it bakes in corpus-global avgdl, which
+# moves whenever documents arrive, so incremental index maintenance
+# would have to rescan every posting to refresh it. Per-term
+# (df, tf_max, dl_min) IS mergeable (sum / max / max->max, min->min
+# across shards), and because the BM25 tf-part is increasing in tf and
+# decreasing in dl,
+#
+#   tf_part(tf_d, dl_d) <= tf_part(tf_max, dl_min)   for every doc d
+#
+# — a VALID (looser) upper bound computable from shard-mergeable
+# integers plus the current avgdl at query time. This query runs the
+# full maintenance story in one plan: split the corpus into two shards
+# (md5 rule, the same split every incremental query uses), compute
+# per-shard mergeable stats, MERGE them, rebuild the bounds under the
+# merged avgdl, and WAND-prune — the result must be bit-identical to
+# the unpruned full-corpus top-20 (the oracle), proving pruning stays
+# lossless under incrementally-maintained metadata. At 100 TB this is
+# how WAND survives a growing corpus: shards keep (df, tf_max, dl_min)
+# counters, compaction merges them with sum/max/min, and no posting is
+# ever rescanned to refresh a bound.
+# ---------------------------------------------------------------------------
+def _shard_term_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, dl, per-term mergeable stats) for one corpus shard."""
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    stats = (
+        tf.join(dl, "doc_id")
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.max("tf").alias("tf_max"),
+            F.min("dl").alias("dl_min"),
+        )
+    )
+    return tf, dl, stats
+
+
+@query(
+    "bm25_pruned_merged_bounds",
+    # Lossless under merged bounds => the oracle is the plain unpruned
+    # full-corpus top-20, identical to bm25_topk_pruned's.
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+    operators=("K2", "E4", "F2", "C2", "D4"),
+)
+def bm25_pruned_merged_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    is_delta = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    )
+    shards = [docs.filter(is_delta), docs.filter(~is_delta)]
+    tfs, dls, stats_parts, counts = [], [], [], []
+    for shard in shards:
+        tf_s, dl_s, st_s = _shard_term_stats(shard)
+        tfs.append(tf_s)
+        dls.append(dl_s)
+        stats_parts.append(st_s)
+        counts.append(
+            dl_s.agg(
+                F.count("*").alias("n_docs"), F.sum("dl").alias("dl_sum")
+            )
+        )
+    # shard merge: docs are disjoint, so sum/max/min reproduce the
+    # full-corpus integers exactly (df) or bound them (tf_max, dl_min)
+    tf = (
+        tfs[0].unionByName(tfs[1]).filter(F.col("term").isin(*_QUERY_TERMS))
+    )
+    dl = dls[0].unionByName(dls[1])
+    stats = (
+        counts[0]
+        .unionByName(counts[1])
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            (
+                F.sum("dl_sum").cast("double") / F.sum("n_docs")
+            ).alias("avgdl"),
+        )
+    )
+    merged = (
+        stats_parts[0]
+        .unionByName(stats_parts[1])
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.max("tf_max").alias("tf_max"),
+            F.min("dl_min").alias("dl_min"),
+        )
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    ub_tf_part = (F.col("tf_max") * (_K1 + 1.0)) / (
+        F.col("tf_max")
+        + _K1 * (1.0 - _B + _B * F.col("dl_min") / F.col("avgdl"))
+    )
+    meta = merged.crossJoin(F.broadcast(stats)).select(
+        "term", "df", (idf * ub_tf_part).alias("ub_t")
+    )
+    _, scored = _wand_pruned_parts(tf, dl, stats, meta, 20)
     return global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 20)
 
 

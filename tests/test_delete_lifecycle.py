@@ -145,6 +145,11 @@ _INVARIANCE_SET = [
     "bm25_after_deletes",
     "incremental_upsert_delete_e2e",
     "filtered_knn_adaptive",
+    # round-8 continuation: batched serving (query-keyed window),
+    # Arrow-kernel strict-nprobe ANN, shard-merged WAND bounds
+    "bm25_batch_topk",
+    "ivf_strict_nprobe_search",
+    "bm25_pruned_merged_bounds",
 ]
 
 
