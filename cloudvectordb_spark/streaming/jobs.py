@@ -397,6 +397,61 @@ def run_query_serving(
         q.stop()
 
 
+def run_vector_query_serving(
+    spark: SparkSession,
+    sf_dir: str,
+    probes_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    nprobe: int = 2,
+    k: int = 10,
+) -> None:
+    """Continuous ANN serving — the vector twin of run_query_serving:
+    probe vectors arrive as request files (one per micro-batch), each
+    batch is served against the STATIC persisted IVF layout in one
+    strict-nprobe plan (pipeline.ivf_batch_search_strict: per-probe
+    cell pairs broadcast into the cell-partitioned vectors, grouped
+    matmul, per-probe top-k), results append under a checkpoint —
+    committed request batches never rescore on restart. The probe rows
+    are collected per batch (bounded by the request batch size, the
+    same driver-side budget the batch path uses for nearest-cell
+    selection); the index side never re-shuffles."""
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        index_centroids,
+        ivf_batch_search_strict,
+        read_ivf_index,
+    )
+
+    path = ensure_ivf_index(spark, sf_dir)  # build once, before the stream
+    vectors, _ = read_ivf_index(spark, path)
+    cents = index_centroids(spark, path)
+    probes = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(probes_path)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        probe_rows = batch_df.collect()
+        if not probe_rows:
+            return
+        ivf_batch_search_strict(
+            spark, vectors, probe_rows, cents, nprobe=nprobe, k=k
+        ).write.mode("append").parquet(out_path)
+
+    q = (
+        probes.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """J2+J4 streaming-native: watermarked SLIDING window aggregate
     (10 min window, 5 min slide — each event lands in two windows).

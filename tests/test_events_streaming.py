@@ -473,3 +473,61 @@ def test_streaming_query_serving_matches_batch_and_checkpoints(
 
     run_query_serving(spark, sf_dir, qdir, out, ckpt, k=10)
     assert spark.read.parquet(out).count() == len(served)
+
+
+def test_streaming_vector_serving_matches_batch_and_checkpoints(
+    spark, sf_dir, tmp_path
+):
+    """Probe vectors streamed as two request files must be served
+    against the static IVF index with results bit-identical to the
+    batch strict-nprobe path on the same probe set, and a checkpointed
+    restart rescores nothing."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        index_centroids,
+        ivf_batch_search_strict,
+        read_ivf_index,
+    )
+    from cloudvectordb_spark.streaming.jobs import run_vector_query_serving
+
+    pdir = str(tmp_path / "probes")
+    out = str(tmp_path / "ann_served")
+    ckpt = str(tmp_path / "ckpt_ann_serving")
+
+    emb = load(spark, sf_dir, "embeddings")
+    all_probes = (
+        emb.filter(F.col("vec_id") < 6).select("vec_id", "embedding")
+    )
+    for lo, hi in ((0, 3), (3, 6)):
+        (
+            all_probes.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(pdir)
+        )
+
+    run_vector_query_serving(spark, sf_dir, pdir, out, ckpt)
+
+    served = {
+        (r.probe_id, r.neighbor_id, r.score, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors, _ = read_ivf_index(spark, path)
+    cents = index_centroids(spark, path)
+    expected = {
+        (r.probe_id, r.neighbor_id, r.score, r.rank)
+        for r in ivf_batch_search_strict(
+            spark, vectors, all_probes.collect(), cents, nprobe=2, k=10
+        ).collect()
+    }
+    assert served == expected and len(served) > 0
+    assert {p for p, *_ in served} == {0, 1, 2, 3, 4, 5}
+
+    run_vector_query_serving(spark, sf_dir, pdir, out, ckpt)
+    assert spark.read.parquet(out).count() == len(served)
