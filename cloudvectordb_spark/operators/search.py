@@ -2127,6 +2127,110 @@ def postings_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental maintenance for the v4 fuzzy artifacts (round 8,
+# continuation): term_variants is keyed by TERM only, so the delta work
+# is variants for delta-NEW terms plus a df counter merge (sum across
+# shards) — never a re-derivation over the existing vocabulary. The
+# query proves the contract per term: shard-merged df == full-corpus
+# df, the merged-vocabulary variant expansion matches the rebuild
+# (n_variants from the same _deletion_variants the index builder and
+# the SQL twin both apply), and the new-term accounting is exact. At
+# 100 TB the vocabulary is the tiny side; this keeps fuzzy lookup
+# maintainable by counter merges while postings merge by tf addition.
+# ---------------------------------------------------------------------------
+@query(
+    "variants_incremental_merge",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' AS in_base,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    base_v AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+               WHERE in_base GROUP BY term),
+    delta_v AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                WHERE NOT in_base GROUP BY term),
+    merged AS (
+      SELECT term, CAST(sum(df) AS BIGINT) AS df FROM (
+        SELECT * FROM base_v UNION ALL SELECT * FROM delta_v
+      ) GROUP BY term
+    ),
+    full_v AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_full
+               FROM tok GROUP BY term),
+    mv AS (
+      SELECT DISTINCT term, var FROM (
+        SELECT term, term AS var FROM merged
+        UNION ALL
+        SELECT term, substr(term, 1, i - 1) || substr(term, i + 1) AS var
+        FROM merged, LATERAL unnest(range(1, length(term) + 1)) AS t(i)
+      )
+    ),
+    nv AS (SELECT term, CAST(count(*) AS BIGINT) AS n_variants
+           FROM mv GROUP BY term)
+    SELECT m.term, m.df, f.df_full,
+           m.df = f.df_full AS merged_df_equals_full,
+           nv.n_variants,
+           m.term NOT IN (SELECT term FROM base_v) AS term_new_in_delta
+    FROM merged m JOIN full_v f USING (term) JOIN nv USING (term)
+    """,
+    operators=("K2", "H1", "H8", "G1", "D1"),
+)
+def variants_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    in_base = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "e"
+    )
+    tok = docs.select(
+        "doc_id",
+        in_base.alias("in_base"),
+        F.explode(TX.tokens("text")).alias("term"),
+    )
+    base_v = (
+        tok.filter("in_base")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    delta_v = (
+        tok.filter(~F.col("in_base"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    merged = (
+        base_v.unionByName(delta_v)
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+    full_v = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df_full")
+    )
+    nv = (
+        merged.select(
+            "term", F.explode(_deletion_variants("term")).alias("var")
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n_variants"))
+    )
+    base_terms = base_v.select("term").withColumn("_b", F.lit(True))
+    return (
+        merged.join(full_v, "term")
+        .join(nv, "term")
+        .join(F.broadcast(base_terms), "term", "left")
+        .select(
+            "term",
+            "df",
+            "df_full",
+            (F.col("df") == F.col("df_full")).alias(
+                "merged_df_equals_full"
+            ),
+            "n_variants",
+            F.col("_b").isNull().alias("term_new_in_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Filtered-ANN strategy planner (round 8, late): the canonical vector-DB
 # planner decision. A metadata predicate can be applied BEFORE scoring
 # (prefilter: the filter reaches the parquet scan, every surviving row
