@@ -2966,3 +2966,136 @@ def text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(np_))
         .select("n_docs", "avgdl", "vocab_size", "n_postings", "max_df")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched HYBRID serving (round 8, continuation): the full hybrid-RRF
+# pipeline for a whole query batch in ONE plan. Per query q: BM25
+# top-N from ONE shared postings scan (bm25_scores_batch), cosine
+# top-N from ONE shared BLAS probe-batch (exact_knn_fast — all probe
+# vectors in one matmul per Arrow batch), reciprocal-rank fusion per
+# (query, doc), per-query top-10. Probe vector for query q is the
+# embedding with vec_id == q (deterministic, oracle-replayable). The
+# expensive sides amortize exactly like their single-retriever twins
+# (18.5x text / 5.5x vector at 1M, BASELINE.md); fusion itself joins
+# two <= Q*N-row lists. exact_knn_fast excludes the probe row itself,
+# so the oracle's vector arm carries d.vec_id <> query_id.
+# ---------------------------------------------------------------------------
+def _rrf_batch_vec_sql() -> str:
+    ids = ", ".join(str(qid) for qid, _ in _BATCH_QUERIES)
+    return f"""
+    p AS (
+      SELECT CAST(vec_id AS INTEGER) AS query_id,
+             vec_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    vec AS (
+      SELECT query_id, doc_id, vrank FROM (
+        SELECT p.query_id, d.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(d.embedding AS DOUBLE[]), p.pv), 6) DESC,
+                          d.vec_id) AS BIGINT) AS vrank
+        FROM embeddings d CROSS JOIN p
+        WHERE d.vec_id IN (SELECT doc_id FROM documents)
+          AND d.vec_id <> p.vec_id
+      ) WHERE vrank <= {_RRF_N}
+    )"""
+
+
+@query(
+    "hybrid_rrf_batch",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    {_batch_qt_sql()},
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_K1} + 1.0)
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN qt USING (term)
+      JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, krank FROM (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                 AS krank
+        FROM scored
+      ) WHERE krank <= {_RRF_N}
+    ),
+    {_rrf_batch_vec_sql()},
+    fused AS (
+      SELECT COALESCE(bm.query_id, vec.query_id) AS query_id,
+             COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + bm.krank), 0)
+                 + COALESCE(1.0 / (60 + vec.vrank), 0), 6) AS rrf_score
+      FROM bm FULL OUTER JOIN vec
+        ON bm.query_id = vec.query_id AND bm.doc_id = vec.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM fused QUALIFY rank <= 10
+    """,
+    operators=("K2", "K8", "K7", "E4", "C1", "C2", "C4", "L2"),
+)
+def hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    bm = batch_topk_per_query(
+        bm25_scores_batch(spark, sf_dir), _RRF_N
+    ).select("query_id", "doc_id", F.col("rank").alias("krank"))
+
+    probes = emb.filter(
+        F.col("vec_id").isin([qid for qid, _ in _BATCH_QUERIES])
+    ).select("vec_id", "embedding")
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    vec = exact_knn_fast(corpus, probes, k=_RRF_N).select(
+        F.col("probe_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vrank"),
+    )
+
+    fused = (
+        bm.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("krank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("vrank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )
