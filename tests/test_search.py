@@ -455,3 +455,29 @@ def test_prefix_autocomplete_pushes_startswith(spark, sf_dir):
     rows = df.collect()
     assert 0 < len(rows) <= 10
     assert all(r.term.startswith("s") for r in rows)
+
+
+def test_serve_query_batch_empty_and_nomatch(spark, sf_dir):
+    """The serving kernel must return an empty typed frame for an empty
+    request batch, and a query whose terms match nothing must simply be
+    absent from the output (no nulls, no crash) while other queries in
+    the same batch are unaffected."""
+    from cloudvectordb_spark.operators.search import serve_query_batch
+
+    empty = spark.createDataFrame([], schema="query_id int, term string")
+    out = serve_query_batch(spark, sf_dir, empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id",
+        "doc_id",
+        "bm25",
+        "rank",
+    ]
+
+    mixed = spark.createDataFrame(
+        [(7, "data"), (8, "zzzznotaterm")],
+        schema="query_id int, term string",
+    )
+    rows = serve_query_batch(spark, sf_dir, mixed).collect()
+    qids = {r.query_id for r in rows}
+    assert 7 in qids and 8 not in qids
