@@ -3099,3 +3099,88 @@ def hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "doc_id", "rrf_score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean keyword search (round 8, continuation): MUST / MUST_NOT
+# operators over the same persisted postings. MUST terms score as
+# usual; docs containing ANY MUST_NOT term are removed by an anti-join
+# against a second pushed-IN-list postings scan (exclusion-term
+# postings only — never a corpus scan). The classic "-term" search
+# operator, index-served end to end.
+# ---------------------------------------------------------------------------
+_BOOL_MUST = ("data", "query")
+_BOOL_MUST_NOT = ("stream",)
+
+
+@query(
+    "bm25_boolean_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('{"', '".join(_BOOL_MUST)}') GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN ('{"', '".join(_BOOL_MUST)}') GROUP BY term),
+    excluded AS (
+      SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ('{"', '".join(_BOOL_MUST_NOT)}')
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_K1} + 1.0)
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      WHERE tf.doc_id NOT IN (SELECT doc_id FROM excluded)
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+    operators=("K2", "C5", "E4", "F2", "C2"),
+)
+def bm25_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 for MUST=('data','query') excluding docs containing
+    MUST_NOT=('stream',) — both term sets read as pushed IN-lists from
+    the persisted postings; exclusion is a left-anti join on the (tiny)
+    excluded-doc-id set. df comes from the inline countDistinct over
+    the MUST postings (bit-identical to term_meta)."""
+    postings, dl, stats, _meta = text_index_frames(spark, sf_dir)
+    excluded = (
+        postings.filter(F.col("term").isin(*_BOOL_MUST_NOT))
+        .select("doc_id")
+        .distinct()
+    )
+    tf_all = postings.filter(F.col("term").isin(*_BOOL_MUST))
+    # idf uses the FULL-index df (Lucene semantics: boolean exclusion
+    # filters the result set, it does not reweight term rarity) — so df
+    # is computed BEFORE the anti-join, identical to the oracle's
+    dfreq = tf_all.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf = tf_all.join(excluded, "doc_id", "left_anti")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    return global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 20)
