@@ -3184,3 +3184,144 @@ def bm25_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
     )
     return global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 20)
+
+
+# ---------------------------------------------------------------------------
+# Batched + pruned serving (round 8, continuation): WAND/max-score
+# top-k pruning composed WITH batch amortization — the full keyword
+# serving stack. Per (query, doc) upper bounds come from the same
+# per-term constants as the single-query pruned path (term_meta's
+# exact build-time max-impact), summed per query over ONE shared
+# postings scan; each query gets its own theta (the k-th exact score
+# among its top-k docs BY UB, a per-query groupBy min); survivors of
+# EACH query's threshold flow into one shared exact-scoring join.
+# Lossless per query (same argument as _wand_pruned_parts, applied
+# per partition key), so the oracle is exactly bm25_batch_topk's.
+# At 100 TB: one postings scan per request batch AND exact scoring
+# touches ~k docs per query instead of every match — the two wins
+# multiply.
+# ---------------------------------------------------------------------------
+def bm25_batch_pruned_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: tuple[tuple[int, tuple[str, ...]], ...] = _BATCH_QUERIES,
+    k: int = _BATCH_K,
+) -> tuple[DataFrame, DataFrame]:
+    """(survivor (query, doc, term) pairs, exact-scored survivors) —
+    split like _bm25_pruned_parts so tests can count scored pairs."""
+    postings, dl, stats, term_meta = text_index_frames(spark, sf_dir)
+    all_terms = sorted({t for _, ts in batch for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in batch for t in ts],
+        schema="query_id int, term string",
+    )
+    tf = postings.filter(F.col("term").isin(*all_terms))
+    meta = (
+        term_meta.filter(F.col("term").isin(*all_terms))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "df",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("max_impact")
+            ).alias("ub_t"),
+        )
+    )
+    tagged = tf.join(F.broadcast(qt), "term")
+    # Phase 1: per-(query, doc) upper bounds from per-term constants
+    ub = (
+        tagged.join(F.broadcast(meta.select("term", "ub_t")), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("ub_t").alias("ub"))
+    )
+
+    def exact_scores(pairs: DataFrame) -> DataFrame:
+        # the (doc, term, tf) side MUST dedup: a term shared by two
+        # batch queries appears once per query in `pairs`, and a
+        # duplicate row would double that term's contribution for every
+        # query containing it (tf is functionally determined by
+        # (doc, term), so distinct is exact)
+        return _batch_scoring_join(
+            pairs.select("doc_id", "term", "tf").distinct(),
+            pairs.select("query_id", "term").distinct(),
+            dl,
+            stats,
+            term_meta,
+        ).join(
+            pairs.select("query_id", "doc_id").distinct(),
+            ["query_id", "doc_id"],
+            "left_semi",
+        )
+
+    # Phase 2: per-query theta = k-th exact score among its top-k by ub
+    wu = Window.partitionBy("query_id").orderBy(
+        F.desc("ub"), F.asc("doc_id")
+    )
+    cand = (
+        ub.withColumn("r", F.row_number().over(wu))
+        .filter(F.col("r") <= k)
+        .select("query_id", "doc_id")
+    )
+    theta = (
+        exact_scores(tagged.join(F.broadcast(cand), ["query_id", "doc_id"]))
+        .groupBy("query_id")
+        .agg(F.min("bm25").alias("theta"))
+    )
+    # Phase 3: per-query survivors (rounding slop as in the single path)
+    survivors = (
+        ub.join(F.broadcast(theta), "query_id")
+        .filter(F.col("ub") >= F.col("theta") - _ROUND_SLOP)
+        .select("query_id", "doc_id")
+    )
+    survivor_pairs = tagged.join(
+        F.broadcast(survivors), ["query_id", "doc_id"]
+    )
+    return survivor_pairs, exact_scores(survivor_pairs)
+
+
+@query(
+    "bm25_batch_pruned",
+    # Lossless per query => oracle identical to bm25_batch_topk's
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    {_batch_qt_sql()},
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_K1} + 1.0)
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN qt USING (term)
+      JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, bm25,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored QUALIFY rank <= {_BATCH_K}
+    """,
+    operators=("K2", "E4", "D1", "C2", "F2"),
+)
+def bm25_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_batch_topk's exact answer via the pruned path: WAND
+    thresholds applied PER QUERY inside one batched plan."""
+    _, scored = bm25_batch_pruned_scores(spark, sf_dir)
+    return batch_topk_per_query(scored, _BATCH_K)

@@ -481,3 +481,51 @@ def test_serve_query_batch_empty_and_nomatch(spark, sf_dir):
     rows = serve_query_batch(spark, sf_dir, mixed).collect()
     qids = {r.query_id for r in rows}
     assert 7 in qids and 8 not in qids
+
+
+def test_bm25_batch_pruned_overlapping_terms_lossless(spark, sf_dir):
+    """Regression: a term SHARED by two batch queries must not
+    double-count in the pruned path's exact scoring (the (doc, term)
+    side dedups). Overlapping batch: both queries carry 'data'; pruned
+    per-query top-10 must equal the unpruned batch path bit-for-bit."""
+    from cloudvectordb_spark.operators.search import (
+        batch_topk_per_query,
+        bm25_batch_pruned_scores,
+        bm25_scores_batch,
+    )
+
+    batch = ((0, ("data", "query")), (1, ("data", "stream", "merge")))
+    _, scored = bm25_batch_pruned_scores(spark, sf_dir, batch, k=10)
+    pruned = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in batch_topk_per_query(scored, 10).collect()
+    }
+    full = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in batch_topk_per_query(
+            bm25_scores_batch(spark, sf_dir, batch), 10
+        ).collect()
+    }
+    assert pruned == full and len(pruned) == 20
+
+
+def test_bm25_batch_pruned_fewer_pairs_than_full(spark, sf_dir):
+    """The batched pruned path must exact-score fewer (query, doc,
+    term) pairs than the full batch join would (pruning does real
+    work on the fixture's term-frequency skew)."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.operators.search import (
+        _BATCH_QUERIES,
+        bm25_batch_pruned_scores,
+        text_index_frames,
+    )
+
+    survivor_pairs, _ = bm25_batch_pruned_scores(spark, sf_dir)
+    postings, *_rest = text_index_frames(spark, sf_dir)
+    all_terms = sorted({t for _, ts in _BATCH_QUERIES for t in ts})
+    full_pairs = sum(
+        postings.filter(F.col("term").isin(*ts)).count()
+        for _, ts in _BATCH_QUERIES
+    )
+    assert survivor_pairs.count() < full_pairs
