@@ -138,12 +138,33 @@ def run_batch_mode(spark, sf_dir: str, n_queries: int) -> dict:
 
     seq_s = timed(lambda: [seq_one(t).collect() for _, t in batch])
     batch_s = timed(lambda: batched().collect())
+
+    # batched + WAND-pruned path (lossless — asserted, then timed)
+    from cloudvectordb_spark.operators.search import (
+        bm25_batch_pruned_scores,
+    )
+
+    def pruned():
+        _, scored = bm25_batch_pruned_scores(spark, sf_dir, batch, k=10)
+        return batch_topk_per_query(scored, 10)
+
+    got_p = {}
+    for r in pruned().collect():
+        got_p.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.bm25))
+    for qid in got_p:
+        assert sorted(got_p[qid]) == sorted(
+            got.get(qid, [])
+        ), f"pruned q{qid} diverged"
+    pruned_s = timed(lambda: pruned().collect())
+
     return {
         "n_queries": n_queries,
         "sequential_s": seq_s,
         "batched_s": batch_s,
+        "batched_pruned_s": pruned_s,
         "amortization_x": round(seq_s / batch_s, 2),
         "per_query_ms_batched": round(1000 * batch_s / n_queries, 1),
+        "per_query_ms_pruned": round(1000 * pruned_s / n_queries, 1),
     }
 
 
