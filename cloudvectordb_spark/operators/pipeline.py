@@ -425,10 +425,15 @@ def ivf_batch_search_strict(
     pc_df = spark.createDataFrame(
         pc_pairs, schema="probe_id long, centroid_id int"
     )
+    # LITERAL isin on the union of probed cells FIRST: a broadcast join
+    # alone would scan every cell partition (no partition pruning from
+    # a join), which the 1M probe measured as a ~7 s floor regardless
+    # of batch size; the literal filter prunes the scan to the probed
+    # cells, and the broadcast join then only tags survivors per probe.
+    union_cells = sorted({c for _, c in pc_pairs})
     cand = (
-        vectors.withColumn(
-            "centroid_id", F.col("centroid_id").cast("int")
-        )
+        vectors.filter(F.col("centroid_id").isin(union_cells))
+        .withColumn("centroid_id", F.col("centroid_id").cast("int"))
         .join(F.broadcast(pc_df), "centroid_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id", "embedding")
