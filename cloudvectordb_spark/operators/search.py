@@ -2848,13 +2848,7 @@ def prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, no postings or raw-text read at all. At 100 TB term_meta is
     the (tiny) dictionary shard; autocomplete never touches the corpus.
     The oracle recomputes df from raw text."""
-    _postings, _dl, _stats, term_meta = text_index_frames(spark, sf_dir)
-    cand = term_meta.filter(F.col("term").startswith("s")).select(
-        "term", "df"
-    )
-    return global_topk_ranked(
-        cand, [F.desc("df"), F.asc("term")], 10
-    )
+    return prefix_completions(spark, sf_dir, "s", 10)
 
 
 # ---------------------------------------------------------------------------
@@ -3156,34 +3150,62 @@ def bm25_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted postings; exclusion is a left-anti join on the (tiny)
     excluded-doc-id set. df comes from the inline countDistinct over
     the MUST postings (bit-identical to term_meta)."""
-    postings, dl, stats, _meta = text_index_frames(spark, sf_dir)
-    excluded = (
-        postings.filter(F.col("term").isin(*_BOOL_MUST_NOT))
-        .select("doc_id")
-        .distinct()
+    scored = bm25_boolean_scores(
+        spark, sf_dir, _BOOL_MUST, _BOOL_MUST_NOT
     )
-    tf_all = postings.filter(F.col("term").isin(*_BOOL_MUST))
+    return global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 20)
+
+
+def bm25_boolean_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    must: tuple[str, ...],
+    must_not: tuple[str, ...],
+) -> DataFrame:
+    """(doc_id, bm25) for docs matching >=1 MUST term and no MUST_NOT
+    term — the general form behind bm25_boolean_search and the
+    TextIndex facade."""
+    postings, dl, stats, _meta = text_index_frames(spark, sf_dir)
+    tf_all = postings.filter(F.col("term").isin(*must))
     # idf uses the FULL-index df (Lucene semantics: boolean exclusion
     # filters the result set, it does not reweight term rarity) — so df
     # is computed BEFORE the anti-join, identical to the oracle's
     dfreq = tf_all.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    tf = tf_all.join(excluded, "doc_id", "left_anti")
+    tf = tf_all
+    if must_not:
+        excluded = (
+            postings.filter(F.col("term").isin(*must_not))
+            .select("doc_id")
+            .distinct()
+        )
+        tf = tf_all.join(excluded, "doc_id", "left_anti")
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     tf_part = (F.col("tf") * (_K1 + 1.0)) / (
         F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
     )
-    return global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 20)
+
+
+def prefix_completions(
+    spark: SparkSession, sf_dir: str, prefix: str, k: int = 10
+) -> DataFrame:
+    """Top-k completions of ``prefix`` by df — the general form behind
+    prefix_autocomplete and the TextIndex facade (term_meta only)."""
+    _postings, _dl, _stats, term_meta = text_index_frames(spark, sf_dir)
+    cand = term_meta.filter(F.col("term").startswith(prefix)).select(
+        "term", "df"
+    )
+    return global_topk_ranked(cand, [F.desc("df"), F.asc("term")], k)
 
 
 # ---------------------------------------------------------------------------

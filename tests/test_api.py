@@ -83,3 +83,66 @@ def test_vector_index_search_filtered_respects_predicate(spark, sf_dir):
     for r in rows:
         if labels[r.neighbor_id] in (1, 3):
             pass  # membership in the unfiltered top-50 is not guaranteed at k cut
+
+
+def test_text_index_facade_matches_registered_queries(spark, sf_dir):
+    """Every TextIndex surface must reproduce its registered-query
+    twin bit-for-bit (the facade only composes verified pieces)."""
+    from cloudvectordb_spark.api import TextIndex
+    from cloudvectordb_spark.operators.search import (
+        _BATCH_QUERIES,
+        bm25_batch_topk,
+        bm25_boolean_search,
+        bm25_keyword_search,
+        prefix_autocomplete,
+    )
+
+    idx = TextIndex.open(spark, sf_dir)
+
+    a = {tuple(r) for r in idx.search(("data", "query", "fast")).collect()}
+    b = {tuple(r) for r in bm25_keyword_search(spark, sf_dir).collect()}
+    assert a == b and len(a) == 20
+
+    a = {tuple(r) for r in idx.search_batch(_BATCH_QUERIES).collect()}
+    b = {tuple(r) for r in bm25_batch_topk(spark, sf_dir).collect()}
+    assert a == b
+
+    a = {
+        tuple(r)
+        for r in idx.search_boolean(("data", "query"), ("stream",)).collect()
+    }
+    b = {tuple(r) for r in bm25_boolean_search(spark, sf_dir).collect()}
+    assert a == b
+
+    a = {tuple(r) for r in idx.complete("s").collect()}
+    b = {tuple(r) for r in prefix_autocomplete(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+
+    corr = idx.correct(("dta",)).collect()
+    assert any(r.term == "data" and r.dist == 1 for r in corr)
+
+    st = idx.stats().collect()[0]
+    assert st.n_docs > 0 and st.vocab_size > 0
+
+
+def test_vector_index_search_batch_matches_strict_query(spark, sf_dir, tmp_path):
+    """VectorIndex.search_batch == the registered strict-nprobe search
+    on the same probes (same index parameters as the package default)."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        ivf_strict_nprobe_search,
+    )
+
+    idx = VectorIndex.open(spark, ensure_ivf_index(spark, sf_dir))
+    probes = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+    )
+    a = {tuple(r) for r in idx.search_batch(probes, k=10, nprobe=2).collect()}
+    b = {tuple(r) for r in ivf_strict_nprobe_search(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
