@@ -57,3 +57,30 @@ def test_bench_compare_flags_only_beyond_noise(tmp_path):
     )
     assert out.returncode == 0
     assert "q2" in out.stdout and "q1" not in out.stdout.replace("q1 -> ", "")
+
+
+def test_cli_serving_verbs(spark, sf_dir, capsys, monkeypatch):
+    """The serving verbs route to the TextIndex facade and print rows;
+    a verb missing its required flag exits 2."""
+    import sys
+
+    from cloudvectordb_spark.__main__ import main
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["cloudvectordb_spark", "search", "--terms", "data", "--sf", sf_dir],
+    )
+    assert main() == 0
+    assert "bm25" in capsys.readouterr().out
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["cloudvectordb_spark", "complete", "--prefix", "s", "--sf", sf_dir],
+    )
+    assert main() == 0
+    assert "df" in capsys.readouterr().out
+
+    monkeypatch.setattr(
+        sys, "argv", ["cloudvectordb_spark", "search", "--sf", sf_dir]
+    )
+    assert main() == 2
