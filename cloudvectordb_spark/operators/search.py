@@ -3347,3 +3347,93 @@ def bm25_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds applied PER QUERY inside one batched plan."""
     _, scored = bm25_batch_pruned_scores(spark, sf_dir)
     return batch_topk_per_query(scored, _BATCH_K)
+
+
+# ---------------------------------------------------------------------------
+# Batched phrase serving (round 8, continuation): the phrase surface
+# under the same batch economics as bm25_batch_topk. A batch of 2-term
+# phrases becomes two broadcast (query_id, term) tables; ONE positional
+# scan (pushed IN-list = all phrase terms) feeds both sides; adjacency
+# is the same array_intersect-with-offset used by phrase_search, now
+# keyed by (query_id, doc_id); per-query top-10. The positional lists
+# never re-scan per phrase.
+# ---------------------------------------------------------------------------
+_PHRASE_BATCH: tuple[tuple[int, tuple[str, str]], ...] = (
+    (0, ("data", "query")),
+    (1, ("merge", "stream")),
+    (2, ("join", "hash")),
+    (3, ("vector", "scan")),
+)
+
+
+def _phrase_batch_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"""
+      SELECT {qid} AS query_id, doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+                  i -> toks[i] = '{t1}' AND toks[i+1] = '{t2}'))
+               AS BIGINT) AS n_occurrences
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        """
+        for qid, (t1, t2) in _PHRASE_BATCH
+    )
+    return f"""
+    SELECT query_id, doc_id, n_occurrences,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY n_occurrences DESC, doc_id) AS BIGINT) AS rank
+    FROM ({arms}) WHERE n_occurrences > 0
+    QUALIFY rank <= 10
+    """
+
+
+@query(
+    "phrase_batch_search",
+    oracle=_phrase_batch_oracle(),
+    operators=("K2", "H7", "H8", "E4", "C1", "C2"),
+)
+def phrase_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per phrase for a 4-phrase batch, one positional scan."""
+    pos = positional_frame(spark, sf_dir)
+    firsts = sorted({t1 for _, (t1, _t2) in _PHRASE_BATCH})
+    seconds = sorted({t2 for _, (_t1, t2) in _PHRASE_BATCH})
+    q1 = spark.createDataFrame(
+        [(qid, t1) for qid, (t1, _) in _PHRASE_BATCH],
+        schema="query_id int, term string",
+    )
+    q2 = spark.createDataFrame(
+        [(qid, t2) for qid, (_, t2) in _PHRASE_BATCH],
+        schema="query_id int, term string",
+    )
+    p1 = (
+        pos.filter(F.col("term").isin(*firsts))
+        .join(F.broadcast(q1), "term")
+        .select("query_id", "doc_id", F.col("positions").alias("starts"))
+    )
+    p2 = (
+        pos.filter(F.col("term").isin(*seconds))
+        .join(F.broadcast(q2), "term")
+        .select("query_id", "doc_id", F.col("positions").alias("_p"))
+    )
+    counts = (
+        p1.join(p2, ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    "starts", F.transform("_p", lambda x: x - F.lit(1))
+                )
+            )
+            .cast("bigint")
+            .alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "n_occurrences", "rank")
+    )
