@@ -3437,3 +3437,74 @@ def phrase_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "doc_id", "n_occurrences", "rank")
     )
+
+
+def serve_hybrid_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    requests: DataFrame,
+    n: int = _RRF_N,
+    k: int = 10,
+) -> DataFrame:
+    """Serve an ARBITRARY hybrid request batch — rows of (query_id,
+    terms array<string>, probe_vec_id long) — with hybrid_rrf_batch's
+    plan: one shared postings scan for every query's BM25 arm, one
+    shared BLAS probe batch for every query's vector arm, per-query RRF
+    fusion and top-k. The request rows are collected (bounded by the
+    batch, the same budget every serving kernel uses); the probe
+    vectors are looked up by id in the embeddings table and mapped back
+    to query ids through a broadcast (query, vec) table, so two queries
+    may share a probe vector."""
+    from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
+
+    reqs = requests.select("query_id", "terms", "probe_vec_id").collect()
+    if not reqs:
+        return spark.createDataFrame(
+            [],
+            schema="query_id int, doc_id long, rrf_score double, rank long",
+        )
+    batch = tuple((int(r.query_id), tuple(r.terms)) for r in reqs)
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    bm = batch_topk_per_query(
+        bm25_scores_batch(spark, sf_dir, batch), n
+    ).select("query_id", "doc_id", F.col("rank").alias("krank"))
+
+    probe_ids = sorted({int(r.probe_vec_id) for r in reqs})
+    probe_map = spark.createDataFrame(
+        [(int(r.query_id), int(r.probe_vec_id)) for r in reqs],
+        schema="query_id int, probe_id long",
+    )
+    probes = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    vec = (
+        exact_knn_fast(corpus, probes, k=n)
+        .join(F.broadcast(probe_map), "probe_id")
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("vrank"),
+        )
+    )
+    fused = bm.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("krank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vrank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )

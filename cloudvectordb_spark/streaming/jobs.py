@@ -452,6 +452,54 @@ def run_vector_query_serving(
         q.stop()
 
 
+def run_hybrid_serving(
+    spark: SparkSession,
+    sf_dir: str,
+    requests_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    n: int = 60,
+    k: int = 10,
+) -> None:
+    """Continuous HYBRID serving — the third streaming serving job:
+    each request carries keyword terms AND a probe-vector reference
+    ((query_id int, terms array<string>, probe_vec_id long) parquet,
+    one file per micro-batch), and every batch runs the full
+    two-retriever RRF pipeline against the static artifacts in one plan
+    (operators.search.serve_hybrid_batch: shared postings scan, shared
+    BLAS probe batch, per-query fusion). Checkpointed like the text and
+    vector twins: committed request batches never rescore."""
+    from cloudvectordb_spark.operators.search import (
+        ensure_text_index,
+        serve_hybrid_batch,
+    )
+
+    ensure_text_index(spark, sf_dir)  # build once, before the stream
+    requests = (
+        spark.readStream.schema(
+            "query_id int, terms array<string>, probe_vec_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(requests_path)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        serve_hybrid_batch(spark, sf_dir, batch_df, n=n, k=k).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        requests.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """J2+J4 streaming-native: watermarked SLIDING window aggregate
     (10 min window, 5 min slide — each event lands in two windows).

@@ -531,3 +531,50 @@ def test_streaming_vector_serving_matches_batch_and_checkpoints(
 
     run_vector_query_serving(spark, sf_dir, pdir, out, ckpt)
     assert spark.read.parquet(out).count() == len(served)
+
+
+def test_streaming_hybrid_serving_matches_registered_batch(
+    spark, sf_dir, tmp_path
+):
+    """Hybrid requests streamed as two files must reproduce (a) the
+    registered hybrid_rrf_batch output for the batch it encodes
+    (terms = _BATCH_QUERIES, probe_vec_id = query_id) and (b) nothing
+    extra; restart rescores nothing."""
+    from cloudvectordb_spark.operators.search import (
+        _BATCH_QUERIES,
+        hybrid_rrf_batch,
+    )
+    from cloudvectordb_spark.streaming.jobs import run_hybrid_serving
+
+    rdir = str(tmp_path / "hybrid_requests")
+    out = str(tmp_path / "hybrid_served")
+    ckpt = str(tmp_path / "ckpt_hybrid")
+
+    rows = [
+        (qid, list(terms), qid) for qid, terms in _BATCH_QUERIES
+    ]
+    for half in (rows[:2], rows[2:]):
+        (
+            spark.createDataFrame(
+                half,
+                schema="query_id int, terms array<string>, probe_vec_id long",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(rdir)
+        )
+
+    run_hybrid_serving(spark, sf_dir, rdir, out, ckpt)
+
+    served = {
+        (r.query_id, r.doc_id, r.rrf_score, r.rank)
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r.query_id, r.doc_id, r.rrf_score, r.rank)
+        for r in hybrid_rrf_batch(spark, sf_dir).collect()
+    }
+    assert served == expected and len(served) > 0
+
+    run_hybrid_serving(spark, sf_dir, rdir, out, ckpt)
+    assert spark.read.parquet(out).count() == len(served)
