@@ -252,3 +252,15 @@ class TextIndex:
         from cloudvectordb_spark.operators.search import text_index_stats
 
         return text_index_stats(self.spark, self.sf_dir)
+
+    def phrase(self, phrase: tuple[str, ...], k: int = 20) -> DataFrame:
+        """Top-k docs by exact consecutive-phrase occurrence count,
+        served from the positional postings."""
+        from cloudvectordb_spark.operators.search import phrase_match_counts
+        from cloudvectordb_spark.ranking import global_topk_ranked
+
+        return global_topk_ranked(
+            phrase_match_counts(self.spark, self.sf_dir, tuple(phrase)),
+            [F.desc("n_occurrences"), F.asc("doc_id")],
+            k,
+        )

@@ -146,3 +146,12 @@ def test_vector_index_search_batch_matches_strict_query(spark, sf_dir, tmp_path)
     a = {tuple(r) for r in idx.search_batch(probes, k=10, nprobe=2).collect()}
     b = {tuple(r) for r in ivf_strict_nprobe_search(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_text_index_phrase_matches_registered_query(spark, sf_dir):
+    from cloudvectordb_spark.api import TextIndex
+    from cloudvectordb_spark.operators.search import _PHRASE, phrase_search
+
+    a = {tuple(r) for r in TextIndex.open(spark, sf_dir).phrase(_PHRASE).collect()}
+    b = {tuple(r) for r in phrase_search(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0

@@ -87,7 +87,7 @@ def _probe_batch(n_queries: int) -> tuple[tuple[int, tuple[str, ...]], ...]:
     )
 
 
-def run_batch_mode(spark, sf_dir: str, n_queries: int) -> dict:
+def run_batch_mode(spark, sf_dir: str, n_queries: int, skew: bool = False) -> dict:
     """Batched multi-query serving vs one-job-per-query, same index.
 
     Sequential = the single-query indexed path run once per query (one
@@ -104,6 +104,11 @@ def run_batch_mode(spark, sf_dir: str, n_queries: int) -> dict:
 
     ensure_text_index(spark, sf_dir)
     batch = _probe_batch(n_queries)
+    if skew:
+        # replace query 0 with the Zipf head: the squared-hash soup
+        # makes w0/w1/w2 the hottest terms — one query in the batch
+        # matching a large corpus fraction, next to normal queries
+        batch = ((0, ("w0", "w1", "w2")),) + batch[1:]
 
     def seq_one(terms):
         return global_topk_ranked(
@@ -177,6 +182,11 @@ def main() -> int:
         default=0,
         help="measure batched Q-query serving vs Q sequential jobs",
     )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="make batch query 0 an all-hot-terms query (Zipf head)",
+    )
     args = ap.parse_args()
 
     spark = get_session("text-index-probe")
@@ -186,8 +196,8 @@ def main() -> int:
     docs = spark.read.parquet(docs_path)
 
     if args.batch:
-        out = {"n_docs": args.docs}
-        out.update(run_batch_mode(spark, sf_dir, args.batch))
+        out = {"n_docs": args.docs, "skew": args.skew}
+        out.update(run_batch_mode(spark, sf_dir, args.batch, args.skew))
         print(json.dumps(out))
         return 0
 
