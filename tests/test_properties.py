@@ -319,3 +319,42 @@ def test_binary_pack_bits_equal_sign_pattern_numpy(vals):
     packed = (h1 << 32) | h0
     for j, x in enumerate(vals):
         assert ((packed >> j) & 1) == (1 if x > 0 else 0)
+
+
+_VOCAB_FIXTURE = (
+    "data", "query", "fast", "merge", "stream", "vector", "window",
+    "scan", "join", "hash", "sort", "table", "batch", "small", "agg",
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(_VOCAB_FIXTURE), min_size=1, max_size=4,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_batch_scoring_equals_single_query_scoring(spark, sf_dir, term_sets):
+    """PROPERTY: for ANY query batch over the fixture vocabulary
+    (overlapping terms allowed — the regression class fixed in
+    bm25_batch_pruned), per-query batched BM25 scores equal the
+    single-query indexed scorer bit-for-bit."""
+    from cloudvectordb_spark.operators.search import (
+        bm25_scores_batch,
+        bm25_scores_indexed,
+    )
+
+    batch = tuple((i, tuple(ts)) for i, ts in enumerate(term_sets))
+    got = {}
+    for r in bm25_scores_batch(spark, sf_dir, batch).collect():
+        got.setdefault(r.query_id, {})[r.doc_id] = r.bm25
+    for qid, ts in batch:
+        want = {
+            r.doc_id: r.bm25
+            for r in bm25_scores_indexed(spark, sf_dir, tuple(ts)).collect()
+        }
+        assert got.get(qid, {}) == want
