@@ -393,6 +393,13 @@ def run_query_serving(
     )
     try:
         q.processAllAvailable()
+        # per-micro-batch trigger durations (ms) for the latency probe;
+        # callers that ignore the return value are unaffected
+        return [
+            p["durationMs"]["triggerExecution"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
     finally:
         q.stop()
 
