@@ -264,3 +264,18 @@ class TextIndex:
             [F.desc("n_occurrences"), F.asc("doc_id")],
             k,
         )
+
+    def search_sparse(
+        self, qweights: tuple[tuple[str, float], ...], k: int = 20
+    ) -> DataFrame:
+        """Learned-sparse (SPLADE-shape) retrieval: query term-weight
+        vector dotted against doc tf-idf, served from the same postings
+        artifacts."""
+        from cloudvectordb_spark.operators.search import sparse_dot_scores
+        from cloudvectordb_spark.ranking import global_topk_ranked
+
+        return global_topk_ranked(
+            sparse_dot_scores(self.spark, self.sf_dir, tuple(qweights)),
+            [F.desc("score"), F.asc("doc_id")],
+            k,
+        )

@@ -354,7 +354,7 @@ def run_query_serving(
     out_path: str,
     checkpoint_path: str,
     k: int = 10,
-) -> None:
+) -> list:
     """Continuous QUERY serving (round 8, continuation): the index side
     of the engine consumed as a stream processor — queries arrive as
     micro-batches (a parquet file stream standing in for the request
@@ -412,7 +412,7 @@ def run_vector_query_serving(
     checkpoint_path: str,
     nprobe: int = 2,
     k: int = 10,
-) -> None:
+) -> list:
     """Continuous ANN serving — the vector twin of run_query_serving:
     probe vectors arrive as request files (one per micro-batch), each
     batch is served against the STATIC persisted IVF layout in one
@@ -455,6 +455,11 @@ def run_vector_query_serving(
     )
     try:
         q.processAllAvailable()
+        return [
+            p["durationMs"]["triggerExecution"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
     finally:
         q.stop()
 
@@ -467,7 +472,7 @@ def run_hybrid_serving(
     checkpoint_path: str,
     n: int = 60,
     k: int = 10,
-) -> None:
+) -> list:
     """Continuous HYBRID serving — the third streaming serving job:
     each request carries keyword terms AND a probe-vector reference
     ((query_id int, terms array<string>, probe_vec_id long) parquet,
@@ -503,6 +508,11 @@ def run_hybrid_serving(
     )
     try:
         q.processAllAvailable()
+        return [
+            p["durationMs"]["triggerExecution"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
     finally:
         q.stop()
 

@@ -155,3 +155,15 @@ def test_text_index_phrase_matches_registered_query(spark, sf_dir):
     a = {tuple(r) for r in TextIndex.open(spark, sf_dir).phrase(_PHRASE).collect()}
     b = {tuple(r) for r in phrase_search(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_text_index_sparse_matches_registered_query(spark, sf_dir):
+    from cloudvectordb_spark.api import TextIndex
+    from cloudvectordb_spark.operators.search import _SPARSE_Q, sparse_dot_topk
+
+    a = {
+        tuple(r)
+        for r in TextIndex.open(spark, sf_dir).search_sparse(_SPARSE_Q).collect()
+    }
+    b = {tuple(r) for r in sparse_dot_topk(spark, sf_dir).collect()}
+    assert a == b and len(a) == 20
