@@ -385,6 +385,7 @@ def ivf_batch_search_strict(
     cents: list,
     nprobe: int = 2,
     k: int = 10,
+    pc_pairs: list | None = None,
 ) -> DataFrame:
     """Batched IVF search with STRICT per-probe nprobe semantics: probe
     p's candidates are exactly the vectors assigned to p's own nprobe
@@ -416,12 +417,15 @@ def ivf_batch_search_strict(
     from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
 
     pvecs = {}
-    pc_pairs = []
     for r in probe_rows:
         v = np.asarray(r.embedding, dtype=np.float64)
         pvecs[int(r.vec_id)] = v / np.linalg.norm(v)
-        for cid in nearest_cells_py(r.embedding, cents, nprobe):
-            pc_pairs.append((int(r.vec_id), int(cid)))
+    if pc_pairs is None:
+        pc_pairs = [
+            (int(r.vec_id), int(cid))
+            for r in probe_rows
+            for cid in nearest_cells_py(r.embedding, cents, nprobe)
+        ]
     pc_df = spark.createDataFrame(
         pc_pairs, schema="probe_id long, centroid_id int"
     )
@@ -526,7 +530,102 @@ def ivf_strict_nprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Adaptive nprobe (round 8, continuation): fixed nprobe under-probes
+# small cells (too few candidates -> recall loss) and over-probes big
+# ones (wasted scan). The adaptive rule expands each probe's cell list
+# in nearest-first order until the cells seen so far hold >= C
+# candidate vectors — recall is controlled by CANDIDATE COUNT, the
+# quantity that actually drives it, while scan cost stays bounded by
+# ~C + one cell. The expansion is a pure function of the (tiny) cell
+# histogram + centroid distances, so the DuckDB oracle REPLAYS THE
+# DECISION (cumulative cell sizes over the same distance order) and a
+# drifted engine-side expansion hash-fails — same discipline as
+# filtered_knn_adaptive. At 100 TB the histogram is catalog metadata;
+# the decision costs nothing.
+# ---------------------------------------------------------------------------
+_ADAPTIVE_C = 60  # minimum candidates per probe before expansion stops
+
+
+@query(
+    "ivf_adaptive_nprobe_search",
+    oracle=f"""
+    WITH {_KM_CTES},
+    cellsz AS (SELECT cid, count(*) AS n FROM km_assign GROUP BY cid),
+    pd AS (
+      SELECT e.vec_id AS probe_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_KM_D2}, c.cid) AS rn
+      FROM km_emb e, km_c{_IVF_ROUNDS} c WHERE e.vec_id < 3
+    ),
+    expanded AS (
+      SELECT pd.probe_id, pd.cid,
+             COALESCE(sum(s.n) OVER (
+               PARTITION BY pd.probe_id ORDER BY pd.rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM pd JOIN cellsz s ON s.cid = pd.cid
+    ),
+    pc AS (SELECT probe_id, cid FROM expanded
+           WHERE cum_before < {_ADAPTIVE_C}),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM km_emb WHERE vec_id < 3),
+    scored AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, p.pv), 6) AS score
+      FROM km_assign a
+      JOIN pc ON a.cid = pc.cid
+      JOIN p ON p.probe_id = pc.probe_id
+      WHERE a.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K9", "K8", "E4", "L5"),
+)
+def ivf_adaptive_nprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-count-adaptive ANN: each probe expands nearest-first
+    through the cell histogram until >= {C} candidates are covered,
+    then the strict batched kernel scores exactly those cells."""
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors, _ = read_ivf_index(spark, path)
+    cents = index_centroids(spark, path)
+    # cell histogram: k rows, bounded driver state (catalog metadata at
+    # scale); empty cells are skipped on both sides
+    counts = {
+        r.centroid_id: r.n
+        for r in vectors.groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    probe_rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    pc_pairs = []
+    for r in probe_rows:
+        cum = 0
+        for cid in nearest_cells_py(r.embedding, cents, len(cents)):
+            n = counts.get(cid, 0)
+            if n == 0:
+                continue
+            if cum >= _ADAPTIVE_C:
+                break
+            pc_pairs.append((int(r.vec_id), int(cid)))
+            cum += n
+    return ivf_batch_search_strict(
+        spark, vectors, probe_rows, cents, k=10, pc_pairs=pc_pairs
+    )
+
+
+# ---------------------------------------------------------------------------
 # G6 scale path: IVF-bucketed semantic near-dup. The exact all-pairs form
+# (operators.vector_ops.semantic_dup_pairs) is O(n^2) in interpreted
 # (operators.vector_ops.semantic_dup_pairs) is O(n^2) in interpreted
 # higher-order lambdas — correct, oracle-checked, and hopeless at scale.
 # This path multi-assigns each vector to its 2 nearest centroids, then

@@ -502,3 +502,61 @@ def test_ivf_strict_nprobe_candidates_and_seq_parity(spark, sf_dir):
             for r in exact_knn_fast(pruned, single, k=10).collect()
         ]
         assert sorted(by_probe[pr.vec_id]) == sorted(want)
+
+
+def test_ivf_adaptive_nprobe_covers_candidate_floor(spark, sf_dir):
+    """Adaptive expansion must give every probe a candidate pool of at
+    least _ADAPTIVE_C vectors (or the whole corpus if smaller), with
+    the selected cells a nearest-first prefix of the non-empty cells."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+    from cloudvectordb_spark.operators.pipeline import (
+        _ADAPTIVE_C,
+        ensure_ivf_index,
+        index_centroids,
+        ivf_adaptive_nprobe_search,
+        read_ivf_index,
+    )
+
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors, _ = read_ivf_index(spark, path)
+    cents = index_centroids(spark, path)
+    counts = {
+        r.centroid_id: r.n
+        for r in vectors.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    }
+    cell_of = {
+        r.vec_id: r.centroid_id
+        for r in vectors.select("vec_id", "centroid_id").collect()
+    }
+    total = sum(counts.values())
+
+    out = ivf_adaptive_nprobe_search(spark, sf_dir).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, set()).add(cell_of[r.neighbor_id])
+
+    probes = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    for pr in probes:
+        # recompute the expansion rule: nearest-first prefix of
+        # non-empty cells until the pool clears the floor
+        selected, cum = [], 0
+        for c in nearest_cells_py(pr.embedding, cents, len(cents)):
+            n = counts.get(c, 0)
+            if n == 0:
+                continue
+            if cum >= _ADAPTIVE_C:
+                break
+            selected.append(c)
+            cum += n
+        # the returned neighbors' cells are a subset of the selection,
+        # and the selected pool clears the candidate floor
+        assert by_probe[pr.vec_id] <= set(selected)
+        assert cum >= min(_ADAPTIVE_C, total)
