@@ -3508,3 +3508,87 @@ def serve_hybrid_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf_score", "rank")
     )
+
+
+@query(
+    "bm25_explain",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN {_TERMS_SQL} GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN {_TERMS_SQL} GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(df.df AS BIGINT) AS df,
+             round(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_K1} + 1.0)
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))
+             , 6) AS contribution
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, round(sum(contribution), 6) AS bm25 FROM contrib
+      GROUP BY doc_id
+    ),
+    top AS (
+      SELECT doc_id, bm25,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM scored QUALIFY rank <= 5
+    )
+    SELECT t.rank, c.doc_id, c.term, c.tf, c.df, c.contribution, t.bm25
+    FROM contrib c JOIN top t ON t.doc_id = c.doc_id
+    """,
+    operators=("K2", "D1", "C2", "E4"),
+)
+def bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score EXPLANATION for the top-5 BM25 docs: one row per
+    (doc, query term) with the term's tf, df, and exact additive
+    contribution (contributions sum to the doc's bm25 — the oracle
+    recomputes every number from raw text). The relevance-debugging
+    surface every search engine exposes; served from the same postings
+    artifacts as the search itself, restricted to the top-5 docs by an
+    in-plan broadcast semi-join so explain cost is O(k · |query|)."""
+    postings, dl, stats, term_meta = text_index_frames(spark, sf_dir)
+    tf = postings.filter(F.col("term").isin(*_QUERY_TERMS))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(
+            F.broadcast(
+                term_meta.filter(F.col("term").isin(*_QUERY_TERMS)).select(
+                    "term", "df"
+                )
+            ),
+            "term",
+        )
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(idf * tf_part, 6).alias("contribution"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("contribution"), 6).alias("bm25")
+    )
+    top = global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 5)
+    return contrib.join(F.broadcast(top), "doc_id").select(
+        "rank", "doc_id", "term", "tf", "df", "contribution", "bm25"
+    )
