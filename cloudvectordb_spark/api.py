@@ -166,6 +166,53 @@ class VectorIndex:
             nprobe=nprobe, k=k,
         )
 
+    def search_adaptive(
+        self,
+        probes: DataFrame,
+        k: int = 10,
+        min_candidates: int = 60,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Candidate-count-adaptive batched ANN: each probe expands
+        nearest-first through the cell histogram until the selected
+        cells hold >= min_candidates vectors (the decision rule
+        `ivf_adaptive_nprobe_search` value-oracles), then the strict
+        batched kernel scores exactly those cells."""
+        from pyspark.sql import functions as F2
+
+        from cloudvectordb_spark.operators.kmeans_det import (
+            nearest_cells_py,
+        )
+        from cloudvectordb_spark.operators.pipeline import (
+            ivf_batch_search_strict,
+        )
+
+        cents = self.centroids()
+        counts = {
+            r.centroid_id: r.n
+            for r in self.vectors.groupBy("centroid_id")
+            .agg(F2.count("*").alias("n"))
+            .collect()
+        }
+        rows = probes.selectExpr(
+            f"{id_col} as vec_id", f"{vec_col} as embedding"
+        ).collect()
+        pc_pairs = []
+        for r in rows:
+            cum = 0
+            for cid in nearest_cells_py(r.embedding, cents, len(cents)):
+                n = counts.get(cid, 0)
+                if n == 0:
+                    continue
+                if cum >= min_candidates:
+                    break
+                pc_pairs.append((int(r.vec_id), int(cid)))
+                cum += n
+        return ivf_batch_search_strict(
+            self.spark, self.vectors, rows, cents, k=k, pc_pairs=pc_pairs
+        )
+
 
 class TextIndex:
     """The keyword half of the engine as one object per fixture corpus:
@@ -279,3 +326,4 @@ class TextIndex:
             [F.desc("score"), F.asc("doc_id")],
             k,
         )
+

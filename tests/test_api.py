@@ -167,3 +167,30 @@ def test_text_index_sparse_matches_registered_query(spark, sf_dir):
     }
     b = {tuple(r) for r in sparse_dot_topk(spark, sf_dir).collect()}
     assert a == b and len(a) == 20
+
+
+def test_vector_index_search_adaptive_matches_registered_query(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.pipeline import (
+        _ADAPTIVE_C,
+        ensure_ivf_index,
+        ivf_adaptive_nprobe_search,
+    )
+
+    idx = VectorIndex.open(spark, ensure_ivf_index(spark, sf_dir))
+    probes = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+    )
+    a = {
+        tuple(r)
+        for r in idx.search_adaptive(
+            probes, k=10, min_candidates=_ADAPTIVE_C
+        ).collect()
+    }
+    b = {tuple(r) for r in ivf_adaptive_nprobe_search(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
