@@ -686,12 +686,12 @@ def _cell_pairs_kernel(tau: float):
     return cell_pairs
 
 
-@query(
-    "semantic_dup_pairs_ivf",
-    # Full value oracle: deterministic top-2 cell assignment => the exact
-    # candidate-pair set is SQL-replayable; precision is by construction
-    # (every emitted pair re-checks cos >= tau on the raw vectors).
-    oracle=f"""
+# Full value oracle for the IVF-bucketed pair set: deterministic top-2
+# cell assignment => the exact candidate-pair set is SQL-replayable;
+# precision is by construction (every emitted pair re-checks cos >= tau
+# on the raw vectors). Shared verbatim by the capped variant below —
+# sub-bucketing changes WHERE pairs are computed, never WHICH pairs.
+_SEMANTIC_PAIRS_ORACLE = f"""
     WITH {_KM_CTES},
     a2 AS (
       SELECT vec_id, v, cid FROM (
@@ -711,7 +711,12 @@ def _cell_pairs_kernel(tau: float):
     JOIN km_emb ea ON ea.vec_id = c.a_id
     JOIN km_emb eb ON eb.vec_id = c.b_id
     WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
-    """,
+    """
+
+
+@query(
+    "semantic_dup_pairs_ivf",
+    oracle=_SEMANTIC_PAIRS_ORACLE,
     operators=("G6", "K9", "L3", "C10"),
     bench=True,
 )
@@ -732,6 +737,139 @@ def semantic_dup_pairs_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.3) -
         _cell_pairs_kernel(tau), "a_id bigint, b_id bigint, cos_sim double"
     )
     # a pair can surface from up to 2 shared cells -> dedupe
+    return pairs.dropDuplicates(["a_id", "b_id"])
+
+
+# ---------------------------------------------------------------------------
+# G6 skew-hardened path (round-8 verdict #1): the tiled kernel above
+# bounds MEMORY on a hot cell but still serializes one task doing
+# O(|cell|^2) WORK — a duplicate-heavy corpus clusters exactly there.
+# The capped variant splits any cell above _CELL_CAP rows into
+# nsub = ceil(|cell|/_CELL_CAP) deterministic sub-cells (vec_id mod nsub)
+# and fans the upper-triangle of sub-cell pairs out as independent tasks:
+# a vector in sub-cell s replicates to the nsub tasks
+# {(min(s,t), max(s,t)) : t in 0..nsub-1}, so every within-cell pair
+# lands in EXACTLY ONE (cell, ti, tj) task. Per-task work is bounded at
+# O(_CELL_CAP^2) regardless of cell size; total work is unchanged; the
+# emitted pair set is bit-identical to the uncapped form (same oracle).
+# At 100 TB the replication factor for an m-row cell is m/_CELL_CAP rows
+# of narrow (id, vec) data — linear fan-out buying quadratic-work
+# parallelism.
+# ---------------------------------------------------------------------------
+_CELL_CAP = 64  # small enough that sf0.01 (~125 rows/cell) exercises the split
+
+
+def _sub_bucket_tasks(assigned: DataFrame, cap: int) -> DataFrame:
+    """Replicate each (vec_id, embedding, centroid_id) row to its
+    sub-bucket-pair tasks. Adds (ti, tj, sub); cells at or under ``cap``
+    stay whole (nsub=1 -> single task (0,0), zero replication)."""
+    sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("cell_n"))
+    nsub = F.ceil(F.col("cell_n") / F.lit(cap)).cast("int")
+    withsub = (
+        assigned.join(F.broadcast(sizes), "centroid_id")
+        .withColumn("nsub", F.greatest(F.lit(1), nsub))
+        .withColumn("sub", F.pmod(F.col("vec_id"), F.col("nsub")).cast("int"))
+    )
+    tasks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.col("nsub") - 1),
+            lambda t: F.struct(
+                F.least(F.col("sub"), t).alias("ti"),
+                F.greatest(F.col("sub"), t).alias("tj"),
+            ),
+        )
+    )
+    return withsub.withColumn("task", F.explode(tasks)).select(
+        "centroid_id",
+        F.col("task.ti").alias("ti"),
+        F.col("task.tj").alias("tj"),
+        "vec_id",
+        "embedding",
+        "sub",
+    )
+
+
+def _sub_cell_pairs_kernel(tau: float):
+    """Grouped-map kernel over (centroid_id, ti, tj) tasks. ti == tj:
+    upper-triangle within one sub-cell (identical math to
+    _cell_pairs_kernel). ti < tj: full bipartite block between the two
+    sub-cells, ids canonicalised a_id < b_id. Rounding matches the
+    oracle's half-up round(x, 6) exactly."""
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+
+        def norm_mat(frame: pd.DataFrame):
+            m = np.stack(frame["embedding"].to_numpy()).astype(np.float64)
+            return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+        def rounded(sims):
+            return np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+
+        if int(pdf["ti"].iloc[0]) == int(pdf["tj"].iloc[0]):
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            m = norm_mat(pdf)
+            sims = m @ m.T
+            mask = np.triu(sims >= tau, k=1)
+            ii, jj = np.nonzero(mask)
+            if len(ii) == 0:
+                return empty
+            return pd.DataFrame(
+                {"a_id": ids[ii], "b_id": ids[jj], "cos_sim": rounded(sims[ii, jj])}
+            )
+        ti = int(pdf["ti"].iloc[0])
+        a = pdf[pdf["sub"] == ti]
+        b = pdf[pdf["sub"] != ti]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        aid, bid = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+        sims = norm_mat(a) @ norm_mat(b).T
+        ii, jj = np.nonzero(sims >= tau)
+        if len(ii) == 0:
+            return empty
+        x, y = aid[ii], bid[jj]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(x, y),
+                "b_id": np.maximum(x, y),
+                "cos_sim": rounded(sims[ii, jj]),
+            }
+        )
+
+    return pairs
+
+
+@query(
+    "semantic_dup_pairs_capped",
+    # Identical oracle to semantic_dup_pairs_ivf: sub-bucketing is a
+    # physical re-plan (bounded per-task work under hot cells), not a
+    # semantic change — the hash-match against the uncapped pair set IS
+    # the acceptance test the round-8 verdict asked for.
+    oracle=_SEMANTIC_PAIRS_ORACLE,
+    operators=("G6", "K9", "L3", "C10"),
+)
+def semantic_dup_pairs_capped(
+    spark: SparkSession, sf_dir: str, tau: float = 0.3, cap: int = _CELL_CAP
+) -> DataFrame:
+    from cloudvectordb_spark.operators.kmeans_det import assign_top2_cells
+
+    path = ensure_ivf_index(spark, sf_dir)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cents = index_centroids(spark, path)
+    assigned2 = assign_top2_cells(
+        vectors.drop("centroid_id").select("vec_id", "embedding"), cents
+    )
+    exploded = _sub_bucket_tasks(assigned2, cap)
+    pairs = exploded.groupBy("centroid_id", "ti", "tj").applyInPandas(
+        _sub_cell_pairs_kernel(tau), "a_id bigint, b_id bigint, cos_sim double"
+    )
+    # a pair can surface from up to 2 shared cells -> dedupe (never from
+    # two tasks of the SAME cell — the task fan-out is a partition)
     return pairs.dropDuplicates(["a_id", "b_id"])
 
 

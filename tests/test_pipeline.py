@@ -150,6 +150,69 @@ def test_semantic_dup_ivf_recall_vs_exact(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.35
 
 
+def test_semantic_dup_capped_matches_uncapped(spark, sf_dir):
+    """Round-8 verdict #1 gate: cell-size-capped sub-bucketing is a
+    physical re-plan only — the (a_id, b_id, cos_sim) set must be
+    IDENTICAL to the uncapped IVF path. cap=16 forces every fixture cell
+    (~125 rows) through the split path, including cross-sub-cell
+    bipartite tasks."""
+    from cloudvectordb_spark.operators.pipeline import (
+        semantic_dup_pairs_capped,
+        semantic_dup_pairs_ivf,
+    )
+
+    uncapped = {
+        tuple(r) for r in semantic_dup_pairs_ivf(spark, sf_dir).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in semantic_dup_pairs_capped(spark, sf_dir, cap=16).collect()
+    }
+    assert uncapped, "fixture should contain pairs above tau"
+    assert capped == uncapped
+
+
+def test_sub_bucket_tasks_bound_and_cover(spark):
+    """The task fan-out must (a) bound rows-per-task at ~2*cap and
+    (b) place every within-cell pair in exactly one task. Checked on a
+    synthetic hot cell of 40 rows with cap=8 (nsub=5)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.operators.pipeline import _sub_bucket_tasks
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("centroid_id"),
+        F.array(F.lit(1.0)).alias("embedding"),
+    )
+    rows = _sub_bucket_tasks(df, cap=8).collect()
+    per_task = {}
+    for r in rows:
+        per_task.setdefault((r.ti, r.tj), set()).add(r.vec_id)
+    assert max(len(v) for v in per_task.values()) <= 16  # 2 * cap
+    # every unordered pair appears in exactly one task
+    seen = {}
+    for key, ids in per_task.items():
+        ti, tj = key
+        if ti == tj:
+            cand = [
+                (a, b) for a, b in itertools.combinations(sorted(ids), 2)
+                if a % 5 == ti and b % 5 == ti
+            ]
+        else:
+            a_side = [i for i in ids if i % 5 == ti]
+            b_side = [i for i in ids if i % 5 == tj]
+            cand = [
+                (min(a, b), max(a, b)) for a in a_side for b in b_side
+            ]
+        for p in cand:
+            assert p not in seen, f"pair {p} in two tasks {seen[p]} and {key}"
+            seen[p] = key
+    assert len(seen) == 40 * 39 // 2
+
+
 def test_cell_pairs_kernel_blocked_matches_naive(monkeypatch):
     """Hot-cell guard (round-5 verdict #4): the tiled within-cell kernel
     must emit EXACTLY the pairs the naive n x n form does, while never
