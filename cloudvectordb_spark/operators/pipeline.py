@@ -164,6 +164,17 @@ def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_ROUNDS = 3
 
 
+# Above this k, the flat Lloyd's build is routed to the two-level IMI
+# composition below (round-8 verdict #2). Flat build cost is O(n*k*dim)
+# per round — measured 130.6 s @ k=700 vs 986.6 s @ k=5000 on 10M x 64
+# (BASELINE.md k-linearity section) — while the two-level form costs
+# O(n*(k1+k2)*dim) with k1*k2 >= k, i.e. ~2*sqrt(k) instead of k
+# (measured 97.6 s for 100x50 cells on the same corpus, 10.1x). The
+# registered fixture queries (k=8) stay flat, so every oracle is
+# byte-identical; the routing only changes what a BIG k builds.
+_FLAT_K_MAX = 256
+
+
 def build_ivf_assignments(
     emb: DataFrame, k: int = 8, seed: int = 42, rounds: int = _IVF_ROUNDS
 ) -> tuple[DataFrame, DataFrame]:
@@ -174,16 +185,144 @@ def build_ivf_assignments(
     input); the full corpus then gets one narrow assignment projection —
     no shuffle until the partitionBy write. Centroids between rounds are
     k*dim doubles on the driver, the same topology MLlib uses.
+
+    k > _FLAT_K_MAX auto-routes to the two-level IMI build — the
+    scale-safe plan is the default, not an opt-in.
     """
     from cloudvectordb_spark.operators.kmeans_det import (
         assign_cells,
         lloyd_centroids,
     )
 
+    if k > _FLAT_K_MAX:
+        return build_imi_assignments(emb, k=k, seed=seed, rounds=rounds)
+
     cents = lloyd_centroids(emb, k=k, seed=seed, rounds=rounds)
     assigned = assign_cells(emb, cents)
     centroids = emb.sparkSession.createDataFrame(
         [(cid, c) for cid, c in cents],
+        schema="centroid_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def _fine_train_on_assigned(
+    parents: DataFrame, k1: int, k2: int, rounds: int, fit_cap: int = 100_000
+) -> dict:
+    """Per-parent Lloyd's on an already-parent-assigned frame (the
+    DataFrame-input twin of ivf2._train_fine_centroids_impl, for builds
+    that haven't been persisted yet). Returns {parent: [(child_id,
+    centroid)]} with parents densified 0..k1-1 upstream. Driver state is
+    k1*k2*dim doubles; each round is one literal assignment + one
+    (parent, child, dim) groupBy."""
+    from cloudvectordb_spark.operators.ivf2 import assign_fine_cells
+
+    fit = parents.filter(F.col("vec_id") < fit_cap)
+    w = Window.partitionBy("centroid_id").orderBy("h", "vec_id")
+    seeds = (
+        fit.withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.lit("ivf2|"),
+                    F.col("centroid_id").cast("string"),
+                    F.lit("|"),
+                    F.col("vec_id").cast("string"),
+                )
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k2)
+        .select("centroid_id", "rn", "embedding")
+        .collect()  # bounded: k1 * k2 rows
+    )
+    cents2: dict = {}
+    for r in sorted(seeds, key=lambda r: (r.centroid_id, r.rn)):
+        cents2.setdefault(int(r.centroid_id), []).append(
+            (r.rn - 1, [float(x) for x in r.embedding])
+        )
+    for p in range(k1):  # a parent with zero fit rows keeps no children
+        cents2.setdefault(p, [])
+    for _ in range(rounds):
+        asg = assign_fine_cells(fit, cents2, k1)
+        upd = (
+            asg.select(
+                "centroid_id",
+                "child_id",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "dim", "x"
+                ),
+            )
+            .groupBy("centroid_id", "child_id", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()  # bounded: k1 * k2 * dim rows
+        )
+        nxt: dict = {}
+        for r in upd:
+            nxt.setdefault(r.centroid_id, {}).setdefault(r.child_id, {})[
+                r.dim
+            ] = r.m
+        cents2 = {
+            p: [
+                (cid, [dims[i] for i in sorted(dims)])
+                for cid, dims in sorted(children.items())
+            ]
+            for p, children in sorted(nxt.items())
+        }
+        for p in range(k1):
+            cents2.setdefault(p, [])
+    return cents2
+
+
+def build_imi_assignments(
+    emb: DataFrame, k: int, seed: int = 42, rounds: int = _IVF_ROUNDS
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level (IMI-style) build producing the SAME layout contract as
+    the flat build: (assignments with a global centroid_id, centroids
+    table (centroid_id, centroid)) — downstream probe/search code is
+    oblivious to how the cells were trained.
+
+    k1 ~ sqrt(k) coarse cells via flat Lloyd's, then k2 = ceil(k/k1)
+    fine cells per parent; global cell id = parent * k2 + child. Fine
+    assignment dispatches to the Arrow/BLAS kernel above the literal
+    threshold (ivf2.assign_fine_cells), so total assignment cost is
+    O(n*(k1+k2)*dim) — ~2*sqrt(k) of the flat build's O(n*k*dim).
+    Empty fine cells drop from the centroid table exactly like empty
+    flat cells do."""
+    import math
+
+    from cloudvectordb_spark.operators.ivf2 import assign_fine_cells
+    from cloudvectordb_spark.operators.kmeans_det import (
+        assign_cells,
+        lloyd_centroids,
+    )
+
+    k1 = max(2, math.isqrt(k))
+    k2 = math.ceil(k / k1)
+    cents1 = lloyd_centroids(emb, k=k1, seed=seed, rounds=rounds)
+    # densify parent ids 0..len-1 (empty coarse cells may have dropped);
+    # order-preserving, so the argmin tie order is unchanged
+    cents1 = [(i, c) for i, (_, c) in enumerate(cents1)]
+    k1 = len(cents1)
+    parents = assign_cells(emb, cents1)
+    cents2 = _fine_train_on_assigned(parents, k1, k2, rounds)
+    # a parent with no fit-sample rows trains no children but may still
+    # own full-corpus rows: give it one child at its coarse centroid
+    for p in range(k1):
+        if not cents2[p]:
+            cents2[p] = [(0, list(cents1[p][1]))]
+    fine = assign_fine_cells(parents, cents2, k1, out="child_id")
+    assigned = fine.withColumn(
+        "centroid_id",
+        (F.col("centroid_id") * F.lit(k2) + F.col("child_id")).cast("int"),
+    ).drop("child_id")
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [
+            (p * k2 + cid, c)
+            for p, children in sorted(cents2.items())
+            for cid, c in children
+        ],
         schema="centroid_id int, centroid array<double>",
     )
     return assigned, centroids

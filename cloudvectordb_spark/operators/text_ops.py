@@ -1005,62 +1005,95 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
-    """The iterative merge loop shared by bpe_train_merges and
-    bpe_compression_ratio: returns (merges, final vocab DataFrame with
-    the merged symbol sequences)."""
+def _bpe_greedy_merge(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right non-overlapping (a, b) -> ab — the exact
+    scan the oracle's half-consumed double-space replace() performs."""
+    res, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            res.append(a + b)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
+def _bpe_train_on_vocab(vocab: list, rounds: int) -> list:
+    """Driver-side merge training on a collected (word, freq) vocab —
+    the classic BPE trainer shape (one corpus pass upstream, then a
+    pure-Python loop over the vocab, which fits in memory by
+    construction: Heap's law bounds distinct words far below corpus
+    tokens). Semantics are IDENTICAL to the former per-round Spark
+    loop: pair counts are freq-weighted adjacent POSITIONS (overlaps
+    counted), argmax tiebreak count desc then (a, b) ascending, merges
+    applied greedy left-to-right. Mutates ``vocab`` syms in place;
+    returns the merge table."""
+    merges = []
+    for rank in range(rounds):
+        counts: dict = {}
+        for _, freq, syms in vocab:
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank + 1, a, b, a + b, int(cnt)))
+        for entry in vocab:
+            syms = entry[2]
+            if len(syms) >= 2:
+                entry[2] = _bpe_greedy_merge(syms, a, b)
+    return merges
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> tuple[list, DataFrame]:
+    """Production-shape BPE training (round-8 verdict #5): ONE Spark job
+    aggregates the word-frequency vocab; merge training is a driver
+    loop over that vocab (ZERO jobs per merge — the former per-round
+    pair-count job + argmax collect + checkpoint multiplied job count
+    by the merge count, 32k jobs for a 32k vocab); the learned merge
+    table then applies back to the distributed vocab in ONE
+    mapInPandas pass for downstream consumers. Output is bit-identical
+    to the per-round Spark loop (same unrolled-CTE oracle;
+    tools/bpe_probe.py pins job-count-vs-rounds flatness).
+
+    At 100 TB the collected vocab is distinct-words-bounded (a real
+    deployment would add min-freq pruning before the collect; the
+    fixtures' vocab is a few thousand rows)."""
     docs = load(spark, sf_dir, "documents")
-    vocab = (
+    vocab_df = (
         docs.select(F.explode(TX.tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
-        .withColumn("syms", F.expr("split(word, '')"))
-        .select("word", "freq", "syms")
     )
-    vocab = vocab.localCheckpoint()  # cut lineage before the merge loop
+    rows = vocab_df.collect()  # THE one Spark job before training
+    vocab = [[r.word, int(r.freq), list(r.word)] for r in rows]
+    merges = _bpe_train_on_vocab(vocab, rounds)
 
-    merges = []
-    for rank in range(_BPE_ROUNDS):
-        pairs = vocab.select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(syms) >= 2 THEN transform("
-                    "sequence(0, size(syms) - 2),"
-                    " i -> struct(syms[i] AS a, syms[i + 1] AS b)) "
-                    "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
-                )
-            ).alias("p"),
-        )
-        counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
-        best = counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
-        if not best:
-            break
-        a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
-        merges.append((rank + 1, a, b, a + b, cnt))
+    # distributed apply of the full merge table in rank order — what a
+    # tokenizer-application job does with the trained artifact
+    merge_pairs = [(m[1], m[2]) for m in merges]
 
-        def merge_batch(batches, _a=a, _b=b):
-            for pdf in batches:
-                out = []
-                for syms in pdf["syms"]:
-                    res, i, n = [], 0, len(syms)
-                    while i < n:
-                        if i + 1 < n and syms[i] == _a and syms[i + 1] == _b:
-                            res.append(_a + _b)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    out.append(res)
-                pdf = pdf.copy()
-                pdf["syms"] = out
-                yield pdf
+    def apply_all(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                for a, b in merge_pairs:
+                    if len(syms) >= 2:
+                        syms = _bpe_greedy_merge(syms, a, b)
+                out.append(syms)
+            pdf = pdf.copy()
+            pdf["syms"] = out
+            yield pdf
 
-        vocab = vocab.mapInPandas(
-            merge_batch, "word string, freq long, syms array<string>"
-        ).localCheckpoint()
-
-    return merges, vocab
+    final_vocab = vocab_df.withColumn("syms", F.expr("split(word, '')")).mapInPandas(
+        apply_all, "word string, freq long, syms array<string>"
+    )
+    return merges, final_vocab
 
 
 # ---------------------------------------------------------------------------

@@ -135,6 +135,33 @@ def test_ensure_ivf_index_builds_once(spark, sf_dir):
     assert centroids.count() == 8
 
 
+def test_build_routes_to_imi_above_k_threshold(spark, sf_dir):
+    """Round-8 verdict #2: the scale-safe two-level build must be the
+    DEFAULT above _FLAT_K_MAX, producing the same layout contract as
+    flat (one assignment per vector; every used cell in the centroid
+    table; global ids = parent*k2 + child)."""
+    from cloudvectordb_spark.operators import pipeline as P
+
+    emb = load(spark, sf_dir, "embeddings")
+    # force routing at a test-sized k by lowering the threshold
+    orig = P._FLAT_K_MAX
+    P._FLAT_K_MAX = 8
+    try:
+        assigned, centroids = P.build_ivf_assignments(emb, k=12)
+    finally:
+        P._FLAT_K_MAX = orig
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    cells = {r.centroid_id for r in centroids.collect()}
+    used = {r.centroid_id for r in assigned.select("centroid_id").distinct().collect()}
+    assert used <= cells
+    assert len(cells) <= 12 + 4  # k1*k2 >= k, at most one extra child row per parent
+    # default k stays flat: same 8-cell layout the oracles replay
+    _, flat_cents = P.build_ivf_assignments(emb, k=8)
+    assert flat_cents.count() == 8
+
+
 def test_semantic_dup_ivf_recall_vs_exact(spark, sf_dir):
     """IVF-bucketed near-dup must recover a solid share of the exact
     tau=0.3 pairs (multi-probe assignment, nprobe=2). Precision must be
