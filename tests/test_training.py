@@ -144,6 +144,84 @@ def test_trained_artifact_embeds_through_pipeline(spark, sf_dir):
         assert abs(float(np.sqrt((v * v).sum())) - 1.0) < 1e-4
 
 
+def _ivf_eval(spark, emb_df, doc_lang: dict, topk: int = 10):
+    """(index-recall@topk vs exact, same-lang precision@topk) through a
+    k=8 IVF layout with an nprobe=2 pruned scan — the serve-side shape,
+    evaluated driver-side on the collected sf0.001 corpus (500 rows)."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.operators.pipeline import build_ivf_assignments
+
+    assigned, cents_df = build_ivf_assignments(emb_df, k=8)
+    rows = assigned.collect()
+    cents = sorted(
+        (r.centroid_id, np.asarray(r.centroid)) for r in cents_df.collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    cell = np.array([r.centroid_id for r in rows])
+    cm = np.stack([c for _, c in cents])
+    cid = np.array([c0 for c0, _ in cents])
+    rec, prec = [], []
+    for qi in range(0, len(ids), 31):
+        v = M[qi]
+        sims = M @ v
+        exact = set(ids[np.argsort(-sims)[1 : topk + 1]])
+        probe = cid[np.argsort(((cm - v) ** 2).sum(axis=1))[:2]]
+        idx = np.where(np.isin(cell, probe))[0]
+        so = idx[np.argsort(-sims[idx])]
+        so = so[ids[so] != ids[qi]][:topk]
+        approx = set(ids[so])
+        rec.append(len(approx & exact) / topk)
+        qlang = doc_lang[int(ids[qi])]
+        prec.append(
+            float(np.mean([doc_lang[int(x)] == qlang for x in approx]))
+        )
+    return float(np.mean(rec)), float(np.mean(prec))
+
+
+def test_trained_e2e_index_recall_beats_stub(spark, sf_dir, tmp_path):
+    """Round-8 verdict #3: the FULL S1→S4 chain with the real learned
+    encoder — train (cached artifact) → embed corpus → build IVF →
+    search through the pruned layout — gated on recall@10 vs exact AND
+    vs the stub encoder. The trained embedding space clusters by
+    language (the training objective), so it must both (a) IVF-index
+    better than the hash-random stub space and (b) retrieve same-lang
+    docs above chance."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.catalog import load as _load
+    from cloudvectordb_spark.operators.pipeline import (
+        embed_with_artifact,
+        ensure_trained_artifact,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    doc_lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    n_langs = len(set(doc_lang.values()))
+
+    art_t = ensure_trained_artifact(spark, sf_dir)
+    (tmp_path / "empty").mkdir()
+    art_s = train_encoder_stub(str(tmp_path / "empty"), str(tmp_path / "stub"))
+
+    def emb_for(art):
+        return embed_with_artifact(docs, art).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+
+    rec_t, prec_t = _ivf_eval(spark, emb_for(art_t), doc_lang)
+    rec_s, prec_s = _ivf_eval(spark, emb_for(art_s), doc_lang)
+
+    # measured at pin time: trained 0.847/0.224, stub 0.676/0.182
+    assert rec_t >= rec_s, f"trained {rec_t:.3f} < stub {rec_s:.3f}"
+    assert rec_t >= 0.7, f"trained index recall@10 {rec_t:.3f} below floor"
+    assert prec_t > prec_s, f"lang prec {prec_t:.3f} <= stub {prec_s:.3f}"
+    assert prec_t > 1.0 / n_langs, (
+        f"trained lang precision {prec_t:.3f} not above chance (1/{n_langs})"
+    )
+
+
 def test_trained_artifact_matches_committed_golden(spark):
     """Round-4 verdict item 5: a regression in the trainer must break
     pytest, not just downstream recall. The committed golden

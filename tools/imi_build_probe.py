@@ -77,7 +77,10 @@ def routed_recall(spark, emb, assigned, centroids, k: int, topk: int = 10):
     qs = emb.filter(F.col("vec_id") < 8).collect()
     cmat = np.array([c for _, c in cents])
     cids = np.array([cid for cid, _ in cents])
-    corpus = assigned.select("vec_id", "embedding", "centroid_id")
+    # persist: the eval loop runs 2 jobs per query and must not recompute
+    # the assignment lineage each time (a real layout would be parquet)
+    corpus = assigned.select("vec_id", "embedding", "centroid_id").persist()
+    corpus.count()
     hits = total = 0
     nprobe = max(4, int(2 * np.sqrt(len(cents))))
     for q in qs:
@@ -110,6 +113,7 @@ def routed_recall(spark, emb, assigned, centroids, k: int, topk: int = 10):
         }
         hits += len(approx & exact)
         total += topk
+    corpus.unpersist()
     return round(hits / total, 3)
 
 
