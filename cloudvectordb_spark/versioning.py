@@ -14,11 +14,24 @@ manifest references.
     <root>/manifests/v00001.json               {"files": [...], "op": ...}
     <root>/LATEST                              "1"
 
-This is deliberately a minimal single-writer design (concurrent
-committers race on the version number and the loser must retry — no
-lock service here); the READ side — manifest pinning — is the part the
-engine's queries rely on and what the tests pin down. At 100 TB the
-manifest lists thousands of files, still KBs of JSON on the driver.
+Concurrent-writer safety (round-8 verdict #4) is optimistic, no lock
+service required — two independent guards at publish time:
+
+1. PARENT CAS: a commit is rejected (CommitConflict) unless its
+   ``parent`` IS the current LATEST. A compactor that read version N
+   and got raced by an ingest commit N+1 cannot publish — silently
+   retrying at N+2 would drop the ingester's delta. The conflicted
+   writer must restart from the new latest.
+2. EPOCH FENCE: a writer may acquire a monotonically-increasing lease
+   (``acquire_lease``, exclusive-create on an epoch file) and pass it
+   to commits; any commit carrying an epoch older than the newest
+   issued lease is rejected even if its parent check would race
+   (the classic fencing-token discipline for stalled writers).
+
+The version-number exclusive-create remains the lowest-level guard
+(two same-version publishers: first rename wins, loser errors). At
+100 TB the manifest lists thousands of files, still KBs of JSON on
+the driver.
 """
 
 from __future__ import annotations
@@ -31,8 +44,42 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer advanced the index since this commit was
+    prepared (stale parent or fenced lease). Re-read LATEST and redo
+    the work against it — do NOT retry the same payload."""
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, "manifests", f"v{version:05d}.json")
+
+
+def _leases_dir(root: str) -> str:
+    return os.path.join(root, "leases")
+
+
+def acquire_lease(root: str, owner: str = "writer") -> int:
+    """Allocate the next fencing epoch via exclusive file create.
+    Returns the epoch number; pass it as ``lease=`` to commit_*. Any
+    LATER acquire fences every earlier epoch out."""
+    d = _leases_dir(root)
+    os.makedirs(d, exist_ok=True)
+    while True:
+        nxt = _max_epoch(root) + 1
+        try:
+            with open(os.path.join(d, f"epoch-{nxt:08d}.{owner}"), "x") as f:
+                f.write(owner)
+            return nxt
+        except FileExistsError:
+            continue  # raced with another acquirer — take the next slot
+
+
+def _max_epoch(root: str) -> int:
+    names = glob.glob(os.path.join(_leases_dir(root), "epoch-*"))
+    return max(
+        (int(os.path.basename(n).split("-")[1].split(".")[0]) for n in names),
+        default=0,
+    )
 
 
 def latest_version(root: str) -> int:
@@ -47,8 +94,23 @@ def read_manifest(root: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
-def _publish(root: str, manifest: dict) -> int:
+def _publish(root: str, manifest: dict, lease: int | None = None) -> int:
     version = manifest["version"]
+    # fencing: a newer lease invalidates this writer no matter what the
+    # parent check would say (stalled-compactor discipline)
+    if lease is not None and _max_epoch(root) > lease:
+        raise CommitConflict(
+            f"lease epoch {lease} fenced by a newer writer "
+            f"(current {_max_epoch(root)}) — restart from LATEST"
+        )
+    # parent CAS: committing over anything but the current latest would
+    # silently drop the concurrent writer's rows on a blind retry
+    cur = latest_version(root) if os.path.exists(os.path.join(root, "LATEST")) else None
+    if manifest.get("parent") != cur:
+        raise CommitConflict(
+            f"stale parent {manifest.get('parent')} (latest is {cur}) — "
+            "re-read LATEST and redo the commit against it"
+        )
     os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
     mpath = _manifest_path(root, version)
     if os.path.exists(mpath):
@@ -78,13 +140,17 @@ def _write_data_files(df: DataFrame, root: str) -> list[str]:
     return [os.path.relpath(p, root) for p in files]
 
 
-def commit_build(df: DataFrame, root: str) -> int:
+def commit_build(df: DataFrame, root: str, lease: int | None = None) -> int:
     """Version 1: the initial bulk build."""
     files = _write_data_files(df, root)
-    return _publish(root, {"version": 1, "parent": None, "op": "build", "files": files})
+    return _publish(
+        root,
+        {"version": 1, "parent": None, "op": "build", "files": files},
+        lease=lease,
+    )
 
 
-def commit_append(df: DataFrame, root: str) -> int:
+def commit_append(df: DataFrame, root: str, lease: int | None = None) -> int:
     """New version = parent's files + this delta's files. The parent
     version stays readable forever (its files are untouched)."""
     parent_v = latest_version(root)
@@ -98,19 +164,33 @@ def commit_append(df: DataFrame, root: str) -> int:
             "op": "append",
             "files": parent["files"] + files,
         },
+        lease=lease,
     )
 
 
-def commit_compact(spark: SparkSession, root: str, num_files: int = 1) -> int:
-    """Rewrite the latest version's rows into ``num_files`` files and
-    commit them as a new version — logically identical contents, healed
-    small-files layout. Old versions keep reading their own files."""
-    parent_v = latest_version(root)
+def commit_compact(
+    spark: SparkSession,
+    root: str,
+    num_files: int = 1,
+    as_of: int | None = None,
+    lease: int | None = None,
+) -> int:
+    """Rewrite a version's rows into ``num_files`` files and commit them
+    as a new version — logically identical contents, healed small-files
+    layout. Old versions keep reading their own files.
+
+    ``as_of`` pins which version the compaction was PREPARED against
+    (default: latest at call time). If a concurrent writer advanced
+    LATEST past ``as_of`` before this publishes, the commit raises
+    CommitConflict instead of silently dropping that writer's delta —
+    the compactor must restart from the new latest."""
+    parent_v = latest_version(root) if as_of is None else as_of
     current = read_version(spark, root, parent_v)
     files = _write_data_files(current.coalesce(num_files), root)
     return _publish(
         root,
         {"version": parent_v + 1, "parent": parent_v, "op": "compact", "files": files},
+        lease=lease,
     )
 
 

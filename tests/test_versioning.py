@@ -102,6 +102,59 @@ def test_concurrent_commit_collision_raises(spark, emb, tmp_path):
         commit_append(emb.filter(F.col("vec_id") >= 50), root)
 
 
+def test_stale_compactor_rejected_and_serving_unchanged(spark, emb, tmp_path):
+    """Round-8 verdict #4: race a deliberately STALE compactor (prepared
+    against v1) with a fresh ingest append (v2). The stale commit must
+    be rejected with CommitConflict — a blind publish would drop the
+    ingester's delta — and serving (read latest) must be byte-identical
+    to the state before the failed commit."""
+    from cloudvectordb_spark.versioning import CommitConflict, commit_compact
+
+    root = str(tmp_path / "vidx")
+    commit_build(emb.filter(F.col("vec_id") < 50), root)  # v1
+    # compactor "reads" latest = 1 here, then stalls...
+    stale_parent = latest_version(root)
+    # ...while the ingester lands v2
+    commit_append(emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 80)), root)
+    before = {r.vec_id for r in read_version(spark, root).select("vec_id").collect()}
+
+    with pytest.raises(CommitConflict):
+        commit_compact(spark, root, as_of=stale_parent)
+
+    assert latest_version(root) == 2
+    after = {r.vec_id for r in read_version(spark, root).select("vec_id").collect()}
+    assert after == before == set(range(80))
+
+
+def test_fencing_lease_rejects_stalled_writer(spark, emb, tmp_path):
+    """Epoch fencing: once a newer writer acquires a lease, a commit
+    carrying the older epoch is rejected EVEN IF its parent is still
+    the latest (the stalled-writer case the parent CAS alone cannot
+    catch when the newer writer hasn't published yet)."""
+    from cloudvectordb_spark.versioning import (
+        CommitConflict,
+        acquire_lease,
+        commit_compact,
+    )
+
+    root = str(tmp_path / "vidx")
+    commit_build(emb.filter(F.col("vec_id") < 50), root)  # v1
+    old_lease = acquire_lease(root, "compactor")
+    new_lease = acquire_lease(root, "ingester")  # fences the compactor
+    assert new_lease > old_lease
+
+    with pytest.raises(CommitConflict):
+        commit_compact(spark, root, lease=old_lease)
+
+    # the fresh lease-holder commits fine
+    v = commit_append(
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 80)),
+        root,
+        lease=new_lease,
+    )
+    assert v == 2 and latest_version(root) == 2
+
+
 def test_streaming_foreachbatch_commits_versions(spark, sf_dir, tmp_path):
     """Streaming ingest -> versioned index maintenance: each micro-batch
     lands as ONE manifest-pinned append, so readers pinned to version N
