@@ -57,21 +57,53 @@ def main() -> None:
     # min at ~+15 s total wall.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    serving: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def time_query(spec) -> float:
+        if runs > 1:
+            spec.fn(spark, sf_dir).collect()  # warm-up, untimed
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     for name, spec in sorted(all_queries().items()):
         if not spec.bench:
             continue
         # One failing query must not zero the whole bench: record it and
         # keep timing the rest (the per-query error is visible in the JSON).
         try:
-            if runs > 1:
-                spec.fn(spark, sf_dir).collect()  # warm-up, untimed
-            best = float("inf")
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                spec.fn(spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+            timings[name] = time_query(spec)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # Second group (round-8 verdict #6): the serving/maintenance layer —
+    # batched text + ANN serving, hybrid fusion, incremental index
+    # maintenance — so regressions there gate perf like the r1 headline
+    # set does. Timed identically; reported under "serving" and NOT
+    # folded into the headline total (BASELINE.md carries the committed
+    # per-query numbers).
+    SERVING = [
+        "bm25_batch_topk",
+        "bm25_batch_pruned",
+        "hybrid_rrf_batch",
+        "ivf_strict_nprobe_search",
+        "incremental_ingest_e2e",
+        "postings_tier_compaction",
+        "index_delete_compaction",
+        "fuzzy_term_search",
+    ]
+    reg = all_queries()
+    for name in SERVING:
+        spec = reg.get(name)
+        if spec is None:
+            errors[name] = "not registered"
+            continue
+        try:
+            serving[name] = time_query(spec)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -81,6 +113,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "serving": serving,
+        "serving_seconds": round(sum(serving.values()), 3),
         "sf": sf,
     }
     if errors:

@@ -106,13 +106,21 @@ def assign_cells_blas(
 
 
 def assign_cells(
-    df: DataFrame, cents: Centroids, vec_col: str = "embedding", out: str = "centroid_id"
+    df: DataFrame,
+    cents: Centroids,
+    vec_col: str = "embedding",
+    out: str = "centroid_id",
+    force_blas: bool = False,
 ) -> DataFrame:
     """Nearest-centroid id per row (argmin on rounded distance, ties to
     the smaller cid — array_min over (d, cid) structs encodes exactly
     that total order). Dispatches to the BLAS path above the literal-
-    cell threshold; small k (all registered queries) stays JVM-side."""
-    if len(cents) * len(cents[0][1]) > _BLAS_CELLS_THRESHOLD:
+    cell threshold; small k (all registered queries) stays JVM-side.
+    ``force_blas`` opts un-oracled callers (the routed big-k build) into
+    the Arrow kernel below the threshold — mid-size k on the expression
+    path interprets k*dim lambda ops per row (measured 25 s/round at
+    k=45, 100k rows vs ~1 s BLAS)."""
+    if force_blas or len(cents) * len(cents[0][1]) > _BLAS_CELLS_THRESHOLD:
         return assign_cells_blas(df, cents, vec_col, out)
     best = F.array_min(_dist_structs(F.col(vec_col), cents))
     return df.withColumn(out, best["cid"])
@@ -157,14 +165,17 @@ def lloyd_centroids(
     fit_cap: int = DEFAULT_FIT_CAP,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    force_blas: bool = False,
 ) -> Centroids:
     """Fixed-round Lloyd's on the pinned fit sample. Returns the final
     centroid list (components rounded to 6 decimals). Empty cells drop
     (both engines lose them identically in the grouped mean)."""
     fit = emb.filter(F.col(id_col) < fit_cap).select(id_col, vec_col)
+    if force_blas:
+        fit = fit.localCheckpoint()  # one materialization, rounds reuse it
     cents = seed_centroids(fit, k, seed, id_col, vec_col)
     for _ in range(rounds):
-        asg = assign_cells(fit, cents, vec_col)
+        asg = assign_cells(fit, cents, vec_col, force_blas=force_blas)
         upd = (
             asg.select("centroid_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
             .groupBy("centroid_id", "dim")

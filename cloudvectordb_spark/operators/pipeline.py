@@ -166,13 +166,15 @@ _IVF_ROUNDS = 3
 
 # Above this k, the flat Lloyd's build is routed to the two-level IMI
 # composition below (round-8 verdict #2). Flat build cost is O(n*k*dim)
-# per round — measured 130.6 s @ k=700 vs 986.6 s @ k=5000 on 10M x 64
-# (BASELINE.md k-linearity section) — while the two-level form costs
-# O(n*(k1+k2)*dim) with k1*k2 >= k, i.e. ~2*sqrt(k) instead of k
-# (measured 97.6 s for 100x50 cells on the same corpus, 10.1x). The
-# registered fixture queries (k=8) stay flat, so every oracle is
-# byte-identical; the routing only changes what a BIG k builds.
-_FLAT_K_MAX = 256
+# per round while the two-level form costs O(n*(k1+k2)*dim) with
+# k1*k2 >= k, i.e. ~2*sqrt(k) instead of k. Measured at 2M x 64
+# (tools/imi_build_probe.py, BASELINE.md round-9): routed build is
+# ~17 s FLAT in k from 2048 through 4096 while the flat build grows
+# k-linearly (63.5 s at k=2048); the local crossover sits between
+# k=512 and k=1024. The registered fixture queries (k=8) stay flat,
+# so every oracle is byte-identical; routing only changes what a BIG
+# k builds.
+_FLAT_K_MAX = 512
 
 
 def build_ivf_assignments(
@@ -245,6 +247,9 @@ def _fine_train_on_assigned(
         cents2.setdefault(p, [])
     for _ in range(rounds):
         asg = assign_fine_cells(fit, cents2, k1)
+        # per-dim means re-packed into ONE array row per (parent, child)
+        # JVM-side before collect — k1*k2 rows instead of k1*k2*dim
+        # (the dim-exploded collect was a visible driver cost at k ~ 4k)
         upd = (
             asg.select(
                 "centroid_id",
@@ -255,18 +260,20 @@ def _fine_train_on_assigned(
             )
             .groupBy("centroid_id", "child_id", "dim")
             .agg(F.round(F.avg("x"), 6).alias("m"))
-            .collect()  # bounded: k1 * k2 * dim rows
+            .groupBy("centroid_id", "child_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()  # bounded: k1 * k2 rows
         )
         nxt: dict = {}
         for r in upd:
-            nxt.setdefault(r.centroid_id, {}).setdefault(r.child_id, {})[
-                r.dim
-            ] = r.m
+            nxt.setdefault(r.centroid_id, {})[r.child_id] = list(r.centroid)
         cents2 = {
-            p: [
-                (cid, [dims[i] for i in sorted(dims)])
-                for cid, dims in sorted(children.items())
-            ]
+            p: [(cid, c) for cid, c in sorted(children.items())]
             for p, children in sorted(nxt.items())
         }
         for p in range(k1):
@@ -291,27 +298,44 @@ def build_imi_assignments(
     flat cells do."""
     import math
 
-    from cloudvectordb_spark.operators.ivf2 import assign_fine_cells
+    from cloudvectordb_spark.operators.ivf2 import assign_fine_cells_blas
     from cloudvectordb_spark.operators.kmeans_det import (
-        assign_cells,
+        assign_cells_blas,
         lloyd_centroids,
     )
 
     k1 = max(2, math.isqrt(k))
     k2 = math.ceil(k / k1)
-    cents1 = lloyd_centroids(emb, k=k1, seed=seed, rounds=rounds)
+    cents1 = lloyd_centroids(emb, k=k1, seed=seed, rounds=rounds, force_blas=True)
     # densify parent ids 0..len-1 (empty coarse cells may have dropped);
     # order-preserving, so the argmin tie order is unchanged
     cents1 = [(i, c) for i, (_, c) in enumerate(cents1)]
     k1 = len(cents1)
-    parents = assign_cells(emb, cents1)
-    cents2 = _fine_train_on_assigned(parents, k1, k2, rounds)
+    # FORCE the Arrow/BLAS kernels for the corpus-wide assignments: k1 ~
+    # sqrt(k) sits under the literal-size threshold that gates the
+    # expression path, but at routed-build row counts the per-row
+    # zip_with interpretation dominates the whole build (measured 120 s
+    # vs 14 s at 2M x k=512 before this) — one matmul per Arrow batch is
+    # the right physical plan no matter how small the centroid matrix.
+    # train the fine level on a PRE-FILTERED, materialized fit sample: a
+    # vec_id filter cannot push below mapInPandas, so handing the full
+    # assignment lineage to the training loop would re-assign the whole
+    # corpus once per round just to keep fit_cap rows (measured as most
+    # of a 55 s fixed overhead at 2M rows)
+    fit_parents = assign_cells_blas(
+        emb.filter(F.col("vec_id") < 100_000), cents1
+    ).localCheckpoint()
+    cents2 = _fine_train_on_assigned(fit_parents, k1, k2, rounds)
     # a parent with no fit-sample rows trains no children but may still
     # own full-corpus rows: give it one child at its coarse centroid
     for p in range(k1):
         if not cents2[p]:
             cents2[p] = [(0, list(cents1[p][1]))]
-    fine = assign_fine_cells(parents, cents2, k1, out="child_id")
+    # full-corpus assignment: coarse + fine chain as two back-to-back
+    # mapInPandas stages — one scan, no shuffle until the consumer's
+    # partitionBy write
+    parents = assign_cells_blas(emb, cents1)
+    fine = assign_fine_cells_blas(parents, cents2, k1, out="child_id")
     assigned = fine.withColumn(
         "centroid_id",
         (F.col("centroid_id") * F.lit(k2) + F.col("child_id")).cast("int"),
