@@ -645,6 +645,17 @@ _MINHASH_LIM = 200
 )
 def minhash_banded_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _MINHASH_LIM)
+    return minhash_banded_pairs_df(docs)
+
+
+def minhash_banded_pairs_df(docs: DataFrame) -> DataFrame:
+    """The banded-MinHash pipeline on ANY (doc_id, text) frame — the
+    registered query above runs it on the (_MINHASH_LIM-capped, oracle-
+    replayable) fixture; tools/minhash_scale_probe.py runs the SAME code
+    at 1M/10M docs. Shape: shingle -> P md5 permutations -> per-(doc, p)
+    min -> band keys -> (band, key) equi-join for candidates -> signature
+    re-join verify. Every stage is a keyed groupBy/join — never
+    all-pairs."""
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),

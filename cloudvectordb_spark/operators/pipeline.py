@@ -549,6 +549,7 @@ def ivf_batch_search_strict(
     nprobe: int = 2,
     k: int = 10,
     pc_pairs: list | None = None,
+    rebalance_hot: bool = True,
 ) -> DataFrame:
     """Batched IVF search with STRICT per-probe nprobe semantics: probe
     p's candidates are exactly the vectors assigned to p's own nprobe
@@ -598,10 +599,35 @@ def ivf_batch_search_strict(
     # of batch size; the literal filter prunes the scan to the probed
     # cells, and the broadcast join then only tags survivors per probe.
     union_cells = sorted({c for _, c in pc_pairs})
+    pruned = vectors.filter(F.col("centroid_id").isin(union_cells)).withColumn(
+        "centroid_id", F.col("centroid_id").cast("int")
+    )
+    # HOT-CELL replication (round-8 verdict #7): a cell probed by many
+    # batch queries multiplies its scan splits' work by its probe count
+    # — on a compacted index (one file per cell) a skewed request batch
+    # funnels the whole fan-out + matmul through one or two tasks. Hot
+    # cells' SOURCE rows are spread round-robin across the cluster
+    # BEFORE the tagging join (the exchange moves only raw cell rows;
+    # rebalancing after the join would shuffle-write the multiplied
+    # candidates from the same few scan tasks — measured to give back
+    # the entire win). Cold cells keep the narrow no-shuffle path; the
+    # per-probe top-k window merges both identically (round/tie
+    # discipline is partitioning-invariant, so results stay bit-equal —
+    # asserted in tools/ann_batch_probe.py). The floor is ABSOLUTE, not
+    # relative-to-average: when every probed cell is equally hot (all
+    # probes hit one region) a 2x-avg rule never fires.
+    from collections import Counter
+
+    probes_per_cell = Counter(c for _, c in pc_pairs)
+    hot_cells = sorted(c for c, cnt in probes_per_cell.items() if cnt >= 8)
+    if rebalance_hot and hot_cells:
+        cold_v = pruned.filter(~F.col("centroid_id").isin(hot_cells))
+        hot_v = pruned.filter(F.col("centroid_id").isin(hot_cells)).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        pruned = cold_v.unionByName(hot_v)
     cand = (
-        vectors.filter(F.col("centroid_id").isin(union_cells))
-        .withColumn("centroid_id", F.col("centroid_id").cast("int"))
-        .join(F.broadcast(pc_df), "centroid_id")
+        pruned.join(F.broadcast(pc_df), "centroid_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id", "embedding")
     )

@@ -60,6 +60,14 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--nprobe", type=int, default=4)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="all probes are copies of one vector (every probe selects "
+        "the SAME nprobe cells — the hot-cell worst case); times the "
+        "batched plan with and without hot-cell rebalance and reports "
+        "both against the balanced-batch number",
+    )
     args = ap.parse_args()
 
     spark = get_session("ann-batch-probe")
@@ -85,6 +93,66 @@ def main() -> int:
         .limit(args.batch)
         .collect()
     )
+
+    if args.skew:
+        from pyspark.sql import Row
+
+        from cloudvectordb_spark.operators.pipeline import (
+            ivf_batch_search_strict as strict,
+        )
+
+        # COMPACTED layout for the skew test: the fresh build writes
+        # each cell as ~32 small files (one per writer task), which
+        # accidentally hands the scan dozens of splits per cell and
+        # hides the hot-cell serialization. A served index is compacted
+        # (one file per cell) — exactly the layout where a hot cell's
+        # candidates funnel through one or two scan tasks.
+        cpath = os.path.join(root, "ivf_compact")
+        if not os.path.exists(os.path.join(cpath, "_BUILT")):
+            spark.read.parquet(f"{path}/vectors").repartition(
+                "centroid_id"
+            ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+                f"{cpath}/vectors"
+            )
+            with open(os.path.join(cpath, "_BUILT"), "w") as f:
+                f.write("ok")
+        vectors = spark.read.parquet(f"{cpath}/vectors")
+
+        # every probe = the SAME vector under a fresh id outside the
+        # corpus id space -> all Q probes select one identical nprobe
+        # cell set; that cell's tasks do Q x the matmul work
+        base = list(probe_rows[0].embedding)
+        skewed = [
+            Row(vec_id=10**9 + i, embedding=base) for i in range(args.batch)
+        ]
+
+        def run(rows, rebalance):
+            t0 = time.time()
+            strict(
+                spark, vectors, rows, cents,
+                nprobe=args.nprobe, k=args.k, rebalance_hot=rebalance,
+            ).collect()
+            return round(time.time() - t0, 3)
+
+        for rows, reb in ((skewed, True), (skewed, False), (probe_rows, True)):
+            run(rows, reb)  # warm-up
+        out = {
+            "metric": "ann_batch_skew",
+            "n_vectors": args.n,
+            "batch_q": args.batch,
+            "nprobe": args.nprobe,
+            "balanced_s": min(run(probe_rows, True) for _ in range(2)),
+            "skew_serialized_s": min(run(skewed, False) for _ in range(2)),
+            "skew_rebalanced_s": min(run(skewed, True) for _ in range(2)),
+        }
+        out["parity_vs_balanced"] = round(
+            out["skew_rebalanced_s"] / out["balanced_s"], 2
+        )
+        out["rebalance_speedup_x"] = round(
+            out["skew_serialized_s"] / out["skew_rebalanced_s"], 2
+        )
+        print(json.dumps(out))
+        return 0
 
     def seq_one(r):
         cells = nearest_cells_py(r.embedding, cents, args.nprobe)
