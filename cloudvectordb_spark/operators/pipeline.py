@@ -1118,7 +1118,10 @@ def semantic_dup_pairs_capped(
 def semantic_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudvectordb_spark.operators.dedup import connected_components
 
-    edges = semantic_dup_pairs_ivf(spark, sf_dir).select(
+    # scale-safe default: the capped pair generator (identical pair set;
+    # cap=4096 means fixture-scale cells never split, while a hot cell
+    # at corpus scale fans out instead of serializing one task)
+    edges = semantic_dup_pairs_capped(spark, sf_dir, cap=4096).select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     )
     comp = connected_components(edges)

@@ -991,7 +991,7 @@ _BPE_ORACLE = (
 )
 
 
-@query("bpe_train_merges", oracle=_BPE_ORACLE, operators=("K1", "K2", "D1", "L3"))
+@query("bpe_train_merges", oracle=_BPE_ORACLE, operators=("K1", "K2", "D1"))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
@@ -1125,7 +1125,7 @@ def _bpe_train(
     FROM vocab0 v0 JOIN vocab{_BPE_ROUNDS} v5 USING (word, freq)
     """
     ),
-    operators=("K1", "K2", "D2", "L3"),
+    operators=("K1", "K2", "D2", "L5"),
 )
 def bpe_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-weighted symbols-per-occurrence before/after the learned

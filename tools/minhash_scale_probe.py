@@ -82,8 +82,9 @@ def main() -> int:
     docs = spark.read.parquet(root)
 
     t0 = time.perf_counter()
-    verified = minhash_banded_pairs_df(docs)
-    # materialize once: the count drives the full candidate+verify plan
+    # persist: the quality metrics below must not re-run the shingle ->
+    # permute -> band -> join -> verify lineage once per count
+    verified = minhash_banded_pairs_df(docs).persist()
     n_verified = verified.count()
     total_s = round(time.perf_counter() - t0, 1)
 
@@ -95,6 +96,7 @@ def main() -> int:
         & (F.col("a_id") % DUP_EVERY == 0)
     ).count()
     n_kept = kept.count()
+    verified.unpersist()
     eval_s = round(time.perf_counter() - t0, 1)
 
     n_planted = args.n // DUP_EVERY
