@@ -209,16 +209,23 @@ def build_ivf_assignments(
 
 
 def _fine_train_on_assigned(
-    parents: DataFrame, k1: int, k2: int, rounds: int, fit_cap: int = 100_000
+    parents: DataFrame,
+    k1: int,
+    k2: int | list,
+    rounds: int,
+    fit_cap: int = 100_000,
 ) -> dict:
     """Per-parent Lloyd's on an already-parent-assigned frame (the
     DataFrame-input twin of ivf2._train_fine_centroids_impl, for builds
-    that haven't been persisted yet). Returns {parent: [(child_id,
-    centroid)]} with parents densified 0..k1-1 upstream. Driver state is
-    k1*k2*dim doubles; each round is one literal assignment + one
+    that haven't been persisted yet). ``k2`` may be a single child
+    count or a per-parent list (proportional allocation — see
+    build_imi_assignments). Returns {parent: [(child_id, centroid)]}
+    with parents densified 0..k1-1 upstream. Driver state is
+    sum(k2)*dim doubles; each round is one literal assignment + one
     (parent, child, dim) groupBy."""
     from cloudvectordb_spark.operators.ivf2 import assign_fine_cells
 
+    k2_list = [k2] * k1 if isinstance(k2, int) else list(k2)
     fit = parents.filter(F.col("vec_id") < fit_cap)
     w = Window.partitionBy("centroid_id").orderBy("h", "vec_id")
     seeds = (
@@ -234,9 +241,12 @@ def _fine_train_on_assigned(
             ),
         )
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k2)
+        .filter(
+            F.col("rn")
+            <= F.element_at(F.lit(k2_list), F.col("centroid_id") + 1)
+        )
         .select("centroid_id", "rn", "embedding")
-        .collect()  # bounded: k1 * k2 rows
+        .collect()  # bounded: sum(k2) rows
     )
     cents2: dict = {}
     for r in sorted(seeds, key=lambda r: (r.centroid_id, r.rn)):
@@ -289,13 +299,17 @@ def build_imi_assignments(
     table (centroid_id, centroid)) — downstream probe/search code is
     oblivious to how the cells were trained.
 
-    k1 ~ sqrt(k) coarse cells via flat Lloyd's, then k2 = ceil(k/k1)
-    fine cells per parent; global cell id = parent * k2 + child. Fine
-    assignment dispatches to the Arrow/BLAS kernel above the literal
-    threshold (ivf2.assign_fine_cells), so total assignment cost is
-    O(n*(k1+k2)*dim) — ~2*sqrt(k) of the flat build's O(n*k*dim).
-    Empty fine cells drop from the centroid table exactly like empty
-    flat cells do."""
+    k1 ~ sqrt(k) coarse cells via flat Lloyd's, then a PROPORTIONAL
+    child allocation: parent p gets max(1, round(k * n_p / n_fit))
+    fine cells, so a coarse cell holding 10x the mass trains 10x the
+    children instead of inheriting constant-k2 imbalance (measured
+    max/mean cell size 7.5 with constant k2 vs 2.7 for flat; the
+    allocation brings the routed layout back toward flat's balance).
+    Global cell id = parent_offset + child (offsets = cumsum of
+    allocations). Fine assignment uses the Arrow/BLAS kernel, so total
+    assignment cost is O(n*(k1+mean_k2)*dim) — ~2*sqrt(k) of the flat
+    build's O(n*k*dim). Empty fine cells drop from the centroid table
+    exactly like empty flat cells do."""
     import math
 
     from cloudvectordb_spark.operators.ivf2 import assign_fine_cells_blas
@@ -305,7 +319,6 @@ def build_imi_assignments(
     )
 
     k1 = max(2, math.isqrt(k))
-    k2 = math.ceil(k / k1)
     cents1 = lloyd_centroids(emb, k=k1, seed=seed, rounds=rounds, force_blas=True)
     # densify parent ids 0..len-1 (empty coarse cells may have dropped);
     # order-preserving, so the argmin tie order is unchanged
@@ -325,7 +338,19 @@ def build_imi_assignments(
     fit_parents = assign_cells_blas(
         emb.filter(F.col("vec_id") < 100_000), cents1
     ).localCheckpoint()
-    cents2 = _fine_train_on_assigned(fit_parents, k1, k2, rounds)
+    # proportional child allocation from the fit sample's parent masses
+    # (k1 rows collected — bounded)
+    mass = {
+        r.centroid_id: r.n
+        for r in fit_parents.groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_fit = max(1, sum(mass.values()))
+    k2_list = [
+        max(1, round(k * mass.get(p, 0) / n_fit)) for p in range(k1)
+    ]
+    cents2 = _fine_train_on_assigned(fit_parents, k1, k2_list, rounds)
     # a parent with no fit-sample rows trains no children but may still
     # own full-corpus rows: give it one child at its coarse centroid
     for p in range(k1):
@@ -336,14 +361,24 @@ def build_imi_assignments(
     # partitionBy write
     parents = assign_cells_blas(emb, cents1)
     fine = assign_fine_cells_blas(parents, cents2, k1, out="child_id")
+    # global ids: parent offsets = cumsum of per-parent allocations
+    # (child ids within a parent are 0..k2_p-1, possibly with gaps from
+    # dropped cells — offsets reserve the full allocation)
+    offsets, acc = [], 0
+    for p in range(k1):
+        offsets.append(acc)
+        acc += max(k2_list[p], len(cents2[p]))
     assigned = fine.withColumn(
         "centroid_id",
-        (F.col("centroid_id") * F.lit(k2) + F.col("child_id")).cast("int"),
+        (
+            F.element_at(F.lit(offsets), F.col("centroid_id") + 1)
+            + F.col("child_id")
+        ).cast("int"),
     ).drop("child_id")
     spark = emb.sparkSession
     centroids = spark.createDataFrame(
         [
-            (p * k2 + cid, c)
+            (offsets[p] + cid, c)
             for p, children in sorted(cents2.items())
             for cid, c in children
         ],
