@@ -945,23 +945,13 @@ _SEMANTIC_PAIRS_ORACLE = f"""
     bench=True,
 )
 def semantic_dup_pairs_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.3) -> DataFrame:
-    from cloudvectordb_spark.operators.kmeans_det import assign_top2_cells
-
-    path = ensure_ivf_index(spark, sf_dir)
-    vectors = spark.read.parquet(f"{path}/vectors")
-    cents = index_centroids(spark, path)
-    # multi-probe assignment: each vector lands in its 2 nearest cells,
-    # so near-dup pairs straddling a cell boundary still co-occur
-    # somewhere. Literal-centroid argsort — no join, no window exchange.
-    assigned2 = assign_top2_cells(
-        vectors.drop("centroid_id").select("vec_id", "embedding"), cents
-    )
-
-    pairs = assigned2.groupBy("centroid_id").applyInPandas(
-        _cell_pairs_kernel(tau), "a_id bigint, b_id bigint, cos_sim double"
-    )
-    # a pair can surface from up to 2 shared cells -> dedupe
-    return pairs.dropDuplicates(["a_id", "b_id"])
+    """Scale-safe DEFAULT: routes through the cell-size-capped
+    sub-bucketing path below with the production cap — on the fixtures
+    (and any corpus without a >4096-row hot cell) zero cells split, so
+    the plan is the familiar one-task-per-cell kernel; a hot cell at
+    corpus scale fans out instead of serializing one Python worker.
+    Pair set (and oracle) identical either way."""
+    return semantic_dup_pairs_capped(spark, sf_dir, tau=tau, cap=_PROD_CELL_CAP)
 
 
 # ---------------------------------------------------------------------------
@@ -981,6 +971,7 @@ def semantic_dup_pairs_ivf(spark: SparkSession, sf_dir: str, tau: float = 0.3) -
 # parallelism.
 # ---------------------------------------------------------------------------
 _CELL_CAP = 64  # small enough that sf0.01 (~125 rows/cell) exercises the split
+_PROD_CELL_CAP = 4096  # production bound: one task's matmul tops out at 4096^2
 
 
 def _sub_bucket_tasks(assigned: DataFrame, cap: int) -> DataFrame:
@@ -1154,9 +1145,9 @@ def semantic_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudvectordb_spark.operators.dedup import connected_components
 
     # scale-safe default: the capped pair generator (identical pair set;
-    # cap=4096 means fixture-scale cells never split, while a hot cell
-    # at corpus scale fans out instead of serializing one task)
-    edges = semantic_dup_pairs_capped(spark, sf_dir, cap=4096).select(
+    # the production cap means fixture-scale cells never split, while a
+    # hot cell at corpus scale fans out instead of serializing one task)
+    edges = semantic_dup_pairs_capped(spark, sf_dir, cap=_PROD_CELL_CAP).select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     )
     comp = connected_components(edges)
