@@ -974,10 +974,27 @@ _CELL_CAP = 64  # small enough that sf0.01 (~125 rows/cell) exercises the split
 _PROD_CELL_CAP = 4096  # production bound: one task's matmul tops out at 4096^2
 
 
-def _sub_bucket_tasks(assigned: DataFrame, cap: int) -> DataFrame:
+def _sub_bucket_tasks(
+    assigned: DataFrame, cap: int, nsub_by_cell: list[int] | None = None
+) -> DataFrame:
     """Replicate each (vec_id, embedding, centroid_id) row to its
     sub-bucket-pair tasks. Adds (ti, tj, sub); cells at or under ``cap``
-    stay whole (nsub=1 -> single task (0,0), zero replication)."""
+    stay whole (nsub=1 -> single task (0,0), zero replication).
+
+    ``nsub_by_cell`` (positional by centroid_id) ships as ONE literal
+    array — no count job, no join in the plan; callers with an
+    immutable index cache the per-cell sizes once per index path.
+    Without it, sizes come from a groupBy + broadcast join."""
+    if nsub_by_cell is not None:
+        withsub = assigned.withColumn(
+            "nsub",
+            # try_element_at: NULL (not an ANSI error) past the array end
+            F.coalesce(
+                F.try_element_at(F.lit(nsub_by_cell), F.col("centroid_id") + 1),
+                F.lit(1),
+            ),
+        ).withColumn("sub", F.pmod(F.col("vec_id"), F.col("nsub")).cast("int"))
+        return _explode_tasks(withsub)
     sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("cell_n"))
     nsub = F.ceil(F.col("cell_n") / F.lit(cap)).cast("int")
     withsub = (
@@ -985,6 +1002,10 @@ def _sub_bucket_tasks(assigned: DataFrame, cap: int) -> DataFrame:
         .withColumn("nsub", F.greatest(F.lit(1), nsub))
         .withColumn("sub", F.pmod(F.col("vec_id"), F.col("nsub")).cast("int"))
     )
+    return _explode_tasks(withsub)
+
+
+def _explode_tasks(withsub: DataFrame) -> DataFrame:
     tasks = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.col("nsub") - 1),
@@ -1071,6 +1092,7 @@ def _sub_cell_pairs_kernel(tau: float):
 def semantic_dup_pairs_capped(
     spark: SparkSession, sf_dir: str, tau: float = 0.3, cap: int = _CELL_CAP
 ) -> DataFrame:
+    from cloudvectordb_spark.cache import artifact_cache
     from cloudvectordb_spark.operators.kmeans_det import assign_top2_cells
 
     path = ensure_ivf_index(spark, sf_dir)
@@ -1079,7 +1101,30 @@ def semantic_dup_pairs_capped(
     assigned2 = assign_top2_cells(
         vectors.drop("centroid_id").select("vec_id", "embedding"), cents
     )
-    exploded = _sub_bucket_tasks(assigned2, cap)
+
+    # per-cell top-2 sizes are a pure function of the immutable index —
+    # cache the k-row list per path so repeat calls ship nsub as one
+    # literal (no count job, no join; measured +0.28 s/call otherwise)
+    def sizes():
+        rows = assigned2.groupBy("centroid_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+        return {int(r.centroid_id): int(r.n) for r in rows}
+
+    by_cell = artifact_cache(("top2_cell_sizes", path), sizes)
+    max_cid = max(by_cell, default=-1)
+    nsub_by_cell = [
+        max(1, -(-by_cell.get(c, 0) // cap)) for c in range(max_cid + 1)
+    ]
+    if max(nsub_by_cell, default=1) == 1:
+        # no hot cells: degrade to the plain one-task-per-cell kernel —
+        # identical pair set, zero fan-out overhead (sizes are known
+        # driver-side, so the decision costs nothing in the plan)
+        pairs = assigned2.groupBy("centroid_id").applyInPandas(
+            _cell_pairs_kernel(tau), "a_id bigint, b_id bigint, cos_sim double"
+        )
+        return pairs.dropDuplicates(["a_id", "b_id"])
+    exploded = _sub_bucket_tasks(assigned2, cap, nsub_by_cell)
     pairs = exploded.groupBy("centroid_id", "ti", "tj").applyInPandas(
         _sub_cell_pairs_kernel(tau), "a_id bigint, b_id bigint, cos_sim double"
     )
