@@ -358,3 +358,87 @@ def test_batch_scoring_equals_single_query_scoring(spark, sf_dir, term_sets):
             for r in bm25_scores_indexed(spark, sf_dir, tuple(ts)).collect()
         }
         assert got.get(qid, {}) == want
+
+
+# ---------------------------------------------------------------------------
+# Round-9 kernels: driver-side BPE trainer and capped sub-bucket pairing.
+# Pure-python properties (no Spark job per example — hypothesis-friendly).
+# ---------------------------------------------------------------------------
+bpe_words = st.lists(
+    st.tuples(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(bpe_words)
+def test_bpe_driver_trainer_matches_naive_reference(vocab_items):
+    """PROPERTY: for ANY (word, freq) vocab, the driver-side trainer's
+    per-round best pair equals a from-scratch naive recount (position-
+    weighted counts, count-desc then lexicographic tiebreak), and its
+    merged symbol sequences re-concatenate to the original words."""
+    from cloudvectordb_spark.operators.text_ops import (
+        _bpe_greedy_merge,
+        _bpe_train_on_vocab,
+    )
+
+    vocab = [[w, f, list(w)] for w, f in vocab_items]
+    ref = [[w, f, list(w)] for w, f in vocab_items]
+    merges = _bpe_train_on_vocab(vocab, rounds=4)
+
+    # naive reference replay: recount + argmin on the SAME tiebreak
+    for rank, a, b, merged, cnt in merges:
+        counts = {}
+        for _, f, syms in ref:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        (ra, rb), rc = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (ra, rb, ra + rb, rc) == (a, b, merged, cnt)
+        for entry in ref:
+            entry[2] = _bpe_greedy_merge(entry[2], ra, rb)
+
+    # losslessness: merging never changes the underlying characters
+    for (w, _f, syms), (w2, _f2) in zip(vocab, vocab_items):
+        assert "".join(syms) == w == w2
+
+
+pair_ids = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=2, max_size=60, unique=True
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pair_ids, st.integers(min_value=1, max_value=7))
+def test_sub_bucket_fanout_covers_each_pair_exactly_once(ids, nsub):
+    """PROPERTY: the (ti, tj) task fan-out used by the capped dedup
+    kernel places EVERY unordered id pair of a cell in EXACTLY one
+    task, for any id set and any sub-bucket count."""
+    tasks: dict = {}
+    for x in ids:
+        s = x % nsub
+        for t in range(nsub):
+            tasks.setdefault((min(s, t), max(s, t)), set()).add(x)
+    seen = {}
+    for (ti, tj), members in tasks.items():
+        if ti == tj:
+            cand = [
+                (a, b)
+                for a in members
+                for b in members
+                if a < b and a % nsub == ti and b % nsub == ti
+            ]
+        else:
+            aa = [m for m in members if m % nsub == ti]
+            bb = [m for m in members if m % nsub == tj]
+            cand = [(min(a, b), max(a, b)) for a in aa for b in bb]
+        for p in cand:
+            assert p not in seen, f"pair {p} duplicated"
+            seen[p] = (ti, tj)
+    n = len(ids)
+    assert len(seen) == n * (n - 1) // 2
