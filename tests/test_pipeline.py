@@ -162,6 +162,45 @@ def test_build_routes_to_imi_above_k_threshold(spark, sf_dir):
     assert flat_cents.count() == 8
 
 
+def test_ensure_ivf_index_routed_bigk_end_to_end(spark, sf_dir):
+    """The routed build through the FULL persisted-index lifecycle:
+    ensure_ivf_index(k=600 > _FLAT_K_MAX) builds the two-level layout,
+    writes it partitioned, and a pruned probe search through the
+    published index returns its own vector as top-1."""
+    import numpy as np
+
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        index_centroids,
+        read_ivf_index,
+    )
+
+    path = ensure_ivf_index(spark, sf_dir, k=600)
+    vectors, _ = read_ivf_index(spark, path)
+    n = load(spark, sf_dir, "embeddings").count()
+    assert vectors.count() == n
+    assert vectors.select("vec_id").distinct().count() == n
+
+    cents = index_centroids(spark, path)
+    assert 2 <= len(cents) <= 600 + 24  # proportional alloc, <= ~k cells
+    # probe vec 0 through the pruned layout: nearest 4 cells by the
+    # published centroid table must contain the vector itself
+    q = np.asarray(
+        vectors.filter(F.col("vec_id") == 0).collect()[0].embedding,
+        dtype=np.float64,
+    )
+    cm = np.array([c for _, c in cents])
+    cid = np.array([c0 for c0, _ in cents])
+    probe = [int(x) for x in cid[np.argsort(((cm - q) ** 2).sum(axis=1))[:4]]]
+    hits = {
+        r.vec_id
+        for r in vectors.filter(F.col("centroid_id").isin(probe))
+        .select("vec_id")
+        .collect()
+    }
+    assert 0 in hits, "self-vector missing from its own probed cells"
+
+
 def test_semantic_dup_ivf_recall_vs_exact(spark, sf_dir):
     """IVF-bucketed near-dup must recover a solid share of the exact
     tau=0.3 pairs (multi-probe assignment, nprobe=2). Precision must be
