@@ -93,3 +93,46 @@ def test_ivfpq_residual_recall_gate_structured(spark, structured_sf):
         _mean_recall(spark, structured_sf, ivfpq_residual_topk_search)
         >= 0.85
     )
+
+
+def test_routed_imi_layout_recall_gate_structured(spark, structured_sf):
+    """Round-9: the routed big-k default (build_imi_assignments via
+    k > _FLAT_K_MAX) must produce a SEARCHABLE layout, not just a fast
+    build: recall@10 vs exact cosine through an nprobe=2*sqrt(cells)
+    pruned scan over the 20k structured corpus, gated with headroom
+    under the measured 1.0 (tools/imi_build_probe.py at 2M)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.pipeline import build_ivf_assignments
+
+    emb = load(spark, structured_sf, "embeddings")
+    assigned, cents_df = build_ivf_assignments(emb, k=1024)
+    corpus = assigned.select("vec_id", "embedding", "centroid_id").persist()
+    corpus.count()
+    try:
+        rows = corpus.collect()
+        ids = np.array([r.vec_id for r in rows])
+        M = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        cell = np.array([r.centroid_id for r in rows])
+        cents = sorted(
+            (r.centroid_id, np.asarray(r.centroid)) for r in cents_df.collect()
+        )
+        cm = np.stack([c for _, c in cents])
+        cid = np.array([c0 for c0, _ in cents])
+        nprobe = int(2 * np.sqrt(len(cents)))
+        recs = []
+        for qi in range(0, len(ids), 997):
+            v = M[qi]
+            sims = M @ v
+            exact = set(ids[np.argsort(-sims)[1:11]])
+            probe = cid[np.argsort(((cm - v) ** 2).sum(axis=1))[:nprobe]]
+            idx = np.where(np.isin(cell, probe))[0]
+            so = idx[np.argsort(-sims[idx])]
+            so = so[ids[so] != ids[qi]][:10]
+            recs.append(len(set(ids[so]) & exact) / 10)
+        assert sum(recs) / len(recs) >= 0.90
+    finally:
+        corpus.unpersist()
