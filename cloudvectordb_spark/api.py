@@ -116,6 +116,18 @@ class VectorIndex:
         )
         return exact_knn_fast(pruned, probes_local, k=k, id_col=id_col, vec_col=vec_col)
 
+    def dedup_pairs(self, tau: float = 0.3, cap: int = 4096) -> DataFrame:
+        """Semantic near-dup pairs (a_id, b_id, cos_sim >= tau) over
+        THIS index's vectors: top-2 multi-probe cell assignment, within-
+        cell BLAS pairing, and cell-size-capped sub-bucketing so a hot
+        cell fans out across tasks instead of serializing one worker
+        (degrades to one-task-per-cell when no cell exceeds ``cap``)."""
+        from cloudvectordb_spark.operators.pipeline import (
+            semantic_pairs_on_index,
+        )
+
+        return semantic_pairs_on_index(self.spark, self.path, tau=tau, cap=cap)
+
     def stats(self) -> DataFrame:
         """Cell-balance health view (n_cells, min/max/avg, imbalance)."""
         sizes = self.vectors.groupBy("centroid_id").agg(F.count("*").alias("n"))

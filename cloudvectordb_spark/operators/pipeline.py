@@ -1092,10 +1092,20 @@ def _sub_cell_pairs_kernel(tau: float):
 def semantic_dup_pairs_capped(
     spark: SparkSession, sf_dir: str, tau: float = 0.3, cap: int = _CELL_CAP
 ) -> DataFrame:
+    return semantic_pairs_on_index(
+        spark, ensure_ivf_index(spark, sf_dir), tau=tau, cap=cap
+    )
+
+
+def semantic_pairs_on_index(
+    spark: SparkSession, path: str, tau: float = 0.3, cap: int = _PROD_CELL_CAP
+) -> DataFrame:
+    """Capped IVF-bucketed near-dup pairs over ANY persisted index path
+    (the api.VectorIndex.dedup_pairs surface; the registered queries
+    call it with the fixture index)."""
     from cloudvectordb_spark.cache import artifact_cache
     from cloudvectordb_spark.operators.kmeans_det import assign_top2_cells
 
-    path = ensure_ivf_index(spark, sf_dir)
     vectors = spark.read.parquet(f"{path}/vectors")
     cents = index_centroids(spark, path)
     assigned2 = assign_top2_cells(

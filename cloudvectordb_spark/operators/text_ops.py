@@ -1048,7 +1048,7 @@ def _bpe_train_on_vocab(vocab: list, rounds: int) -> list:
 
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS, min_freq: int = 1
 ) -> tuple[list, DataFrame]:
     """Production-shape BPE training (round-8 verdict #5): ONE Spark job
     aggregates the word-frequency vocab; merge training is a driver
@@ -1060,16 +1060,19 @@ def _bpe_train(
     to the per-round Spark loop (same unrolled-CTE oracle;
     tools/bpe_probe.py pins job-count-vs-rounds flatness).
 
-    At 100 TB the collected vocab is distinct-words-bounded (a real
-    deployment would add min-freq pruning before the collect; the
-    fixtures' vocab is a few thousand rows)."""
+    At 100 TB the collected vocab is distinct-words-bounded by Heap's
+    law AND prunable: ``min_freq`` drops hapax/noise words BEFORE the
+    collect (tokenizer trainers standardly prune; the default 1 keeps
+    the fixtures' few-thousand-row vocab exact for the oracle)."""
     docs = load(spark, sf_dir, "documents")
     vocab_df = (
         docs.select(F.explode(TX.tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    rows = vocab_df.collect()  # THE one Spark job before training
+    if min_freq > 1:
+        vocab_df = vocab_df.filter(F.col("freq") >= min_freq)
+    rows = vocab_df.collect()  # THE one Spark job before training; vocab-bounded
     vocab = [[r.word, int(r.freq), list(r.word)] for r in rows]
     merges = _bpe_train_on_vocab(vocab, rounds)
 

@@ -194,3 +194,19 @@ def test_vector_index_search_adaptive_matches_registered_query(spark, sf_dir):
     }
     b = {tuple(r) for r in ivf_adaptive_nprobe_search(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_vector_index_dedup_pairs_matches_registered_query(spark, sf_dir):
+    """Facade parity: VectorIndex.dedup_pairs over the fixture index ==
+    the registered semantic_dup_pairs_ivf query (same capped generator
+    underneath)."""
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.operators.pipeline import (
+        ensure_ivf_index,
+        semantic_dup_pairs_ivf,
+    )
+
+    idx = VectorIndex.open(spark, ensure_ivf_index(spark, sf_dir))
+    got = {tuple(r) for r in idx.dedup_pairs().collect()}
+    want = {tuple(r) for r in semantic_dup_pairs_ivf(spark, sf_dir).collect()}
+    assert got == want and want
