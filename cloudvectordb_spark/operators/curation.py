@@ -157,9 +157,24 @@ _EVAL_MAX_DOC_ID = 4850
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_narrow_scan(load(spark, sf_dir, "documents"), spark)
+    # Filter BEFORE shingling so each branch tokenizes only its own slice
+    # of the corpus (eval = the <=51-doc literal benchmark set, train =
+    # the rest) — the shingle explode totals one corpus pass instead of
+    # two full passes filtered late.
+    is_eval = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < _EVAL_MAX_DOC_ID)
+    return contamination_scan(docs.filter(~is_eval), docs.filter(is_eval))
+
+
+def contamination_scan(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """The decontamination core on ANY (doc_id, text) frames: flag train
+    docs sharing an n-word shingle with the (bounded, broadcastable)
+    eval set. tools/contamination_probe.py runs this SAME code at 1M+
+    docs with planted contamination."""
 
     def shingled(side: DataFrame) -> DataFrame:
-        # Join on the 8-byte xxhash64 of each trigram, not the string:
+        # Join on the 8-byte xxhash64 of each shingle, not the string:
         # the broadcast set and the probe keys shrink to fixed-width
         # longs (~20% faster here, far more at 13-gram production sizes).
         # A cross-side collision would need ~2^64/|ev x tr| luck; the
@@ -168,19 +183,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.transform(
-                    F.array_distinct(TX.word_shingles("text", 3)),
+                    F.array_distinct(TX.word_shingles("text", n)),
                     lambda x: F.xxhash64(x),
                 )
             ).alias("g"),
         )
 
-    # Filter BEFORE shingling so each branch tokenizes only its own slice
-    # of the corpus (eval = the <=51-doc literal benchmark set, train =
-    # the rest) — the shingle explode totals one corpus pass instead of
-    # two full passes filtered late.
-    is_eval = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < _EVAL_MAX_DOC_ID)
-    ev = shingled(docs.filter(is_eval)).select("g").distinct()
-    tr = shingled(docs.filter(~is_eval))
+    ev = shingled(eval_docs).select("g").distinct()
+    tr = shingled(train)
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("doc_id")
