@@ -331,10 +331,28 @@ def shingle_jaccard_edges(docs: DataFrame, tau: float) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Min-label propagation over an undirected edge list; returns
-    (node bigint, component bigint) for every node with >= 1 edge.
-    Deterministic; converges in diameter rounds."""
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Min-label propagation WITH pointer doubling over an undirected
+    edge list; returns (node bigint, component bigint) for every node
+    with >= 1 edge. Deterministic.
+
+    Each round does (1) neighbor-min propagation along edges and
+    (2) a pointer jump (component <- its component's component, taking
+    the min) — path compression that makes convergence O(log diameter)
+    Spark rounds instead of O(diameter). Near-dup clusters usually have
+    tiny diameter, but one adversarial chain-shaped component would
+    otherwise cost a round PER HOP (round-9: a 64-node chain measured
+    63 rounds plain vs 6 with doubling — each round is a full shuffle,
+    so this is the difference between 6 and n jobs at 100 TB). The
+    fixed point is identical (every node at its component's global
+    min), so downstream value oracles are unchanged.
+
+    ``stats``: pass a dict to receive {"rounds": N} for probes/tests."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct()
@@ -344,18 +362,35 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     labels = sym.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("component")
     )
+    rounds = 0
     while True:
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer jump: component <- min(component, component's component)
+        # — labels are also a node->label map, so one self-join halves
+        # every label-chain's length (classic path compression)
+        jump = stepped.select(
+            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+        )
+        new_labels = (
+            stepped.join(jump, stepped.component == jump.jnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("jcomp", F.col("component"))
                 ).alias("component"),
             )
         )
@@ -368,6 +403,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels
 
 

@@ -130,3 +130,31 @@ def test_incremental_band_pairs_pigeonhole_recall(spark, sf_dir):
         .collect()
     )
     assert {(r.n_id, r.o_id) for r in brute} <= got
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Round-9: pointer doubling must make CC rounds O(log diameter) —
+    a 64-node chain (worst case for plain min-label propagation, which
+    needs 63 rounds = 63 full shuffles) must finish in <= 10, with the
+    correct single component. Star and two-cluster shapes sanity-check
+    the labels."""
+    from cloudvectordb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    stats: dict = {}
+    labels = {
+        r.node: r.component
+        for r in connected_components(chain, stats=stats).collect()
+    }
+    assert set(labels.values()) == {0} and len(labels) == 64
+    assert stats["rounds"] <= 10, f"chain took {stats['rounds']} rounds"
+
+    two = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component for r in connected_components(two).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
