@@ -71,6 +71,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--tau", type=float, default=0.5)
+    ap.add_argument(
+        "--clusters",
+        action="store_true",
+        help="also run connected-components canonicalization on the "
+        "verified pair set and report rounds + wall",
+    )
     args = ap.parse_args()
 
     spark = get_session("minhash-scale-probe")
@@ -96,8 +102,24 @@ def main() -> int:
         & (F.col("a_id") % DUP_EVERY == 0)
     ).count()
     n_kept = kept.count()
-    verified.unpersist()
     eval_s = round(time.perf_counter() - t0, 1)
+
+    cc = {}
+    if args.clusters:
+        from cloudvectordb_spark.operators.dedup import connected_components
+
+        t0 = time.perf_counter()
+        stats: dict = {}
+        labels = connected_components(
+            kept.select("a_id", "b_id"), src="a_id", dst="b_id", stats=stats
+        )
+        n_canon = labels.select("component").distinct().count()
+        cc = {
+            "cc_s": round(time.perf_counter() - t0, 1),
+            "cc_rounds": stats["rounds"],
+            "clusters": n_canon,
+        }
+    verified.unpersist()
 
     n_planted = args.n // DUP_EVERY
     out = {
@@ -110,6 +132,7 @@ def main() -> int:
         "eval_s": eval_s,
         "pair_recall": round(planted_hits / max(1, n_planted), 4),
         "pair_precision": round(planted_hits / max(1, n_kept), 4),
+        **cc,
     }
     print(json.dumps(out))
     return 0
