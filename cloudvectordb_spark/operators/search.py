@@ -3254,6 +3254,9 @@ def bm25_batch_pruned_scores(
             ).alias("ub_t"),
         )
     )
+    # NOTE: phases 1-3 below each re-derive this frame; checkpointing it
+    # was measured SLOWER at sf0.1 (4.1 -> 4.6 s — the pruned postings
+    # scan is cheaper than the materialization), so the recompute stands
     tagged = tf.join(F.broadcast(qt), "term")
     # Phase 1: per-(query, doc) upper bounds from per-term constants
     ub = (
