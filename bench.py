@@ -18,6 +18,23 @@ from cloudvectordb_spark.catalog import load
 from cloudvectordb_spark.registry import all_queries
 from cloudvectordb_spark.session import get_session
 
+# Second bench group (round-8 verdict #6): the serving/maintenance layer
+# — batched text + ANN serving, hybrid fusion, incremental index
+# maintenance — so regressions there gate perf like the r1 headline set
+# does. Timed identically; reported under "serving" and NOT folded into
+# the headline total (BASELINE.md carries the committed per-query
+# numbers). Module-level so tools/plan_audit.py audits the same set.
+SERVING = [
+    "bm25_batch_topk",
+    "bm25_batch_pruned",
+    "hybrid_rrf_batch",
+    "ivf_strict_nprobe_search",
+    "incremental_ingest_e2e",
+    "postings_tier_compaction",
+    "index_delete_compaction",
+    "fuzzy_term_search",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,22 +97,6 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    # Second group (round-8 verdict #6): the serving/maintenance layer —
-    # batched text + ANN serving, hybrid fusion, incremental index
-    # maintenance — so regressions there gate perf like the r1 headline
-    # set does. Timed identically; reported under "serving" and NOT
-    # folded into the headline total (BASELINE.md carries the committed
-    # per-query numbers).
-    SERVING = [
-        "bm25_batch_topk",
-        "bm25_batch_pruned",
-        "hybrid_rrf_batch",
-        "ivf_strict_nprobe_search",
-        "incremental_ingest_e2e",
-        "postings_tier_compaction",
-        "index_delete_compaction",
-        "fuzzy_term_search",
-    ]
     reg = all_queries()
     for name in SERVING:
         spec = reg.get(name)
