@@ -77,6 +77,13 @@ def main() -> int:
         help="also run connected-components canonicalization on the "
         "verified pair set and report rounds + wall",
     )
+    ap.add_argument(
+        "--simhash",
+        action="store_true",
+        help="run the SimHash sign+band path instead of MinHash on the "
+        "same planted corpus (64-bit signatures, 4x16 bands, "
+        "hamming <= 3)",
+    )
     args = ap.parse_args()
 
     spark = get_session("minhash-scale-probe")
@@ -86,6 +93,43 @@ def main() -> int:
     if not os.path.exists(f"{root}/_SUCCESS"):
         synthetic_docs(spark, args.n).write.mode("overwrite").parquet(root)
     docs = spark.read.parquet(root)
+
+    if args.simhash:
+        from cloudvectordb_spark.operators.dedup import (
+            simhash,
+            simhash_band_pairs,
+        )
+
+        t0 = time.perf_counter()
+        sigs = simhash(docs).persist()
+        sigs.count()
+        sig_s = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        pairs = simhash_band_pairs(sigs).persist()
+        n_pairs = pairs.count()
+        band_s = round(time.perf_counter() - t0, 1)
+        planted_hits = pairs.filter(
+            (F.col("b_id") == F.col("a_id") + 1)
+            & (F.col("a_id") % DUP_EVERY == 0)
+        ).count()
+        n_planted = args.n // DUP_EVERY
+        print(
+            json.dumps(
+                {
+                    "metric": "simhash_banded_scale",
+                    "docs": args.n,
+                    "planted_pairs": n_planted,
+                    "sig_s": sig_s,
+                    "band_join_s": band_s,
+                    "pairs_hamming_le3": n_pairs,
+                    "pair_recall": round(planted_hits / max(1, n_planted), 4),
+                    "pair_precision": round(planted_hits / max(1, n_pairs), 4),
+                }
+            )
+        )
+        sigs.unpersist()
+        pairs.unpersist()
+        return 0
 
     t0 = time.perf_counter()
     # persist: the quality metrics below must not re-run the shingle ->
