@@ -445,6 +445,43 @@ def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_fast(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scale path for xxhash64-mode signatures: the expression form
+    explodes (doc, token, bit) — a 64x row amplification through the
+    vote groupBy (1.9B shuffle rows per 1M docs, 18 s measured). Here
+    the JVM hashes tokens, ONE groupBy collects each doc's hash list
+    (30M rows, not 1.9B), and the per-doc vote/sign/pack runs in numpy.
+    Bit-identical to simhash(hash_fn='xxhash64') — Java's arithmetic
+    >> only differs from the logical shift in bits that & 1 discards,
+    and the packed signature's two's-complement value is reproduced
+    exactly (pytest parity). The md5-mode expression form stays the
+    oracle-replayable path for the registered queries."""
+    import numpy as np
+    import pandas as pd
+
+    hashed = docs.select(
+        F.col(id_col), F.explode(TX.tokens(text_col)).alias("tok")
+    ).select(id_col, F.xxhash64("tok").alias("th"))
+    grouped = hashed.groupBy(id_col).agg(F.collect_list("th").alias("ths"))
+
+    def sig(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for ths in pdf["ths"]:
+                h = np.asarray(ths, dtype=np.int64).view(np.uint64)
+                bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                sb = votes > 0
+                low = int((sb[:63].astype(np.uint64) << shifts[:63]).sum())
+                out.append(low - (1 << 63) if sb[63] else low)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return grouped.mapInPandas(sig, schema=f"{id_col} long, simhash long")
+
+
 # ---------------------------------------------------------------------------
 # G5 SimHash banding: complete the SimHash dedup path (simhash() above
 # computes signatures; this finds the candidate pairs). Split the 64-bit

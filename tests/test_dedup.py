@@ -158,3 +158,16 @@ def test_connected_components_chain_converges_logarithmically(spark):
         r.node: r.component for r in connected_components(two).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_simhash_fast_bit_identical_to_expression_form(spark, sf_dir):
+    """The vectorized xxhash64 signature path (ONE groupBy of hash
+    lists + numpy vote/pack — no 64x per-bit row amplification) must be
+    bit-identical to the expression form, including sign-bit packing."""
+    from cloudvectordb_spark.operators.dedup import simhash, simhash_fast
+
+    docs = load(spark, sf_dir, "documents")
+    a = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    b = {r.doc_id: r.simhash for r in simhash_fast(docs).collect()}
+    assert a == b and len(a) > 0
+    assert any(v < 0 for v in a.values()), "fixture should exercise bit 63"

@@ -96,12 +96,12 @@ def main() -> int:
 
     if args.simhash:
         from cloudvectordb_spark.operators.dedup import (
-            simhash,
             simhash_band_pairs,
+            simhash_fast,
         )
 
         t0 = time.perf_counter()
-        sigs = simhash(docs).persist()
+        sigs = simhash_fast(docs).persist()
         sigs.count()
         sig_s = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
