@@ -163,6 +163,15 @@ def embed_documents_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _IVF_ROUNDS = 3
 
+# Absolute probes-per-cell floor above which a batch-served cell's rows
+# are spread round-robin before the tagging join (see the hot-cell
+# replication comment in ivf_batch_search / rebalance_hot). Absolute,
+# not relative-to-average, so a uniformly-hot batch still fires; 8 is
+# the measured local[32] crossover where one cell's fan-out+matmul
+# stops fitting in a single task's fair share (tools/ann_batch_probe.py
+# --skew: 6.8 s -> 2.8 s at 256 probes on one cell).
+HOT_CELL_PROBE_FLOOR = 8
+
 
 # Above this k, the flat Lloyd's build is routed to the two-level IMI
 # composition below (round-8 verdict #2). Flat build cost is O(n*k*dim)
@@ -213,7 +222,7 @@ def _fine_train_on_assigned(
     k1: int,
     k2: int | list,
     rounds: int,
-    fit_cap: int = 100_000,
+    fit_cap: int | None = None,
 ) -> dict:
     """Per-parent Lloyd's on an already-parent-assigned frame (the
     DataFrame-input twin of ivf2._train_fine_centroids_impl, for builds
@@ -224,7 +233,10 @@ def _fine_train_on_assigned(
     sum(k2)*dim doubles; each round is one literal assignment + one
     (parent, child, dim) groupBy."""
     from cloudvectordb_spark.operators.ivf2 import assign_fine_cells
+    from cloudvectordb_spark.operators.kmeans_det import DEFAULT_FIT_CAP
 
+    if fit_cap is None:
+        fit_cap = DEFAULT_FIT_CAP
     k2_list = [k2] * k1 if isinstance(k2, int) else list(k2)
     fit = parents.filter(F.col("vec_id") < fit_cap)
     w = Window.partitionBy("centroid_id").orderBy("h", "vec_id")
@@ -335,9 +347,22 @@ def build_imi_assignments(
     # assignment lineage to the training loop would re-assign the whole
     # corpus once per round just to keep fit_cap rows (measured as most
     # of a 55 s fixed overhead at 2M rows)
+    from cloudvectordb_spark.operators.kmeans_det import DEFAULT_FIT_CAP
+
     fit_parents = assign_cells_blas(
-        emb.filter(F.col("vec_id") < 100_000), cents1
+        emb.filter(F.col("vec_id") < DEFAULT_FIT_CAP), cents1
     ).localCheckpoint()
+    # The id-range fit filter (shared with kmeans_det's coarse level)
+    # assumes vec_ids start near 0. A corpus whose ids all exceed the
+    # cap would fit on ZERO rows and silently degenerate the allocation
+    # (then crash in fine training) — fail fast with the actual remedy.
+    if not fit_parents.head(1):
+        raise ValueError(
+            f"IMI fit sample is empty: no vec_id < {DEFAULT_FIT_CAP}. "
+            "The deterministic fit filter selects by id range; remap "
+            "vec_ids to start at 0 (dense ids are already required by "
+            "the layout contract) or lower k to use the flat build."
+        )
     # proportional child allocation from the fit sample's parent masses
     # (k1 rows collected — bounded)
     mass = {
@@ -654,7 +679,13 @@ def ivf_batch_search_strict(
     from collections import Counter
 
     probes_per_cell = Counter(c for _, c in pc_pairs)
-    hot_cells = sorted(c for c, cnt in probes_per_cell.items() if cnt >= 8)
+    hot_cells = sorted(
+        c for c, cnt in probes_per_cell.items() if cnt >= HOT_CELL_PROBE_FLOOR
+    )
+    # replication is a pure parallelism play — on a single-slot session
+    # the extra exchange buys nothing, so keep the narrow path
+    if spark.sparkContext.defaultParallelism <= 1:
+        hot_cells = []
     if rebalance_hot and hot_cells:
         cold_v = pruned.filter(~F.col("centroid_id").isin(hot_cells))
         hot_v = pruned.filter(F.col("centroid_id").isin(hot_cells)).repartition(
@@ -887,6 +918,12 @@ def _cell_pairs_kernel(tau: float):
             mi = m[i0 : i0 + B]
             for j0 in range(i0, len(ids), B):
                 sims = mi @ m[j0 : j0 + B].T
+                # half-up round BEFORE thresholding: the oracle filters
+                # round(cos,6) >= tau, so a raw sim in [tau-5e-7, tau)
+                # must be KEPT (its rounded value crosses tau) — the
+                # same "round before selection" discipline
+                # ivf_batch_search_strict follows
+                sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
                 mask = sims >= tau
                 if i0 == j0:
                     mask = np.triu(mask, k=1)
@@ -898,10 +935,7 @@ def _cell_pairs_kernel(tau: float):
                         {
                             "a_id": ids[i0 + ii],
                             "b_id": ids[j0 + jj],
-                            # half-up to match the oracle's round()
-                            "cos_sim": np.sign(sims[ii, jj])
-                            * np.floor(np.abs(sims[ii, jj]) * 1e6 + 0.5)
-                            / 1e6,
+                            "cos_sim": sims[ii, jj],
                         }
                     )
                 )
@@ -1046,17 +1080,19 @@ def _sub_cell_pairs_kernel(tau: float):
         def rounded(sims):
             return np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
 
+        # round BEFORE thresholding (oracle parity on boundary values —
+        # see the identical note in _cell_pairs_kernel)
         if int(pdf["ti"].iloc[0]) == int(pdf["tj"].iloc[0]):
             pdf = pdf.sort_values("vec_id")
             ids = pdf["vec_id"].to_numpy()
             m = norm_mat(pdf)
-            sims = m @ m.T
+            sims = rounded(m @ m.T)
             mask = np.triu(sims >= tau, k=1)
             ii, jj = np.nonzero(mask)
             if len(ii) == 0:
                 return empty
             return pd.DataFrame(
-                {"a_id": ids[ii], "b_id": ids[jj], "cos_sim": rounded(sims[ii, jj])}
+                {"a_id": ids[ii], "b_id": ids[jj], "cos_sim": sims[ii, jj]}
             )
         ti = int(pdf["ti"].iloc[0])
         a = pdf[pdf["sub"] == ti]
@@ -1064,7 +1100,7 @@ def _sub_cell_pairs_kernel(tau: float):
         if len(a) == 0 or len(b) == 0:
             return empty
         aid, bid = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
-        sims = norm_mat(a) @ norm_mat(b).T
+        sims = rounded(norm_mat(a) @ norm_mat(b).T)
         ii, jj = np.nonzero(sims >= tau)
         if len(ii) == 0:
             return empty
@@ -1073,7 +1109,7 @@ def _sub_cell_pairs_kernel(tau: float):
             {
                 "a_id": np.minimum(x, y),
                 "b_id": np.maximum(x, y),
-                "cos_sim": rounded(sims[ii, jj]),
+                "cos_sim": sims[ii, jj],
             }
         )
 
@@ -1121,7 +1157,22 @@ def semantic_pairs_on_index(
         ).collect()
         return {int(r.centroid_id): int(r.n) for r in rows}
 
-    by_cell = artifact_cache(("top2_cell_sizes", path), sizes)
+    # key embeds a content fingerprint (vectors dir mtime_ns+size, plus
+    # LATEST for versioned trees), matching the ensure_ivf_index tag
+    # convention: an in-process rebuild/append at the same path must not
+    # serve stale sizes — results would stay correct (nsub is partition
+    # -invariant) but the hot-cell splitting the cap exists for would
+    # silently stop firing on the grown cells.
+    import os
+
+    from cloudvectordb_spark.cache import source_tag
+
+    tag_paths = [f"{path}/vectors"]
+    if os.path.exists(f"{path}/LATEST"):
+        tag_paths.append(f"{path}/LATEST")
+    by_cell = artifact_cache(
+        ("top2_cell_sizes", path, source_tag(*tag_paths)), sizes
+    )
     max_cid = max(by_cell, default=-1)
     nsub_by_cell = [
         max(1, -(-by_cell.get(c, 0) // cap)) for c in range(max_cid + 1)

@@ -29,7 +29,8 @@ service required — two independent guards at publish time:
    (the classic fencing-token discipline for stalled writers).
 
 The version-number exclusive-create remains the lowest-level guard
-(two same-version publishers: first rename wins, loser errors). At
+(two same-version publishers: first os.link wins, loser gets
+FileExistsError atomically — rename would silently replace). At
 100 TB the manifest lists thousands of files, still KBs of JSON on
 the driver.
 """
@@ -113,14 +114,23 @@ def _publish(root: str, manifest: dict, lease: int | None = None) -> int:
         )
     os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
     mpath = _manifest_path(root, version)
-    if os.path.exists(mpath):
+    # Exclusive publish: rename() silently REPLACES an existing file, so
+    # a bare exists()+rename race lets the second same-version writer
+    # clobber the first's manifest (lost commit). link() is atomic and
+    # fails with EEXIST — the loser gets FileExistsError, never a
+    # silent overwrite. rename stays only for the LATEST pointer swap,
+    # where last-writer-wins is the intended semantics.
+    tmp = f"{mpath}.tmp{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
         raise FileExistsError(
             f"version {version} already committed (concurrent writer?) — retry"
         )
-    tmp = f"{mpath}.tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-    os.rename(tmp, mpath)
+    finally:
+        os.unlink(tmp)
     ltmp = os.path.join(root, f"LATEST.tmp{os.getpid()}")
     with open(ltmp, "w") as f:
         f.write(str(version))
