@@ -37,6 +37,9 @@ SERVING = [
 
 
 def main() -> None:
+    # snapshot host load BEFORE the JVM starts (a loaded box at start is
+    # the clearest "this reading is skewed" signal)
+    load0 = (round(os.getloadavg()[0], 2), _count_java_procs())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -117,10 +120,38 @@ def main() -> None:
         "serving": serving,
         "serving_seconds": round(sum(serving.values()), 3),
         "sf": sf,
+        # Host-load indicator (round-9 verdict #8): the r9 driver reading
+        # ran +20% over the quiet-box number purely from concurrent probe
+        # traffic. loadavg_end > ~1.5x the bench's own CPU budget or
+        # java_procs > 1 means OTHER work shared the box — interpret the
+        # timings per BASELINE.md "Reading bench numbers under load".
+        "load": _load_indicator(load0),
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+
+def _count_java_procs() -> int:
+    """Concurrently-running JVMs (this bench owns exactly one)."""
+    import glob
+
+    n = 0
+    for comm in glob.glob("/proc/[0-9]*/comm"):
+        try:
+            with open(comm) as f:
+                n += f.read().strip() == "java"
+        except OSError:
+            continue  # process exited mid-scan
+    return n
+
+
+def _load_indicator(start: tuple[float, int] | None) -> dict:
+    la1 = round(os.getloadavg()[0], 2)
+    out = {"loadavg_1m_end": la1, "java_procs_end": _count_java_procs()}
+    if start is not None:
+        out["loadavg_1m_start"], out["java_procs_start"] = start
+    return out
 
 
 if __name__ == "__main__":
