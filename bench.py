@@ -27,6 +27,7 @@ from cloudvectordb_spark.session import get_session
 SERVING = [
     "bm25_batch_topk",
     "bm25_batch_pruned",
+    "bm25_batch_adaptive",
     "hybrid_rrf_batch",
     "ivf_strict_nprobe_search",
     "incremental_ingest_e2e",

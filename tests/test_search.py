@@ -529,3 +529,52 @@ def test_bm25_batch_pruned_fewer_pairs_than_full(spark, sf_dir):
         for _, ts in _BATCH_QUERIES
     )
     assert survivor_pairs.count() < full_pairs
+
+
+def test_route_bm25_batch_cost_model():
+    from cloudvectordb_spark.operators.search import (
+        _BATCH_QUERIES,
+        _COLD_PAIR_COST,
+        _HOT_PAIR_COST,
+        route_bm25_batch,
+    )
+
+    # hot profile (r=1): the (r-1)*P term vanishes, so no postings
+    # volume ever justifies the five extra pruned stages
+    huge = {t: 10**9 for _, ts in _BATCH_QUERIES for t in ts}
+    strategy, p = route_bm25_batch(huge, _BATCH_QUERIES, 10, _HOT_PAIR_COST)
+    assert strategy == "unpruned" and p == 11 * 10**9
+    # cold profile: prunes above the overhead bar, not below
+    small = {t: 10 for _, ts in _BATCH_QUERIES for t in ts}
+    assert route_bm25_batch(small, _BATCH_QUERIES, 10, _COLD_PAIR_COST)[0] == "unpruned"
+    big = {t: 1000 for _, ts in _BATCH_QUERIES for t in ts}
+    assert route_bm25_batch(big, _BATCH_QUERIES, 10, _COLD_PAIR_COST)[0] == "pruned"
+
+
+def test_bm25_batch_adaptive_tracks_unpruned_plan(spark, sf_dir):
+    """The router's answer rows are the lossless batch top-k whichever
+    arm it picks, and the fixture corpus drives the cold profile onto
+    the pruned arm for real."""
+    from cloudvectordb_spark.operators.search import (
+        bm25_batch_adaptive,
+        bm25_batch_adaptive_cold,
+        bm25_batch_topk,
+    )
+
+    base = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in bm25_batch_topk(spark, sf_dir).collect()
+    }
+    hot = bm25_batch_adaptive(spark, sf_dir).collect()
+    uniform = {
+        (r.query_id, r.doc_id, r.bm25, r.rank)
+        for r in hot
+        if r.case_name == "uniform"
+    }
+    assert uniform == base
+    assert {r.strategy for r in hot} == {"unpruned"}
+    cold = bm25_batch_adaptive_cold(spark, sf_dir).collect()
+    assert {r.strategy for r in cold} == {"pruned"}  # ~4.3k pairs > bar
+    assert {
+        (r.query_id, r.doc_id, r.bm25, r.rank) for r in cold
+    } == base  # pruned arm is lossless through the router too
