@@ -274,6 +274,7 @@ def run_vector_ingest(
     sf_dir: str,
     out_path: str,
     checkpoint_path: str,
+    lease: int | None = None,
 ) -> None:
     """End-to-end continuous index ingestion: stream vectors, assign,
     append partitioned-by-cell parquet with a checkpoint (restart-safe:
@@ -287,6 +288,7 @@ def run_vector_ingest(
     assigned = assign_vectors_stream(read_vectors_stream(spark, sf_dir), cents)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _check_lease(out_path, lease)
         batch_df.write.mode("append").partitionBy("centroid_id").parquet(out_path)
 
     q = (
@@ -306,6 +308,7 @@ def run_residual_code_ingest(
     sf_dir: str,
     out_path: str,
     checkpoint_path: str,
+    lease: int | None = None,
 ) -> None:
     """Continuous residual-IVF-PQ maintenance (round 8, late): stream
     vectors, assign each to its FROZEN IVF cell, residual-encode
@@ -331,6 +334,7 @@ def run_residual_code_ingest(
     assigned = assign_vectors_stream(read_vectors_stream(spark, sf_dir), cents)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _check_lease(out_path, lease)
         pq_encode_residual(batch_df, books, cents).write.mode(
             "append"
         ).partitionBy("centroid_id").parquet(out_path)
@@ -557,6 +561,7 @@ def run_postings_ingest(
     sf_dir: str,
     out_path: str,
     checkpoint_path: str,
+    lease: int | None = None,
 ) -> None:
     """Continuous text-index maintenance (round 8): stream documents,
     build each micro-batch's delta postings, append them as shards with
@@ -570,6 +575,7 @@ def run_postings_ingest(
     docs = read_docs_stream(spark, sf_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _check_lease(out_path, lease)
         delta_postings_stream(batch_df).write.mode("append").parquet(out_path)
 
     q = (
@@ -590,6 +596,7 @@ def run_cdc_postings_ingest(
     out_path: str,
     tomb_path: str,
     checkpoint_path: str,
+    lease: int | None = None,
 ) -> None:
     """CDC-shaped continuous index maintenance (round 8, delete half):
     every micro-batch appends BOTH its delta-postings shards and its
@@ -609,6 +616,7 @@ def run_cdc_postings_ingest(
     docs = read_docs_stream(spark, sf_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _check_lease(out_path, lease)
         delta_postings_stream(batch_df).write.mode("append").parquet(out_path)
         (
             batch_df.filter(
@@ -630,6 +638,29 @@ def run_cdc_postings_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def _check_lease(root: str, lease: int | None) -> None:
+    """Fencing check at a streaming job's commit points (round-9
+    verdict #4): a checkpointed ingester that stalls (GC pause, hung
+    executor) while its replacement restarts is the classic zombie
+    writer — the checkpoint protects against REPROCESSING, not against
+    two live generations appending concurrently. Callers acquire a
+    ``versioning.acquire_lease`` epoch on the output root; any commit
+    attempted after a NEWER epoch exists raises CommitConflict, so the
+    stale generation dies at its next micro-batch instead of silently
+    interleaving shards with its successor. lease=None keeps the
+    single-writer fast path (no fence, no epoch files)."""
+    if lease is None:
+        return
+    from cloudvectordb_spark.versioning import CommitConflict, _max_epoch
+
+    newest = _max_epoch(root)
+    if newest > lease:
+        raise CommitConflict(
+            f"streaming writer epoch {lease} fenced by newer epoch "
+            f"{newest} — a replacement ingester owns this output root"
+        )
 
 
 def _read_shard_manifest(root: str) -> list[str]:
@@ -665,6 +696,7 @@ def run_tiered_postings_ingest(
     out_root: str,
     checkpoint_path: str,
     tier_width: int = 4,
+    lease: int | None = None,
 ) -> None:
     """LSM-tiered continuous text-index maintenance (round 8, late):
     like run_postings_ingest, each micro-batch appends a level-0
@@ -714,6 +746,7 @@ def run_tiered_postings_ingest(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _check_lease(out_root, lease)
         shard_dir = os.path.join(out_root, "L0", f"shard-{batch_id}")
         delta_postings_stream(batch_df).write.mode("overwrite").parquet(
             shard_dir

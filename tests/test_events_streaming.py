@@ -578,3 +578,72 @@ def test_streaming_hybrid_serving_matches_registered_batch(
 
     run_hybrid_serving(spark, sf_dir, rdir, out, ckpt)
     assert spark.read.parquet(out).count() == len(served)
+
+
+def test_zombie_streaming_ingester_fenced_by_lease(spark, sf_dir, tmp_path):
+    """Round-9 verdict #4: the checkpoint protects against reprocessing,
+    not against two live writer generations. A stalled gen-1 tiered
+    ingester whose replacement has acquired a newer lease must have its
+    LATE commit rejected (CommitConflict at the micro-batch commit
+    point) and must leave the manifest exactly as gen-2 left it."""
+    import pyspark.errors
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.streaming.jobs import (
+        _read_shard_manifest,
+        run_tiered_postings_ingest,
+    )
+    from cloudvectordb_spark.versioning import acquire_lease
+
+    docs = load(spark, sf_dir, "documents")
+    docs_dir = str(tmp_path / "doc_chunks")
+    for i in range(3):
+        (
+            docs.filter(F.col("doc_id") % 4 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{docs_dir}/chunk{i}")
+        )
+    out_root = str(tmp_path / "tiered")
+    ckpt1 = str(tmp_path / "ckpt_gen1")
+
+    # generation 1 ingests the first three chunks and stalls (returns)
+    lease1 = acquire_lease(out_root, owner="ingest-gen1")
+    run_tiered_postings_ingest(
+        spark, docs_dir, out_root, ckpt1, tier_width=2, lease=lease1
+    )
+    assert _read_shard_manifest(out_root)
+
+    # the replacement generation takes over the SAME output root (its
+    # own checkpoint — a fresh deploy), catching up on all chunks
+    lease2 = acquire_lease(out_root, owner="ingest-gen2")
+    ckpt2 = str(tmp_path / "ckpt_gen2")
+    run_tiered_postings_ingest(
+        spark, docs_dir, out_root, ckpt2, tier_width=2, lease=lease2
+    )
+    manifest_after_gen2 = _read_shard_manifest(out_root)
+
+    # gen-1 wakes up: a new chunk arrives and its checkpoint says
+    # "unprocessed" — without the fence it would append shards gen-2
+    # never accounted for; with it, the late commit dies loudly
+    (
+        docs.filter(F.col("doc_id") % 4 == 3)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{docs_dir}/chunk3")
+    )
+    with _pytest.raises(pyspark.errors.exceptions.base.PySparkException) as exc:
+        run_tiered_postings_ingest(
+            spark, docs_dir, out_root, ckpt1, tier_width=2, lease=lease1
+        )
+    assert "fenced by newer epoch" in str(exc.value)
+    assert _read_shard_manifest(out_root) == manifest_after_gen2
+
+    # gen-2 itself is NOT fenced: it processes the new chunk fine
+    run_tiered_postings_ingest(
+        spark, docs_dir, out_root, ckpt2, tier_width=2, lease=lease2
+    )
+    assert len(_read_shard_manifest(out_root)) >= 1
