@@ -352,7 +352,11 @@ def connected_components(
     fixed point is identical (every node at its component's global
     min), so downstream value oracles are unchanged.
 
-    ``stats``: pass a dict to receive {"rounds": N} for probes/tests."""
+    ``stats``: pass a dict to receive {"rounds": N, "round_secs": [...]}
+    for probes/tests (per-round walls expose an unbounded-shuffle round
+    — every round moves O(|E| + |V|) rows, so steady per-round time is
+    the boundedness evidence at scale)."""
+    import time as _time
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct()
@@ -363,8 +367,10 @@ def connected_components(
         F.col("u").alias("node"), F.col("u").alias("component")
     )
     rounds = 0
+    round_secs: list[float] = []
     while True:
         rounds += 1
+        t0 = _time.perf_counter()
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
@@ -401,10 +407,12 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        round_secs.append(round(_time.perf_counter() - t0, 2))
         labels = new_labels
         if changed == 0:
             if stats is not None:
                 stats["rounds"] = rounds
+                stats["round_secs"] = round_secs
             return labels
 
 

@@ -689,3 +689,62 @@ def test_ivf_adaptive_nprobe_covers_candidate_floor(spark, sf_dir):
         # and the selected pool clears the candidate floor
         assert by_probe[pr.vec_id] <= set(selected)
         assert cum >= min(_ADAPTIVE_C, total)
+
+
+def test_imi_split_hot_children_balances_skewed_corpus(spark):
+    """Round-9 verdict #6: a corpus with half its mass in one tight
+    blob must not leave the routed layout with a 2x-mean hot cell —
+    the split pass carves the blob's children until every cell
+    projects under the factor, while keeping the layout contract
+    (every vector in exactly one cell, ids consistent with the
+    published centroid table)."""
+    import numpy as np
+    import pandas as pd
+
+    from cloudvectordb_spark.operators import pipeline as P
+
+    rng_dim = 8
+    n = 4000
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:  # hot blob: tiny deterministic jitter
+                    v = np.full(rng_dim, 1.0)
+                    v[i % rng_dim] += 0.001 * ((i // 2) % 7)
+                else:  # spread mass on distinct axes
+                    v = np.zeros(rng_dim)
+                    v[i % rng_dim] = 1.0 + 0.01 * (i % 97)
+                out.append(v / np.linalg.norm(v))
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [list(map(float, v)) for v in out]}
+            )
+
+    emb = spark.range(0, n, 1, 4).mapInPandas(
+        gen, schema="vec_id long, embedding array<float>"
+    )
+    orig = P._FLAT_K_MAX
+    P._FLAT_K_MAX = 8  # force the routed path at a test-sized k
+    try:
+        assigned, centroids = P.build_imi_assignments(emb, k=16)
+    finally:
+        P._FLAT_K_MAX = orig
+    assigned = assigned.persist()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    used = {r.centroid_id for r in assigned.select("centroid_id").distinct().collect()}
+    published = {r.centroid_id for r in centroids.select("centroid_id").collect()}
+    assert used <= published
+    sizes = np.array(
+        [r.c for r in assigned.groupBy("centroid_id").count()
+         .withColumnRenamed("count", "c").collect()],
+        dtype=np.float64,
+    )
+    # the hot blob (~50% of mass) would give one cell ~8x the mean
+    # without splitting; the fit-projected 2x-mean cap must hold on
+    # the full corpus within sampling slack
+    assert sizes.max() / sizes.mean() <= 3.0, sizes.max() / sizes.mean()
+    assigned.unpersist()

@@ -1,0 +1,324 @@
+"""Composed 10M-doc pipeline rehearsal (round-9 verdict #1).
+
+Every stage of the reference pipeline (ingest -> near-dup dedup ->
+embed -> vectordb build -> serving) has been probed IN ISOLATION at
+scale; this probe runs them COMPOSED on one synthetic corpus, so
+cross-stage cliffs (a dedup output shape the embedder chokes on, an
+id distribution the index build mis-fits, a survivor set the serving
+recall silently degrades on) are measured, not assumed away:
+
+  ingest   N docs, planted near-dups (minhash_scale_probe corpus)
+  dedup    MinHash banded pairs -> CC canonicalization -> survivors
+  embed    stub-encode survivors (K5 plumbing; swap in a real model)
+  build    routed two-level IMI at k=2048 -> partitioned IVF layout
+  serve    batched strict-nprobe over the persisted layout, recall
+           vs exact BLAS top-k on the same probes
+
+Stage handoffs are ASSERTED:
+  - dedup: survivors + removed == N; planted-dup pair recall reported;
+  - embed: exactly one embedding per survivor (row-count handoff);
+  - build: every embedded vec_id in EXACTLY ONE cell;
+  - serve: recall@10 vs exact >= 0.9 at the largest probed nprobe.
+
+Stages are idempotent (each persists its output + a stats JSON under
+--root and skips when present), so the probe survives this container's
+600 s background-command cap by re-invoking with --stages; on an
+uncapped box `python tools/e2e_scale_probe.py --n 10000000` runs the
+whole rehearsal in one command and prints the composed JSON line.
+
+Usage:
+  python tools/e2e_scale_probe.py --n 10000000
+  python tools/e2e_scale_probe.py --n 10000000 --stages ingest,dedup
+  python tools/e2e_scale_probe.py --n 10000000 --stages report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.session import get_session
+
+DUP_EVERY = 10  # from the planted corpus: doc i%10==1 duplicates i-1
+K_CELLS = 2048
+SERVE_BATCH = 64
+NPROBES = (8, 32)
+TOPK = 10
+
+
+def _stats_path(root: str, stage: str) -> str:
+    return os.path.join(root, f"stats_{stage}.json")
+
+
+def _done(root: str, stage: str) -> bool:
+    return os.path.exists(_stats_path(root, stage))
+
+
+def _write_stats(root: str, stage: str, stats: dict) -> None:
+    os.makedirs(root, exist_ok=True)
+    with open(_stats_path(root, stage), "w") as f:
+        json.dump(stats, f)
+    print(f"[{stage}] {json.dumps(stats)}", file=sys.stderr)
+
+
+def stage_ingest(spark, root: str, n: int) -> None:
+    from tools.minhash_scale_probe import synthetic_docs
+
+    t0 = time.perf_counter()
+    synthetic_docs(spark, n).write.mode("overwrite").parquet(f"{root}/docs")
+    wall = time.perf_counter() - t0
+    rows = spark.read.parquet(f"{root}/docs").count()
+    assert rows == n
+    _write_stats(
+        root,
+        "ingest",
+        {"rows": rows, "wall_s": round(wall, 1), "rows_per_s": int(rows / wall)},
+    )
+
+
+def stage_dedup(spark, root: str, n: int, tau: float = 0.5) -> None:
+    from cloudvectordb_spark.operators.dedup import (
+        connected_components,
+        minhash_banded_pairs_df,
+    )
+
+    docs = spark.read.parquet(f"{root}/docs")
+    t0 = time.perf_counter()
+    # sub-persist the verified pair set: it is both the CC input and a
+    # quality metric source, and the 10M shingle->band->verify lineage
+    # must not run twice
+    if not os.path.exists(f"{root}/pairs/_SUCCESS"):
+        (
+            minhash_banded_pairs_df(docs)
+            .filter(F.col("est_jaccard") >= tau)
+            .select("a_id", "b_id")
+            .write.mode("overwrite")
+            .parquet(f"{root}/pairs")
+        )
+    pairs_s = time.perf_counter() - t0
+    pairs = spark.read.parquet(f"{root}/pairs")
+    n_pairs = pairs.count()
+    planted_hits = pairs.filter(
+        (F.col("b_id") == F.col("a_id") + 1) & (F.col("a_id") % DUP_EVERY == 0)
+    ).count()
+
+    t0 = time.perf_counter()
+    cc_stats: dict = {}
+    labels = connected_components(pairs, src="a_id", dst="b_id", stats=cc_stats)
+    # keep the canonical (min-label) doc of every cluster + all
+    # unpaired docs: survivors = docs minus non-canonical members
+    doomed = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs.join(doomed, "doc_id", "left_anti").write.mode("overwrite").parquet(
+        f"{root}/survivors"
+    )
+    cc_s = time.perf_counter() - t0
+
+    survivors = spark.read.parquet(f"{root}/survivors").count()
+    removed = doomed.count()
+    assert survivors + removed == n, (survivors, removed, n)  # handoff
+    n_planted = n // DUP_EVERY
+    _write_stats(
+        root,
+        "dedup",
+        {
+            "pairs": n_pairs,
+            "pair_recall": round(planted_hits / max(1, n_planted), 4),
+            "cc_rounds": cc_stats["rounds"],
+            "survivors": survivors,
+            "removed": removed,
+            "pairs_wall_s": round(pairs_s, 1),
+            "cc_wall_s": round(cc_s, 1),
+            "docs_per_s": int(n / (pairs_s + cc_s)),
+        },
+    )
+
+
+def stage_embed(spark, root: str) -> None:
+    from cloudvectordb_spark.operators.pipeline import embed_documents
+
+    survivors = spark.read.parquet(f"{root}/survivors")
+    n_surv = survivors.count()
+    t0 = time.perf_counter()
+    (
+        embed_documents(survivors)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .write.mode("overwrite")
+        .parquet(f"{root}/embeddings.parquet")
+    )
+    wall = time.perf_counter() - t0
+    emb = spark.read.parquet(f"{root}/embeddings.parquet")
+    n_emb = emb.count()
+    # handoff: exactly one embedding per dedup survivor
+    assert n_emb == n_surv == emb.select("vec_id").distinct().count()
+    _write_stats(
+        root,
+        "embed",
+        {"rows": n_emb, "wall_s": round(wall, 1), "rows_per_s": int(n_emb / wall)},
+    )
+
+
+def stage_build(spark, root: str) -> None:
+    from cloudvectordb_spark.operators.pipeline import (
+        build_ivf_assignments,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{root}/embeddings.parquet")
+    n_emb = emb.count()
+    t0 = time.perf_counter()
+    assigned, cents = build_ivf_assignments(emb, k=K_CELLS, seed=42)
+    write_ivf_index(assigned, cents, f"{root}/ivf")
+    wall = time.perf_counter() - t0
+    vectors = spark.read.parquet(f"{root}/ivf/vectors")
+    # handoff: every embedded vector in EXACTLY ONE cell
+    assert vectors.count() == n_emb
+    assert vectors.select("vec_id").distinct().count() == n_emb
+    sizes = (
+        vectors.groupBy("centroid_id").agg(F.count("*").alias("c")).collect()
+    )
+    ns = np.array([r.c for r in sizes], dtype=np.float64)
+    _write_stats(
+        root,
+        "build",
+        {
+            "rows": n_emb,
+            "cells": len(sizes),
+            "balance_max_over_mean": round(float(ns.max() / ns.mean()), 2),
+            "wall_s": round(wall, 1),
+            "rows_per_s": int(n_emb / wall),
+        },
+    )
+
+
+def stage_serve(spark, root: str) -> None:
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+    from cloudvectordb_spark.operators.pipeline import (
+        index_centroids,
+        ivf_batch_search_strict,
+    )
+    from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
+
+    emb = spark.read.parquet(f"{root}/embeddings.parquet")
+    vectors = spark.read.parquet(f"{root}/ivf/vectors")
+    cents = index_centroids(spark, f"{root}/ivf")
+    n_emb = emb.count()
+
+    # probe sample spread across the id range (all survivors, so the
+    # dedup handoff feeds serving directly)
+    stride = max(1, n_emb // SERVE_BATCH)
+    probes = (
+        emb.filter((F.col("vec_id") % stride == 0))
+        .orderBy("vec_id")
+        .limit(SERVE_BATCH)
+    )
+    probe_rows = probes.collect()
+
+    probes_df = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in probe_rows],
+        schema="vec_id long, embedding array<float>",
+    )
+    t0 = time.perf_counter()
+    exact = {
+        p: set()
+        for p in [r.vec_id for r in probe_rows]
+    }
+    for r in exact_knn_fast(emb, probes_df, k=TOPK).collect():
+        if r.rank <= TOPK:
+            exact[r.probe_id].add(r.neighbor_id)
+    exact_s = time.perf_counter() - t0
+
+    out = {
+        "probes": len(probe_rows),
+        "exact_wall_s": round(exact_s, 1),
+        "corpus": n_emb,
+    }
+    for nprobe in NPROBES:
+        t0 = time.perf_counter()
+        got: dict = {}
+        res = ivf_batch_search_strict(
+            spark, vectors, probe_rows, cents, nprobe=nprobe, k=TOPK
+        ).collect()
+        wall = time.perf_counter() - t0
+        for r in res:
+            if r.rank <= TOPK:
+                got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        recall = sum(
+            len(got.get(p, set()) & exact[p]) / TOPK for p in exact
+        ) / len(exact)
+        out[f"nprobe{nprobe}"] = {
+            "wall_s": round(wall, 1),
+            "ms_per_query": round(1000 * wall / len(probe_rows), 1),
+            "recall_at10": round(recall, 3),
+        }
+    # the largest probed tier must serve accurately or the composed
+    # pipeline failed even though every stage "worked"
+    assert out[f"nprobe{NPROBES[-1]}"]["recall_at10"] >= 0.9, out
+    _write_stats(root, "serve", out)
+
+
+def stage_report(root: str, n: int) -> None:
+    stages = ["ingest", "dedup", "embed", "build", "serve"]
+    merged = {"metric": "e2e_scale_probe", "docs": n}
+    total = 0.0
+    for s in stages:
+        p = _stats_path(root, s)
+        if not os.path.exists(p):
+            merged[s] = "MISSING"
+            continue
+        with open(p) as f:
+            st = json.load(f)
+        merged[s] = st
+        total += sum(
+            v for k_, v in st.items() if k_.endswith("wall_s")
+        ) + sum(
+            v["wall_s"] for v in st.values() if isinstance(v, dict) and "wall_s" in v
+        )
+    merged["total_wall_s"] = round(total, 1)
+    print(json.dumps(merged))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument(
+        "--stages", default="ingest,dedup,embed,build,serve,report"
+    )
+    ap.add_argument("--root", default=None)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+    root = args.root or f"/tmp/cloudvectordb_e2e/{args.n}"
+
+    wanted = [s.strip() for s in args.stages.split(",") if s.strip()]
+    spark = None
+    runners = {
+        "ingest": lambda: stage_ingest(spark, root, args.n),
+        "dedup": lambda: stage_dedup(spark, root, args.n),
+        "embed": lambda: stage_embed(spark, root),
+        "build": lambda: stage_build(spark, root),
+        "serve": lambda: stage_serve(spark, root),
+    }
+    for s in wanted:
+        if s == "report":
+            stage_report(root, args.n)
+            continue
+        if _done(root, s) and not args.force:
+            print(f"[{s}] already done (stats present) — skipping", file=sys.stderr)
+            continue
+        if spark is None:
+            spark = get_session("e2e-scale-probe")
+        runners[s]()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
