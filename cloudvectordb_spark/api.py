@@ -339,3 +339,83 @@ class TextIndex:
             k,
         )
 
+
+
+class CorpusPipeline:
+    """The composed reference lifecycle (S1→S4: raw docs → near-dup
+    dedup → embed → vectordb) as ONE ergonomic call — the same
+    composition tools/e2e_scale_probe.py rehearses at 10M docs, here
+    as a library surface with stage handoffs asserted inline.
+
+    >>> result = CorpusPipeline.run(spark, docs_df, "/idx/path", k=8)
+    >>> result["index"].search(probes, k=10)
+
+    ``encoder``: optional (ids: np.ndarray) -> np.ndarray override for
+    the stub encoder — the real-model plug point; the Spark plumbing
+    (Arrow batches, mapInPandas, one load per worker) is identical
+    either way. Every stage is keyed joins/groupBys — never all-pairs,
+    never a driver-side corpus loop — so the composition inherits each
+    piece's measured scale shape."""
+
+    @staticmethod
+    def run(
+        spark: SparkSession,
+        docs: DataFrame,
+        index_path: str,
+        tau: float = 0.5,
+        k: int = 8,
+        encoder=None,
+    ) -> dict:
+        from cloudvectordb_spark.operators.dedup import (
+            connected_components,
+            minhash_banded_pairs_df,
+        )
+        from cloudvectordb_spark.operators.pipeline import embed_documents
+
+        n_docs = docs.count()
+        pairs = (
+            minhash_banded_pairs_df(docs)
+            .filter(F.col("est_jaccard") >= tau)
+            .select("a_id", "b_id")
+        )
+        labels = connected_components(pairs, src="a_id", dst="b_id")
+        doomed = labels.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        survivors = docs.join(doomed, "doc_id", "left_anti")
+
+        embedded = embed_documents(survivors)
+        if encoder is not None:
+            import pandas as pd  # noqa: F401 — worker-side import
+
+            def run_enc(batches):
+                import pandas as _pd
+
+                for pdf in batches:
+                    ids = pdf["doc_id"].to_numpy()
+                    yield _pd.DataFrame(
+                        {"doc_id": ids, "embedding": list(encoder(ids))}
+                    )
+
+            embedded = survivors.select("doc_id").mapInPandas(
+                run_enc, schema="doc_id long, embedding array<float>"
+            )
+        vectors = embedded.select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+
+        idx = VectorIndex.build(spark, vectors, index_path, k=k)
+        # stage handoffs, asserted exactly like the 10M rehearsal
+        n_surv = survivors.count()
+        n_indexed = idx.vectors.count()
+        n_cells_used = idx.vectors.select("vec_id").distinct().count()
+        assert n_indexed == n_surv == n_cells_used, (
+            n_docs, n_surv, n_indexed, n_cells_used,
+        )
+        return {
+            "docs": n_docs,
+            "survivors": n_surv,
+            "removed": n_docs - n_surv,
+            "indexed": n_indexed,
+            "index": idx,
+        }

@@ -210,3 +210,26 @@ def test_vector_index_dedup_pairs_matches_registered_query(spark, sf_dir):
     got = {tuple(r) for r in idx.dedup_pairs().collect()}
     want = {tuple(r) for r in semantic_dup_pairs_ivf(spark, sf_dir).collect()}
     assert got == want and want
+
+
+def test_corpus_pipeline_composed_lifecycle(spark, sf_dir, tmp_path):
+    """S1->S4 in one call on the fixture corpus: dedup survivors feed
+    the encoder, every survivor lands in exactly one cell, and the
+    resulting index serves a self-probe correctly."""
+    from cloudvectordb_spark.api import CorpusPipeline
+    from cloudvectordb_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = CorpusPipeline.run(
+        spark, docs, str(tmp_path / "cp_idx"), tau=0.5, k=8
+    )
+    assert out["docs"] == docs.count()
+    assert out["survivors"] + out["removed"] == out["docs"]
+    assert out["indexed"] == out["survivors"] > 0
+
+    idx = out["index"]
+    probe = idx.vectors.select("vec_id", "embedding").limit(1)
+    rows = idx.search(probe, k=5).collect()
+    assert rows, "composed index failed to serve"
+    pid = probe.collect()[0].vec_id
+    assert all(r.probe_id == pid for r in rows)
