@@ -365,16 +365,22 @@ class CorpusPipeline:
         tau: float = 0.5,
         k: int = 8,
         encoder=None,
+        hasher: str = "fast",
     ) -> dict:
         from cloudvectordb_spark.operators.dedup import (
             connected_components,
             minhash_banded_pairs_df,
+            minhash_banded_pairs_fast,
         )
         from cloudvectordb_spark.operators.pipeline import embed_documents
 
+        # "fast" = xxhash64 permutations (JVM columns, ~3x cheaper at
+        # 10M docs, pytest recall-pinned); "md5" = the oracle-replayable
+        # form the registered queries verify against
+        pair_fn = {"fast": minhash_banded_pairs_fast, "md5": minhash_banded_pairs_df}[hasher]
         n_docs = docs.count()
         pairs = (
-            minhash_banded_pairs_df(docs)
+            pair_fn(docs)
             .filter(F.col("est_jaccard") >= tau)
             .select("a_id", "b_id")
         )

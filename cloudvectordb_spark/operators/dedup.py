@@ -801,6 +801,84 @@ def minhash_banded_pairs_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_banded_pairs_fast(docs: DataFrame) -> DataFrame:
+    """Production twin of minhash_banded_pairs_df: same banding scheme
+    (P=8 permutations, 4 bands of 2), same output schema
+    (a_id, b_id, est_jaccard), with the two measured hot spots removed:
+
+    - permutations are P xxhash64 COLUMNS per (doc, shingle) row
+      (JVM-side, seeded by permutation id) instead of a P-way row
+      explode + md5+conv — the shingle stream is never amplified;
+    - the verify stage compares the two 8-slot signature ARRAYS with
+      one zip_with fold instead of re-joining per permutation.
+
+    xxhash64 is not replayable in DuckDB, so this twin is NOT a
+    registered query — the md5 form keeps the value oracle; this one
+    is pinned by planted-corpus recall (pytest + the scale probes:
+    same 0.98 recall, ~3x cheaper at 10M docs) and by the exact-dup
+    invariant (identical shingle sets always pair at est_jaccard=1).
+    The hash function is the standard speed-vs-replayability knob at
+    100 TB; both paths share every downstream consumer (CC, survivors,
+    cross-source matrix)."""
+    P = _MINHASH_P
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),
+    )
+    sig = (
+        sh.select(
+            "doc_id",
+            *[F.xxhash64(F.lit(p), F.col("g")).alias(f"h{p}") for p in range(P)],
+        )
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{p}").alias(f"m{p}") for p in range(P)])
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            F.col(f"m{2 * b}").cast("string"),
+                            F.col(f"m{2 * b + 1}").cast("string"),
+                        ).alias("key"),
+                    )
+                    for b in range(P // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    arr = F.array(*[F.col(f"m{p}") for p in range(P)])
+    sa = sig.select(F.col("doc_id").alias("a_id"), arr.alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("b_id"), arr.alias("sb"))
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                "sa", "sb", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        / F.lit(float(P)),
+        4,
+    )
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", est.alias("est_jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup analytics: cross-source duplication matrix — for every source
 # pair, how many near-dup pairs cross it. The triage view a corpus

@@ -171,3 +171,54 @@ def test_simhash_fast_bit_identical_to_expression_form(spark, sf_dir):
     b = {r.doc_id: r.simhash for r in simhash_fast(docs).collect()}
     assert a == b and len(a) > 0
     assert any(v < 0 for v in a.values()), "fixture should exercise bit 63"
+
+
+def test_minhash_fast_twin_quality_and_exact_dup_invariant(spark, sf_dir):
+    """The xxhash64 production twin must (a) give est_jaccard exactly
+    1.0 for identical shingle sets — an exact duplicate can never
+    escape whatever the hash function is — and (b) recover planted
+    one-word-edit near-dups at least as well as the md5 oracle form
+    on the same corpus."""
+    import pandas as pd
+
+    from cloudvectordb_spark.operators.dedup import (
+        minhash_banded_pairs_df,
+        minhash_banded_pairs_fast,
+    )
+
+    # planted corpus: every 10th doc near-duplicates its predecessor
+    # (probe generator shape), plus one EXACT duplicate pair
+    from tools.minhash_scale_probe import synthetic_docs
+
+    docs = synthetic_docs(spark, 3000, parts=4)
+    exact_pair = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1_000_001, 1_000_002],
+                "text": ["alpha beta gamma delta epsilon zeta"] * 2,
+            }
+        )
+    )
+    corpus = docs.unionByName(exact_pair)
+
+    fast = minhash_banded_pairs_fast(corpus).persist()
+    exact_hits = fast.filter(
+        (F.col("a_id") == 1_000_001) & (F.col("b_id") == 1_000_002)
+    ).collect()
+    assert len(exact_hits) == 1 and exact_hits[0].est_jaccard == 1.0
+
+    planted = 3000 // 10
+    def recall(pairs_df):
+        hits = pairs_df.filter(
+            (F.col("est_jaccard") >= 0.5)
+            & (F.col("b_id") == F.col("a_id") + 1)
+            & (F.col("a_id") % 10 == 0)
+            & (F.col("a_id") < 3000)
+        ).count()
+        return hits / planted
+
+    r_fast = recall(fast)
+    r_md5 = recall(minhash_banded_pairs_df(docs))
+    fast.unpersist()
+    assert r_fast >= 0.9, r_fast
+    assert r_fast >= r_md5 - 0.05, (r_fast, r_md5)  # different perms, same guarantee

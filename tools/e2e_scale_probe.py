@@ -84,12 +84,19 @@ def stage_ingest(spark, root: str, n: int) -> None:
     )
 
 
-def stage_dedup(spark, root: str, n: int, tau: float = 0.5) -> None:
+def stage_dedup(
+    spark, root: str, n: int, tau: float = 0.5, hasher: str = "md5"
+) -> None:
     from cloudvectordb_spark.operators.dedup import (
         connected_components,
         minhash_banded_pairs_df,
+        minhash_banded_pairs_fast,
     )
 
+    pair_fn = {
+        "fast": minhash_banded_pairs_fast,
+        "md5": minhash_banded_pairs_df,
+    }[hasher]
     docs = spark.read.parquet(f"{root}/docs")
     t0 = time.perf_counter()
     # sub-persist the verified pair set: it is both the CC input and a
@@ -97,7 +104,7 @@ def stage_dedup(spark, root: str, n: int, tau: float = 0.5) -> None:
     # must not run twice
     if not os.path.exists(f"{root}/pairs/_SUCCESS"):
         (
-            minhash_banded_pairs_df(docs)
+            pair_fn(docs)
             .filter(F.col("est_jaccard") >= tau)
             .select("a_id", "b_id")
             .write.mode("overwrite")
@@ -295,6 +302,14 @@ def main() -> int:
     )
     ap.add_argument("--root", default=None)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument(
+        "--hasher",
+        default="md5",
+        choices=("md5", "fast"),
+        help="dedup permutation hash: md5 (oracle-replayable, the "
+        "committed rehearsal numbers) or fast (xxhash64 production "
+        "path)",
+    )
     args = ap.parse_args()
     root = args.root or f"/tmp/cloudvectordb_e2e/{args.n}"
 
@@ -302,7 +317,7 @@ def main() -> int:
     spark = None
     runners = {
         "ingest": lambda: stage_ingest(spark, root, args.n),
-        "dedup": lambda: stage_dedup(spark, root, args.n),
+        "dedup": lambda: stage_dedup(spark, root, args.n, hasher=args.hasher),
         "embed": lambda: stage_embed(spark, root),
         "build": lambda: stage_build(spark, root),
         "serve": lambda: stage_serve(spark, root),

@@ -78,6 +78,12 @@ def main() -> int:
         "verified pair set and report rounds + wall",
     )
     ap.add_argument(
+        "--fast",
+        action="store_true",
+        help="use the xxhash64 production twin (minhash_banded_pairs_"
+        "fast) instead of the md5 oracle form",
+    )
+    ap.add_argument(
         "--simhash",
         action="store_true",
         help="run the SimHash sign+band path instead of MinHash on the "
@@ -87,7 +93,10 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_session("minhash-scale-probe")
-    from cloudvectordb_spark.operators.dedup import minhash_banded_pairs_df
+    from cloudvectordb_spark.operators.dedup import (
+        minhash_banded_pairs_df,
+        minhash_banded_pairs_fast,
+    )
 
     root = f"/tmp/cloudvectordb_mhprobe/{args.n}"
     if not os.path.exists(f"{root}/_SUCCESS"):
@@ -134,7 +143,8 @@ def main() -> int:
     t0 = time.perf_counter()
     # persist: the quality metrics below must not re-run the shingle ->
     # permute -> band -> join -> verify lineage once per count
-    verified = minhash_banded_pairs_df(docs).persist()
+    pair_fn = minhash_banded_pairs_fast if args.fast else minhash_banded_pairs_df
+    verified = pair_fn(docs).persist()
     n_verified = verified.count()
     total_s = round(time.perf_counter() - t0, 1)
 
@@ -167,7 +177,7 @@ def main() -> int:
 
     n_planted = args.n // DUP_EVERY
     out = {
-        "metric": "minhash_banded_scale",
+        "metric": "minhash_banded_scale_fast" if args.fast else "minhash_banded_scale",
         "docs": args.n,
         "planted_pairs": n_planted,
         "verified_candidates": n_verified,
