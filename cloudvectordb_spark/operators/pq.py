@@ -561,9 +561,12 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.
                 codes = pq_encode(vectors, books).join(
                     vectors.select("vec_id", "centroid_id"), "vec_id"
                 )
-                codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
-                    build_dir
-                )
+                # one shuffle on the key -> one file per cell (see
+                # write_ivf_index: 4.3x faster at 2k cells, compacted
+                # layout for the cell-pruned scans)
+                codes.repartition("centroid_id").write.mode(
+                    "overwrite"
+                ).partitionBy("centroid_id").parquet(build_dir)
                 try:
                     os.rename(build_dir, path)
                 except OSError:  # concurrent publisher won
@@ -964,9 +967,11 @@ def ensure_ivfpq_residual_index(
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 build_dir = f"{path}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
                 vectors, _ = read_ivf_index(spark, ivf_path)
-                pq_encode_residual(vectors, books, cents).write.mode(
-                    "overwrite"
-                ).partitionBy("centroid_id").parquet(build_dir)
+                pq_encode_residual(vectors, books, cents).repartition(
+                    "centroid_id"
+                ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+                    build_dir
+                )
                 try:
                     os.rename(build_dir, path)
                 except OSError:  # concurrent publisher won
