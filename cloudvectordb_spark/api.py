@@ -357,13 +357,18 @@ class CorpusPipeline:
     never a driver-side corpus loop — so the composition inherits each
     piece's measured scale shape."""
 
+    # target rows per cell for the auto-sized index: matches the capped
+    # dedup kernel's per-task bound and the measured serving sweet spot
+    # (cells around this size keep probe scans ~1 file / few MB each)
+    _ROWS_PER_CELL = 4096
+
     @staticmethod
     def run(
         spark: SparkSession,
         docs: DataFrame,
         index_path: str,
         tau: float = 0.5,
-        k: int = 8,
+        k: int | None = None,
         encoder=None,
         hasher: str = "fast",
     ) -> dict:
@@ -410,6 +415,14 @@ class CorpusPipeline:
             F.col("doc_id").alias("vec_id"), "embedding"
         )
 
+        if k is None:
+            # self-scaling k (the rescore_c discipline applied to the
+            # build knob): ~_ROWS_PER_CELL rows per cell, floor 8 so
+            # tiny corpora keep the fixture shape, cap 65536; above
+            # _FLAT_K_MAX the build auto-routes to the two-level IMI,
+            # so the build cost stays flat in k either way
+            n_surv = survivors.count()
+            k = max(8, min(65536, n_surv // CorpusPipeline._ROWS_PER_CELL))
         idx = VectorIndex.build(spark, vectors, index_path, k=k)
         # stage handoffs, asserted exactly like the 10M rehearsal
         n_surv = survivors.count()
@@ -423,5 +436,6 @@ class CorpusPipeline:
             "survivors": n_surv,
             "removed": n_docs - n_surv,
             "indexed": n_indexed,
+            "k": k,
             "index": idx,
         }

@@ -220,9 +220,8 @@ def test_corpus_pipeline_composed_lifecycle(spark, sf_dir, tmp_path):
     from cloudvectordb_spark.catalog import load
 
     docs = load(spark, sf_dir, "documents")
-    out = CorpusPipeline.run(
-        spark, docs, str(tmp_path / "cp_idx"), tau=0.5, k=8
-    )
+    out = CorpusPipeline.run(spark, docs, str(tmp_path / "cp_idx"), tau=0.5)
+    assert out["k"] == 8  # auto-k floors at the fixture shape
     assert out["docs"] == docs.count()
     assert out["survivors"] + out["removed"] == out["docs"]
     assert out["indexed"] == out["survivors"] > 0
