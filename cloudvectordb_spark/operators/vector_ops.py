@@ -1407,3 +1407,74 @@ def binary_quant_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# K8 at fleet scale: SHARDED search with a lossless top-k merge. A
+# 100 TB corpus is never one index tree — vectors split into S shards
+# (here a deterministic md5 split so the oracle can replay it), every
+# shard serves its LOCAL top-k independently (its own executors, its
+# own cell-pruned scan), and the coordinator merges S bounded lists
+# with one window over S*k rows per probe. The merge is LOSSLESS for
+# exact scoring: every global top-k member ranks <= k inside its own
+# shard, so the union of per-shard top-k lists always contains the
+# global answer — the invariant the value oracle pins by ranking over
+# the UNSHARDED corpus. Cross-shard tie order is deterministic
+# (rounded score DESC, neighbor_id ASC on both levels). This is the
+# scatter-gather topology every distributed vector store runs; the
+# shard column in the output shows which shard produced each winner.
+# ---------------------------------------------------------------------------
+@query(
+    "sharded_knn_merge",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          p.probe_vec), 6) AS score,
+             CASE WHEN substring(md5(CAST(e.vec_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 0 ELSE 1 END AS shard
+      FROM embeddings e, p WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, CAST(shard AS INTEGER) AS shard,
+           rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K8", "E4", "G1", "H4", "F2", "C2"),
+)
+def sharded_knn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    shard = F.when(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8", 0
+    ).otherwise(1)
+    probes = emb.filter(F.col("vec_id") < 3)
+    parts = []
+    for s in (0, 1):
+        local = exact_knn(
+            emb.withColumn("shard", shard).filter(F.col("shard") == s),
+            probes,
+            k=10,
+        )
+        parts.append(
+            local.select(
+                "probe_id",
+                "neighbor_id",
+                "score",
+                F.lit(s).cast("int").alias("shard"),
+            )
+        )
+    merged = parts[0].unionByName(parts[1])
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("probe_id", "neighbor_id", "score", "shard", "rank")
+    )
