@@ -232,3 +232,30 @@ def test_corpus_pipeline_composed_lifecycle(spark, sf_dir, tmp_path):
     assert rows, "composed index failed to serve"
     pid = probe.collect()[0].vec_id
     assert all(r.probe_id == pid for r in rows)
+
+
+def test_corpus_pipeline_custom_encoder_plug_point(spark, sf_dir, tmp_path):
+    """The encoder override is the real-model boundary: whatever the
+    callable returns per doc_id must be exactly what lands in the
+    index (dim, values), with the same dedup/build plumbing around it."""
+    import numpy as np
+
+    from cloudvectordb_spark.api import CorpusPipeline
+    from cloudvectordb_spark.catalog import load
+
+    def tiny_encoder(ids: np.ndarray) -> np.ndarray:
+        m = np.zeros((len(ids), 4), dtype=np.float32)
+        m[:, 0] = 1.0
+        m[:, 1] = (ids % 3).astype(np.float32)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return (m / n).astype(np.float32)
+
+    docs = load(spark, sf_dir, "documents").limit(60)
+    out = CorpusPipeline.run(
+        spark, docs, str(tmp_path / "cp_enc"), encoder=tiny_encoder
+    )
+    vec = out["index"].vectors.select("vec_id", "embedding").limit(5).collect()
+    for r in vec:
+        expect = tiny_encoder(np.array([r.vec_id]))[0]
+        assert len(r.embedding) == 4
+        assert max(abs(a - b) for a, b in zip(r.embedding, expect)) < 1e-6

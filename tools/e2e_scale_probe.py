@@ -101,17 +101,19 @@ def stage_dedup(
     t0 = time.perf_counter()
     # sub-persist the verified pair set: it is both the CC input and a
     # quality metric source, and the 10M shingle->band->verify lineage
-    # must not run twice
-    if not os.path.exists(f"{root}/pairs/_SUCCESS"):
+    # must not run twice. The dir name carries the hasher so a --hasher
+    # rerun can never silently reuse the other hash's pairs.
+    pairs_dir = f"{root}/pairs_{hasher}" if hasher != "md5" else f"{root}/pairs"
+    if not os.path.exists(f"{pairs_dir}/_SUCCESS"):
         (
             pair_fn(docs)
             .filter(F.col("est_jaccard") >= tau)
             .select("a_id", "b_id")
             .write.mode("overwrite")
-            .parquet(f"{root}/pairs")
+            .parquet(pairs_dir)
         )
     pairs_s = time.perf_counter() - t0
-    pairs = spark.read.parquet(f"{root}/pairs")
+    pairs = spark.read.parquet(pairs_dir)
     n_pairs = pairs.count()
     planted_hits = pairs.filter(
         (F.col("b_id") == F.col("a_id") + 1) & (F.col("a_id") % DUP_EVERY == 0)
@@ -141,6 +143,7 @@ def stage_dedup(
             "pairs": n_pairs,
             "pair_recall": round(planted_hits / max(1, n_planted), 4),
             "cc_rounds": cc_stats["rounds"],
+            "hasher": hasher,
             "survivors": survivors,
             "removed": removed,
             "pairs_wall_s": round(pairs_s, 1),
