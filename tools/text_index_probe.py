@@ -187,6 +187,13 @@ def main() -> int:
         action="store_true",
         help="make batch query 0 an all-hot-terms query (Zipf head)",
     )
+    ap.add_argument(
+        "--route",
+        action="store_true",
+        help="with --batch: run the adaptive router on the same batch "
+        "(hot + cold profiles) and report its decisions and walls — "
+        "validates the cost model at corpus scale, not just sf0.1",
+    )
     args = ap.parse_args()
 
     spark = get_session("text-index-probe")
@@ -198,6 +205,30 @@ def main() -> int:
     if args.batch:
         out = {"n_docs": args.docs, "skew": args.skew}
         out.update(run_batch_mode(spark, sf_dir, args.batch, args.skew))
+        if args.route:
+            from cloudvectordb_spark.operators.search import (
+                _COLD_PAIR_COST,
+                _HOT_PAIR_COST,
+                bm25_batch_route_and_run,
+                ensure_text_index,
+            )
+
+            ensure_text_index(spark, sf_dir)
+            batch = _probe_batch(args.batch)
+            if args.skew:
+                batch = ((0, ("w0", "w1", "w2")),) + batch[1:]
+            for label, r in (("hot", _HOT_PAIR_COST), ("cold", _COLD_PAIR_COST)):
+                strategy, est_pairs, topk_df = bm25_batch_route_and_run(
+                    spark, sf_dir, batch, 10, r
+                )
+                topk_df.collect()  # warm
+                t0 = time.perf_counter()
+                topk_df.collect()
+                out[f"route_{label}"] = {
+                    "strategy": strategy,
+                    "est_pairs": est_pairs,
+                    "wall_s": round(time.perf_counter() - t0, 2),
+                }
         print(json.dumps(out))
         return 0
 
