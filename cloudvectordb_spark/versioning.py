@@ -62,13 +62,20 @@ def _leases_dir(root: str) -> str:
 def acquire_lease(root: str, owner: str = "writer") -> int:
     """Allocate the next fencing epoch via exclusive file create.
     Returns the epoch number; pass it as ``lease=`` to commit_*. Any
-    LATER acquire fences every earlier epoch out."""
+    LATER acquire fences every earlier epoch out.
+
+    The epoch FILENAME must not embed the owner: exclusive create is
+    the mutex, and a per-owner name would let two racing acquirers
+    with different owners both create "their" epoch-N file and both
+    return N — at which point neither generation fences the other
+    (the exact zombie case leases exist for). The owner is recorded
+    INSIDE the file for forensics instead."""
     d = _leases_dir(root)
     os.makedirs(d, exist_ok=True)
     while True:
         nxt = _max_epoch(root) + 1
         try:
-            with open(os.path.join(d, f"epoch-{nxt:08d}.{owner}"), "x") as f:
+            with open(os.path.join(d, f"epoch-{nxt:08d}"), "x") as f:
                 f.write(owner)
             return nxt
         except FileExistsError:
@@ -214,8 +221,14 @@ def read_version(spark: SparkSession, root: str, version: int | None = None) -> 
 
 def vacuum(root: str, keep_last: int = 2) -> list[str]:
     """Delete data files referenced ONLY by manifests older than the
-    ``keep_last`` most recent versions (and drop those manifests).
-    Returns the deleted files. The single destructive operation."""
+    ``keep_last`` most recent versions (and drop those manifests), and
+    prune superseded fencing-epoch files (only the NEWEST epoch ever
+    matters to the fence, so older epoch markers are pure debt — a
+    long-lived index would otherwise accumulate one file per writer
+    generation forever). Returns the deleted data files. The single
+    destructive operation."""
+    for n in sorted(glob.glob(os.path.join(_leases_dir(root), "epoch-*")))[:-1]:
+        os.remove(n)
     latest = latest_version(root)
     keep_versions = [v for v in range(max(1, latest - keep_last + 1), latest + 1)]
     keep_files: set[str] = set()

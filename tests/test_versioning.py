@@ -202,3 +202,54 @@ def test_streaming_foreachbatch_commits_versions(spark, sf_dir, tmp_path):
     assert total == load(spark, sf_dir, "events").count()
     # a reader pinned to the initial build still sees zero rows
     assert read_version(spark, root, 1).count() == 0
+
+
+def test_lease_epochs_unique_across_owners(tmp_path):
+    """Two writer generations racing for a lease must NEVER share an
+    epoch number: the epoch filename is the mutex, so it cannot embed
+    the owner (a per-owner name lets both racers create 'their' file
+    for the same number and both return it — then neither fences the
+    other). Simulate the exact interleaving: a rival with a DIFFERENT
+    owner grabs epoch N between our _max_epoch read and our create."""
+    import os
+
+    from cloudvectordb_spark import versioning as V
+
+    root = str(tmp_path / "idx")
+    e1 = V.acquire_lease(root, owner="gen1")
+    # rival (different owner) takes the next epoch exactly as
+    # acquire_lease would — by creating the epoch file
+    rival_next = V._max_epoch(root) + 1
+    with open(
+        os.path.join(V._leases_dir(root), f"epoch-{rival_next:08d}"), "x"
+    ) as f:
+        f.write("gen2")
+    # our acquire with a third owner must SKIP past the rival's epoch
+    e3 = V.acquire_lease(root, owner="gen3")
+    assert e1 < rival_next < e3
+    assert V._max_epoch(root) == e3
+
+
+def test_vacuum_prunes_superseded_epoch_files(tmp_path):
+    """Only the newest epoch matters to the fence; vacuum drops the
+    rest so a long-lived index doesn't accumulate one marker per
+    writer generation forever."""
+    import glob
+    import os
+
+    from cloudvectordb_spark import versioning as V
+    from cloudvectordb_spark.catalog import load  # noqa: F401 — session fixture not needed
+
+    root = str(tmp_path / "idx")
+    for g in range(5):
+        V.acquire_lease(root, owner=f"gen{g}")
+    import pandas as pd  # build a minimal committed index for vacuum
+    # vacuum needs LATEST; commit a tiny manifest chain by hand
+    os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+    for v, parent in ((1, None), (2, 1)):
+        V._publish(root, {"version": v, "parent": parent, "op": "t", "files": []})
+    deleted = V.vacuum(root, keep_last=2)
+    assert deleted == []
+    epochs = glob.glob(os.path.join(V._leases_dir(root), "epoch-*"))
+    assert len(epochs) == 1 and epochs[0].endswith("epoch-00000005")
+    assert V._max_epoch(root) == 5  # the fence still sees the newest
