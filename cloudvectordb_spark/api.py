@@ -91,6 +91,43 @@ class VectorIndex:
         pruned = self.vectors.filter(F.col("centroid_id").isin(cells))
         return exact_knn_fast(pruned, probes_local, k=k, id_col=id_col, vec_col=vec_col)
 
+    @staticmethod
+    def search_sharded(
+        indexes: list, probes: DataFrame, k: int = 10, nprobe: int = 2
+    ) -> DataFrame:
+        """Scatter-gather over S independent index shards — the 100 TB
+        serving topology (one IVF tree never holds the fleet's vectors;
+        each shard owns its executors, its cell-pruned scan, its own
+        build lifecycle). Every shard serves its LOCAL top-k; ONE
+        window merges the S*k bounded rows per probe. The merge is
+        lossless over whatever each shard returned (the value-oracled
+        sharded_knn_merge query pins the invariant for exact per-shard
+        search: every global top-k member ranks <= k in its own
+        shard); per-shard nprobe recall composes exactly like the
+        single-index case. Output carries the winning shard's ordinal."""
+        from pyspark.sql import Window
+
+        parts = [
+            idx.search(probes, k=k, nprobe=nprobe).select(
+                "probe_id",
+                "neighbor_id",
+                "score",
+                F.lit(i).cast("int").alias("shard"),
+            )
+            for i, idx in enumerate(indexes)
+        ]
+        merged = parts[0]
+        for p_ in parts[1:]:
+            merged = merged.unionByName(p_)
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        return (
+            merged.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "neighbor_id", "score", "shard", "rank")
+        )
+
     def search_filtered(
         self, probes: DataFrame, predicate, k: int = 10, nprobe: int = 2,
         id_col: str = "vec_id", vec_col: str = "embedding",

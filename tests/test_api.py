@@ -259,3 +259,36 @@ def test_corpus_pipeline_custom_encoder_plug_point(spark, sf_dir, tmp_path):
         expect = tiny_encoder(np.array([r.vec_id]))[0]
         assert len(r.embedding) == 4
         assert max(abs(a - b) for a, b in zip(r.embedding, expect)) < 1e-6
+
+
+def test_search_sharded_scatter_gather_matches_global_exact(spark, sf_dir, tmp_path):
+    """Two md5-split shard indexes searched with nprobe covering every
+    shard cell (per-shard search exact) must merge to EXACTLY the
+    unsharded exact top-k, with correct shard attribution."""
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    half = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+    shards = [
+        VectorIndex.build(spark, emb.filter(half), str(tmp_path / "s0"), k=2),
+        VectorIndex.build(spark, emb.filter(~half), str(tmp_path / "s1"), k=2),
+    ]
+    probes = emb.filter(F.col("vec_id") < 3)
+    got = VectorIndex.search_sharded(shards, probes, k=10, nprobe=2)
+    want = exact_knn(emb, probes, k=10)
+    g = {(r.probe_id, r.rank): (r.neighbor_id, r.score, r.shard) for r in got.collect()}
+    w = {(r.probe_id, r.rank): (r.neighbor_id, r.score) for r in want.collect()}
+    assert len(g) == len(w) == 30
+    shard_of = {
+        r.vec_id: 0 if r.h < "8" else 1
+        for r in emb.select(
+            "vec_id",
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias("h"),
+        ).collect()
+    }
+    for key, (nid, score) in w.items():
+        gn, gs, gsh = g[key]
+        assert (gn, gs) == (nid, score), key
+        assert gsh == shard_of[nid], key
