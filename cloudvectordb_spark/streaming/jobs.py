@@ -289,7 +289,13 @@ def run_vector_ingest(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _check_lease(out_path, lease)
-        batch_df.write.mode("append").partitionBy("centroid_id").parquet(out_path)
+        # shuffle on the key first: an unshuffled partitionBy append
+        # writes one file per (task x touched cell) EVERY micro-batch —
+        # the small-files debt compounds per trigger; keyed, each batch
+        # adds at most one file per touched cell (see write_ivf_index)
+        batch_df.repartition("centroid_id").write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(out_path)
 
     q = (
         assigned.writeStream.outputMode("append")
@@ -335,9 +341,9 @@ def run_residual_code_ingest(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _check_lease(out_path, lease)
-        pq_encode_residual(batch_df, books, cents).write.mode(
-            "append"
-        ).partitionBy("centroid_id").parquet(out_path)
+        pq_encode_residual(batch_df, books, cents).repartition(
+            "centroid_id"
+        ).write.mode("append").partitionBy("centroid_id").parquet(out_path)
 
     q = (
         assigned.writeStream.outputMode("append")
