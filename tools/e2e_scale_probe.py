@@ -273,6 +273,53 @@ def stage_serve(spark, root: str) -> None:
     # the largest probed tier must serve accurately or the composed
     # pipeline failed even though every stage "worked"
     assert out[f"nprobe{NPROBES[-1]}"]["recall_at10"] >= 0.9, out
+
+    # SKEWED batch: all probes drawn from ONE cell, so every probe's
+    # nearest cells coincide and the hot-cell replication floor
+    # (HOT_CELL_PROBE_FLOOR) fires — the round-9 skew protection
+    # exercised through the composed artifacts at corpus scale, with
+    # the same exact-recall gate
+    big_cell = (
+        vectors.groupBy("centroid_id")
+        .count()
+        .orderBy(F.desc("count"), "centroid_id")
+        .first()
+        .centroid_id
+    )
+    skew_rows = (
+        vectors.filter(F.col("centroid_id") == big_cell)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(SERVE_BATCH)
+        .collect()
+    )
+    skew_df = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in skew_rows],
+        schema="vec_id long, embedding array<float>",
+    )
+    exact_skew: dict = {r.vec_id: set() for r in skew_rows}
+    for r in exact_knn_fast(emb, skew_df, k=TOPK).collect():
+        if r.rank <= TOPK:
+            exact_skew[r.probe_id].add(r.neighbor_id)
+    t0 = time.perf_counter()
+    got_skew: dict = {}
+    for r in ivf_batch_search_strict(
+        spark, vectors, skew_rows, cents, nprobe=NPROBES[-1], k=TOPK
+    ).collect():
+        if r.rank <= TOPK:
+            got_skew.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    skew_wall = time.perf_counter() - t0
+    skew_recall = sum(
+        len(got_skew.get(pid, set()) & exact_skew[pid]) / TOPK
+        for pid in exact_skew
+    ) / len(exact_skew)
+    out["skewed_batch"] = {
+        "cell": int(big_cell),
+        "wall_s": round(skew_wall, 1),
+        "ms_per_query": round(1000 * skew_wall / len(skew_rows), 1),
+        "recall_at10": round(skew_recall, 3),
+    }
+    assert skew_recall >= 0.9, out
     _write_stats(root, "serve", out)
 
 
