@@ -107,6 +107,18 @@ class VectorIndex:
         single-index case. Output carries the winning shard's ordinal."""
         from pyspark.sql import Window
 
+        if not indexes:
+            raise ValueError("search_sharded needs at least one index shard")
+        # materialize the probe batch ONCE: each shard's search collects
+        # its probe frame, and an arbitrary probe lineage would re-run
+        # its upstream job per shard — a local relation makes those S
+        # collects free
+        spark = indexes[0].spark
+        rows = probes.select("vec_id", "embedding").collect()
+        probes = spark.createDataFrame(
+            [(r.vec_id, r.embedding) for r in rows],
+            schema="vec_id long, embedding array<float>",
+        )
         parts = [
             idx.search(probes, k=k, nprobe=nprobe).select(
                 "probe_id",
@@ -432,12 +444,10 @@ class CorpusPipeline:
         )
         survivors = docs.join(doomed, "doc_id", "left_anti")
 
-        embedded = embed_documents(survivors)
         if encoder is not None:
-            import pandas as pd  # noqa: F401 — worker-side import
 
             def run_enc(batches):
-                import pandas as _pd
+                import pandas as _pd  # worker-side
 
                 for pdf in batches:
                     ids = pdf["doc_id"].to_numpy()
@@ -448,26 +458,42 @@ class CorpusPipeline:
             embedded = survivors.select("doc_id").mapInPandas(
                 run_enc, schema="doc_id long, embedding array<float>"
             )
+        else:
+            embedded = embed_documents(survivors)
+        # PERSIST before the build: the trainer's fit filter cannot push
+        # below mapInPandas, so an unmaterialized encoder lineage would
+        # re-run model inference over every survivor once per Lloyd
+        # round plus the final assign/write (~5x the most expensive
+        # stage with a real model plugged in — the e2e rehearsal writes
+        # this frame to parquet between stages for the same reason)
+        from pyspark import StorageLevel
+
         vectors = embedded.select(
             F.col("doc_id").alias("vec_id"), "embedding"
-        )
-
-        if k is None:
-            # self-scaling k (the rescore_c discipline applied to the
-            # build knob): ~_ROWS_PER_CELL rows per cell, floor 8 so
-            # tiny corpora keep the fixture shape, cap 65536; above
-            # _FLAT_K_MAX the build auto-routes to the two-level IMI,
-            # so the build cost stays flat in k either way
-            n_surv = survivors.count()
-            k = max(8, min(65536, n_surv // CorpusPipeline._ROWS_PER_CELL))
-        idx = VectorIndex.build(spark, vectors, index_path, k=k)
-        # stage handoffs, asserted exactly like the 10M rehearsal
-        n_surv = survivors.count()
-        n_indexed = idx.vectors.count()
-        n_cells_used = idx.vectors.select("vec_id").distinct().count()
-        assert n_indexed == n_surv == n_cells_used, (
-            n_docs, n_surv, n_indexed, n_cells_used,
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_surv = vectors.count()  # materializes; == survivor count (1:1 map)
+            if k is None:
+                # self-scaling k (the rescore_c discipline applied to the
+                # build knob): ~_ROWS_PER_CELL rows per cell, floor 8 so
+                # tiny corpora keep the fixture shape, cap 65536; above
+                # _FLAT_K_MAX the build auto-routes to the two-level IMI,
+                # so the build cost stays flat in k either way
+                k = max(8, min(65536, n_surv // CorpusPipeline._ROWS_PER_CELL))
+            idx = VectorIndex.build(spark, vectors, index_path, k=k)
+            # stage handoffs, validated exactly like the 10M rehearsal
+            # (real exceptions, not asserts — python -O must not strip
+            # the library surface's only handoff check)
+            n_indexed = idx.vectors.count()
+            n_distinct = idx.vectors.select("vec_id").distinct().count()
+            if not (n_indexed == n_surv == n_distinct):
+                raise RuntimeError(
+                    "corpus pipeline handoff violated: "
+                    f"docs={n_docs} survivors/embedded={n_surv} "
+                    f"indexed={n_indexed} distinct_vec_ids={n_distinct}"
+                )
+        finally:
+            vectors.unpersist()
         return {
             "docs": n_docs,
             "survivors": n_surv,

@@ -209,6 +209,18 @@ def build_ivf_assignments(
         return build_imi_assignments(emb, k=k, seed=seed, rounds=rounds)
 
     cents = lloyd_centroids(emb, k=k, seed=seed, rounds=rounds)
+    # same fail-fast as the IMI branch: the deterministic fit filter
+    # selects by id range, so a corpus whose vec_ids all exceed the cap
+    # trains ZERO centroids — surface the remedy instead of crashing
+    # (or degenerating) downstream in assign_cells
+    if not cents:
+        from cloudvectordb_spark.operators.kmeans_det import DEFAULT_FIT_CAP
+
+        raise ValueError(
+            f"IVF fit sample is empty: no vec_id < {DEFAULT_FIT_CAP}. "
+            "Remap vec_ids to start at 0 (dense ids are already "
+            "required by the layout contract)."
+        )
     assigned = assign_cells(emb, cents)
     centroids = emb.sparkSession.createDataFrame(
         [(cid, c) for cid, c in cents],
@@ -479,9 +491,11 @@ def build_imi_assignments(
     }
     n_total = max(1, sum(mass.values()))
     # largest-remainder apportionment: floor the quotas, hand the
-    # leftover children to the largest fractional remainders, so
-    # sum(k2) == k EXACTLY — the old max(1, round(...)) both over- and
-    # under-shot, stacking rounding error on top of the drift
+    # leftover children to the largest fractional remainders — sum(k2)
+    # == k exactly over parents WITH mass (the old max(1, round(...))
+    # both over- and under-shot, stacking rounding error on the drift).
+    # Zero-mass parents then floor to one child each, adding at most
+    # one cell per corpus-empty coarse cell on top of k.
     quota = [k * mass.get(p, 0) / n_total for p in range(k1)]
     k2_list = [int(q) for q in quota]
     leftovers = sorted(

@@ -655,8 +655,14 @@ def _check_lease(root: str, lease: int | None) -> None:
     ``versioning.acquire_lease`` epoch on the output root; any commit
     attempted after a NEWER epoch exists raises CommitConflict, so the
     stale generation dies at its next micro-batch instead of silently
-    interleaving shards with its successor. lease=None keeps the
-    single-writer fast path (no fence, no epoch files)."""
+    interleaving shards with its successor. The tiered job re-checks at
+    its manifest commit too (_commit_shard_manifest), closing the
+    check-then-stall window there; the plain-append jobs have no
+    transactional commit point, so for them the fence narrows the
+    window to one micro-batch rather than eliminating it — appends
+    needing exactly-one-writer guarantees should go through the
+    manifest or versioned writers. lease=None keeps the single-writer
+    fast path (no fence, no epoch files)."""
     if lease is None:
         return
     from cloudvectordb_spark.versioning import CommitConflict, _max_epoch
@@ -680,16 +686,23 @@ def _read_shard_manifest(root: str) -> list[str]:
         return json.load(f)
 
 
-def _commit_shard_manifest(root: str, shards: list[str]) -> None:
+def _commit_shard_manifest(
+    root: str, shards: list[str], lease: int | None = None
+) -> None:
     """Atomic manifest replace (tmp + os.rename): the manifest IS the
     commit point — a compaction that dies before this rename leaves the
     old manifest (and the still-live L0 shards) serving; one that dies
     after it leaves only garbage dirs for the GC pass. Readers never
-    see a half-compacted state."""
+    see a half-compacted state.
+
+    The fence re-checks HERE, not only at batch start: a writer that
+    passes the batch-start check and then stalls (GC pause) while its
+    replacement takes over must still lose at the actual commit."""
     import json
     import os
     import uuid
 
+    _check_lease(root, lease)
     tmp = os.path.join(root, f".manifest.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(shards, f)
@@ -760,7 +773,7 @@ def run_tiered_postings_ingest(
         manifest = _read_shard_manifest(out_root)
         if shard_dir not in manifest:
             manifest = manifest + [shard_dir]
-            _commit_shard_manifest(out_root, manifest)
+            _commit_shard_manifest(out_root, manifest, lease)
 
         def level_of(p: str) -> int:
             return int(
@@ -790,7 +803,7 @@ def run_tiered_postings_ingest(
             manifest = [s for s in manifest if s not in consumed] + [
                 tier_dir
             ]
-            _commit_shard_manifest(out_root, manifest)  # commit point
+            _commit_shard_manifest(out_root, manifest, lease)  # commit point
             for p in consumed:  # GC after commit — dying here is safe
                 shutil.rmtree(p, ignore_errors=True)
 

@@ -227,9 +227,11 @@ def vacuum(root: str, keep_last: int = 2) -> list[str]:
     long-lived index would otherwise accumulate one file per writer
     generation forever). Returns the deleted data files. The single
     destructive operation."""
+    # validate the root BEFORE any destructive side effect (a root with
+    # leases but no committed version must fail cleanly, not half-prune)
+    latest = latest_version(root)
     for n in sorted(glob.glob(os.path.join(_leases_dir(root), "epoch-*")))[:-1]:
         os.remove(n)
-    latest = latest_version(root)
     keep_versions = [v for v in range(max(1, latest - keep_last + 1), latest + 1)]
     keep_files: set[str] = set()
     for v in keep_versions:

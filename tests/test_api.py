@@ -227,11 +227,16 @@ def test_corpus_pipeline_composed_lifecycle(spark, sf_dir, tmp_path):
     assert out["indexed"] == out["survivors"] > 0
 
     idx = out["index"]
-    probe = idx.vectors.select("vec_id", "embedding").limit(1)
+    # collect ONCE: an unordered limit(1) can return different rows on
+    # re-execution, so derive both the probe frame and the expected id
+    # from the same collected row
+    row = idx.vectors.select("vec_id", "embedding").limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [(row.vec_id, row.embedding)], schema="vec_id long, embedding array<float>"
+    )
     rows = idx.search(probe, k=5).collect()
     assert rows, "composed index failed to serve"
-    pid = probe.collect()[0].vec_id
-    assert all(r.probe_id == pid for r in rows)
+    assert all(r.probe_id == row.vec_id for r in rows)
 
 
 def test_corpus_pipeline_custom_encoder_plug_point(spark, sf_dir, tmp_path):
