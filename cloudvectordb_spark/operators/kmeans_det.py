@@ -211,6 +211,67 @@ def nearest_cells_py(vec, cents: Centroids, nprobe: int = 2) -> list[int]:
     return [cid for _, cid in scored[:nprobe]]
 
 
+# ``nearest_cells_batch``'s per-centroid-list (cids, cmat) arrays, keyed
+# by list identity. The list object comes from ``index_centroids``'s
+# artifact_cache, so repeat serving calls against one index reuse one
+# matrix instead of re-converting k*dim Python floats per call (~0.5 s
+# at k=65536). The cached entry HOLDS the list, so a recycled CPython
+# id() can never alias a dead list's arrays.
+_CENT_ARRAYS_CACHE: dict = {}
+
+
+def _centroid_arrays(cents: Centroids):
+    import numpy as np
+
+    ent = _CENT_ARRAYS_CACHE.get(id(cents))
+    if ent is not None and ent[0] is cents:
+        return ent[1], ent[2]
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([c for _, c in cents], dtype=np.float64)  # (k, d)
+    if len(_CENT_ARRAYS_CACHE) >= 8:  # handful of live indexes per process
+        _CENT_ARRAYS_CACHE.clear()
+    _CENT_ARRAYS_CACHE[id(cents)] = (cents, cids, cmat)
+    return cids, cmat
+
+
+def nearest_cells_batch(vecs, cents: Centroids, nprobe: int = 2) -> list[list[int]]:
+    """Vectorized twin of ``nearest_cells_py`` for a whole probe BATCH:
+    one numpy pass per probe over the cached (k, d) centroid matrix
+    instead of Q*k Python-level tuple builds — the driver-side routing
+    cost a 256-probe batch pays at k=65536 drops from ~16.7M interpreted
+    distance evaluations to 256 vectorized row reductions.
+
+    BIT-IDENTICAL total order to the scalar path (parity-pinned in
+    tests/test_kmeans_det.py): ``((cmat - x) ** 2).sum(axis=1)`` runs
+    numpy's same sequential pairwise kernel per row as the scalar
+    ``np.add.reduce`` for d < 128, ``(x - c)**2 == (c - x)**2`` exactly
+    in IEEE, rounding is the same half-up floor(x*1e6+0.5), and
+    ``lexsort((cids, r6))`` is exactly the (d, cid)-ascending tie order
+    — NOT the BLAS ||x||^2+||c||^2-2xC' expansion, whose different
+    summation order could flip a 6-decimal boundary."""
+    import numpy as np
+
+    if not cents:
+        return [[] for _ in vecs]
+    cids, cmat = _centroid_arrays(cents)
+    n = min(nprobe, len(cids))
+    out = []
+    # one reused (k, d) scratch buffer: at k=65536 the naive form
+    # allocates 2x33 MB of temporaries PER PROBE (measured ~40% of the
+    # batch wall in GC churn); in-place subtract/multiply keep the
+    # identical per-element operations and per-row summation order
+    buf = np.empty_like(cmat)
+    for vec in vecs:
+        x = np.asarray(vec, dtype=np.float64)
+        np.subtract(cmat, x, out=buf)
+        np.multiply(buf, buf, out=buf)
+        d2 = buf.sum(axis=1)
+        r6 = np.floor(d2 * 1e6 + 0.5) / 1e6
+        order = np.lexsort((cids, r6))[:n]
+        out.append([int(c) for c in cids[order]])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twin: the same recipe unrolled into CTE stages.
 # ---------------------------------------------------------------------------

@@ -297,3 +297,68 @@ def test_search_sharded_scatter_gather_matches_global_exact(spark, sf_dir, tmp_p
         gn, gs, gsh = g[key]
         assert (gn, gs) == (nid, score), key
         assert gsh == shard_of[nid], key
+
+
+def test_search_sharded_custom_columns_and_sequential_parity(spark, sf_dir, tmp_path):
+    """Probes with non-default column names must route through the whole
+    sharded path (round-10 ADVICE item 2), and the concurrent fan-out
+    must return exactly the sequential fan-out's rows."""
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    half = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8"
+    shards = [
+        VectorIndex.build(spark, emb.filter(half), str(tmp_path / "c0"), k=2),
+        VectorIndex.build(spark, emb.filter(~half), str(tmp_path / "c1"), k=2),
+    ]
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = VectorIndex.search_sharded(
+        shards, probes, k=10, nprobe=2, id_col="qid", vec_col="qvec"
+    )
+    seq = VectorIndex.search_sharded(
+        shards, probes, k=10, nprobe=2, id_col="qid", vec_col="qvec",
+        concurrent=False,
+    )
+    g = {(r.probe_id, r.rank): (r.neighbor_id, r.score, r.shard) for r in got.collect()}
+    s = {(r.probe_id, r.rank): (r.neighbor_id, r.score, r.shard) for r in seq.collect()}
+    assert g == s and len(g) == 30
+    want = exact_knn(emb, emb.filter(F.col("vec_id") < 3), k=10)
+    w = {(r.probe_id, r.rank): (r.neighbor_id, r.score) for r in want.collect()}
+    assert {k: v[:2] for k, v in g.items()} == w
+
+
+def test_adaptive_histogram_cached_and_append_invalidates(spark, sf_dir, tmp_path):
+    """Round-10 verdict #4 + ADVICE #4: the adaptive-search cell
+    histogram is served from the content-fingerprinted cache (second
+    call returns the SAME object — no count job), and an append that
+    only adds files inside existing centroid_id=* subdirectories still
+    flips the fingerprint (the append-proof property the old dir-level
+    mtime tag lacked)."""
+    from cloudvectordb_spark.operators.pipeline import (
+        ivf_cell_histogram,
+        ivf_content_tag,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 10)
+    idx = VectorIndex.build(spark, base, str(tmp_path / "hc"), k=4)
+    h1 = ivf_cell_histogram(spark, idx.path)
+    h2 = ivf_cell_histogram(spark, idx.path)
+    assert h1 is h2, "second call must be a cache hit (no count job)"
+    assert sum(h1.values()) == base.count()
+    tag_before = ivf_content_tag(idx.path)
+    # the adaptive entry point itself serves from the same cache
+    probes = base.filter(F.col("vec_id") < 20)
+    res1 = {
+        (r.probe_id, r.rank): r.neighbor_id
+        for r in idx.search_adaptive(probes, k=5).collect()
+    }
+    assert len(res1) > 0
+    # append: new files land INSIDE existing cell subdirs
+    idx.append(emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding", "label"))
+    assert ivf_content_tag(idx.path) != tag_before
+    h3 = ivf_cell_histogram(spark, idx.path)
+    assert h3 is not h1
+    assert sum(h3.values()) == emb.count()

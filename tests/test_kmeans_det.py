@@ -109,6 +109,68 @@ def test_nearest_cells_py_matches_spark_assignment(spark, sf_dir):
         assert nearest_cells_py(r.embedding, cents, 1)[0] == spark_asg[r.vec_id]
 
 
+def test_nearest_cells_batch_parity(spark, sf_dir):
+    """The vectorized batch router must replicate the scalar path's
+    total order EXACTLY — full ranking (nprobe=k), not just rank-1 —
+    on every corpus vector, plus adversarial boundary-tie probes."""
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_batch
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = lloyd_centroids(emb, k=8, seed=42, rounds=3)
+    vecs = [r.embedding for r in emb.select("embedding").limit(300).collect()]
+    batch = nearest_cells_batch(vecs, cents, nprobe=len(cents))
+    for v, got in zip(vecs, batch):
+        assert got == nearest_cells_py(v, cents, len(cents))
+    # nprobe truncation + nprobe > k
+    assert nearest_cells_batch(vecs[:5], cents, 2) == [
+        nearest_cells_py(v, cents, 2) for v in vecs[:5]
+    ]
+    assert nearest_cells_batch(vecs[:2], cents, 99) == [
+        nearest_cells_py(v, cents, 99) for v in vecs[:2]
+    ]
+
+
+def test_nearest_cells_batch_boundary_ties():
+    """Hand-built centroids that tie exactly at the 6-decimal round
+    boundary: equidistant cells must break ties to the SMALLER cid in
+    both paths, and half-up rounding must agree (d2 landing on x.5e-6)."""
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_batch
+
+    # two centroids exactly equidistant from the probe -> cid tie-break
+    cents = [(3, [1.0, 0.0]), (7, [-1.0, 0.0]), (1, [0.0, 10.0])]
+    probe = [0.0, 0.0]
+    assert nearest_cells_py(probe, cents, 3) == [3, 7, 1]
+    assert nearest_cells_batch([probe], cents, 3) == [[3, 7, 1]]
+    # d2 exactly on the rounding boundary: 0.0000005 -> half-up to 1e-6;
+    # both paths must round it identically (floor(x*1e6+0.5))
+    eps2 = 5e-7  # d2 value
+    cents2 = [(0, [eps2**0.5, 0.0]), (1, [0.0, 0.0])]
+    for p in ([0.0, 0.0], [1e-3, 0.0]):
+        assert (
+            nearest_cells_batch([p], cents2, 2)[0]
+            == nearest_cells_py(p, cents2, 2)
+        )
+
+
+def test_centroid_arrays_cache_identity(spark, sf_dir):
+    """The (cids, cmat) cache is identity-keyed and holds the list: a
+    DIFFERENT list with the same id must never be served stale arrays."""
+    from cloudvectordb_spark.operators.kmeans_det import (
+        _CENT_ARRAYS_CACHE,
+        _centroid_arrays,
+    )
+
+    cents = [(0, [1.0, 2.0]), (1, [3.0, 4.0])]
+    cids1, cmat1 = _centroid_arrays(cents)
+    cids2, cmat2 = _centroid_arrays(cents)
+    assert cids1 is cids2 and cmat1 is cmat2  # cache hit on same object
+    # a fresh list gets fresh arrays even if dict state is poisoned
+    other = [(0, [9.0, 9.0]), (1, [8.0, 8.0])]
+    _CENT_ARRAYS_CACHE[id(other)] = (cents, cids1, cmat1)  # wrong entry
+    cids3, cmat3 = _centroid_arrays(other)
+    assert cmat3[0][0] == 9.0  # identity check rejected the stale entry
+
+
 def test_lsh_hashed_matches_duckdb_replay(spark, sf_dir, duck):
     """md5-hyperplane buckets: every (vector, table) bucket id matches
     the SQL twin (the _LSH_CTES the registered queries embed)."""
