@@ -433,17 +433,83 @@ class CorpusPipeline:
     >>> result = CorpusPipeline.run(spark, docs_df, "/idx/path", k=8)
     >>> result["index"].search(probes, k=10)
 
-    ``encoder``: optional (ids: np.ndarray) -> np.ndarray override for
-    the stub encoder — the real-model plug point; the Spark plumbing
-    (Arrow batches, mapInPandas, one load per worker) is identical
-    either way. Every stage is keyed joins/groupBys — never all-pairs,
-    never a driver-side corpus loop — so the composition inherits each
-    piece's measured scale shape."""
+    ``encoder``: optional (texts: np.ndarray) -> np.ndarray override
+    for the stub encoder — the real-model plug point. It receives each
+    Arrow batch's TEXT column (``text_col``, default ``text``) as a
+    numpy object array and returns one (len(texts), dim) float32 row
+    per input; doc_ids never leave the frame, so a sentence-transformer
+    style model plugs in directly with no id->text side lookup
+    (round-10 ADVICE item 1). The Spark plumbing (Arrow batches,
+    mapInPandas, one load per worker) is identical either way. Every
+    stage is keyed joins/groupBys — never all-pairs, never a
+    driver-side corpus loop — so the composition inherits each piece's
+    measured scale shape."""
 
     # target rows per cell for the auto-sized index: matches the capped
     # dedup kernel's per-task bound and the measured serving sweet spot
     # (cells around this size keep probe scans ~1 file / few MB each)
     _ROWS_PER_CELL = 4096
+
+    @staticmethod
+    def _embed(survivors: DataFrame, encoder, text_col: str) -> DataFrame:
+        """Survivors -> (doc_id, embedding). With ``encoder`` the model
+        sees the TEXT batch; ids ride alongside only to key the output
+        frame — a real text-embedding model needs no id->text lookup
+        inside the worker (round-10 ADVICE item 1)."""
+        from cloudvectordb_spark.operators.pipeline import embed_documents
+
+        if encoder is None:
+            return embed_documents(survivors)
+
+        def run_enc(batches):
+            import pandas as _pd  # worker-side
+
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                texts = pdf[text_col].to_numpy()
+                vecs = encoder(texts)
+                if len(vecs) != len(ids):
+                    raise RuntimeError(
+                        "encoder contract violated: "
+                        f"{len(ids)} texts in, {len(vecs)} embeddings out"
+                    )
+                yield _pd.DataFrame({"doc_id": ids, "embedding": list(vecs)})
+
+        return survivors.select("doc_id", text_col).mapInPandas(
+            run_enc, schema="doc_id long, embedding array<float>"
+        )
+
+    @staticmethod
+    def _state_dir(index_path: str) -> str:
+        return f"{index_path}/dedup_state"
+
+    @staticmethod
+    def _write_state_meta(index_path: str, meta: dict) -> None:
+        import json
+        import os
+
+        sd = CorpusPipeline._state_dir(index_path)
+        os.makedirs(sd, exist_ok=True)
+        tmp = os.path.join(sd, ".meta.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, os.path.join(sd, "meta.json"))
+
+    @staticmethod
+    def _read_state_meta(index_path: str) -> dict:
+        import json
+        import os
+
+        p = os.path.join(CorpusPipeline._state_dir(index_path), "meta.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"no dedup state at {p} — CorpusPipeline.append only "
+                "extends an index built by CorpusPipeline.run (which "
+                "persists the MinHash signatures and canonical labels "
+                "the delta dedups against); rebuild via run() first"
+            )
+        with open(p) as f:
+            return json.load(f)
 
     @staticmethod
     def run(
@@ -454,21 +520,24 @@ class CorpusPipeline:
         k: int | None = None,
         encoder=None,
         hasher: str = "fast",
+        text_col: str = "text",
     ) -> dict:
         from cloudvectordb_spark.operators.dedup import (
             connected_components,
-            minhash_banded_pairs_df,
-            minhash_banded_pairs_fast,
+            minhash_pairs_within,
+            minhash_sigs,
         )
-        from cloudvectordb_spark.operators.pipeline import embed_documents
 
         # "fast" = xxhash64 permutations (JVM columns, ~3x cheaper at
         # 10M docs, pytest recall-pinned); "md5" = the oracle-replayable
-        # form the registered queries verify against
-        pair_fn = {"fast": minhash_banded_pairs_fast, "md5": minhash_banded_pairs_df}[hasher]
+        # scheme the registered queries verify against. The sig->band->
+        # verify composition here is value-identical to the fused
+        # minhash_banded_pairs_{fast,df} pipelines (pytest-pinned); it
+        # is split at the SIGNATURE so the sigs persist as append state.
         n_docs = docs.count()
+        sigs = minhash_sigs(docs, hasher=hasher)
         pairs = (
-            pair_fn(docs)
+            minhash_pairs_within(sigs)
             .filter(F.col("est_jaccard") >= tau)
             .select("a_id", "b_id")
         )
@@ -478,22 +547,7 @@ class CorpusPipeline:
         )
         survivors = docs.join(doomed, "doc_id", "left_anti")
 
-        if encoder is not None:
-
-            def run_enc(batches):
-                import pandas as _pd  # worker-side
-
-                for pdf in batches:
-                    ids = pdf["doc_id"].to_numpy()
-                    yield _pd.DataFrame(
-                        {"doc_id": ids, "embedding": list(encoder(ids))}
-                    )
-
-            embedded = survivors.select("doc_id").mapInPandas(
-                run_enc, schema="doc_id long, embedding array<float>"
-            )
-        else:
-            embedded = embed_documents(survivors)
+        embedded = CorpusPipeline._embed(survivors, encoder, text_col)
         # PERSIST before the build: the trainer's fit filter cannot push
         # below mapInPandas, so an unmaterialized encoder lineage would
         # re-run model inference over every survivor once per Lloyd
@@ -528,6 +582,28 @@ class CorpusPipeline:
                 )
         finally:
             vectors.unpersist()
+        # persist the dedup state the incremental append extends: the
+        # per-doc MinHash signatures (so a delta never re-shingles the
+        # corpus) and the NON-IDENTITY canonical labels (removed doc ->
+        # its cluster canonical; rows ∝ duplicates, not corpus).
+        # meta.json commits LAST — a crash mid-state-write leaves no
+        # meta, so append() refuses rather than reading half a state.
+        sd = CorpusPipeline._state_dir(index_path)
+        sigs.write.mode("overwrite").parquet(f"{sd}/sigs")
+        labels.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id"), F.col("component").alias("canonical")
+        ).write.mode("overwrite").parquet(f"{sd}/labels")
+        max_doc_id = docs.agg(F.max("doc_id")).first()[0]
+        CorpusPipeline._write_state_meta(
+            index_path,
+            {
+                "hasher": hasher,
+                "tau": tau,
+                "n_docs": n_docs,
+                "max_doc_id": int(max_doc_id),
+                "text_col": text_col,
+            },
+        )
         return {
             "docs": n_docs,
             "survivors": n_surv,
@@ -536,3 +612,239 @@ class CorpusPipeline:
             "k": k,
             "index": idx,
         }
+
+    @staticmethod
+    def append(
+        spark: SparkSession,
+        index_path: str,
+        delta_docs: DataFrame,
+        encoder=None,
+    ) -> dict:
+        """Incremental S1→S4 over a NEW batch of docs, cost ∝ delta
+        (round-10 verdict #7): the delta is near-dup-deduped within
+        itself AND against the persisted corpus signatures (a banded
+        equi-join against narrow sig state — the corpus text is never
+        re-shingled, the corpus vectors never re-embedded), survivors
+        embed through the same encoder plumbing as run(), and land in
+        the index under FROZEN centroids (VectorIndex.append).
+
+        Semantics match a full rebuild — pytest pins
+        ``append(delta) == run(corpus ∪ delta)`` on the indexed
+        (vec_id, embedding) set, both-direction exceptAll — including
+        the two subtle cases:
+
+        - a delta doc that near-dups a REMOVED corpus doc joins that
+          doc's cluster through the persisted canonical labels (the
+          removed doc's signature is still in state);
+        - a delta doc that BRIDGES two existing clusters merges them:
+          the losing canonical (min-label rule) is demoted — physically
+          deleted from the index by rewriting only its cells — exactly
+          what the rebuild would have produced.
+
+        Requires ``min(delta doc_id) > max(corpus doc_id)`` (the
+        append-log id discipline): min-label canonicalization keeps
+        every existing canonical canonical unless a merge demotes it,
+        which is what makes increment == rebuild provable. Raises
+        ValueError otherwise."""
+        import json
+        import os
+        import shutil
+
+        from cloudvectordb_spark.operators.dedup import (
+            connected_components,
+            minhash_pairs_between,
+            minhash_pairs_within,
+            minhash_sigs,
+        )
+        from pyspark import StorageLevel
+
+        meta = CorpusPipeline._read_state_meta(index_path)
+        tau, hasher = meta["tau"], meta["hasher"]
+        text_col = meta.get("text_col", "text")
+        sd = CorpusPipeline._state_dir(index_path)
+        idx = VectorIndex.open(spark, index_path)
+
+        n_delta = delta_docs.count()
+        if n_delta == 0:
+            return {
+                "delta": 0, "survivors": 0, "removed": 0, "demoted": 0,
+                "indexed": idx.vectors.count(), "index": idx,
+            }
+        bounds = delta_docs.agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count_distinct("doc_id").alias("nd"),
+        ).first()
+        if bounds.lo <= meta["max_doc_id"] or bounds.nd != n_delta:
+            raise ValueError(
+                "append requires fresh, distinct doc_ids above the "
+                f"corpus max ({meta['max_doc_id']}); got min={bounds.lo} "
+                f"distinct={bounds.nd} of {n_delta}"
+            )
+
+        sigs_corpus = spark.read.parquet(f"{sd}/sigs")
+        labels = spark.read.parquet(f"{sd}/labels")  # doc_id -> canonical
+        sigs_delta = minhash_sigs(delta_docs, hasher=hasher).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        comp = None
+        try:
+            pairs_dd = (
+                minhash_pairs_within(sigs_delta)
+                .filter(F.col("est_jaccard") >= tau)
+                .select("a_id", "b_id")
+            )
+            # delta-vs-corpus matches, compressed through each corpus
+            # doc's canonical: connectivity through REMOVED corpus docs
+            # is preserved (their sigs are state), and the edge list
+            # stays ∝ delta matches
+            cross = (
+                minhash_pairs_between(sigs_delta, sigs_corpus)
+                .filter(F.col("est_jaccard") >= tau)
+                .join(labels, F.col("corpus_id") == labels.doc_id, "left")
+                .select(
+                    F.coalesce("canonical", "corpus_id").alias("a_id"),
+                    F.col("new_id").alias("b_id"),
+                )
+                .distinct()
+            )
+            comp = connected_components(
+                pairs_dd.unionByName(cross), src="a_id", dst="b_id"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            lo = int(bounds.lo)
+            delta_removed = comp.filter(
+                (F.col("node") >= lo) & (F.col("node") != F.col("component"))
+            ).select(F.col("node").alias("doc_id"))
+            n_removed = delta_removed.count()
+            survivors = delta_docs.join(delta_removed, "doc_id", "left_anti")
+            # a bridge merge demotes the larger of two corpus canonicals
+            # (bounded: one row per cluster the delta touched)
+            demoted = {
+                int(r.node): int(r.component)
+                for r in comp.filter(
+                    (F.col("node") < lo) & (F.col("node") != F.col("component"))
+                ).collect()
+            }
+
+            n_before = idx.vectors.count()
+            if demoted:
+                CorpusPipeline._remove_from_index(
+                    spark, index_path, sorted(demoted)
+                )
+
+            vectors = (
+                CorpusPipeline._embed(survivors, encoder, text_col)
+                .select(F.col("doc_id").alias("vec_id"), "embedding")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                n_surv = vectors.count()
+                if n_surv:
+                    idx.append(vectors)
+                n_after = idx.vectors.count()
+                n_distinct = idx.vectors.select("vec_id").distinct().count()
+                if not (
+                    n_surv + n_removed == n_delta
+                    and n_after == n_before - len(demoted) + n_surv == n_distinct
+                ):
+                    raise RuntimeError(
+                        "append handoff violated: "
+                        f"delta={n_delta} survivors={n_surv} "
+                        f"before={n_before} demoted={len(demoted)} "
+                        f"after={n_after} distinct={n_distinct}"
+                    )
+            finally:
+                vectors.unpersist()
+
+            # -- state forward-roll (meta commits last) ----------------
+            sigs_delta.write.mode("append").parquet(f"{sd}/sigs")
+            remap = spark.createDataFrame(
+                [(o, n) for o, n in demoted.items()] or [(-1, -1)],
+                schema="old_canon long, new_canon long",
+            )
+            new_rows = (
+                labels.join(
+                    F.broadcast(remap),
+                    labels.canonical == remap.old_canon,
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.coalesce("new_canon", "canonical").alias("canonical"),
+                )
+                .unionByName(
+                    comp.filter(F.col("node") != F.col("component")).select(
+                        F.col("node").alias("doc_id"),
+                        F.col("component").alias("canonical"),
+                    )
+                )
+                .distinct()
+            )
+            build = f"{sd}/labels.build{os.getpid()}"
+            new_rows.write.mode("overwrite").parquet(build)
+            shutil.rmtree(f"{sd}/labels")
+            os.rename(build, f"{sd}/labels")
+            CorpusPipeline._write_state_meta(
+                index_path,
+                {
+                    **meta,
+                    "n_docs": meta["n_docs"] + n_delta,
+                    "max_doc_id": int(bounds.hi),
+                },
+            )
+        finally:
+            sigs_delta.unpersist()
+            if comp is not None:
+                comp.unpersist()
+        return {
+            "delta": n_delta,
+            "survivors": n_surv,
+            "removed": n_delta - n_surv,
+            "demoted": len(demoted),
+            "indexed": n_after,
+            "index": idx,
+        }
+
+    @staticmethod
+    def _remove_from_index(
+        spark: SparkSession, index_path: str, vec_ids: list
+    ) -> None:
+        """Physically drop ``vec_ids`` (demoted canonicals) by rewriting
+        ONLY the cells that hold them — never the whole layout. The
+        surviving rows of each touched cell stage to a temp dir first
+        (Spark cannot overwrite a path it is reading), then replace
+        exactly those partitions; a cell emptied entirely is removed."""
+        import shutil
+
+        vectors = spark.read.parquet(f"{index_path}/vectors")
+        doomed = F.col("vec_id").isin([int(v) for v in vec_ids])
+        cells = [
+            int(r.centroid_id)
+            for r in vectors.filter(doomed)
+            .select("centroid_id")
+            .distinct()
+            .collect()
+        ]
+        if not cells:
+            return
+        tmp = f"{index_path}/vectors_rewrite_tmp"
+        (
+            vectors.filter(F.col("centroid_id").isin(cells) & ~doomed)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        staged = spark.read.parquet(tmp)
+        kept_cells = {
+            int(r.centroid_id)
+            for r in staged.select("centroid_id").distinct().collect()
+        }
+        for cid in cells:
+            shutil.rmtree(f"{index_path}/vectors/centroid_id={cid}")
+        if kept_cells:
+            (
+                staged.repartition(len(kept_cells), "centroid_id")
+                .write.mode("append")
+                .partitionBy("centroid_id")
+                .parquet(f"{index_path}/vectors")
+            )
+        shutil.rmtree(tmp)

@@ -880,6 +880,172 @@ def minhash_banded_pairs_fast(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Signature-level MinHash API (round-10 verdict #7, incremental append):
+# the banded pipelines above fuse shingle->sig->band->verify into one
+# plan; the incremental path needs the SIGNATURE as a first-class,
+# persistable artifact so appending a delta never re-shingles the
+# corpus — sigs are computed once per doc at ingest (cost ∝ delta),
+# stored as one 8-slot bigint array per doc (~72 B/doc — 10B docs is
+# ~720 GB of narrow columnar state, scanned only by keyed equi-joins),
+# and bands re-derive from sigs without touching text. Both hashers
+# produce the same schema; 'md5' slots equal the registered oracle
+# pipeline's mhp stage, 'fast' equals minhash_banded_pairs_fast's.
+# ---------------------------------------------------------------------------
+def minhash_sigs(docs: DataFrame, hasher: str = "fast") -> DataFrame:
+    """(doc_id, sig array<bigint>) — the P=8 min-perm signature of each
+    doc's distinct 3-word shingles. Docs with < 3 words have no
+    shingles and NO sig row (they can never near-dup pair — identical
+    to the fused pipelines, where they vanish at the explode)."""
+    P = _MINHASH_P
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.word_shingles("text", 3))).alias("g"),
+    )
+    if hasher == "fast":
+        return (
+            sh.select(
+                "doc_id",
+                *[
+                    F.xxhash64(F.lit(p), F.col("g")).alias(f"h{p}")
+                    for p in range(P)
+                ],
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.array(
+                    *[F.min(f"h{p}") for p in range(P)]
+                ).alias("sig")
+            )
+        )
+    if hasher == "md5":
+        hp = sh.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(P - 1))).alias("p"),
+            "g",
+        ).select(
+            "doc_id",
+            "p",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("p").cast("string"), F.lit(":"), F.col("g")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("th"),
+        )
+        return (
+            hp.groupBy("doc_id")
+            .agg(
+                F.array(
+                    *[
+                        F.min(F.when(F.col("p") == p, F.col("th")))
+                        for p in range(P)
+                    ]
+                ).alias("sig")
+            )
+        )
+    raise ValueError(f"unknown hasher {hasher!r} (use 'fast' or 'md5')")
+
+
+def _minhash_bands_of_sigs(sigs: DataFrame, id_out: str = "doc_id") -> DataFrame:
+    """(id, band, key) from a sig frame — 2 slots per band, P//2 bands,
+    the exact banding scheme of both fused pipelines."""
+    P = _MINHASH_P
+    return sigs.select(
+        F.col("doc_id").alias(id_out),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            F.col("sig")[2 * b].cast("string"),
+                            F.col("sig")[2 * b + 1].cast("string"),
+                        ).alias("key"),
+                    )
+                    for b in range(P // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_out, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _minhash_est(sa: str, sb: str):
+    P = _MINHASH_P
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                sa, sb, lambda x, y: F.when(x == y, 1.0).otherwise(0.0)
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        / F.lit(float(P)),
+        4,
+    )
+
+
+def minhash_pairs_within(sigs: DataFrame) -> DataFrame:
+    """(a_id, b_id, est_jaccard) candidate pairs WITHIN one sig frame —
+    band equi-join for candidates, one array fold to verify. Same
+    banding + estimate arithmetic as the fused pipelines (est is an
+    exact multiple of 1/8 on every engine, so the value is
+    hash-scheme-exact, not float-fuzzy)."""
+    banded = _minhash_bands_of_sigs(sigs)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sb"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", _minhash_est("sa", "sb").alias("est_jaccard"))
+    )
+
+
+def minhash_pairs_between(
+    new_sigs: DataFrame, corpus_sigs: DataFrame
+) -> DataFrame:
+    """(new_id, corpus_id, est_jaccard) candidate pairs BETWEEN a delta
+    sig frame and the persisted corpus sigs — the incremental dedup
+    join: candidates are a (band, key) equi-join (the corpus side is
+    narrow persisted state, never re-shingled text), verification
+    touches candidates only."""
+    bn = _minhash_bands_of_sigs(new_sigs, id_out="new_id")
+    bc = _minhash_bands_of_sigs(corpus_sigs, id_out="corpus_id")
+    cand = (
+        bn.join(bc, ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sn = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sa"))
+    sc = corpus_sigs.select(
+        F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sb")
+    )
+    return (
+        cand.join(sn, "new_id")
+        .join(sc, "corpus_id")
+        .select(
+            "new_id", "corpus_id", _minhash_est("sa", "sb").alias("est_jaccard")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup analytics: cross-source duplication matrix — for every source
 # pair, how many near-dup pairs cross it. The triage view a corpus
 # owner reads before deciding which source to drop or down-weight

@@ -296,6 +296,9 @@ def run_vector_ingest(
         batch_df.repartition("centroid_id").write.mode("append").partitionBy(
             "centroid_id"
         ).parquet(out_path)
+        # post-append fence re-check (see _check_lease): surface a
+        # zombie's interleaved batch before the checkpoint commits
+        _check_lease(out_path, lease, at="post-append")
 
     q = (
         assigned.writeStream.outputMode("append")
@@ -344,6 +347,7 @@ def run_residual_code_ingest(
         pq_encode_residual(batch_df, books, cents).repartition(
             "centroid_id"
         ).write.mode("append").partitionBy("centroid_id").parquet(out_path)
+        _check_lease(out_path, lease, at="post-append")
 
     q = (
         assigned.writeStream.outputMode("append")
@@ -583,6 +587,12 @@ def run_postings_ingest(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _check_lease(out_path, lease)
         delta_postings_stream(batch_df).write.mode("append").parquet(out_path)
+        # re-check AFTER the append (round-10 ADVICE item 3): a writer
+        # that passed the start check then stalled through the write can
+        # still interleave this one batch with its replacement — raising
+        # here surfaces the violation before the checkpoint commits, so
+        # the interleaved batch is flagged instead of silently absorbed
+        _check_lease(out_path, lease, at="post-append")
 
     q = (
         docs.writeStream.outputMode("append")
@@ -633,6 +643,8 @@ def run_cdc_postings_ingest(
             .write.mode("append")
             .parquet(tomb_path)
         )
+        # post-append fence re-check, same rationale as run_postings_ingest
+        _check_lease(out_path, lease, at="post-append")
 
     q = (
         docs.writeStream.outputMode("append")
@@ -646,7 +658,7 @@ def run_cdc_postings_ingest(
         q.stop()
 
 
-def _check_lease(root: str, lease: int | None) -> None:
+def _check_lease(root: str, lease: int | None, at: str = "batch-start") -> None:
     """Fencing check at a streaming job's commit points (round-9
     verdict #4): a checkpointed ingester that stalls (GC pause, hung
     executor) while its replacement restarts is the classic zombie
@@ -658,20 +670,32 @@ def _check_lease(root: str, lease: int | None) -> None:
     interleaving shards with its successor. The tiered job re-checks at
     its manifest commit too (_commit_shard_manifest), closing the
     check-then-stall window there; the plain-append jobs have no
-    transactional commit point, so for them the fence narrows the
-    window to one micro-batch rather than eliminating it — appends
-    needing exactly-one-writer guarantees should go through the
-    manifest or versioned writers. lease=None keeps the single-writer
-    fast path (no fence, no epoch files)."""
+    transactional commit point, so for them the fence runs BOTH before
+    and after each micro-batch's append (``at='post-append'``, round-10
+    ADVICE item 3) — a zombie that stalls through its own write is
+    surfaced before the checkpoint commits, so an interleaved batch is
+    flagged (the raise names the root so the orphaned shards can be
+    GC'd) rather than silently absorbed. Appends needing
+    exactly-one-writer guarantees with no window at all should go
+    through the manifest or versioned writers. lease=None keeps the
+    single-writer fast path (no fence, no epoch files)."""
     if lease is None:
         return
     from cloudvectordb_spark.versioning import CommitConflict, _max_epoch
 
     newest = _max_epoch(root)
     if newest > lease:
+        detail = (
+            f"; this batch's freshly appended shards under {root} belong "
+            "to the stale generation and may interleave — GC or "
+            "re-compact before trusting the rollup"
+            if at == "post-append"
+            else ""
+        )
         raise CommitConflict(
             f"streaming writer epoch {lease} fenced by newer epoch "
-            f"{newest} — a replacement ingester owns this output root"
+            f"{newest} at {at} — a replacement ingester owns this "
+            f"output root{detail}"
         )
 
 

@@ -240,18 +240,25 @@ def test_corpus_pipeline_composed_lifecycle(spark, sf_dir, tmp_path):
 
 
 def test_corpus_pipeline_custom_encoder_plug_point(spark, sf_dir, tmp_path):
-    """The encoder override is the real-model boundary: whatever the
-    callable returns per doc_id must be exactly what lands in the
-    index (dim, values), with the same dedup/build plumbing around it."""
+    """The encoder override is the real-model boundary: it must receive
+    the TEXT batch (not doc ids — round-10 ADVICE item 1), and whatever
+    it returns per text must be exactly what lands in the index keyed by
+    that doc's id, with the same dedup/build plumbing around it."""
     import numpy as np
 
     from cloudvectordb_spark.api import CorpusPipeline
     from cloudvectordb_spark.catalog import load
 
-    def tiny_encoder(ids: np.ndarray) -> np.ndarray:
-        m = np.zeros((len(ids), 4), dtype=np.float32)
-        m[:, 0] = 1.0
-        m[:, 1] = (ids % 3).astype(np.float32)
+    def tiny_encoder(texts: np.ndarray) -> np.ndarray:
+        # a text-content-sensitive fake model: any id-keyed plumbing
+        # regression (encoder fed something other than the raw text)
+        # changes the values and fails the per-doc comparison below
+        m = np.zeros((len(texts), 4), dtype=np.float32)
+        for i, t in enumerate(texts):
+            s = str(t)
+            m[i, 0] = 1.0
+            m[i, 1] = float(len(s) % 7)
+            m[i, 2] = float(sum(ord(c) for c in s[:16]) % 11)
         n = np.linalg.norm(m, axis=1, keepdims=True)
         return (m / n).astype(np.float32)
 
@@ -259,9 +266,10 @@ def test_corpus_pipeline_custom_encoder_plug_point(spark, sf_dir, tmp_path):
     out = CorpusPipeline.run(
         spark, docs, str(tmp_path / "cp_enc"), encoder=tiny_encoder
     )
+    text_of = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
     vec = out["index"].vectors.select("vec_id", "embedding").limit(5).collect()
     for r in vec:
-        expect = tiny_encoder(np.array([r.vec_id]))[0]
+        expect = tiny_encoder(np.array([text_of[r.vec_id]], dtype=object))[0]
         assert len(r.embedding) == 4
         assert max(abs(a - b) for a, b in zip(r.embedding, expect)) < 1e-6
 
@@ -362,3 +370,141 @@ def test_adaptive_histogram_cached_and_append_invalidates(spark, sf_dir, tmp_pat
     h3 = ivf_cell_histogram(spark, idx.path)
     assert h3 is not h1
     assert sum(h3.values()) == emb.count()
+
+
+# -- CorpusPipeline.append: increment == rebuild (round-10 verdict #7) --
+
+def _md5_sig(text):
+    """Pure-Python replica of the engine's md5 MinHash signature
+    (minhash_sigs(hasher='md5')): distinct 3-word shingles, 8 perms of
+    int(md5(f'{p}:{g}')[:15 hex], 16), min per perm."""
+    import hashlib
+
+    words = text.split(" ")
+    sh = {" ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 0))}
+    return [
+        min(
+            int(hashlib.md5(f"{p}:{g}".encode()).hexdigest()[:15], 16)
+            for g in sh
+        )
+        for p in range(8)
+    ]
+
+
+def _near(t1, t2, tau):
+    """Band-match AND est_jaccard >= tau — the engine's pair criterion."""
+    s1, s2 = _md5_sig(t1), _md5_sig(t2)
+    banded = any(
+        s1[2 * b] == s2[2 * b] and s1[2 * b + 1] == s2[2 * b + 1]
+        for b in range(4)
+    )
+    est = round(sum(a == b for a, b in zip(s1, s2)) / 8.0, 4)
+    return banded and est >= tau
+
+
+def _craft_append_fixture(tau):
+    """Search deterministic texts exercising every append subtlety:
+    a chain X1~X2~X3 where X3 reaches X1's cluster ONLY through the
+    removed doc X2; a bridge Z that merges the Y- and W-clusters; all
+    groups vocab-disjoint. Premises are asserted with the Python md5
+    replica, so a hashing change fails loudly, never silently."""
+    for salt in range(500):
+        xs = [f"x{salt}w{i}" for i in range(40)]
+        x1 = " ".join(xs[0:24])
+        x2 = " ".join(xs[8:32])
+        x3 = " ".join(xs[16:40])
+        ys = [f"y{salt}w{i}" for i in range(24)]
+        vs = [f"v{salt}w{i}" for i in range(24)]
+        y, w = " ".join(ys), " ".join(vs)
+        z = " ".join(ys[0:16] + vs[0:16])
+        if (
+            _near(x1, x2, tau)
+            and _near(x2, x3, tau)
+            and not _near(x1, x3, tau)
+            and _near(z, y, tau)
+            and _near(z, w, tau)
+            and not _near(y, w, tau)
+            and not any(_near(z, t, tau) for t in (x1, x2, x3))
+        ):
+            return x1, x2, x3, y, w, z
+    raise AssertionError("no salt satisfied the append-fixture premises")
+
+
+def test_corpus_pipeline_append_equals_rebuild_md5(spark, tmp_path):
+    """append(delta) == rebuild(corpus ∪ delta) on the indexed
+    (vec_id, embedding) set — both-direction exceptAll — including the
+    through-a-removed-doc join and the cluster-merge demotion."""
+    from cloudvectordb_spark.api import CorpusPipeline
+
+    TAU = 0.25
+    x1, x2, x3, y, w, z = _craft_append_fixture(TAU)
+    uniq = lambda g: " ".join(f"{g}w{i}" for i in range(24))  # noqa: E731
+    corpus_rows = [
+        (0, uniq("u0")), (1, x1), (2, x2),       # {1,2}: canon 1, 2 removed
+        (3, y), (4, y),                          # {3,4}: canon 3
+        (5, w), (6, w),                          # {5,6}: canon 5
+        (7, uniq("u7")),
+    ]
+    delta_rows = [
+        (10, x3),            # joins cluster {1,2} ONLY via removed doc 2
+        (11, z),             # bridges clusters of 3 and 5 -> 5 demoted
+        (12, uniq("n")), (13, uniq("n")),        # delta-internal dup
+        (14, uniq("u14")),
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, schema="doc_id long, text string"
+    )
+    out_run = CorpusPipeline.run(
+        spark, mk(corpus_rows), str(tmp_path / "inc"), tau=TAU, hasher="md5"
+    )
+    assert out_run["survivors"] == 5  # 0,1,3,5,7
+    out_app = CorpusPipeline.append(spark, str(tmp_path / "inc"), mk(delta_rows))
+    assert out_app["removed"] == 3      # 10, 11, 13
+    assert out_app["survivors"] == 2    # 12, 14
+    assert out_app["demoted"] == 1      # 5 loses to 3 in the merge
+    assert out_app["indexed"] == 6      # {0,1,3,7,12,14}
+
+    out_reb = CorpusPipeline.run(
+        spark,
+        mk(corpus_rows + delta_rows),
+        str(tmp_path / "reb"),
+        tau=TAU,
+        hasher="md5",
+    )
+    a = out_app["index"].vectors.select("vec_id", "embedding")
+    b = out_reb["index"].vectors.select("vec_id", "embedding")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert {r.vec_id for r in a.collect()} == {0, 1, 3, 7, 12, 14}
+
+
+def test_corpus_pipeline_append_equals_rebuild_fast(spark, sf_dir, tmp_path):
+    """Same equality on the fixture corpus with the production xxhash64
+    hasher: split documents into corpus/delta by id, append the delta,
+    compare against the joint rebuild."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.api import CorpusPipeline
+    from cloudvectordb_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    out_run = CorpusPipeline.run(spark, corpus, str(tmp_path / "inc"), tau=0.5)
+    out_app = CorpusPipeline.append(spark, str(tmp_path / "inc"), delta)
+    out_reb = CorpusPipeline.run(spark, docs, str(tmp_path / "reb"), tau=0.5)
+    assert out_app["indexed"] == out_reb["indexed"]
+    a = out_app["index"].vectors.select("vec_id", "embedding")
+    b = out_reb["index"].vectors.select("vec_id", "embedding")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # second append is rejected without fresh ids; state meta rolled
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fresh, distinct doc_ids"):
+        CorpusPipeline.append(spark, str(tmp_path / "inc"), delta)
+    # an index without run()'s state refuses with the remedy named
+    from cloudvectordb_spark.api import VectorIndex
+
+    emb = load(spark, sf_dir, "embeddings").limit(100)
+    VectorIndex.build(spark, emb, str(tmp_path / "bare"), k=2)
+    with _pytest.raises(FileNotFoundError, match="CorpusPipeline.run"):
+        CorpusPipeline.append(spark, str(tmp_path / "bare"), delta)

@@ -222,3 +222,62 @@ def test_minhash_fast_twin_quality_and_exact_dup_invariant(spark, sf_dir):
     fast.unpersist()
     assert r_fast >= 0.9, r_fast
     assert r_fast >= r_md5 - 0.05, (r_fast, r_md5)  # different perms, same guarantee
+
+
+def test_minhash_sig_pipeline_parity_both_hashers(spark, sf_dir):
+    """The signature-level API (minhash_sigs -> minhash_pairs_within)
+    must produce EXACTLY the fused pipelines' pairs for both hashers —
+    it is the same banding scheme split at the persistable signature
+    (the incremental-append state), so any drift here silently breaks
+    append-vs-rebuild equality."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.dedup import (
+        minhash_banded_pairs_df,
+        minhash_banded_pairs_fast,
+        minhash_pairs_within,
+        minhash_sigs,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    for hasher, fused in (
+        ("md5", minhash_banded_pairs_df),
+        ("fast", minhash_banded_pairs_fast),
+    ):
+        got = {
+            (r.a_id, r.b_id, r.est_jaccard)
+            for r in minhash_pairs_within(minhash_sigs(docs, hasher)).collect()
+        }
+        want = {(r.a_id, r.b_id, r.est_jaccard) for r in fused(docs).collect()}
+        assert got == want and want, hasher
+
+
+def test_minhash_pairs_between_matches_within_on_split(spark, sf_dir):
+    """Between-frame candidates == the within-frame pairs that cross an
+    id split: the incremental join finds exactly the pairs a joint run
+    would, no more, no less."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.dedup import (
+        minhash_pairs_between,
+        minhash_pairs_within,
+        minhash_sigs,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sigs = minhash_sigs(docs, "fast")
+    new_s = sigs.filter(F.col("doc_id") >= 150)
+    old_s = sigs.filter(F.col("doc_id") < 150)
+    got = {
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in minhash_pairs_between(new_s, old_s).collect()
+    }
+    want = {
+        (r.b_id, r.a_id, r.est_jaccard)
+        for r in minhash_pairs_within(sigs)
+        .filter((F.col("a_id") < 150) & (F.col("b_id") >= 150))
+        .collect()
+    }
+    assert got == want and want

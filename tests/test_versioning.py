@@ -253,3 +253,30 @@ def test_vacuum_prunes_superseded_epoch_files(tmp_path):
     epochs = glob.glob(os.path.join(V._leases_dir(root), "epoch-*"))
     assert len(epochs) == 1 and epochs[0].endswith("epoch-00000005")
     assert V._max_epoch(root) == 5  # the fence still sees the newest
+
+
+def test_post_append_fence_surfaces_interleaved_batch(tmp_path):
+    """Round-10 ADVICE item 3: the plain-append streaming jobs re-check
+    the lease AFTER each micro-batch's append. A writer fenced while
+    its write was in flight must raise (before the checkpoint commits),
+    and the error must name the root and say the appended shards are
+    the stale generation's — the interleaving is surfaced, not
+    silently absorbed."""
+    import pytest as _pytest
+
+    from cloudvectordb_spark import versioning as V
+    from cloudvectordb_spark.streaming.jobs import _check_lease
+
+    root = str(tmp_path / "idx")
+    lease1 = V.acquire_lease(root, owner="gen1")
+    # batch-start check passes...
+    _check_lease(root, lease1)
+    # ...the replacement fences gen1 while gen1's append is in flight
+    V.acquire_lease(root, owner="gen2")
+    with _pytest.raises(V.CommitConflict) as exc:
+        _check_lease(root, lease1, at="post-append")
+    msg = str(exc.value)
+    assert "post-append" in msg and root in msg
+    assert "stale generation" in msg
+    # no fence, no epoch files: the single-writer fast path stays silent
+    _check_lease(str(tmp_path / "other"), None, at="post-append")

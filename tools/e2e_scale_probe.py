@@ -177,7 +177,14 @@ def stage_embed(spark, root: str) -> None:
     )
 
 
-def stage_build(spark, root: str) -> None:
+def stage_build(spark, root: str, autok: bool = False) -> None:
+    """``autok=True`` (stage name ``build_autok``) sizes k exactly the
+    way the no-knobs facade does — ``CorpusPipeline._ROWS_PER_CELL``
+    rows per cell — and builds into ``{root}/ivf_autok``, so the path a
+    user actually gets (round-10 verdict #2: the 10M rehearsal had only
+    ever composed through the pinned k) is measured against the
+    pinned-k build on the SAME corpus artifacts."""
+    from cloudvectordb_spark.api import CorpusPipeline
     from cloudvectordb_spark.operators.pipeline import (
         build_ivf_assignments,
         write_ivf_index,
@@ -185,11 +192,17 @@ def stage_build(spark, root: str) -> None:
 
     emb = spark.read.parquet(f"{root}/embeddings.parquet")
     n_emb = emb.count()
+    k = (
+        max(8, min(65536, n_emb // CorpusPipeline._ROWS_PER_CELL))
+        if autok
+        else K_CELLS
+    )
+    ivf_dir = f"{root}/ivf_autok" if autok else f"{root}/ivf"
     t0 = time.perf_counter()
-    assigned, cents = build_ivf_assignments(emb, k=K_CELLS, seed=42)
-    write_ivf_index(assigned, cents, f"{root}/ivf")
+    assigned, cents = build_ivf_assignments(emb, k=k, seed=42)
+    write_ivf_index(assigned, cents, ivf_dir)
     wall = time.perf_counter() - t0
-    vectors = spark.read.parquet(f"{root}/ivf/vectors")
+    vectors = spark.read.parquet(f"{ivf_dir}/vectors")
     # handoff: every embedded vector in EXACTLY ONE cell
     assert vectors.count() == n_emb
     assert vectors.select("vec_id").distinct().count() == n_emb
@@ -199,10 +212,12 @@ def stage_build(spark, root: str) -> None:
     ns = np.array([r.c for r in sizes], dtype=np.float64)
     _write_stats(
         root,
-        "build",
+        "build_autok" if autok else "build",
         {
             "rows": n_emb,
+            "k": k,
             "cells": len(sizes),
+            "rows_per_cell": int(n_emb / len(sizes)),
             "balance_max_over_mean": round(float(ns.max() / ns.mean()), 2),
             "wall_s": round(wall, 1),
             "rows_per_s": int(n_emb / wall),
@@ -210,17 +225,17 @@ def stage_build(spark, root: str) -> None:
     )
 
 
-def stage_serve(spark, root: str) -> None:
-    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+def stage_serve(spark, root: str, autok: bool = False) -> None:
     from cloudvectordb_spark.operators.pipeline import (
         index_centroids,
         ivf_batch_search_strict,
     )
     from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
 
+    ivf_dir = f"{root}/ivf_autok" if autok else f"{root}/ivf"
     emb = spark.read.parquet(f"{root}/embeddings.parquet")
-    vectors = spark.read.parquet(f"{root}/ivf/vectors")
-    cents = index_centroids(spark, f"{root}/ivf")
+    vectors = spark.read.parquet(f"{ivf_dir}/vectors")
+    cents = index_centroids(spark, ivf_dir)
     n_emb = emb.count()
 
     # probe sample spread across the id range (all survivors, so the
@@ -320,17 +335,21 @@ def stage_serve(spark, root: str) -> None:
         "recall_at10": round(skew_recall, 3),
     }
     assert skew_recall >= 0.9, out
-    _write_stats(root, "serve", out)
+    _write_stats(root, "serve_autok" if autok else "serve", out)
 
 
 def stage_report(root: str, n: int) -> None:
-    stages = ["ingest", "dedup", "embed", "build", "serve"]
+    stages = ["ingest", "dedup", "embed", "build", "serve",
+              "build_autok", "serve_autok"]
     merged = {"metric": "e2e_scale_probe", "docs": n}
     total = 0.0
     for s in stages:
         p = _stats_path(root, s)
         if not os.path.exists(p):
-            merged[s] = "MISSING"
+            # the autok twin stages are optional (run via --stages
+            # build_autok,serve_autok); the five core stages are not
+            if not s.endswith("_autok"):
+                merged[s] = "MISSING"
             continue
         with open(p) as f:
             st = json.load(f)
@@ -371,6 +390,10 @@ def main() -> int:
         "embed": lambda: stage_embed(spark, root),
         "build": lambda: stage_build(spark, root),
         "serve": lambda: stage_serve(spark, root),
+        # the facade's no-knobs sizing (CorpusPipeline._ROWS_PER_CELL)
+        # composed at rehearsal scale, on the same corpus artifacts
+        "build_autok": lambda: stage_build(spark, root, autok=True),
+        "serve_autok": lambda: stage_serve(spark, root, autok=True),
     }
     for s in wanted:
         if s == "report":
