@@ -646,9 +646,9 @@ class CorpusPipeline:
         every existing canonical canonical unless a merge demotes it,
         which is what makes increment == rebuild provable. Raises
         ValueError otherwise."""
-        import json
         import os
         import shutil
+        import time
 
         from cloudvectordb_spark.operators.dedup import (
             connected_components,
@@ -657,6 +657,14 @@ class CorpusPipeline:
             minhash_sigs,
         )
         from pyspark import StorageLevel
+
+        walls: dict = {}
+        t0 = time.perf_counter()
+
+        def _lap(stage: str) -> None:
+            nonlocal t0
+            walls[stage] = round(time.perf_counter() - t0, 1)
+            t0 = time.perf_counter()
 
         meta = CorpusPipeline._read_state_meta(index_path)
         tau, hasher = meta["tau"], meta["hasher"]
@@ -711,6 +719,7 @@ class CorpusPipeline:
             comp = connected_components(
                 pairs_dd.unionByName(cross), src="a_id", dst="b_id"
             ).persist(StorageLevel.MEMORY_AND_DISK)
+            _lap("dedup_cc_s")
             lo = int(bounds.lo)
             delta_removed = comp.filter(
                 (F.col("node") >= lo) & (F.col("node") != F.col("component"))
@@ -726,11 +735,13 @@ class CorpusPipeline:
                 ).collect()
             }
 
+            _lap("labels_survivors_s")
             n_before = idx.vectors.count()
             if demoted:
                 CorpusPipeline._remove_from_index(
                     spark, index_path, sorted(demoted)
                 )
+            _lap("demotion_s")
 
             vectors = (
                 CorpusPipeline._embed(survivors, encoder, text_col)
@@ -741,6 +752,7 @@ class CorpusPipeline:
                 n_surv = vectors.count()
                 if n_surv:
                     idx.append(vectors)
+                _lap("embed_append_s")
                 n_after = idx.vectors.count()
                 n_distinct = idx.vectors.select("vec_id").distinct().count()
                 if not (
@@ -755,6 +767,7 @@ class CorpusPipeline:
                     )
             finally:
                 vectors.unpersist()
+            _lap("handoff_counts_s")
 
             # -- state forward-roll (meta commits last) ----------------
             sigs_delta.write.mode("append").parquet(f"{sd}/sigs")
@@ -796,6 +809,7 @@ class CorpusPipeline:
             sigs_delta.unpersist()
             if comp is not None:
                 comp.unpersist()
+        _lap("state_roll_s")
         return {
             "delta": n_delta,
             "survivors": n_surv,
@@ -803,6 +817,7 @@ class CorpusPipeline:
             "demoted": len(demoted),
             "indexed": n_after,
             "index": idx,
+            "walls": walls,
         }
 
     @staticmethod

@@ -1810,9 +1810,14 @@ def append_to_ivf_index(
         .filter(F.col("crank") == 1)
         .drop("crank", "cdist", "centroid")
     )
-    assigned.write.mode("append").partitionBy("centroid_id").parquet(
-        f"{index_path}/vectors"
-    )
+    # shuffle on the key first: an unshuffled partitionBy append writes
+    # one file per (task x touched cell) — the same small-files debt
+    # write_ivf_index's compacted write killed at bulk-build time
+    # (BASELINE.md round-10); keyed, each append adds at most one file
+    # per touched cell
+    assigned.repartition("centroid_id").write.mode("append").partitionBy(
+        "centroid_id"
+    ).parquet(f"{index_path}/vectors")
 
 
 def compact_ivf_index(spark: SparkSession, index_path: str, out_path: str) -> None:

@@ -312,6 +312,61 @@ def run_vector_ingest(
         q.stop()
 
 
+def run_index_append_stream(
+    spark: SparkSession,
+    vec_dir: str,
+    index_path: str,
+    checkpoint_path: str,
+    lease: int | None = None,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous vector arrival into an EXISTING index at any path:
+    stream a directory of embedding parquet chunks (the Kafka-topic
+    stand-in, one chunk per micro-batch), assign each batch to its
+    frozen centroid (stateless literal-matrix projection), shuffle on
+    the cell key, append into the index's partitionBy(centroid_id)
+    layout. The generalized form of run_vector_ingest (which is pinned
+    to the fixture layout); the composed streaming rehearsal
+    (tools/streaming_e2e_probe.py) drives this at 1M vectors and pins
+    streamed-ingest == batch-assign equality on (vec_id, centroid_id).
+    Work per micro-batch ∝ batch size; the fence runs before AND after
+    each append (see _check_lease)."""
+    from cloudvectordb_spark.operators.kmeans_det import assign_cells
+    from cloudvectordb_spark.operators.pipeline import index_centroids
+
+    cents = index_centroids(spark, index_path)
+    phys = spark.read.option("recursiveFileLookup", "true").parquet(
+        vec_dir
+    ).schema
+    vectors = (
+        spark.readStream.schema(phys)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(vec_dir)
+    )
+    assigned = assign_cells(vectors, cents)
+    out_path = f"{index_path}/vectors"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _check_lease(out_path, lease)
+        batch_df.repartition("centroid_id").write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(out_path)
+        _check_lease(out_path, lease, at="post-append")
+
+    q = (
+        assigned.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_residual_code_ingest(
     spark: SparkSession,
     sf_dir: str,
@@ -699,19 +754,33 @@ def _check_lease(root: str, lease: int | None, at: str = "batch-start") -> None:
         )
 
 
-def _read_shard_manifest(root: str) -> list[str]:
+def _read_shard_manifest(root: str) -> dict:
+    """{"live": [shard dirs serving now], "consumed": [shard dirs ever
+    folded into a tier]} — the consumed LEDGER is what makes a
+    replacement ingester with a fresh checkpoint idempotent: a replayed
+    micro-batch recreates its content-keyed L0 shard dir, sees the key
+    in live ∪ consumed, and skips, instead of re-adding postings a tier
+    already holds (the double-count the composed 1M streaming rehearsal
+    caught — takeover had only ever been manifest-asserted, never
+    serving-equality-checked). The ledger grows one entry per
+    micro-batch; at scale, prune entries older than the source's
+    retention horizon (a replay can only recreate shards the source can
+    still produce). Old list-format manifests read as all-live."""
     import json
     import os
 
     p = os.path.join(root, "manifest.json")
     if not os.path.exists(p):
-        return []
+        return {"live": [], "consumed": []}
     with open(p) as f:
-        return json.load(f)
+        m = json.load(f)
+    if isinstance(m, list):
+        return {"live": m, "consumed": []}
+    return m
 
 
 def _commit_shard_manifest(
-    root: str, shards: list[str], lease: int | None = None
+    root: str, shards: dict, lease: int | None = None
 ) -> None:
     """Atomic manifest replace (tmp + os.rename): the manifest IS the
     commit point — a compaction that dies before this rename leaves the
@@ -766,11 +835,19 @@ def run_tiered_postings_ingest(
     ``docs_dir`` is a directory of parquet doc files streamed with
     maxFilesPerTrigger=1 (one file per micro-batch), the local stand-in
     for a Kafka doc topic. Checkpointed: committed batches never
-    reprocess; shard writes are mode("overwrite") into a per-batch-id
-    dir, so even a replayed batch is idempotent."""
+    reprocess. Idempotency is CONTENT-KEYED, not batch-id-keyed: each
+    L0 shard is named by the md5 of its micro-batch's source file
+    names, and the manifest keeps a ``consumed`` ledger of every shard
+    a tier has folded — so even a REPLACEMENT ingester with a fresh
+    checkpoint (whose batch ids restart at 0) replays to a no-op
+    instead of re-adding postings its predecessor's tiers already hold.
+    The composed rehearsal (tools/streaming_e2e_probe.py) pins takeover
+    serving == a batch rebuild at 1M docs."""
+    import hashlib
     import os
     import re
     import shutil
+    import uuid
 
     from cloudvectordb_spark.operators.ingest import (
         compact_postings_shards,
@@ -790,14 +867,25 @@ def run_tiered_postings_ingest(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         _check_lease(out_root, lease)
-        shard_dir = os.path.join(out_root, "L0", f"shard-{batch_id}")
+        # content-stable shard identity: the sorted source file names
+        # (one distinct per file read — cost ∝ the batch we fully read
+        # anyway, the file-source analogue of Kafka offset ranges)
+        srcs = sorted(
+            r.f
+            for r in batch_df.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+        )
+        key = hashlib.md5("\n".join(srcs).encode()).hexdigest()[:16]
+        shard_dir = os.path.join(out_root, "L0", f"shard-{key}")
+        manifest = _read_shard_manifest(out_root)
+        if shard_dir in manifest["live"] or shard_dir in manifest["consumed"]:
+            return  # replay of an already-ingested batch: no-op
         delta_postings_stream(batch_df).write.mode("overwrite").parquet(
             shard_dir
         )
-        manifest = _read_shard_manifest(out_root)
-        if shard_dir not in manifest:
-            manifest = manifest + [shard_dir]
-            _commit_shard_manifest(out_root, manifest, lease)
+        manifest["live"] = manifest["live"] + [shard_dir]
+        _commit_shard_manifest(out_root, manifest, lease)
 
         def level_of(p: str) -> int:
             return int(
@@ -808,7 +896,7 @@ def run_tiered_postings_ingest(
         # first, until no level holds tier_width shards.
         while True:
             by_level: dict[int, list[str]] = {}
-            for s in manifest:
+            for s in manifest["live"]:
                 by_level.setdefault(level_of(s), []).append(s)
             full = [
                 lv for lv in sorted(by_level)
@@ -819,14 +907,19 @@ def run_tiered_postings_ingest(
             lv = full[0]
             consumed = by_level[lv]
             tier_dir = os.path.join(
-                out_root, f"L{lv + 1}", f"tier-{batch_id}-{lv}"
+                out_root, f"L{lv + 1}", f"tier-{uuid.uuid4().hex[:12]}"
             )
             compact_postings_shards(
                 [spark.read.parquet(p) for p in consumed]
             ).write.mode("overwrite").parquet(tier_dir)
-            manifest = [s for s in manifest if s not in consumed] + [
-                tier_dir
-            ]
+            manifest = {
+                "live": [s for s in manifest["live"] if s not in consumed]
+                + [tier_dir],
+                # only L0 shards can ever be recreated by a replay, so
+                # only they need the ledger; tiers are generation-local
+                "consumed": manifest["consumed"]
+                + [s for s in consumed if level_of(s) == 0],
+            }
             _commit_shard_manifest(out_root, manifest, lease)  # commit point
             for p in consumed:  # GC after commit — dying here is safe
                 shutil.rmtree(p, ignore_errors=True)
@@ -846,7 +939,7 @@ def run_tiered_postings_ingest(
 def tiered_serving_postings(spark: SparkSession, out_root: str) -> DataFrame:
     """The logically-current postings under the tier manifest: union
     the live shards (whatever their level), tf-addition rollup."""
-    shards = _read_shard_manifest(out_root)
+    shards = _read_shard_manifest(out_root)["live"]
     frames = [spark.read.parquet(p) for p in shards]
     out = frames[0]
     for f in frames[1:]:

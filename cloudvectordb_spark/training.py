@@ -254,7 +254,7 @@ def train_encoder_distributed(
     ``train_fn(**kwargs)`` runs once per process under torch.distributed;
     it should read triplet shards, run contrastive training, and write the
     artifact. Raises ImportError when torch is absent (this container)."""
-    import importlib
+    import importlib.util
 
     if importlib.util.find_spec("torch") is None:
         raise ImportError(

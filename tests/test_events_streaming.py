@@ -376,13 +376,16 @@ def test_tiered_postings_ingest_equals_batch_and_compacts(
 
     manifest = _read_shard_manifest(out_root)
     by_level = {}
-    for s in manifest:
+    for s in manifest["live"]:
         lv = int(re.search(r"L(\d+)$", os.path.dirname(s)).group(1))
         by_level.setdefault(lv, []).append(s)
     assert all(len(v) < 2 for v in by_level.values())  # nothing full
     assert max(by_level) >= 2  # folds of folds actually cascaded
-    for s in manifest:  # every live shard exists; consumed dirs GC'd
+    for s in manifest["live"]:  # every live shard exists; consumed GC'd
         assert os.path.exists(s)
+    # the consumed ledger names every folded L0 shard, none still live
+    assert manifest["consumed"]
+    assert not set(manifest["consumed"]) & set(manifest["live"])
     l0_on_disk = (
         os.listdir(os.path.join(out_root, "L0"))
         if os.path.isdir(os.path.join(out_root, "L0"))
@@ -615,7 +618,7 @@ def test_zombie_streaming_ingester_fenced_by_lease(spark, sf_dir, tmp_path):
     run_tiered_postings_ingest(
         spark, docs_dir, out_root, ckpt1, tier_width=2, lease=lease1
     )
-    assert _read_shard_manifest(out_root)
+    assert _read_shard_manifest(out_root)["live"]
 
     # the replacement generation takes over the SAME output root (its
     # own checkpoint — a fresh deploy), catching up on all chunks
@@ -646,4 +649,19 @@ def test_zombie_streaming_ingester_fenced_by_lease(spark, sf_dir, tmp_path):
     run_tiered_postings_ingest(
         spark, docs_dir, out_root, ckpt2, tier_width=2, lease=lease2
     )
-    assert len(_read_shard_manifest(out_root)) >= 1
+    assert len(_read_shard_manifest(out_root)["live"]) >= 1
+
+    # the takeover must be IDEMPOTENT, not just fenced: gen-2's fresh
+    # checkpoint replayed chunks gen-1's tiers had already consumed
+    # (batch ids restarted at 0), and the content-keyed shards +
+    # consumed ledger must make those replays no-ops — serving equals
+    # the batch-built postings over the whole corpus, no double counts
+    from cloudvectordb_spark.operators.search import text_index_frames
+    from cloudvectordb_spark.streaming.jobs import tiered_serving_postings
+
+    serving = tiered_serving_postings(spark, out_root)
+    batch_postings = text_index_frames(spark, sf_dir)[0].select(
+        "term", "doc_id", F.col("tf").cast("bigint").alias("tf")
+    )
+    assert serving.exceptAll(batch_postings).count() == 0
+    assert batch_postings.exceptAll(serving).count() == 0
