@@ -534,8 +534,15 @@ class CorpusPipeline:
         # verify composition here is value-identical to the fused
         # minhash_banded_pairs_{fast,df} pipelines (pytest-pinned); it
         # is split at the SIGNATURE so the sigs persist as append state.
+        # Sigs are materialized FIRST and everything downstream (pairs,
+        # append state) reads the parquet back — one shingle+hash pass
+        # over the corpus text, ever.
         n_docs = docs.count()
-        sigs = minhash_sigs(docs, hasher=hasher)
+        sd = CorpusPipeline._state_dir(index_path)
+        minhash_sigs(docs, hasher=hasher).write.mode("overwrite").parquet(
+            f"{sd}/sigs"
+        )
+        sigs = spark.read.parquet(f"{sd}/sigs")
         pairs = (
             minhash_pairs_within(sigs)
             .filter(F.col("est_jaccard") >= tau)
@@ -582,14 +589,12 @@ class CorpusPipeline:
                 )
         finally:
             vectors.unpersist()
-        # persist the dedup state the incremental append extends: the
-        # per-doc MinHash signatures (so a delta never re-shingles the
-        # corpus) and the NON-IDENTITY canonical labels (removed doc ->
-        # its cluster canonical; rows ∝ duplicates, not corpus).
-        # meta.json commits LAST — a crash mid-state-write leaves no
-        # meta, so append() refuses rather than reading half a state.
-        sd = CorpusPipeline._state_dir(index_path)
-        sigs.write.mode("overwrite").parquet(f"{sd}/sigs")
+        # persist the rest of the dedup state the incremental append
+        # extends (sigs already landed above): the NON-IDENTITY
+        # canonical labels (removed doc -> its cluster canonical; rows
+        # ∝ duplicates, not corpus). meta.json commits LAST — a crash
+        # mid-state-write leaves no meta, so append() refuses rather
+        # than reading half a state.
         labels.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias("doc_id"), F.col("component").alias("canonical")
         ).write.mode("overwrite").parquet(f"{sd}/labels")
@@ -753,8 +758,11 @@ class CorpusPipeline:
                 if n_surv:
                     idx.append(vectors)
                 _lap("embed_append_s")
-                n_after = idx.vectors.count()
-                n_distinct = idx.vectors.select("vec_id").distinct().count()
+                post = idx.vectors.agg(
+                    F.count("*").alias("n"),
+                    F.count_distinct("vec_id").alias("nd"),
+                ).first()
+                n_after, n_distinct = int(post.n), int(post.nd)
                 if not (
                     n_surv + n_removed == n_delta
                     and n_after == n_before - len(demoted) + n_surv == n_distinct

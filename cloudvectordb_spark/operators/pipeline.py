@@ -1796,20 +1796,19 @@ def append_to_ivf_index(
     new_vectors: DataFrame, index_path: str
 ) -> None:
     """Assign ``new_vectors`` (vec_id, embedding, ...) to their nearest
-    existing centroid and append them to the layout."""
-    from cloudvectordb_spark.functions import vector as V
+    existing centroid and append them to the layout.
+
+    Assignment is the same literal-matrix kernel the bulk build and the
+    streaming ingester use (`kmeans_det.assign_cells`) — one projection
+    pass per row, no crossJoin row amplification, no per-vec_id window
+    shuffle (the old k-way explode + row_number cost 101 s for a 90k
+    delta against k=2048; the kernel pass is seconds), and bit-identical
+    tie behavior to build-time assignment."""
+    from cloudvectordb_spark.operators.kmeans_det import assign_cells
 
     spark = new_vectors.sparkSession
-    centroids = spark.read.parquet(f"{index_path}/centroids")
-    vc = new_vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", V.l2_distance("embedding", "centroid")
-    )
-    w = Window.partitionBy("vec_id").orderBy("cdist", "centroid_id")
-    assigned = (
-        vc.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .drop("crank", "cdist", "centroid")
-    )
+    cents = index_centroids(spark, index_path)
+    assigned = assign_cells(new_vectors, cents)
     # shuffle on the key first: an unshuffled partitionBy append writes
     # one file per (task x touched cell) — the same small-files debt
     # write_ivf_index's compacted write killed at bulk-build time

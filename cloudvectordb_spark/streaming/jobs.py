@@ -349,11 +349,14 @@ def run_index_append_stream(
     out_path = f"{index_path}/vectors"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _check_lease(out_path, lease)
+        # fence on the INDEX ROOT, not the vectors dir: the lease's
+        # epoch files must not live inside a parquet partition tree
+        # (partition discovery rejects foreign subdirs)
+        _check_lease(index_path, lease)
         batch_df.repartition("centroid_id").write.mode("append").partitionBy(
             "centroid_id"
         ).parquet(out_path)
-        _check_lease(out_path, lease, at="post-append")
+        _check_lease(index_path, lease, at="post-append")
 
     q = (
         assigned.writeStream.outputMode("append")

@@ -78,18 +78,21 @@ def stage_prep(spark, root: str, n: int) -> None:
     from tools.minhash_scale_probe import synthetic_docs
 
     t0 = time.perf_counter()
-    docs = synthetic_docs(spark, n)
+    # materialize the corpus and its embeddings ONCE; every chunk file
+    # below is a cheap columnar re-read, not a generator/encoder re-run
+    synthetic_docs(spark, n).write.mode("overwrite").parquet(f"{root}/docs")
+    docs = spark.read.parquet(f"{root}/docs")
+    embed_documents(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).write.mode("overwrite").parquet(f"{root}/emb_all")
+    emb = spark.read.parquet(f"{root}/emb_all")
     # the doc "topic": one parquet file per future micro-batch; the
     # first half lands now, the rest arrives mid-run (stage_takeover)
     for i in range(N_CHUNKS // 2):
         docs.filter(F.col("doc_id") % (N_CHUNKS + 1) == i).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{root}/doc_chunks/chunk{i:02d}")
-    # the vector "topic": stub-embed everything once; 80% seeds the
-    # batch build, 20% streams in as 8 chunk files
-    emb = embed_documents(docs).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
-    )
+    # the vector "topic": 80% seeds the batch build, 20% streams in
     seed = F.col("vec_id") % SEED_FRAC_DEN < SEED_FRAC_NUM
     emb.filter(seed).write.mode("overwrite").parquet(f"{root}/seed_vectors")
     for i in range(8):
@@ -153,9 +156,8 @@ def stage_takeover(spark, root: str, n: int) -> None:
         run_tiered_postings_ingest,
     )
     from cloudvectordb_spark.versioning import acquire_lease
-    from tools.minhash_scale_probe import synthetic_docs
 
-    docs = synthetic_docs(spark, n)
+    docs = spark.read.parquet(f"{root}/docs")
     for i in range(N_CHUNKS // 2, N_CHUNKS):
         docs.filter(F.col("doc_id") % (N_CHUNKS + 1) == i).coalesce(1).write.mode(
             "overwrite"
@@ -290,7 +292,7 @@ def stage_vec_ingest(spark, root: str) -> None:
     from cloudvectordb_spark.versioning import acquire_lease
 
     idx_path = f"{root}/ivf"
-    lease = acquire_lease(f"{idx_path}/vectors", owner="vec-ingest")
+    lease = acquire_lease(idx_path, owner="vec-ingest")
     t0 = time.perf_counter()
     run_index_append_stream(
         spark, f"{root}/vec_chunks", idx_path, f"{root}/ckpt_vec", lease=lease
