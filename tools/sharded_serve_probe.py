@@ -123,6 +123,15 @@ def main() -> int:
     out["mono_s"], out["mono_recall"] = timed(
         lambda: mono.search(probes, k=args.topk, nprobe=args.nprobe)
     )
+    # round-10 verdict #3: the thread-per-shard fan-out vs the strictly
+    # sequential one — identical results (merge is order-insensitive),
+    # the wall should move toward the slowest shard's bound
+    out["sharded_seq_s"], out["sharded_seq_recall"] = timed(
+        lambda: VectorIndex.search_sharded(
+            indexes, probes, k=args.topk, nprobe=args.nprobe,
+            concurrent=False,
+        )
+    )
     out["sharded_s"], out["sharded_recall"] = timed(
         lambda: VectorIndex.search_sharded(
             indexes, probes, k=args.topk, nprobe=args.nprobe
