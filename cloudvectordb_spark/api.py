@@ -236,6 +236,26 @@ class VectorIndex:
         compact_ivf_index(self.spark, self.path, out_path)
         return VectorIndex(self.spark, out_path)
 
+    def split_hot_cells(
+        self,
+        out_path: str,
+        factor: float = 2.0,
+        target_rows: int | None = None,
+    ) -> tuple["VectorIndex", dict]:
+        """Re-split cells that grew past ``factor × target`` under
+        frozen-centroid appends (the lifecycle third next to append and
+        compact): each hot cell re-trains a deterministic mini-Lloyd
+        over its own rows; unchanged cells hard-link into the new
+        layout (no data movement), published atomically at ``out_path``.
+        Returns (new index, split stats); this index stays untouched."""
+        from cloudvectordb_spark.operators.pipeline import split_hot_cells
+
+        stats = split_hot_cells(
+            self.spark, self.path, out_path,
+            factor=factor, target_rows=target_rows,
+        )
+        return VectorIndex(self.spark, out_path), stats
+
     def search_batch(
         self,
         probes: DataFrame,

@@ -1819,6 +1819,124 @@ def append_to_ivf_index(
     ).parquet(f"{index_path}/vectors")
 
 
+def split_hot_cells(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    factor: float = 2.0,
+    target_rows: int | None = None,
+    max_splits: int = 64,
+) -> dict:
+    """Maintenance re-split for a persisted IVF layout whose cells grew
+    past the serving sweet spot under frozen-centroid appends — the
+    missing third of the index lifecycle (build → append/compact →
+    SPLIT). Appends assign into frozen cells, so a hot region's cell
+    grows without bound and every probe routed there scans the whole
+    blob; this op restores the build-time balance guarantee with cost
+    ∝ the hot cells only:
+
+    - per-cell sizes (k rows collected) pick cells with
+      n > factor × target (target defaults to the current mean);
+    - each hot cell re-trains a deterministic mini-Lloyd over ITS OWN
+      rows (`kmeans_det.lloyd_centroids`, uncapped fit — a cell is
+      already bounded) into round(n/target) sub-centroids, allocated
+      past the max live centroid id;
+    - the new layout publishes to ``out_path`` build-then-rename like
+      `compact_ivf_index`: unchanged cells HARD-LINK (metadata-only, no
+      data movement), only hot cells rewrite. A crash leaves the old
+      index serving and a dead build dir.
+
+    Contents are preserved exactly (pytest pins exceptAll 0/0 on
+    (vec_id, embedding) and one-cell-per-vector); determinism is
+    md5-seeded per cell, so two runs produce identical layouts."""
+    import os
+    import shutil
+
+    from cloudvectordb_spark.operators.kmeans_det import (
+        assign_cells,
+        lloyd_centroids,
+    )
+
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    cents = index_centroids(spark, index_path)
+    sizes = {
+        int(r.centroid_id): int(r.n)
+        for r in vectors.groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()  # bounded: one row per cell
+    }
+    mean = sum(sizes.values()) / max(1, len(sizes))
+    target = float(target_rows) if target_rows else mean
+    hot = sorted(c for c, n in sizes.items() if n > factor * target)[:max_splits]
+    hot_set = set(hot)
+
+    build_dir = f"{out_path}.build{os.getpid()}"
+    os.makedirs(f"{build_dir}/vectors", exist_ok=True)
+    # unchanged cells: hard-link every file (same-device metadata op;
+    # copy on the rare cross-device fallback)
+    for c in sizes:
+        if c in hot_set:
+            continue
+        src = f"{index_path}/vectors/centroid_id={c}"
+        dst = f"{build_dir}/vectors/centroid_id={c}"
+        os.makedirs(dst, exist_ok=True)
+        for fn in os.listdir(src):
+            sp, dp = os.path.join(src, fn), os.path.join(dst, fn)
+            if not os.path.isfile(sp):
+                continue
+            try:
+                os.link(sp, dp)
+            except OSError:
+                shutil.copy2(sp, dp)
+
+    next_id = max((cid for cid, _ in cents), default=-1) + 1
+    new_cents = [(int(cid), list(v)) for cid, v in cents if cid not in hot_set]
+    split_map: dict[int, list[int]] = {}
+    for c in hot:
+        cell = vectors.filter(F.col("centroid_id") == c).drop("centroid_id")
+        s = int(min(max(2, round(sizes[c] / target)), 16))
+        # uncapped fit: the cell IS the bounded sample; md5-derived seed
+        # keeps two runs bit-identical without a global RNG
+        sub = lloyd_centroids(
+            cell, k=s, seed=1_000_003 + c, fit_cap=1 << 62
+        )
+        remap = {int(old): next_id + i for i, (old, _) in enumerate(sub)}
+        mapping = F.create_map(
+            *[F.lit(x) for kv in remap.items() for x in kv]
+        )
+        assigned = assign_cells(cell, sub).withColumn(
+            "centroid_id", mapping[F.col("centroid_id")]
+        )
+        assigned.repartition("centroid_id").write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(f"{build_dir}/vectors")
+        new_cents += [
+            (remap[int(old)], [float(x) for x in v]) for old, v in sub
+        ]
+        split_map[c] = sorted(remap.values())
+        next_id += len(sub)
+
+    spark.createDataFrame(
+        sorted(new_cents),
+        schema="centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{build_dir}/centroids")
+    with open(os.path.join(build_dir, "_BUILT"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(build_dir, out_path)
+    except OSError:
+        shutil.rmtree(build_dir, ignore_errors=True)
+        raise
+    return {
+        "cells_before": len(sizes),
+        "cells_after": len(new_cents),
+        "hot_cells_split": len(hot),
+        "split_map": split_map,
+        "mean_before": round(mean, 1),
+        "target": round(target, 1),
+    }
+
+
 def compact_ivf_index(spark: SparkSession, index_path: str, out_path: str) -> None:
     """Rewrite the vectors layout so each centroid cell is one file.
 

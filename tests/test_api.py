@@ -508,3 +508,75 @@ def test_corpus_pipeline_append_equals_rebuild_fast(spark, sf_dir, tmp_path):
     VectorIndex.build(spark, emb, str(tmp_path / "bare"), k=2)
     with _pytest.raises(FileNotFoundError, match="CorpusPipeline.run"):
         CorpusPipeline.append(spark, str(tmp_path / "bare"), delta)
+
+
+def test_split_hot_cells_restores_balance_preserving_contents(spark, sf_dir, tmp_path):
+    """The append->hot-cell lifecycle gap: build a small index, append
+    a blob that lands in ONE frozen cell (making it hot), then split —
+    contents preserved exactly, the hot cell gone, routing still exact,
+    and the op deterministic across runs."""
+    import numpy as np
+
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = VectorIndex.build(spark, emb, str(tmp_path / "ivf"), k=4)
+    # a tight synthetic blob near one existing vector: frozen-centroid
+    # append funnels every row into that vector's cell
+    anchor = emb.filter(F.col("vec_id") == 0).first().embedding
+    base_id = emb.agg(F.max("vec_id")).first()[0] + 1
+    rng = np.random.default_rng(7)
+    blob = [
+        (
+            int(base_id + i),
+            [float(x + 1e-3 * rng.standard_normal()) for x in anchor],
+        )
+        for i in range(300)
+    ]
+    idx.append(
+        spark.createDataFrame(blob, schema="vec_id long, embedding array<float>")
+    )
+    sizes = {
+        r.centroid_id: r.n
+        for r in idx.vectors.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    }
+    mean = sum(sizes.values()) / len(sizes)
+    assert max(sizes.values()) > 2.0 * mean, "fixture failed to create a hot cell"
+
+    new_idx, stats = idx.split_hot_cells(str(tmp_path / "ivf_split"))
+    assert stats["hot_cells_split"] >= 1
+    # contents preserved exactly, one cell per vector
+    a = idx.vectors.select("vec_id", "embedding")
+    b = new_idx.vectors.select("vec_id", "embedding")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert (
+        new_idx.vectors.select("vec_id").distinct().count()
+        == new_idx.vectors.count()
+    )
+    # balance restored: no cell above the threshold that triggered us
+    sizes2 = {
+        r.centroid_id: r.n
+        for r in new_idx.vectors.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(sizes2.values()) < max(sizes.values())
+    assert len(sizes2) == stats["cells_after"]
+    # centroids table consistent with the layout
+    cent_ids = {cid for cid, _ in new_idx.centroids()}
+    assert set(sizes2) == cent_ids
+    # serving still exact for a self-probe routed into a split cell
+    probe_vec_id, probe_emb = blob[0]
+    probe = spark.createDataFrame(
+        [(probe_vec_id, probe_emb)], schema="vec_id long, embedding array<float>"
+    )
+    rows = new_idx.search(probe, k=3, nprobe=2).collect()
+    # the blob clusters around vec 0's embedding, so the exact top-3 is
+    # the anchor + blob members — all must come from that neighborhood
+    ok_ids = {v for v, _ in blob} | {0}
+    assert rows and all(r.neighbor_id in ok_ids for r in rows)
+    # deterministic: a second split run publishes the identical layout
+    idx2, stats2 = idx.split_hot_cells(str(tmp_path / "ivf_split2"))
+    assert stats2["split_map"] == stats["split_map"]
+    x = {(r.vec_id, r.centroid_id) for r in new_idx.vectors.collect()}
+    y = {(r.vec_id, r.centroid_id) for r in idx2.vectors.collect()}
+    assert x == y
