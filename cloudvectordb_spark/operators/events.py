@@ -1885,3 +1885,57 @@ def events_customer_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C8 strict variant: as-of with value carry — for each signup, the latest
+# view STRICTLY before it (attribution must not credit a same-instant
+# impression), carrying the matched event's id alongside its timestamp.
+# Same union + ordered-window shape as asof_purchase_click, one shuffle
+# on user_id; the side ordering (signup 0 < view 1 at equal ts) is what
+# turns the carry inclusive->strict.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_signup_prior_view",
+    oracle="""
+    SELECT s.event_id, s.user_id, s.ts,
+           v.ts AS last_view_ts, v.event_id AS last_view_id
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON s.user_id = v.user_id AND s.ts > v.ts
+    """,
+    operators=("C8", "E2"),
+)
+def asof_signup_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.lit(0).alias("side"), "event_id"
+    )
+    # at equal ts the view sorts AFTER the signup (side 1 > 0), so the
+    # carry below never sees a same-instant view: strict as-of
+    unioned = views.unionByName(signups)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = F.last(
+        F.when(
+            F.col("side") == 1, F.struct(F.col("ts"), F.col("event_id"))
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        unioned.withColumn("lv", carry)
+        .filter(F.col("side") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("lv.ts").alias("last_view_ts"),
+            F.col("lv.event_id").alias("last_view_id"),
+        )
+    )

@@ -1258,3 +1258,77 @@ def props_key_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "prop_key")
         .agg(F.count("*").cast("bigint").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# D8 second shape: pivot over a FIXED small domain (lang) — the corpus
+# composition matrix a dataset card reports (docs per source x language).
+# Explicit pivot values keep the plan a single pass (no distinct-scan).
+# ---------------------------------------------------------------------------
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "docs_lang_source_pivot",
+    oracle=f"""
+    SELECT source,
+           {", ".join(
+               f"CAST(count(*) FILTER (lang = '{lg}') AS BIGINT) AS {lg}"
+               for lg in _PIVOT_LANGS
+           )}
+    FROM documents
+    GROUP BY source
+    """,
+    operators=("D8", "D1", "B8"),
+)
+def docs_lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pivoted = docs.groupBy("source").pivot("lang", list(_PIVOT_LANGS)).count()
+    return pivoted.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).alias(lg) for lg in _PIVOT_LANGS],
+    )
+
+
+# ---------------------------------------------------------------------------
+# H9 second shape: maps BUILT from aggregates (map_from_entries) and
+# pruned with a map lambda (map_filter) — the per-user event-type
+# histogram rendered as a deterministic "type:count" string after
+# dropping singleton types. Exercises construction + higher-order map
+# ops, not just extraction from JSON.
+# ---------------------------------------------------------------------------
+@query(
+    "user_type_count_map",
+    oracle="""
+    WITH tc AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events WHERE user_id < 30
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           coalesce(array_to_string(
+             list_sort(list(event_type || ':' || CAST(n AS VARCHAR))
+                       FILTER (n >= 2)),
+             ','), '') AS repeat_types
+    FROM tc
+    GROUP BY user_id
+    """,
+    operators=("H9", "H8", "D1"),
+)
+def user_type_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    tc = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("event_type"), F.col("n")))
+    )
+    kept = F.map_filter(m, lambda k, v: v >= 2)
+    rendered = F.concat_ws(
+        ",",
+        F.sort_array(
+            F.transform(
+                F.map_entries(kept),
+                lambda e: F.concat_ws(":", e.key, e.value.cast("string")),
+            )
+        ),
+    )
+    return tc.groupBy("user_id").agg(rendered.alias("repeat_types"))

@@ -1534,3 +1534,72 @@ def lapsed_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract = SET except (SQL EXCEPT); exceptAll would be multiset
     # semantics and leave users who merely had MORE first-half events
     return first.subtract(second)
+
+
+# ---------------------------------------------------------------------------
+# G2/G3 on CONTENT, not keys: cross-source exact-duplicate audit — the
+# set algebra a corpus owner runs before merging two crawls ("which
+# normalized documents do src0 and src1 share; which are src0's alone").
+# INTERSECT/EXCEPT over content hashes, the G4 key, so the set ops and
+# the dedup discipline compose.
+# ---------------------------------------------------------------------------
+_HASH_SQL = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+
+
+_SHINGLE_SQL = """
+    SELECT DISTINCT unnest(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+             i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g
+    FROM documents WHERE source = '{src}'
+"""
+
+
+@query(
+    "cross_source_shingle_intersect",
+    # the fixture plants no EXACT cross-source duplicates (hash-level
+    # INTERSECT is provably empty), so the overlap audit runs at the
+    # contamination granularity instead: 3-word shingles both sources
+    # emit — the same key the MinHash/contamination pipelines band on
+    oracle=f"""
+    {_SHINGLE_SQL.format(src='src0')}
+    INTERSECT
+    {_SHINGLE_SQL.format(src='src1')}
+    """,
+    operators=("G2", "H1", "H7"),
+)
+def cross_source_shingle_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+
+    def shingles(src):
+        return (
+            docs.filter(F.col("source") == src)
+            .select(
+                F.explode(
+                    F.array_distinct(TX.word_shingles("text", 3))
+                ).alias("g")
+            )
+            .distinct()
+        )
+
+    return shingles("src0").intersect(shingles("src1"))
+
+
+@query(
+    "content_hash_except",
+    oracle=f"""
+    SELECT {_HASH_SQL} AS h FROM documents WHERE source = 'src0'
+    EXCEPT
+    SELECT {_HASH_SQL} AS h FROM documents WHERE source <> 'src0'
+    """,
+    operators=("G3", "G4", "H4"),
+)
+def content_hash_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cloudvectordb_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    h = TX.content_hash("text").alias("h")
+    a = docs.filter(F.col("source") == "src0").select(h)
+    b = docs.filter(F.col("source") != "src0").select(h)
+    return a.subtract(b)  # EXCEPT (set semantics), the G3 operator

@@ -339,3 +339,51 @@ def user_value_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ewma, "user_id long, n_events bigint, ewma_value double"
     )
+
+
+# ---------------------------------------------------------------------------
+# L4: grouped-AGG pandas UDF (the UDAF crossing style, distinct from the
+# grouped-MAP form above) — token-weighted mean document length per
+# language, the corpus-card statistic where long docs count by their
+# token mass. Sums stay integer-exact in float64 (n_chars, token counts
+# both << 2^53), so the oracle's SQL arithmetic reproduces the UDAF's
+# value bit-for-bit under the shared round-6.
+# ---------------------------------------------------------------------------
+@query(
+    "lang_weighted_len_udaf",
+    oracle="""
+    SELECT lang,
+           round(sum(CAST(n_chars AS DOUBLE) * len(string_split(text, ' ')))
+                 / sum(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
+             AS w_mean_chars,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    operators=("L4", "K2", "D1"),
+)
+def lang_weighted_len_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(x: pd.Series, w: pd.Series) -> float:
+        num = float((x.astype("float64") * w.astype("float64")).sum())
+        den = float(w.astype("float64").sum())
+        return num / den
+
+    # Spark forbids mixing a grouped-agg pandas UDF with built-in aggs
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a
+    # second pandas UDAF rather than F.count
+    @pandas_udf("long")
+    def n_rows(x: pd.Series) -> int:
+        return int(len(x))
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    return docs.groupBy("lang").agg(
+        F.round(wmean(F.col("n_chars"), F.col("n_tokens")), 6).alias(
+            "w_mean_chars"
+        ),
+        n_rows(F.col("doc_id")).alias("n_docs"),
+    )
