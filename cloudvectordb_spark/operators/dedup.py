@@ -336,26 +336,34 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     stats: dict | None = None,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
-    """Min-label propagation WITH pointer doubling over an undirected
-    edge list; returns (node bigint, component bigint) for every node
-    with >= 1 edge. Deterministic.
+    """Min-label components over an undirected edge list; returns
+    (node bigint, component bigint) for every node with >= 1 edge.
+    Deterministic: every node labels with its component's global min.
 
-    Each round does (1) neighbor-min propagation along edges and
-    (2) a pointer jump (component <- its component's component, taking
-    the min) — path compression that makes convergence O(log diameter)
-    Spark rounds instead of O(diameter). Near-dup clusters usually have
-    tiny diameter, but one adversarial chain-shaped component would
-    otherwise cost a round PER HOP (round-9: a 64-node chain measured
-    63 rounds plain vs 6 with doubling — each round is a full shuffle,
-    so this is the difference between 6 and n jobs at 100 TB). The
-    fixed point is identical (every node at its component's global
-    min), so downstream value oracles are unchanged.
+    Two execution modes, same fixed point:
 
-    ``stats``: pass a dict to receive {"rounds": N, "round_secs": [...]}
-    for probes/tests (per-round walls expose an unbounded-shuffle round
-    — every round moves O(|E| + |V|) rows, so steady per-round time is
-    the boundedness evidence at scale)."""
+    - **driver union-find** when the (symmetrized, distinct) edge list
+      holds <= ``driver_threshold`` rows: collect once, path-compressed
+      DSU, min-per-root labeling. A near-dup pair graph is ∝ duplicate
+      count, not corpus size, so delta-scale graphs (the
+      CorpusPipeline.append path: ~20k edges at a 100k delta) finish in
+      milliseconds instead of paying ~6 Spark jobs of fixed overhead
+      per propagation round (measured ~20 s of pure job latency at 10M
+      corpus scale). 1M rows is ~tens of MB on the driver.
+    - **distributed min-label propagation with pointer doubling**
+      above the threshold (or with ``driver_threshold=0`` to force it —
+      the convergence tests and `tools/cc_adversarial_probe.py` do).
+      Each round does (1) neighbor-min propagation and (2) a pointer
+      jump (component <- its component's component, taking the min) —
+      path compression that makes convergence O(log diameter) Spark
+      rounds instead of O(diameter) (round-9: a 64-node chain measured
+      63 rounds plain vs 6 with doubling; each round is a full
+      shuffle).
+
+    ``stats``: receives {"rounds": N, "round_secs": [...], "mode": ...}
+    (driver mode reports rounds=0 — no shuffle rounds happened)."""
     import time as _time
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -363,6 +371,41 @@ def connected_components(
     # materialize once: every propagation round + its convergence check
     # would otherwise re-execute the full upstream edge derivation
     sym = sym.localCheckpoint()
+    if driver_threshold and sym.count() <= driver_threshold:
+        t0 = _time.perf_counter()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            u, v = int(row.u), int(row.v)
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)  # min-root union
+        comp_min: dict[int, int] = {}
+        for n in parent:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        out = edges.sparkSession.createDataFrame(
+            sorted((n, comp_min[find(n)]) for n in parent),
+            schema="node bigint, component bigint",
+        )
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["round_secs"] = []
+            stats["mode"] = "driver"
+            stats["driver_secs"] = round(_time.perf_counter() - t0, 3)
+        return out
+    if stats is not None:
+        stats["mode"] = "distributed"
     labels = sym.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("component")
     )

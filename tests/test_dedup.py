@@ -146,8 +146,11 @@ def test_connected_components_chain_converges_logarithmically(spark):
     stats: dict = {}
     labels = {
         r.node: r.component
-        for r in connected_components(chain, stats=stats).collect()
+        for r in connected_components(
+            chain, stats=stats, driver_threshold=0  # force distributed
+        ).collect()
     }
+    assert stats["mode"] == "distributed"
     assert set(labels.values()) == {0} and len(labels) == 64
     assert stats["rounds"] <= 10, f"chain took {stats['rounds']} rounds"
 
@@ -158,6 +161,36 @@ def test_connected_components_chain_converges_logarithmically(spark):
         r.node: r.component for r in connected_components(two).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_driver_mode_matches_distributed(spark):
+    """The bounded-graph driver union-find (the CorpusPipeline.append
+    fast path) must produce the EXACT labels the distributed
+    propagation does on the same graph — chains, a star, a cycle,
+    self-loops and duplicate/reversed edges all at once."""
+    from cloudvectordb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)]          # a chain
+        + [(100, x) for x in (101, 102, 103)]    # a star
+        + [(200, 201), (201, 202), (202, 200)]   # a cycle
+        + [(300, 300), (301, 300), (300, 301)],  # self-loop + dup/reversed
+        "src long, dst long",
+    )
+    s1: dict = {}
+    s2: dict = {}
+    a = {
+        r.node: r.component
+        for r in connected_components(edges, stats=s1).collect()
+    }
+    b = {
+        r.node: r.component
+        for r in connected_components(
+            edges, stats=s2, driver_threshold=0
+        ).collect()
+    }
+    assert s1["mode"] == "driver" and s2["mode"] == "distributed"
+    assert a == b and set(a.values()) == {0, 100, 200, 300}
 
 
 def test_simhash_fast_bit_identical_to_expression_form(spark, sf_dir):

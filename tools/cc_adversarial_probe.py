@@ -96,7 +96,11 @@ def main() -> int:
 
     stats: dict = {}
     t0 = time.perf_counter()
-    labels = connected_components(edges, stats=stats).persist()
+    # force the DISTRIBUTED propagation path: this probe exists to bound
+    # the shuffle-round count, which the driver fast path never runs
+    labels = connected_components(
+        edges, stats=stats, driver_threshold=0
+    ).persist()
     n_nodes = labels.count()
     wall = time.perf_counter() - t0
 
