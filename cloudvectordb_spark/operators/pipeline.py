@@ -1344,6 +1344,99 @@ def semantic_dup_pairs_capped(
     )
 
 
+# ---------------------------------------------------------------------------
+# G6 incremental: DELTA-vs-corpus semantic near-dups through the shared
+# index — the embedding-space twin of minhash_incremental_pairs and the
+# screen an append-style pipeline runs before admitting new vectors.
+# Delta rows (vec_id % 5 == 4, standing in for an arriving batch) and
+# corpus rows each take their top-2 nearest cells; candidates are the
+# CROSS-side co-occurrences only (never delta×delta or corpus×corpus),
+# verified on raw vectors with the same half-up-6-BEFORE-threshold
+# discipline as the batch kernels. Cost ∝ delta × probed-cell mass; the
+# corpus side never pairs against itself.
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_dup_delta_pairs",
+    oracle=f"""
+    WITH {_KM_CTES},
+    a2 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS corpus_id, y.vec_id AS delta_id
+      FROM a2 x JOIN a2 y ON x.cid = y.cid
+      WHERE x.vec_id % 5 <> 4 AND y.vec_id % 5 = 4
+    )
+    SELECT c.corpus_id, c.delta_id,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+    FROM cand c
+    JOIN km_emb ea ON ea.vec_id = c.corpus_id
+    JOIN km_emb eb ON eb.vec_id = c.delta_id
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+    """,
+    operators=("G6", "K7", "C10", "L5"),
+)
+def semantic_dup_delta_pairs(
+    spark: SparkSession, sf_dir: str, tau: float = 0.3
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from cloudvectordb_spark.operators.kmeans_det import assign_top2_cells
+
+    path = ensure_ivf_index(spark, sf_dir)
+    cents = index_centroids(spark, path)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_delta = F.col("vec_id") % 5 == 4
+    a2_corpus = assign_top2_cells(emb.filter(~is_delta), cents).select(
+        F.col("vec_id").alias("corpus_id"), "centroid_id"
+    )
+    a2_delta = assign_top2_cells(emb.filter(is_delta), cents).select(
+        F.col("vec_id").alias("delta_id"), "centroid_id"
+    )
+    # delta side broadcast: the corpus assignment streams, exactly like
+    # the MinHash incremental join
+    cand = (
+        a2_corpus.join(F.broadcast(a2_delta), "centroid_id")
+        .select("corpus_id", "delta_id")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("delta_id"), F.col("embedding").alias("vb"))
+    paired = cand.join(ea, "corpus_id").join(F.broadcast(eb), "delta_id")
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            sims = (va * vb).sum(axis=1) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            # half-up-6 BEFORE thresholding (the shared kernel rule)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            keep = sims >= tau
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "corpus_id": pdf["corpus_id"].to_numpy()[keep],
+                    "delta_id": pdf["delta_id"].to_numpy()[keep],
+                    "cos_sim": sims[keep],
+                }
+            )
+
+    return paired.mapInPandas(
+        verify, schema="corpus_id long, delta_id long, cos_sim double"
+    )
+
+
 def semantic_pairs_on_index(
     spark: SparkSession, path: str, tau: float = 0.3, cap: int = _PROD_CELL_CAP
 ) -> DataFrame:
