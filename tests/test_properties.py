@@ -442,3 +442,91 @@ def test_sub_bucket_fanout_covers_each_pair_exactly_once(ids, nsub):
             seen[p] = (ti, tj)
     n = len(ids)
     assert len(seen) == n * (n - 1) // 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_driver_mode_matches_reference(spark, edges):
+    """The driver union-find fast path (the CorpusPipeline.append dedup
+    finisher) must compute exactly the min-label components a plain BFS
+    reference finds, on ARBITRARY graphs — self-loops, duplicates,
+    reversed edges, disconnected pieces, whatever hypothesis throws."""
+    from cloudvectordb_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    got = {
+        r.node: r.component
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert stats["mode"] == "driver"
+
+    # reference: adjacency BFS, min label per component
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen: set = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            comp.append(n)
+            stack.extend(adj[n] - seen)
+        m = min(comp)
+        for n in comp:
+            want[n] = m
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdefgh "), min_size=0, max_size=60
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_minhash_between_equals_within_cross_slice(spark, texts):
+    """For ANY corpus and any id split, the incremental between-frame
+    join must find exactly the within-frame pairs that cross the split
+    — the invariant CorpusPipeline.append's rebuild-equality rests on."""
+    from cloudvectordb_spark.operators.dedup import (
+        minhash_pairs_between,
+        minhash_pairs_within,
+        minhash_sigs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = minhash_sigs(docs, "fast")
+    cut = len(texts) // 2
+    got = {
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in minhash_pairs_between(
+            sigs.filter(F.col("doc_id") >= cut),
+            sigs.filter(F.col("doc_id") < cut),
+        ).collect()
+    }
+    want = {
+        (r.b_id, r.a_id, r.est_jaccard)
+        for r in minhash_pairs_within(sigs)
+        .filter((F.col("a_id") < cut) & (F.col("b_id") >= cut))
+        .collect()
+    }
+    assert got == want
