@@ -228,6 +228,17 @@ class VectorIndex:
 
         append_to_ivf_index(new_vectors, self.path)
 
+    def delete(self, vec_ids: list) -> int:
+        """Eagerly drop ``vec_ids`` in place by rewriting only the
+        cells that hold them (a bounded id set — for bulk expiry use
+        the tombstone + compaction lifecycle instead). Returns the
+        number of cells rewritten."""
+        from cloudvectordb_spark.operators.pipeline import (
+            remove_vectors_from_index,
+        )
+
+        return remove_vectors_from_index(self.spark, self.path, vec_ids)
+
     def compact(self, out_path: str) -> "VectorIndex":
         """Rewrite to one file per cell (small-files GC); returns the new
         index, leaving this one untouched (atomic publish)."""
@@ -852,42 +863,11 @@ class CorpusPipeline:
     def _remove_from_index(
         spark: SparkSession, index_path: str, vec_ids: list
     ) -> None:
-        """Physically drop ``vec_ids`` (demoted canonicals) by rewriting
-        ONLY the cells that hold them — never the whole layout. The
-        surviving rows of each touched cell stage to a temp dir first
-        (Spark cannot overwrite a path it is reading), then replace
-        exactly those partitions; a cell emptied entirely is removed."""
-        import shutil
-
-        vectors = spark.read.parquet(f"{index_path}/vectors")
-        doomed = F.col("vec_id").isin([int(v) for v in vec_ids])
-        cells = [
-            int(r.centroid_id)
-            for r in vectors.filter(doomed)
-            .select("centroid_id")
-            .distinct()
-            .collect()
-        ]
-        if not cells:
-            return
-        tmp = f"{index_path}/vectors_rewrite_tmp"
-        (
-            vectors.filter(F.col("centroid_id").isin(cells) & ~doomed)
-            .write.mode("overwrite")
-            .parquet(tmp)
+        """Demoted canonicals drop through the shared bounded-cell
+        rewrite (`pipeline.remove_vectors_from_index`, also the
+        VectorIndex.delete surface)."""
+        from cloudvectordb_spark.operators.pipeline import (
+            remove_vectors_from_index,
         )
-        staged = spark.read.parquet(tmp)
-        kept_cells = {
-            int(r.centroid_id)
-            for r in staged.select("centroid_id").distinct().collect()
-        }
-        for cid in cells:
-            shutil.rmtree(f"{index_path}/vectors/centroid_id={cid}")
-        if kept_cells:
-            (
-                staged.repartition(len(kept_cells), "centroid_id")
-                .write.mode("append")
-                .partitionBy("centroid_id")
-                .parquet(f"{index_path}/vectors")
-            )
-        shutil.rmtree(tmp)
+
+        remove_vectors_from_index(spark, index_path, vec_ids)

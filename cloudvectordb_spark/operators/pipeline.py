@@ -1912,6 +1912,55 @@ def append_to_ivf_index(
     ).parquet(f"{index_path}/vectors")
 
 
+def remove_vectors_from_index(
+    spark: SparkSession, index_path: str, vec_ids: list
+) -> int:
+    """Physically drop ``vec_ids`` by rewriting ONLY the cells that
+    hold them — never the whole layout. One narrow (vec_id,
+    partition-col) scan locates the touched cells; their surviving rows
+    stage to a temp dir (Spark cannot overwrite a path it is reading),
+    then replace exactly those partitions; a cell emptied entirely is
+    removed. The eager complement to the tombstone/anti-join lifecycle
+    (`index_delete_compaction`): same end state, paid immediately on a
+    bounded cell set instead of amortized at compaction. Returns the
+    number of cells rewritten."""
+    import shutil
+
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    doomed = F.col("vec_id").isin([int(v) for v in vec_ids])
+    cells = [
+        int(r.centroid_id)
+        for r in vectors.filter(doomed)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    ]
+    if not cells:
+        return 0
+    tmp = f"{index_path}/vectors_rewrite_tmp"
+    (
+        vectors.filter(F.col("centroid_id").isin(cells) & ~doomed)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    staged = spark.read.parquet(tmp)
+    kept_cells = {
+        int(r.centroid_id)
+        for r in staged.select("centroid_id").distinct().collect()
+    }
+    for cid in cells:
+        shutil.rmtree(f"{index_path}/vectors/centroid_id={cid}")
+    if kept_cells:
+        (
+            staged.repartition(len(kept_cells), "centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{index_path}/vectors")
+        )
+    shutil.rmtree(tmp)
+    return len(cells)
+
+
 def split_hot_cells(
     spark: SparkSession,
     index_path: str,

@@ -580,3 +580,50 @@ def test_split_hot_cells_restores_balance_preserving_contents(spark, sf_dir, tmp
     x = {(r.vec_id, r.centroid_id) for r in new_idx.vectors.collect()}
     y = {(r.vec_id, r.centroid_id) for r in idx2.vectors.collect()}
     assert x == y
+
+
+def test_vector_index_delete_rewrites_only_touched_cells(spark, sf_dir, tmp_path):
+    """Eager delete: exactly the named ids vanish, every other row
+    survives byte-for-byte, untouched cell FILES are not rewritten,
+    an emptied cell disappears from the layout, and search no longer
+    returns the deleted ids."""
+    import glob
+    import os
+
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = VectorIndex.build(spark, emb, str(tmp_path / "ivf"), k=4)
+    before = {(r.vec_id, r.centroid_id) for r in idx.vectors.collect()}
+    by_cell: dict = {}
+    for v, c in before:
+        by_cell.setdefault(c, []).append(v)
+    # victims: two ids from one cell + EVERY id of the smallest cell
+    cells_by_size = sorted(by_cell, key=lambda c: len(by_cell[c]))
+    small, big = cells_by_size[0], cells_by_size[-1]
+    victims = set(by_cell[small]) | set(sorted(by_cell[big])[:2])
+    untouched = [c for c in by_cell if c not in (small, big)]
+    mtimes = {
+        f: os.path.getmtime(f)
+        for c in untouched
+        for f in glob.glob(str(tmp_path / "ivf" / "vectors" / f"centroid_id={c}" / "*.parquet"))
+    }
+
+    n_cells_rewritten = idx.delete(sorted(victims))
+    assert n_cells_rewritten == 2
+    after = {(r.vec_id, r.centroid_id) for r in idx.vectors.collect()}
+    assert after == {(v, c) for v, c in before if v not in victims}
+    # the emptied cell's directory is gone
+    assert not os.path.exists(
+        str(tmp_path / "ivf" / "vectors" / f"centroid_id={small}")
+    )
+    # untouched cells were not rewritten (same files, same mtimes)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m, f"untouched cell file rewritten: {f}"
+    # search over all cells never returns a deleted id
+    probes = emb.filter(F.col("vec_id").isin(list(victims)[:2]))
+    hits = idx.search(probes, k=10, nprobe=4).collect()
+    assert hits and not ({r.neighbor_id for r in hits} & victims)
+    # deleting ids that are absent is a no-op
+    assert idx.delete([10 ** 9]) == 0
