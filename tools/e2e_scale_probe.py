@@ -143,6 +143,7 @@ def stage_dedup(
             "pairs": n_pairs,
             "pair_recall": round(planted_hits / max(1, n_planted), 4),
             "cc_rounds": cc_stats["rounds"],
+            "cc_mode": cc_stats.get("mode", "distributed"),
             "hasher": hasher,
             "survivors": survivors,
             "removed": removed,

@@ -171,6 +171,7 @@ def main() -> int:
         cc = {
             "cc_s": round(time.perf_counter() - t0, 1),
             "cc_rounds": stats["rounds"],
+            "cc_mode": stats.get("mode", "distributed"),
             "clusters": n_canon,
         }
     verified.unpersist()
