@@ -480,6 +480,11 @@ class CorpusPipeline:
     # dedup kernel's per-task bound and the measured serving sweet spot
     # (cells around this size keep probe scans ~1 file / few MB each)
     _ROWS_PER_CELL = 4096
+    # largest delta whose bands+sigs still broadcast in append's
+    # incremental dedup join (~4 band rows + an 8-slot sig per doc —
+    # 500k docs is ~100-200 MB of broadcast state); bigger deltas fall
+    # back to symmetric shuffle joins
+    _BROADCAST_DELTA_MAX = 500_000
 
     @staticmethod
     def _embed(survivors: DataFrame, encoder, text_col: str) -> DataFrame:
@@ -741,9 +746,17 @@ class CorpusPipeline:
             # delta-vs-corpus matches, compressed through each corpus
             # doc's canonical: connectivity through REMOVED corpus docs
             # is preserved (their sigs are state), and the edge list
-            # stays ∝ delta matches
+            # stays ∝ delta matches. The delta side broadcasts only
+            # while it is broadcast-SIZED (each delta doc is ~4 band
+            # rows + one 8-slot sig); past the cap the join falls back
+            # to symmetric shuffles — results identical either way
             cross = (
-                minhash_pairs_between(sigs_delta, sigs_corpus)
+                minhash_pairs_between(
+                    sigs_delta,
+                    sigs_corpus,
+                    broadcast_new=n_delta
+                    <= CorpusPipeline._BROADCAST_DELTA_MAX,
+                )
                 .filter(F.col("est_jaccard") >= tau)
                 .join(labels, F.col("corpus_id") == labels.doc_id, "left")
                 .select(

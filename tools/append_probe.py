@@ -123,39 +123,20 @@ def bootstrap_state(spark, root: str, index_path: str, tau: float) -> dict:
     }
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=10_000_000)
-    ap.add_argument("--delta", type=int, default=100_000)
-    ap.add_argument("--tau", type=float, default=0.5)
-    ap.add_argument("--root", default=None)
-    args = ap.parse_args()
-    root = args.root or f"/tmp/cloudvectordb_e2e/{args.n}"
-    index_path = f"{root}/ivf"
-    if not os.path.exists(f"{index_path}/vectors"):
-        raise SystemExit(f"run tools/e2e_scale_probe.py --n {args.n} first")
-
+def _run_one_append(spark, root: str, index_path: str, n_corpus: int, n_delta: int) -> dict:
     from cloudvectordb_spark.api import CorpusPipeline
 
-    spark = get_session("append-probe")
-    boot = bootstrap_state(spark, root, index_path, args.tau)
-
-    delta = synthetic_delta(spark, args.n, args.delta)
-    delta.write.mode("overwrite").parquet(f"{root}/delta_docs")
-    delta = spark.read.parquet(f"{root}/delta_docs")
-
+    delta = synthetic_delta(spark, n_corpus, n_delta)
+    delta.write.mode("overwrite").parquet(f"{root}/delta_docs_{n_delta}")
+    delta = spark.read.parquet(f"{root}/delta_docs_{n_delta}")
     t0 = time.perf_counter()
     out = CorpusPipeline.append(spark, index_path, delta)
     append_wall = time.perf_counter() - t0
-
-    n_planted = args.delta // DUP_EVERY
-    result = {
-        "metric": "append_probe",
-        "corpus": args.n,
+    n_planted = n_delta // DUP_EVERY
+    return {
         "delta": out["delta"],
-        "bootstrap": boot,
         "append_wall_s": round(append_wall, 1),
-        "delta_docs_per_s": int(args.delta / append_wall),
+        "delta_docs_per_s": int(n_delta / append_wall),
         "survivors": out["survivors"],
         "removed": out["removed"],
         "demoted": out["demoted"],
@@ -163,6 +144,63 @@ def main() -> int:
         "planted_cross_dups": n_planted,
         "planted_recall": round(out["removed"] / max(1, n_planted), 4),
         "walls": out.get("walls", {}),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--delta", type=int, default=100_000)
+    ap.add_argument("--tau", type=float, default=0.5)
+    ap.add_argument("--root", default=None)
+    ap.add_argument(
+        "--scaling",
+        default=None,
+        help="comma list of delta sizes (e.g. 10000,100000,1000000): "
+        "snapshot the index+state once, then append each size against "
+        "a restored snapshot — the cost-∝-delta evidence in one JSON "
+        "(also exercises the broadcast->shuffle fallback past "
+        "CorpusPipeline._BROADCAST_DELTA_MAX)",
+    )
+    args = ap.parse_args()
+    root = args.root or f"/tmp/cloudvectordb_e2e/{args.n}"
+    index_path = f"{root}/ivf"
+    if not os.path.exists(f"{index_path}/vectors"):
+        raise SystemExit(f"run tools/e2e_scale_probe.py --n {args.n} first")
+
+    spark = get_session("append-probe")
+    boot = bootstrap_state(spark, root, index_path, args.tau)
+
+    if args.scaling:
+        import shutil
+
+        snap = f"{root}/ivf_snapshot"
+        if not os.path.exists(snap):
+            shutil.copytree(index_path, snap)
+        rows = []
+        for n_delta in (int(x) for x in args.scaling.split(",")):
+            shutil.rmtree(index_path)
+            shutil.copytree(snap, index_path)
+            rows.append(
+                _run_one_append(spark, root, index_path, args.n, n_delta)
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "append_scaling_probe",
+                    "corpus": args.n,
+                    "bootstrap": boot,
+                    "runs": rows,
+                }
+            )
+        )
+        return 0
+
+    result = {
+        "metric": "append_probe",
+        "corpus": args.n,
+        "bootstrap": boot,
+        **_run_one_append(spark, root, index_path, args.n, args.delta),
     }
     print(json.dumps(result))
     return 0
