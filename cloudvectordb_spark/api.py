@@ -660,6 +660,7 @@ class CorpusPipeline:
         index_path: str,
         delta_docs: DataFrame,
         encoder=None,
+        lease: int | None = None,
     ) -> dict:
         """Incremental S1→S4 over a NEW batch of docs, cost ∝ delta
         (round-10 verdict #7): the delta is near-dup-deduped within
@@ -686,7 +687,21 @@ class CorpusPipeline:
         append-log id discipline): min-label canonicalization keeps
         every existing canonical canonical unless a merge demotes it,
         which is what makes increment == rebuild provable. Raises
-        ValueError otherwise."""
+        ValueError otherwise.
+
+        CONCURRENCY: append is a multi-dir in-place mutation (vector
+        appends + demotion rewrites + state roll), so it fences like
+        the streaming writers — it acquires a ``versioning`` epoch on
+        the index root (or takes ``lease`` from a caller that manages
+        its own generations) and re-checks it before every mutation
+        phase and before the meta commit; a writer fenced by a newer
+        epoch dies with CommitConflict instead of interleaving. A crash
+        MID-append leaves the index mutated with the meta NOT rolled
+        (meta commits last): the layout still serves correctly, but the
+        next append must not trust half-rolled sigs — recover by
+        re-running run() (full rebuild of dedup state) or restoring the
+        pre-append snapshot; the fence guarantees two live appends
+        never interleave, not crash atomicity."""
         import os
         import shutil
         import time
@@ -707,11 +722,29 @@ class CorpusPipeline:
             walls[stage] = round(time.perf_counter() - t0, 1)
             t0 = time.perf_counter()
 
+        from cloudvectordb_spark.versioning import (
+            CommitConflict,
+            _max_epoch,
+            acquire_lease,
+        )
+
         meta = CorpusPipeline._read_state_meta(index_path)
         tau, hasher = meta["tau"], meta["hasher"]
         text_col = meta.get("text_col", "text")
         sd = CorpusPipeline._state_dir(index_path)
         idx = VectorIndex.open(spark, index_path)
+        if lease is None:
+            lease = acquire_lease(index_path, owner="corpus-append")
+
+        def _fence(at: str) -> None:
+            newest = _max_epoch(index_path)
+            if newest > lease:
+                raise CommitConflict(
+                    f"append epoch {lease} fenced by newer epoch {newest} "
+                    f"at {at} — another writer owns {index_path}"
+                )
+
+        _fence("start")
 
         n_delta = delta_docs.count()
         if n_delta == 0:
@@ -786,6 +819,7 @@ class CorpusPipeline:
 
             _lap("labels_survivors_s")
             n_before = idx.vectors.count()
+            _fence("pre-demotion")
             if demoted:
                 CorpusPipeline._remove_from_index(
                     spark, index_path, sorted(demoted)
@@ -799,6 +833,7 @@ class CorpusPipeline:
             )
             try:
                 n_surv = vectors.count()
+                _fence("pre-append")
                 if n_surv:
                     idx.append(vectors)
                 _lap("embed_append_s")
@@ -822,6 +857,7 @@ class CorpusPipeline:
             _lap("handoff_counts_s")
 
             # -- state forward-roll (meta commits last) ----------------
+            _fence("pre-state-roll")
             sigs_delta.write.mode("append").parquet(f"{sd}/sigs")
             remap = spark.createDataFrame(
                 [(o, n) for o, n in demoted.items()] or [(-1, -1)],
@@ -849,6 +885,7 @@ class CorpusPipeline:
             new_rows.write.mode("overwrite").parquet(build)
             shutil.rmtree(f"{sd}/labels")
             os.rename(build, f"{sd}/labels")
+            _fence("pre-meta-commit")
             CorpusPipeline._write_state_meta(
                 index_path,
                 {

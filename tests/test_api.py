@@ -627,3 +627,33 @@ def test_vector_index_delete_rewrites_only_touched_cells(spark, sf_dir, tmp_path
     assert hits and not ({r.neighbor_id for r in hits} & victims)
     # deleting ids that are absent is a no-op
     assert idx.delete([10 ** 9]) == 0
+
+
+def test_corpus_pipeline_append_fenced_by_newer_lease(spark, sf_dir, tmp_path):
+    """Append is an in-place multi-dir mutation, so it must fence like
+    the streaming writers: a stale generation's append dies with
+    CommitConflict at its first fence; the live generation proceeds."""
+    import pytest as _pytest
+
+    from cloudvectordb_spark.api import CorpusPipeline
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.versioning import CommitConflict, acquire_lease
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    delta = docs.filter(F.col("doc_id") >= 300)
+    CorpusPipeline.run(spark, corpus, str(tmp_path / "idx"), tau=0.5)
+
+    stale = acquire_lease(str(tmp_path / "idx"), owner="append-gen1")
+    live = acquire_lease(str(tmp_path / "idx"), owner="append-gen2")
+    with _pytest.raises(CommitConflict, match="fenced by newer epoch"):
+        CorpusPipeline.append(spark, str(tmp_path / "idx"), delta, lease=stale)
+    out = CorpusPipeline.append(spark, str(tmp_path / "idx"), delta, lease=live)
+    assert out["indexed"] > 0 and out["delta"] == delta.count()
+    # default path (no explicit lease) self-acquires and still works
+    delta2 = spark.createDataFrame(
+        [(10_000, "completely fresh words only here")],
+        "doc_id long, text string",
+    )
+    out2 = CorpusPipeline.append(spark, str(tmp_path / "idx"), delta2)
+    assert out2["survivors"] == 1
