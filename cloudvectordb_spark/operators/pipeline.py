@@ -2062,6 +2062,10 @@ def split_hot_cells(
         sorted(new_cents),
         schema="centroid_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{build_dir}/centroids")
+    # the dedup-state sidecar (CorpusPipeline sigs/labels/meta) is
+    # doc-level, layout-independent state: carry it so append keeps
+    # working on the re-split index
+    _link_state_sidecar(index_path, build_dir)
     with open(os.path.join(build_dir, "_BUILT"), "w") as f:
         f.write("ok")
     try:
@@ -2077,6 +2081,31 @@ def split_hot_cells(
         "mean_before": round(mean, 1),
         "target": round(target, 1),
     }
+
+
+def _link_state_sidecar(index_path: str, build_dir: str) -> None:
+    """Hard-link the CorpusPipeline dedup_state sidecar (sigs, labels,
+    meta.json) into a new layout's build dir — the state is doc-level
+    and layout-independent, so split/compact must carry it or
+    CorpusPipeline.append stops working on the published index. No-op
+    when the index has no facade state."""
+    import os
+    import shutil
+
+    src = os.path.join(index_path, "dedup_state")
+    if not os.path.isdir(src):
+        return
+    for dirpath, _, files in os.walk(src):
+        rel = os.path.relpath(dirpath, index_path)
+        dst_dir = os.path.join(build_dir, rel)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fn in files:
+            sp = os.path.join(dirpath, fn)
+            dp = os.path.join(dst_dir, fn)
+            try:
+                os.link(sp, dp)
+            except OSError:
+                shutil.copy2(sp, dp)
 
 
 def compact_ivf_index(spark: SparkSession, index_path: str, out_path: str) -> None:
@@ -2104,6 +2133,7 @@ def compact_ivf_index(spark: SparkSession, index_path: str, out_path: str) -> No
         .parquet(f"{build_dir}/vectors")
     )
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{build_dir}/centroids")
+    _link_state_sidecar(index_path, build_dir)  # keep append working
     with open(os.path.join(build_dir, "_BUILT"), "w") as f:
         f.write("ok")
     try:

@@ -657,3 +657,43 @@ def test_corpus_pipeline_append_fenced_by_newer_lease(spark, sf_dir, tmp_path):
     )
     out2 = CorpusPipeline.append(spark, str(tmp_path / "idx"), delta2)
     assert out2["survivors"] == 1
+
+
+def test_corpus_pipeline_lifecycle_chain_survives_split(spark, sf_dir, tmp_path):
+    """The lifecycle pieces must COMPOSE: run -> append -> split (new
+    path, state sidecar carried) -> append again on the split index ==
+    one rebuild over everything, on the indexed (vec_id, embedding)
+    set. This is what caught split/compact dropping dedup_state."""
+    from cloudvectordb_spark.api import CorpusPipeline, VectorIndex
+    from cloudvectordb_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 200)
+    d1 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350))
+    d2 = docs.filter(F.col("doc_id") >= 350)
+
+    CorpusPipeline.run(spark, corpus, str(tmp_path / "idx"), tau=0.5)
+    CorpusPipeline.append(spark, str(tmp_path / "idx"), d1)
+    idx = VectorIndex.open(spark, str(tmp_path / "idx"))
+    # force at least one split so the chain genuinely crosses a re-layout
+    split_idx, stats = idx.split_hot_cells(
+        str(tmp_path / "idx_split"), factor=1.0
+    )
+    assert stats["hot_cells_split"] >= 1
+    out = CorpusPipeline.append(spark, str(tmp_path / "idx_split"), d2)
+    assert out["survivors"] > 0
+
+    reb = CorpusPipeline.run(spark, docs, str(tmp_path / "reb"), tau=0.5)
+    a = out["index"].vectors.select("vec_id", "embedding")
+    b = reb["index"].vectors.select("vec_id", "embedding")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # compaction carries the state too: append still works afterwards
+    comp_idx = out["index"].compact(str(tmp_path / "idx_compact"))
+    n_compacted = comp_idx.vectors.count()  # BEFORE the append mutates it
+    extra = spark.createDataFrame(
+        [(99_000, "entirely novel vocabulary sentence")],
+        "doc_id long, text string",
+    )
+    out2 = CorpusPipeline.append(spark, str(tmp_path / "idx_compact"), extra)
+    assert out2["survivors"] == 1 and out2["indexed"] == n_compacted + 1
