@@ -455,6 +455,71 @@ class TextIndex:
 
 
 
+class HybridIndex:
+    """Both retrieval modalities over one corpus as one object: the
+    persisted inverted index (TextIndex) and an IVF vector index
+    (VectorIndex), fused per query batch with reciprocal-rank fusion —
+    the serving shape tools/hybrid_scale_probe.py measured at 1M docs
+    (the fused single plan is CHEAPER than its two legs run back to
+    back: both legs and the merge schedule as one job). The RRF
+    constant (1/(60+rank)) is the registered `hybrid_rrf_batch`
+    query's, value-oracled at fixture scale; the facade is
+    parity-pinned against it in pytest."""
+
+    RRF_K = 60
+
+    def __init__(self, text: TextIndex, vectors: VectorIndex):
+        self.text = text
+        self.vectors = vectors
+
+    def search_batch(
+        self,
+        queries: tuple[tuple[int, tuple[str, ...]], ...],
+        probes: DataFrame,
+        k: int = 10,
+        leg_n: int = 60,
+        nprobe: int = 8,
+    ) -> DataFrame:
+        """One fused plan per batch: BM25 top-``leg_n`` per query from
+        the postings + strict-nprobe vector top-``leg_n`` per probe,
+        full-outer joined on (query_id, doc_id), RRF-scored, top-``k``.
+        ``queries`` and ``probes`` pair by id (query_id == probe
+        vec_id)."""
+        from pyspark.sql import Window
+
+        from cloudvectordb_spark.operators.search import (
+            batch_topk_per_query,
+            bm25_scores_batch,
+        )
+
+        bm = batch_topk_per_query(
+            bm25_scores_batch(self.text.spark, self.text.sf_dir, tuple(queries)),
+            leg_n,
+        ).select("query_id", "doc_id", F.col("rank").alias("krank"))
+        vec = self.vectors.search_batch(probes, k=leg_n, nprobe=nprobe).select(
+            F.col("probe_id").cast("int").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("vrank"),
+        )
+        fused = bm.join(vec, ["query_id", "doc_id"], "full_outer").select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (self.RRF_K + F.col("krank")), F.lit(0.0))
+                + F.coalesce(1.0 / (self.RRF_K + F.col("vrank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("rrf_score"), F.asc("doc_id")
+        )
+        return (
+            fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rrf_score", "rank")
+        )
+
+
 class CorpusPipeline:
     """The composed reference lifecycle (S1→S4: raw docs → near-dup
     dedup → embed → vectordb) as ONE ergonomic call — the same
@@ -652,6 +717,100 @@ class CorpusPipeline:
             "indexed": n_indexed,
             "k": k,
             "index": idx,
+        }
+
+    @staticmethod
+    def run_sharded(
+        spark: SparkSession,
+        docs: DataFrame,
+        index_paths: list,
+        tau: float = 0.5,
+        k: int | None = None,
+        encoder=None,
+        hasher: str = "fast",
+        text_col: str = "text",
+    ) -> dict:
+        """The fleet topology in one call: GLOBAL near-dup dedup (a
+        duplicate pair must die even when its two docs land on
+        different shards, so dedup runs before the split), then the
+        survivors md5-split across ``len(index_paths)`` independent
+        index builds — each shard owns its layout, its build lifecycle
+        and, on a real fleet, its executors. Serving goes through
+        ``VectorIndex.search_sharded`` (lossless k*S merge, value-
+        oracled by `sharded_knn_merge`; concurrent fan-out measured in
+        tools/sharded_serve_probe.py). Pytest pins: union of shard
+        contents == the unsharded run's index, shards disjoint, and
+        full-coverage sharded search == unsharded exact top-k.
+
+        ``k`` is PER SHARD (auto-sized from each shard's row count when
+        None — the same rows-per-cell rule as run())."""
+        S = len(index_paths)
+        if S < 2:
+            raise ValueError("run_sharded wants >= 2 index paths; use run()")
+        from cloudvectordb_spark.operators.dedup import (
+            connected_components,
+            minhash_pairs_within,
+            minhash_sigs,
+        )
+        from pyspark import StorageLevel
+
+        n_docs = docs.count()
+        sigs = minhash_sigs(docs, hasher=hasher)
+        pairs = (
+            minhash_pairs_within(sigs)
+            .filter(F.col("est_jaccard") >= tau)
+            .select("a_id", "b_id")
+        )
+        labels = connected_components(pairs, src="a_id", dst="b_id")
+        doomed = labels.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        survivors = docs.join(doomed, "doc_id", "left_anti")
+        vectors = (
+            CorpusPipeline._embed(survivors, encoder, text_col)
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+            .withColumn(
+                "_shard",
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(S),
+                ).cast("int"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            n_surv = vectors.count()
+            shards, shard_rows = [], []
+            for s, path in enumerate(index_paths):
+                part = vectors.filter(F.col("_shard") == s).drop("_shard")
+                n_part = part.count()
+                ks = k or max(
+                    8, min(65536, n_part // CorpusPipeline._ROWS_PER_CELL)
+                )
+                shards.append(VectorIndex.build(spark, part, path, k=ks))
+                shard_rows.append(n_part)
+            n_indexed = sum(
+                idx.vectors.count() for idx in shards
+            )
+            if not (n_indexed == n_surv == sum(shard_rows)):
+                raise RuntimeError(
+                    "sharded pipeline handoff violated: "
+                    f"survivors={n_surv} shard_rows={shard_rows} "
+                    f"indexed={n_indexed}"
+                )
+        finally:
+            vectors.unpersist()
+        return {
+            "docs": n_docs,
+            "survivors": n_surv,
+            "removed": n_docs - n_surv,
+            "indexed": n_indexed,
+            "shard_rows": shard_rows,
+            "shards": shards,
         }
 
     @staticmethod

@@ -697,3 +697,81 @@ def test_corpus_pipeline_lifecycle_chain_survives_split(spark, sf_dir, tmp_path)
     )
     out2 = CorpusPipeline.append(spark, str(tmp_path / "idx_compact"), extra)
     assert out2["survivors"] == 1 and out2["indexed"] == n_compacted + 1
+
+
+def test_corpus_pipeline_run_sharded_equals_unsharded(spark, sf_dir, tmp_path):
+    """Fleet build: global dedup -> md5-split survivors -> S shard
+    indexes. Union of shard contents == the unsharded run's index,
+    shards disjoint, and full-coverage scatter-gather search == the
+    unsharded exact top-k."""
+    from cloudvectordb_spark.api import CorpusPipeline, VectorIndex
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.vector_ops import exact_knn
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out_s = CorpusPipeline.run_sharded(
+        spark, docs, [str(tmp_path / f"s{i}") for i in range(2)], tau=0.5
+    )
+    out_u = CorpusPipeline.run(spark, docs, str(tmp_path / "mono"), tau=0.5)
+    assert out_s["survivors"] == out_u["survivors"]
+    assert out_s["indexed"] == out_u["indexed"] == sum(out_s["shard_rows"])
+
+    union = out_s["shards"][0].vectors.select("vec_id", "embedding").unionByName(
+        out_s["shards"][1].vectors.select("vec_id", "embedding")
+    )
+    mono = out_u["index"].vectors.select("vec_id", "embedding")
+    assert union.exceptAll(mono).count() == 0
+    assert mono.exceptAll(union).count() == 0
+    a = {r.vec_id for r in out_s["shards"][0].vectors.select("vec_id").collect()}
+    b = {r.vec_id for r in out_s["shards"][1].vectors.select("vec_id").collect()}
+    assert not (a & b) and a and b  # disjoint, both non-empty
+
+    # full-coverage sharded search == exact top-k over all survivors
+    probes = union.orderBy("vec_id").limit(3)
+    probes = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in probes.collect()],
+        schema="vec_id long, embedding array<float>",
+    )
+    max_k = max(len(s.centroids()) for s in out_s["shards"])
+    got = {
+        (r.probe_id, r.rank): r.neighbor_id
+        for r in VectorIndex.search_sharded(
+            out_s["shards"], probes, k=5, nprobe=max_k
+        ).collect()
+    }
+    want = {
+        (r.probe_id, r.rank): r.neighbor_id
+        for r in exact_knn(union, probes, k=5).collect()
+    }
+    assert got == want and len(got) == 15
+
+
+def test_hybrid_index_facade_matches_registered_query(spark, sf_dir):
+    """HybridIndex.search_batch with full cell coverage (vector leg
+    exact) must reproduce the registered hybrid_rrf_batch bit-for-bit
+    on the same query batch."""
+    from cloudvectordb_spark.api import HybridIndex, TextIndex, VectorIndex
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.pipeline import ensure_ivf_index
+    from cloudvectordb_spark.operators.search import _BATCH_QUERIES, hybrid_rrf_batch
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    hi = HybridIndex(
+        TextIndex.open(spark, sf_dir),
+        VectorIndex.open(spark, ensure_ivf_index(spark, sf_dir)),
+    )
+    # the registered query's vector leg is exact over corpus-joined
+    # embeddings; full nprobe coverage makes the facade's leg exact too
+    probes = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    ).filter(F.col("vec_id").isin([qid for qid, _ in _BATCH_QUERIES]))
+    n_cells = len(hi.vectors.centroids())
+    got = {
+        tuple(r)
+        for r in hi.search_batch(
+            _BATCH_QUERIES, probes, k=10, leg_n=60, nprobe=n_cells
+        ).collect()
+    }
+    want = {tuple(r) for r in hybrid_rrf_batch(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
