@@ -613,33 +613,25 @@ class CorpusPipeline:
             return json.load(f)
 
     @staticmethod
-    def run(
+    def _global_dedup(
         spark: SparkSession,
         docs: DataFrame,
-        index_path: str,
-        tau: float = 0.5,
-        k: int | None = None,
-        encoder=None,
-        hasher: str = "fast",
-        text_col: str = "text",
-    ) -> dict:
+        state_root: str,
+        tau: float,
+        hasher: str,
+    ):
+        """Shared S1 front half of run()/run_sharded(): MinHash sigs
+        materialized FIRST into the append state (one shingle+hash pass
+        over the corpus text, ever — pairs and state read the parquet
+        back), banded pairs, CC canonicalization, survivors. Returns
+        (survivors, labels)."""
         from cloudvectordb_spark.operators.dedup import (
             connected_components,
             minhash_pairs_within,
             minhash_sigs,
         )
 
-        # "fast" = xxhash64 permutations (JVM columns, ~3x cheaper at
-        # 10M docs, pytest recall-pinned); "md5" = the oracle-replayable
-        # scheme the registered queries verify against. The sig->band->
-        # verify composition here is value-identical to the fused
-        # minhash_banded_pairs_{fast,df} pipelines (pytest-pinned); it
-        # is split at the SIGNATURE so the sigs persist as append state.
-        # Sigs are materialized FIRST and everything downstream (pairs,
-        # append state) reads the parquet back — one shingle+hash pass
-        # over the corpus text, ever.
-        n_docs = docs.count()
-        sd = CorpusPipeline._state_dir(index_path)
+        sd = CorpusPipeline._state_dir(state_root)
         minhash_sigs(docs, hasher=hasher).write.mode("overwrite").parquet(
             f"{sd}/sigs"
         )
@@ -653,7 +645,70 @@ class CorpusPipeline:
         doomed = labels.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias("doc_id")
         )
-        survivors = docs.join(doomed, "doc_id", "left_anti")
+        return docs.join(doomed, "doc_id", "left_anti"), labels
+
+    @staticmethod
+    def _finish_state(
+        spark: SparkSession,
+        docs: DataFrame,
+        state_root: str,
+        labels,
+        meta_extra: dict,
+    ) -> None:
+        """Back half of the run state: NON-IDENTITY canonical labels
+        (rows ∝ duplicates, not corpus) then meta.json LAST — a crash
+        mid-state-write leaves no meta, so append() refuses rather than
+        reading half a state."""
+        sd = CorpusPipeline._state_dir(state_root)
+        labels.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id"), F.col("component").alias("canonical")
+        ).write.mode("overwrite").parquet(f"{sd}/labels")
+        stats = docs.agg(
+            F.count("*").alias("n"), F.max("doc_id").alias("mx")
+        ).first()
+        CorpusPipeline._write_state_meta(
+            state_root,
+            {
+                "n_docs": int(stats.n),
+                "max_doc_id": int(stats.mx),
+                **meta_extra,
+            },
+        )
+
+    @staticmethod
+    def _shard_of(S: int):
+        """The md5 shard-routing expression (shared by build and
+        append so a vector always lands on the same shard)."""
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(S),
+        ).cast("int")
+
+    @staticmethod
+    def run(
+        spark: SparkSession,
+        docs: DataFrame,
+        index_path: str,
+        tau: float = 0.5,
+        k: int | None = None,
+        encoder=None,
+        hasher: str = "fast",
+        text_col: str = "text",
+    ) -> dict:
+        # "fast" = xxhash64 permutations (JVM columns, ~3x cheaper at
+        # 10M docs, pytest recall-pinned); "md5" = the oracle-replayable
+        # scheme the registered queries verify against. The sig->band->
+        # verify composition is value-identical to the fused
+        # minhash_banded_pairs_{fast,df} pipelines (pytest-pinned); it
+        # is split at the SIGNATURE so the sigs persist as append state.
+        n_docs = docs.count()
+        survivors, labels = CorpusPipeline._global_dedup(
+            spark, docs, index_path, tau, hasher
+        )
 
         embedded = CorpusPipeline._embed(survivors, encoder, text_col)
         # PERSIST before the build: the trainer's fit filter cannot push
@@ -690,25 +745,12 @@ class CorpusPipeline:
                 )
         finally:
             vectors.unpersist()
-        # persist the rest of the dedup state the incremental append
-        # extends (sigs already landed above): the NON-IDENTITY
-        # canonical labels (removed doc -> its cluster canonical; rows
-        # ∝ duplicates, not corpus). meta.json commits LAST — a crash
-        # mid-state-write leaves no meta, so append() refuses rather
-        # than reading half a state.
-        labels.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias("doc_id"), F.col("component").alias("canonical")
-        ).write.mode("overwrite").parquet(f"{sd}/labels")
-        max_doc_id = docs.agg(F.max("doc_id")).first()[0]
-        CorpusPipeline._write_state_meta(
+        CorpusPipeline._finish_state(
+            spark,
+            docs,
             index_path,
-            {
-                "hasher": hasher,
-                "tau": tau,
-                "n_docs": n_docs,
-                "max_doc_id": int(max_doc_id),
-                "text_col": text_col,
-            },
+            labels,
+            {"hasher": hasher, "tau": tau, "text_col": text_col, "shards": 1},
         )
         return {
             "docs": n_docs,
@@ -747,39 +789,17 @@ class CorpusPipeline:
         S = len(index_paths)
         if S < 2:
             raise ValueError("run_sharded wants >= 2 index paths; use run()")
-        from cloudvectordb_spark.operators.dedup import (
-            connected_components,
-            minhash_pairs_within,
-            minhash_sigs,
-        )
         from pyspark import StorageLevel
 
+        state_root = index_paths[0]  # the primary shard holds the state
         n_docs = docs.count()
-        sigs = minhash_sigs(docs, hasher=hasher)
-        pairs = (
-            minhash_pairs_within(sigs)
-            .filter(F.col("est_jaccard") >= tau)
-            .select("a_id", "b_id")
+        survivors, labels = CorpusPipeline._global_dedup(
+            spark, docs, state_root, tau, hasher
         )
-        labels = connected_components(pairs, src="a_id", dst="b_id")
-        doomed = labels.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias("doc_id")
-        )
-        survivors = docs.join(doomed, "doc_id", "left_anti")
         vectors = (
             CorpusPipeline._embed(survivors, encoder, text_col)
             .select(F.col("doc_id").alias("vec_id"), "embedding")
-            .withColumn(
-                "_shard",
-                F.pmod(
-                    F.conv(
-                        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
-                        16,
-                        10,
-                    ).cast("bigint"),
-                    F.lit(S),
-                ).cast("int"),
-            )
+            .withColumn("_shard", CorpusPipeline._shard_of(S))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         try:
@@ -804,6 +824,13 @@ class CorpusPipeline:
                 )
         finally:
             vectors.unpersist()
+        CorpusPipeline._finish_state(
+            spark,
+            docs,
+            state_root,
+            labels,
+            {"hasher": hasher, "tau": tau, "text_col": text_col, "shards": S},
+        )
         return {
             "docs": n_docs,
             "survivors": n_surv,
@@ -812,6 +839,38 @@ class CorpusPipeline:
             "shard_rows": shard_rows,
             "shards": shards,
         }
+
+    @staticmethod
+    def append_sharded(
+        spark: SparkSession,
+        index_paths: list,
+        delta_docs: DataFrame,
+        encoder=None,
+        lease: int | None = None,
+    ) -> dict:
+        """Incremental append for a run_sharded() fleet: ONE global
+        delta dedup against the state on the primary shard (the same
+        increment == rebuild semantics as append()), then survivors
+        route to their md5 shard and demoted canonicals are removed
+        from whichever shard holds them. Fenced on the primary shard's
+        root. Pytest pins append_sharded(delta) == run_sharded(corpus ∪
+        delta) on the union-of-shards contents."""
+        shards = [VectorIndex.open(spark, p) for p in index_paths]
+        meta = CorpusPipeline._read_state_meta(index_paths[0])
+        if meta.get("shards") != len(index_paths):
+            raise ValueError(
+                f"state at {index_paths[0]} was built for "
+                f"{meta.get('shards')} shard(s); got {len(index_paths)} "
+                "paths — the md5 routing would disagree with the layout"
+            )
+        return CorpusPipeline._append_impl(
+            spark,
+            state_root=index_paths[0],
+            indexes=shards,
+            delta_docs=delta_docs,
+            encoder=encoder,
+            lease=lease,
+        )
 
     @staticmethod
     def append(
@@ -861,6 +920,25 @@ class CorpusPipeline:
         re-running run() (full rebuild of dedup state) or restoring the
         pre-append snapshot; the fence guarantees two live appends
         never interleave, not crash atomicity."""
+        return CorpusPipeline._append_impl(
+            spark,
+            state_root=index_path,
+            indexes=[VectorIndex.open(spark, index_path)],
+            delta_docs=delta_docs,
+            encoder=encoder,
+            lease=lease,
+        )
+
+    @staticmethod
+    def _append_impl(
+        spark: SparkSession,
+        state_root: str,
+        indexes: list,
+        delta_docs: DataFrame,
+        encoder,
+        lease: int | None,
+    ) -> dict:
+        import hashlib
         import os
         import shutil
         import time
@@ -873,6 +951,7 @@ class CorpusPipeline:
         )
         from pyspark import StorageLevel
 
+        S = len(indexes)
         walls: dict = {}
         t0 = time.perf_counter()
 
@@ -887,21 +966,29 @@ class CorpusPipeline:
             acquire_lease,
         )
 
-        meta = CorpusPipeline._read_state_meta(index_path)
+        meta = CorpusPipeline._read_state_meta(state_root)
         tau, hasher = meta["tau"], meta["hasher"]
         text_col = meta.get("text_col", "text")
-        sd = CorpusPipeline._state_dir(index_path)
-        idx = VectorIndex.open(spark, index_path)
+        sd = CorpusPipeline._state_dir(state_root)
         if lease is None:
-            lease = acquire_lease(index_path, owner="corpus-append")
+            lease = acquire_lease(state_root, owner="corpus-append")
 
         def _fence(at: str) -> None:
-            newest = _max_epoch(index_path)
+            newest = _max_epoch(state_root)
             if newest > lease:
                 raise CommitConflict(
                     f"append epoch {lease} fenced by newer epoch {newest} "
-                    f"at {at} — another writer owns {index_path}"
+                    f"at {at} — another writer owns {state_root}"
                 )
+
+        def _total_count() -> int:
+            return sum(ix.vectors.count() for ix in indexes)
+
+        def _shard_of_py(vid: int) -> int:
+            # MUST match _shard_of's SQL expression (md5 hex prefix)
+            return (
+                int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % S
+            )
 
         _fence("start")
 
@@ -909,7 +996,8 @@ class CorpusPipeline:
         if n_delta == 0:
             return {
                 "delta": 0, "survivors": 0, "removed": 0, "demoted": 0,
-                "indexed": idx.vectors.count(), "index": idx,
+                "indexed": _total_count(),
+                "index": indexes[0], "shards": indexes,
             }
         bounds = delta_docs.agg(
             F.min("doc_id").alias("lo"),
@@ -977,12 +1065,19 @@ class CorpusPipeline:
             }
 
             _lap("labels_survivors_s")
-            n_before = idx.vectors.count()
+            n_before = _total_count()
             _fence("pre-demotion")
             if demoted:
-                CorpusPipeline._remove_from_index(
-                    spark, index_path, sorted(demoted)
-                )
+                # each demoted canonical lives on exactly one md5 shard
+                by_shard: dict[int, list[int]] = {}
+                for d in sorted(demoted):
+                    by_shard.setdefault(
+                        _shard_of_py(d) if S > 1 else 0, []
+                    ).append(d)
+                for s, ids in by_shard.items():
+                    CorpusPipeline._remove_from_index(
+                        spark, indexes[s].path, ids
+                    )
             _lap("demotion_s")
 
             vectors = (
@@ -993,10 +1088,22 @@ class CorpusPipeline:
             try:
                 n_surv = vectors.count()
                 _fence("pre-append")
-                if n_surv:
-                    idx.append(vectors)
+                if n_surv and S == 1:
+                    indexes[0].append(vectors)
+                elif n_surv:
+                    routed = vectors.withColumn(
+                        "_shard", CorpusPipeline._shard_of(S)
+                    )
+                    for s, ix in enumerate(indexes):
+                        part = routed.filter(F.col("_shard") == s).drop(
+                            "_shard"
+                        )
+                        ix.append(part)
                 _lap("embed_append_s")
-                post = idx.vectors.agg(
+                union = indexes[0].vectors.select("vec_id")
+                for ix in indexes[1:]:
+                    union = union.unionByName(ix.vectors.select("vec_id"))
+                post = union.agg(
                     F.count("*").alias("n"),
                     F.count_distinct("vec_id").alias("nd"),
                 ).first()
@@ -1046,7 +1153,7 @@ class CorpusPipeline:
             os.rename(build, f"{sd}/labels")
             _fence("pre-meta-commit")
             CorpusPipeline._write_state_meta(
-                index_path,
+                state_root,
                 {
                     **meta,
                     "n_docs": meta["n_docs"] + n_delta,
@@ -1064,7 +1171,8 @@ class CorpusPipeline:
             "removed": n_delta - n_surv,
             "demoted": len(demoted),
             "indexed": n_after,
-            "index": idx,
+            "index": indexes[0],
+            "shards": indexes,
             "walls": walls,
         }
 

@@ -775,3 +775,43 @@ def test_hybrid_index_facade_matches_registered_query(spark, sf_dir):
     }
     want = {tuple(r) for r in hybrid_rrf_batch(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_corpus_pipeline_append_sharded_equals_rebuild(spark, sf_dir, tmp_path):
+    """Fleet increment == fleet rebuild: ONE global delta dedup, then
+    survivors route to their md5 shard and demoted canonicals are
+    removed from whichever shard holds them — union-of-shards contents
+    equal the joint run_sharded's, both directions."""
+    import pytest as _pytest
+
+    from cloudvectordb_spark.api import CorpusPipeline
+    from cloudvectordb_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+
+    paths = [str(tmp_path / f"s{i}") for i in range(2)]
+    CorpusPipeline.run_sharded(spark, corpus, paths, tau=0.5)
+    out = CorpusPipeline.append_sharded(spark, paths, delta)
+    assert out["delta"] == delta.count() and out["survivors"] > 0
+
+    reb_paths = [str(tmp_path / f"r{i}") for i in range(2)]
+    reb = CorpusPipeline.run_sharded(spark, docs, reb_paths, tau=0.5)
+
+    def union_of(shards):
+        u = shards[0].vectors.select("vec_id", "embedding")
+        for s in shards[1:]:
+            u = u.unionByName(s.vectors.select("vec_id", "embedding"))
+        return u
+
+    a, b = union_of(out["shards"]), union_of(reb["shards"])
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # per-shard contents match too (same md5 routing on both sides)
+    for s in range(2):
+        x = out["shards"][s].vectors.select("vec_id")
+        y = reb["shards"][s].vectors.select("vec_id")
+        assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0
+    # shard-count mismatch is rejected before any mutation
+    with _pytest.raises(ValueError, match="md5 routing"):
+        CorpusPipeline.append_sharded(spark, paths + [str(tmp_path / "s2")], delta)
