@@ -239,6 +239,21 @@ class VectorIndex:
 
         return remove_vectors_from_index(self.spark, self.path, vec_ids)
 
+    def snapshot(self, out_path: str) -> "VectorIndex":
+        """Pin the current layout as an immutable READER snapshot
+        (full-tree hard-link: zero data copy, atomic publish). In-place
+        writers — ``CorpusPipeline.append``'s demotion rewrites,
+        ``delete`` — replace cell files under the live path; a reader
+        that opened before the write would hit missing files mid-scan.
+        A pinned snapshot keeps serving the exact pre-write results no
+        matter what the live index rewrites (the IVF-layout counterpart
+        of the postings store's manifest-pinned versions). Vacuum by
+        removing the snapshot dir; data blocks free with the last link."""
+        from cloudvectordb_spark.operators.pipeline import snapshot_ivf_index
+
+        snapshot_ivf_index(self.path, out_path)
+        return VectorIndex(self.spark, out_path)
+
     def compact(self, out_path: str) -> "VectorIndex":
         """Rewrite to one file per cell (small-files GC); returns the new
         index, leaving this one untouched (atomic publish)."""

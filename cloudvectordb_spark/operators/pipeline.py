@@ -2108,6 +2108,62 @@ def _link_state_sidecar(index_path: str, build_dir: str) -> None:
                 shutil.copy2(sp, dp)
 
 
+def snapshot_ivf_index(index_path: str, out_path: str) -> int:
+    """Pin the CURRENT index layout as an immutable reader snapshot —
+    a full-tree hard-link (zero data copy, O(files) metadata ops on the
+    same device; copy on the rare cross-device fallback), published
+    atomically build-then-rename like split/compact.
+
+    Why readers need this: ``CorpusPipeline.append`` mutates the layout
+    in place, and a cluster-merge DEMOTION rewrites whole cells
+    (``remove_vectors_from_index`` deletes the old cell files) — a
+    reader holding DataFrames over the live path would hit missing
+    files mid-scan. A snapshot's links keep the pinned files alive
+    regardless of what the live index deletes (the same discipline the
+    postings store gets from manifest-pinned versions in
+    ``versioning.py``, applied to the partitioned IVF layout). Vacuum
+    is ``shutil.rmtree(snapshot)`` — data blocks free once the last
+    link drops.
+
+    Excludes the ``leases`` fencing dir (a snapshot is a read-only pin,
+    never a writer) and any in-flight ``*.build*`` / ``*_tmp`` staging
+    dirs. Returns the number of files linked.
+    """
+    import os
+    import shutil
+
+    build_dir = f"{out_path}.build{os.getpid()}"
+    n_linked = 0
+    for dirpath, dirnames, files in os.walk(index_path):
+        rel = os.path.relpath(dirpath, index_path)
+        parts = rel.split(os.sep)
+        dirnames[:] = [
+            d
+            for d in dirnames
+            if d != "leases" and ".build" not in d and not d.endswith("_tmp")
+        ]
+        if parts and (parts[0] == "leases" or parts[0].endswith("_tmp")):
+            continue
+        dst_dir = (
+            build_dir if rel == "." else os.path.join(build_dir, rel)
+        )
+        os.makedirs(dst_dir, exist_ok=True)
+        for fn in files:
+            sp = os.path.join(dirpath, fn)
+            dp = os.path.join(dst_dir, fn)
+            try:
+                os.link(sp, dp)
+            except OSError:
+                shutil.copy2(sp, dp)
+            n_linked += 1
+    try:
+        os.rename(build_dir, out_path)
+    except OSError:
+        shutil.rmtree(build_dir, ignore_errors=True)
+        raise
+    return n_linked
+
+
 def compact_ivf_index(spark: SparkSession, index_path: str, out_path: str) -> None:
     """Rewrite the vectors layout so each centroid cell is one file.
 

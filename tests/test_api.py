@@ -477,6 +477,74 @@ def test_corpus_pipeline_append_equals_rebuild_md5(spark, tmp_path):
     assert {r.vec_id for r in a.collect()} == {0, 1, 3, 7, 12, 14}
 
 
+def test_vector_index_snapshot_isolates_readers_from_demotion(spark, tmp_path):
+    """A pinned snapshot keeps serving the exact pre-append state while
+    CorpusPipeline.append demotes a canonical IN PLACE (cell rewrite
+    deletes the live files a naive reader would still reference)."""
+    import os
+
+    from cloudvectordb_spark.api import CorpusPipeline
+
+    TAU = 0.25
+    x1, x2, x3, y, w, z = _craft_append_fixture(TAU)
+    uniq = lambda g: " ".join(f"{g}w{i}" for i in range(24))  # noqa: E731
+    corpus_rows = [
+        (0, uniq("u0")), (1, x1), (2, x2),
+        (3, y), (4, y),
+        (5, w), (6, w),
+        (7, uniq("u7")),
+    ]
+    delta_rows = [(10, x3), (11, z), (12, uniq("n")), (13, uniq("n")),
+                  (14, uniq("u14"))]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, schema="doc_id long, text string"
+    )
+    out_run = CorpusPipeline.run(
+        spark, mk(corpus_rows), str(tmp_path / "inc"), tau=TAU, hasher="md5"
+    )
+    live = out_run["index"]
+    snap = live.snapshot(str(tmp_path / "snap"))
+    pre = {(r.vec_id, tuple(r.embedding)) for r in live.vectors.collect()}
+    assert {v for v, _ in pre} == {0, 1, 3, 5, 7}
+
+    out_app = CorpusPipeline.append(
+        spark, str(tmp_path / "inc"), mk(delta_rows)
+    )
+    assert out_app["demoted"] == 1  # vec 5's cell was REWRITTEN in place
+
+    live_ids = {r.vec_id for r in live.vectors.collect()}
+    assert 5 not in live_ids and {12, 14} <= live_ids
+    # the snapshot's links outlive the live rewrite: content exact
+    snap_rows = {(r.vec_id, tuple(r.embedding)) for r in snap.vectors.collect()}
+    assert snap_rows == pre
+    # and it still SEARCHES the demoted vector
+    emb5 = [float(x) for x in dict(pre)[5]]
+    probe = spark.createDataFrame(
+        [(999, emb5)], schema="vec_id long, embedding array<float>"
+    )
+    got = {
+        r.neighbor_id
+        for r in snap.search(probe, k=1, nprobe=len(snap.centroids())).collect()
+        if r.rank == 1
+    }
+    assert got == {5}
+    # a post-append snapshot never carries writer fencing state, but
+    # DOES carry the dedup_state sidecar (it doubles as a restore point)
+    snap2 = live.snapshot(str(tmp_path / "snap2"))
+    assert not os.path.isdir(os.path.join(snap2.path, "leases"))
+    assert os.path.exists(
+        os.path.join(snap2.path, "dedup_state", "meta.json")
+    )
+    # restore-point semantics: a fresh append onto the snapshot copy
+    # produces the same contents as the append onto the live index did
+    out_app2 = CorpusPipeline.append(
+        spark, str(tmp_path / "snap"), mk(delta_rows)
+    )
+    a = out_app2["index"].vectors.select("vec_id", "embedding")
+    b = live.vectors.select("vec_id", "embedding")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_corpus_pipeline_append_equals_rebuild_fast(spark, sf_dir, tmp_path):
     """Same equality on the fixture corpus with the production xxhash64
     hasher: split documents into corpus/delta by id, append the delta,
