@@ -856,12 +856,50 @@ class CorpusPipeline:
         }
 
     @staticmethod
+    def _snapshot_guard(spark: SparkSession, indexes: list, run) -> dict:
+        """Crash-atomic wrapper for the append paths (``safe=True``):
+        hard-link-snapshot every shard root BEFORE the first mutation
+        (near-free: O(files) metadata ops, zero data copy), run the
+        append, and on ANY failure swap the snapshots back — the index
+        and its dedup state return to the exact pre-append bytes, so
+        the caller just retries. The live ``leases`` dir is carried
+        across a restore (it is excluded from snapshots) so fencing
+        epochs stay monotonic through a rollback."""
+        import os
+        import shutil
+
+        from cloudvectordb_spark.operators.pipeline import snapshot_ivf_index
+
+        snaps = []
+        for ix in indexes:
+            snap = f"{ix.path}.pre_append{os.getpid()}"
+            snapshot_ivf_index(ix.path, snap)
+            snaps.append((ix.path, snap))
+        try:
+            out = run()
+        except BaseException:
+            for path, snap in reversed(snaps):
+                broken = f"{path}.broken{os.getpid()}"
+                os.rename(path, broken)
+                os.rename(snap, path)
+                # fencing state lives only in the live tree: keep it
+                leases = os.path.join(broken, "leases")
+                if os.path.isdir(leases):
+                    os.rename(leases, os.path.join(path, "leases"))
+                shutil.rmtree(broken)
+            raise
+        for _, snap in snaps:
+            shutil.rmtree(snap)
+        return out
+
+    @staticmethod
     def append_sharded(
         spark: SparkSession,
         index_paths: list,
         delta_docs: DataFrame,
         encoder=None,
         lease: int | None = None,
+        safe: bool = False,
     ) -> dict:
         """Incremental append for a run_sharded() fleet: ONE global
         delta dedup against the state on the primary shard (the same
@@ -878,14 +916,19 @@ class CorpusPipeline:
                 f"{meta.get('shards')} shard(s); got {len(index_paths)} "
                 "paths — the md5 routing would disagree with the layout"
             )
-        return CorpusPipeline._append_impl(
-            spark,
-            state_root=index_paths[0],
-            indexes=shards,
-            delta_docs=delta_docs,
-            encoder=encoder,
-            lease=lease,
-        )
+        def run():
+            return CorpusPipeline._append_impl(
+                spark,
+                state_root=index_paths[0],
+                indexes=shards,
+                delta_docs=delta_docs,
+                encoder=encoder,
+                lease=lease,
+            )
+
+        if safe:
+            return CorpusPipeline._snapshot_guard(spark, shards, run)
+        return run()
 
     @staticmethod
     def append(
@@ -894,6 +937,7 @@ class CorpusPipeline:
         delta_docs: DataFrame,
         encoder=None,
         lease: int | None = None,
+        safe: bool = False,
     ) -> dict:
         """Incremental S1→S4 over a NEW batch of docs, cost ∝ delta
         (round-10 verdict #7): the delta is near-dup-deduped within
@@ -928,21 +972,38 @@ class CorpusPipeline:
         the index root (or takes ``lease`` from a caller that manages
         its own generations) and re-checks it before every mutation
         phase and before the meta commit; a writer fenced by a newer
-        epoch dies with CommitConflict instead of interleaving. A crash
-        MID-append leaves the index mutated with the meta NOT rolled
-        (meta commits last): the layout still serves correctly, but the
-        next append must not trust half-rolled sigs — recover by
-        re-running run() (full rebuild of dedup state) or restoring the
-        pre-append snapshot; the fence guarantees two live appends
-        never interleave, not crash atomicity."""
-        return CorpusPipeline._append_impl(
-            spark,
-            state_root=index_path,
-            indexes=[VectorIndex.open(spark, index_path)],
-            delta_docs=delta_docs,
-            encoder=encoder,
-            lease=lease,
-        )
+        epoch dies with CommitConflict instead of interleaving.
+
+        CRASH SEMANTICS: with ``safe=True`` the append is crash-atomic
+        against in-process failures — every index root is hard-link-
+        snapshotted before the first mutation (near-free metadata op)
+        and swapped back on ANY exception, so the index and its dedup
+        state return to the exact pre-append bytes and the caller just
+        retries (pytest-pinned, including a failure injected between
+        the demotion rewrite and the vector append). Default
+        ``safe=False`` keeps the bare path: a crash MID-append leaves
+        the index mutated with the meta NOT rolled (meta commits last)
+        — the layout still serves correctly, but the next append must
+        not trust half-rolled sigs; recover by re-running run() or by
+        restoring a ``VectorIndex.snapshot``. A hard process KILL under
+        ``safe=True`` leaves the ``.pre_append`` snapshot dir next to
+        the root as the manual restore point. Either way the fence
+        guarantees two live appends never interleave."""
+        idx = VectorIndex.open(spark, index_path)
+
+        def run():
+            return CorpusPipeline._append_impl(
+                spark,
+                state_root=index_path,
+                indexes=[idx],
+                delta_docs=delta_docs,
+                encoder=encoder,
+                lease=lease,
+            )
+
+        if safe:
+            return CorpusPipeline._snapshot_guard(spark, [idx], run)
+        return run()
 
     @staticmethod
     def _append_impl(

@@ -545,6 +545,82 @@ def test_vector_index_snapshot_isolates_readers_from_demotion(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_corpus_pipeline_append_safe_restores_on_failure(
+    spark, tmp_path, monkeypatch
+):
+    """safe=True append is crash-atomic: a failure injected AFTER the
+    demotion rewrite (the index is already mutated) rolls the whole
+    root back to the exact pre-append state, and the retry succeeds
+    with rebuild-equal results."""
+    import os
+
+    import pytest
+
+    from cloudvectordb_spark.api import CorpusPipeline
+
+    TAU = 0.25
+    x1, x2, x3, y, w, z = _craft_append_fixture(TAU)
+    uniq = lambda g: " ".join(f"{g}w{i}" for i in range(24))  # noqa: E731
+    corpus_rows = [
+        (0, uniq("u0")), (1, x1), (2, x2),
+        (3, y), (4, y),
+        (5, w), (6, w),
+        (7, uniq("u7")),
+    ]
+    delta_rows = [(10, x3), (11, z), (12, uniq("n")), (13, uniq("n")),
+                  (14, uniq("u14"))]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, schema="doc_id long, text string"
+    )
+    inc = str(tmp_path / "inc")
+    out_run = CorpusPipeline.run(
+        spark, mk(corpus_rows), inc, tau=TAU, hasher="md5"
+    )
+    live = out_run["index"]
+    pre_vec = {(r.vec_id, tuple(r.embedding)) for r in live.vectors.collect()}
+    pre_meta = CorpusPipeline._read_state_meta(inc)
+    pre_sigs = spark.read.parquet(f"{inc}/dedup_state/sigs").count()
+
+    real = CorpusPipeline._remove_from_index
+
+    def boom(spark_, path_, ids_):
+        real(spark_, path_, ids_)  # the demotion rewrite HAS happened
+        raise RuntimeError("injected crash after demotion")
+
+    monkeypatch.setattr(
+        CorpusPipeline, "_remove_from_index", staticmethod(boom)
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        CorpusPipeline.append(spark, inc, mk(delta_rows), safe=True)
+    monkeypatch.setattr(
+        CorpusPipeline, "_remove_from_index", staticmethod(real)
+    )
+
+    # rolled back to the exact pre-append state: vectors, sigs, meta
+    assert {
+        (r.vec_id, tuple(r.embedding)) for r in live.vectors.collect()
+    } == pre_vec
+    assert CorpusPipeline._read_state_meta(inc) == pre_meta
+    assert spark.read.parquet(f"{inc}/dedup_state/sigs").count() == pre_sigs
+    # no snapshot/restore litter left behind
+    litter = [
+        d for d in os.listdir(tmp_path)
+        if ".pre_append" in d or ".broken" in d
+    ]
+    assert litter == []
+
+    # the retry just works and equals the rebuild
+    out_app = CorpusPipeline.append(spark, inc, mk(delta_rows), safe=True)
+    assert out_app["demoted"] == 1
+    out_reb = CorpusPipeline.run(
+        spark, mk(corpus_rows + delta_rows), str(tmp_path / "reb"),
+        tau=TAU, hasher="md5",
+    )
+    a = out_app["index"].vectors.select("vec_id", "embedding")
+    b = out_reb["index"].vectors.select("vec_id", "embedding")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_corpus_pipeline_append_equals_rebuild_fast(spark, sf_dir, tmp_path):
     """Same equality on the fixture corpus with the production xxhash64
     hasher: split documents into corpus/delta by id, append the delta,
