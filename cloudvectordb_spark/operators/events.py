@@ -1939,3 +1939,211 @@ def asof_signup_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lv.event_id").alias("last_view_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A5/J5 E2E with PLANTED duplicates: two readStream copies of the same
+# source union into one stream, so every event_id arrives exactly twice
+# across the query's micro-batches; dropDuplicatesWithinWatermark must
+# physically remove the second copy before the checkpointed sink. The
+# 90-day watermark exceeds the fixture's 30-day span, so no dedup state
+# ever evicts and the stream's output is exactly one copy per event_id
+# — which is why the single-table batch aggregate below is a full value
+# oracle for a REAL streaming-dedup run (not a batch twin). Sink path
+# is source-fingerprint-keyed: re-invocations restart from the
+# committed checkpoint and reprocess nothing.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_union_dedup_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("A5", "J5", "G4", "J4"),
+)
+def streaming_union_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from cloudvectordb_spark.streaming.jobs import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_to_parquet_sink,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"dd|{os.path.abspath(sf_dir)}|{_src_fp(src)}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), "cloudvectordb_stream_dedup", tag
+    )
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    run_to_parquet_sink(
+        dedup_within_watermark(doubled, watermark="90 days"),
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+    )
+    sunk = spark.read.parquet(os.path.join(root, "out"))
+    return sunk.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 third cover: 4-hour window sliding by 1 hour (each event in exactly
+# 4 windows) with the D5 statistical aggregates inside the slide — the
+# shape neither sliding twin exercises. Oracle materializes the window
+# membership via 4 shifted epoch-aligned hourly buckets (1 h divides
+# 4 h, so bucket starts coincide with Spark's window starts).
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_4h_value_stats",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts)
+               - k.k * INTERVAL '1 hour' AS ws,
+             event_type, value
+      FROM events, (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT ws, event_type,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(avg(value), 6)          AS avg_value,
+           round(stddev_samp(value), 6)  AS sd_value
+    FROM b
+    GROUP BY ws, event_type
+    """,
+    operators=("J2", "D5", "D1"),
+)
+def events_sliding_4h_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "4 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "avg_value", "sd_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 third cover: the watermark DROP census — classify every event
+# against the stream's would-be watermark cutoff (global max(ts) minus
+# the 6-hour delay) per event type: how many rows a late-data policy
+# would drop vs keep, and the kept value mass. The CASE WHEN
+# classification mirrors what a watermarked streaming agg admits.
+# ---------------------------------------------------------------------------
+@query(
+    "events_watermark_drop_census",
+    oracle="""
+    WITH c AS (SELECT max(ts) - INTERVAL '6 hours' AS cutoff FROM events)
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE ts < cutoff) AS BIGINT)  AS n_late,
+           CAST(count(*) FILTER (WHERE ts >= cutoff) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN ts >= cutoff THEN value END), 2) AS kept_value
+    FROM events, c
+    GROUP BY event_type
+    """,
+    operators=("J4", "B8", "D2", "H5"),
+)
+def events_watermark_drop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 6 HOURS")).alias("cutoff")
+    )
+    kept = F.col("ts") >= F.col("cutoff")
+    return (
+        ev.crossJoin(F.broadcast(cutoff))  # one-row global cutoff
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(~kept, 1)).cast("bigint").alias("n_late"),
+            F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+            F.round(F.sum(F.when(kept, F.col("value"))), 2).alias("kept_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 fourth cover, the OTHER dedup semantics: keep-LAST per key — the
+# state-store "latest value wins" shape (dropDuplicates keeps first;
+# streaming state upserts keep last). Deterministic total order via
+# (ts, event_id) tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "events_state_keep_last",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)    AS n_keys,
+           round(sum(value), 2)        AS sum_last_value
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type
+    """,
+    operators=("J5", "E1", "D1"),
+)
+def events_state_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.round(F.sum("value"), 2).alias("sum_last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 third cover: two-hop stream-static enrichment — events through the
+# customer dim to the nation dim (both broadcast-sized static sides),
+# per-nation activity. The static side of a stream-static join is
+# always the broadcast candidate; two chained dims is the realistic
+# enrichment shape.
+# ---------------------------------------------------------------------------
+@query(
+    "events_enriched_nation_value",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT)               AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(avg(value), 6)                    AS avg_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    operators=("J7", "C1", "C2", "D3"),
+)
+def events_enriched_nation_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

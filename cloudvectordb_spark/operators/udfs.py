@@ -387,3 +387,52 @@ def lang_weighted_len_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n_rows(F.col("doc_id")).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J6 third cover: per-key PEAK/DRAWDOWN state machine — the classic
+# "track the running max, report the worst dip" per-key stateful logic
+# (two state registers per key: peak, max_drawdown), batch-twinned as a
+# grouped-map cummax over event-time order. The oracle replays the same
+# state machine with SQL window frames.
+# ---------------------------------------------------------------------------
+@query(
+    "user_value_peak_drawdown",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM events
+    )
+    SELECT user_id,
+           round(max(peak), 2)          AS peak_value,
+           round(max(peak - value), 2)  AS max_drawdown
+    FROM runs
+    GROUP BY user_id
+    """,
+    operators=("J6", "L3", "D1"),
+)
+def user_value_peak_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def drawdown(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        peak = pdf["value"].cummax()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "peak_value": [round(peak.iloc[-1], 2)],
+                "max_drawdown": [round((peak - pdf["value"]).max(), 2)],
+            }
+        )
+
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            drawdown,
+            "user_id bigint, peak_value double, max_drawdown double",
+        )
+    )
