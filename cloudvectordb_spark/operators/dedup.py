@@ -1363,3 +1363,180 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: assign every doc by the md5 of its
+# near-dup CLUSTER canonical, not its own id — the whole dup family
+# lands on one side, so a test doc can never have a near-duplicate in
+# train (the intra-corpus complement of benchmark_contamination). The
+# census reports, per split, how many docs moved relative to the naive
+# id-hash split — the docs the naive split was silently leaking.
+# Scales: edges are the inverted-index equi-join, CC is the measured
+# pointer-doubling kernel, and the split itself is a pure projection.
+# ---------------------------------------------------------------------------
+_SPLIT_CASE = """CASE WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                  WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                  ELSE 'test' END"""
+
+
+def _split_expr(col: str):
+    b = F.substring(F.md5(F.col(col).cast("string")), 1, 1)
+    return F.when(b < "c", "train").when(b < "e", "val").otherwise("test")
+
+
+@query(
+    "leakage_safe_split_census",
+    oracle=f"""
+    {_CC_PAIRS_SQL.format(tau=_CC_TAU)},
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach (src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    members AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+      FROM reach GROUP BY src
+    ),
+    tagged AS (
+      SELECT d.doc_id,
+             coalesce(m.canonical_id, d.doc_id) AS canonical_id,
+             {_SPLIT_CASE.format(col='coalesce(m.canonical_id, d.doc_id)')} AS split,
+             {_SPLIT_CASE.format(col='d.doc_id')} AS id_split
+      FROM documents d LEFT JOIN members m USING (doc_id)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)                    AS n_docs,
+           CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+           CAST(count(*) FILTER (WHERE doc_id != canonical_id) AS BIGINT)
+                                                        AS n_dup_members,
+           CAST(count(*) FILTER (WHERE split != id_split) AS BIGINT)
+                                                        AS n_moved_vs_id_split
+    FROM tagged GROUP BY split
+    """,
+    operators=("K2", "G5", "H4", "B8", "D3"),
+)
+def leakage_safe_split_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    comp = connected_components(shingle_jaccard_edges(docs, _CC_TAU))
+    tagged = (
+        docs.select("doc_id")
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("canonical_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "canonical_id", F.coalesce("canonical_id", F.col("doc_id"))
+        )
+        .withColumn("split", _split_expr("canonical_id"))
+        .withColumn("id_split", _split_expr("doc_id"))
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("canonical_id").cast("bigint").alias("n_clusters"),
+        F.count(F.when(F.col("doc_id") != F.col("canonical_id"), 1))
+        .cast("bigint")
+        .alias("n_dup_members"),
+        F.count(F.when(F.col("split") != F.col("id_split"), 1))
+        .cast("bigint")
+        .alias("n_moved_vs_id_split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The leakage AUDIT that motivates the canonical split: count near-dup
+# pairs straddling the split boundary under (a) the naive id-hash
+# assignment — nonzero on any corpus with dup families — and (b) the
+# canonical assignment — structurally zero, because both ends of every
+# edge share a canonical and therefore a side. Both counts ride the
+# value oracle: a regression that breaks family-atomic assignment
+# fails the hash, not just an eyeball.
+# ---------------------------------------------------------------------------
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    {_CC_PAIRS_SQL.format(tau=_CC_TAU)},
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach (src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    members AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+      FROM reach GROUP BY src
+    ),
+    tagged AS (
+      SELECT d.doc_id,
+             {_SPLIT_CASE.format(col='coalesce(m.canonical_id, d.doc_id)')} AS split,
+             {_SPLIT_CASE.format(col='d.doc_id')} AS id_split
+      FROM documents d LEFT JOIN members m USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE ta.id_split != tb.id_split) AS BIGINT)
+                                   AS id_split_leaks,
+           CAST(count(*) FILTER (WHERE ta.split != tb.split) AS BIGINT)
+                                   AS canonical_split_leaks
+    FROM pairs p
+    JOIN tagged ta ON p.a_id = ta.doc_id
+    JOIN tagged tb ON p.b_id = tb.doc_id
+    """,
+    operators=("G5", "K2", "C1", "D2"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    edges = shingle_jaccard_edges(docs, _CC_TAU)
+    comp = connected_components(edges)
+    tagged = (
+        docs.select("doc_id")
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("canonical_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "canonical_id", F.coalesce("canonical_id", F.col("doc_id"))
+        )
+        .select(
+            "doc_id",
+            _split_expr("canonical_id").alias("split"),
+            _split_expr("doc_id").alias("id_split"),
+        )
+    )
+    ta = tagged.select(
+        F.col("doc_id").alias("src"),
+        F.col("split").alias("a_split"),
+        F.col("id_split").alias("a_id_split"),
+    )
+    tb = tagged.select(
+        F.col("doc_id").alias("dst"),
+        F.col("split").alias("b_split"),
+        F.col("id_split").alias("b_id_split"),
+    )
+    return (
+        edges.join(ta, "src")
+        .join(tb, "dst")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.count(F.when(F.col("a_id_split") != F.col("b_id_split"), 1))
+            .cast("bigint")
+            .alias("id_split_leaks"),
+            F.count(F.when(F.col("a_split") != F.col("b_split"), 1))
+            .cast("bigint")
+            .alias("canonical_split_leaks"),
+        )
+    )
