@@ -483,7 +483,12 @@ class HybridIndex:
 
     RRF_K = 60
 
-    def __init__(self, text: TextIndex, vectors: VectorIndex):
+    def __init__(self, text: TextIndex, vectors):
+        """``vectors``: one VectorIndex, or a LIST of shard indexes —
+        the fleet topology. With shards, the vector leg goes through
+        ``VectorIndex.search_sharded`` (lossless k*S merge, concurrent
+        fan-out) and the fusion is unchanged; pytest pins the sharded
+        hybrid == the monolithic hybrid at full cell coverage."""
         self.text = text
         self.vectors = vectors
 
@@ -511,7 +516,13 @@ class HybridIndex:
             bm25_scores_batch(self.text.spark, self.text.sf_dir, tuple(queries)),
             leg_n,
         ).select("query_id", "doc_id", F.col("rank").alias("krank"))
-        vec = self.vectors.search_batch(probes, k=leg_n, nprobe=nprobe).select(
+        if isinstance(self.vectors, (list, tuple)):
+            vec_leg = VectorIndex.search_sharded(
+                list(self.vectors), probes, k=leg_n, nprobe=nprobe
+            )
+        else:
+            vec_leg = self.vectors.search_batch(probes, k=leg_n, nprobe=nprobe)
+        vec = vec_leg.select(
             F.col("probe_id").cast("int").alias("query_id"),
             F.col("neighbor_id").alias("doc_id"),
             F.col("rank").alias("vrank"),

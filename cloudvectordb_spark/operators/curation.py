@@ -952,3 +952,68 @@ def semantic_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_eval_hits"),
         F.max("cos_sim").alias("max_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence PACKING: concatenate documents into fixed
+# token-budget bins (the standard pre-training batching step — short
+# docs pack together so no sequence pads to the context length). The
+# deterministic contiguous scheme: within each source, docs pack in
+# doc_id order and a doc opens bin floor(tokens_before / budget) —
+# reproducible across engines/reruns, no RNG, and a doc that straddles
+# the boundary belongs to the bin it STARTED in (overflow reported,
+# never silently truncated). Packing is per-source (window partitioned
+# on source), so the sequential cumsum parallelizes across sources —
+# the production sharding; a single global order would serialize the
+# whole corpus through one task at 100 TB.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+@query(
+    "token_budget_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS ntok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, ntok,
+             CAST(floor(
+               (sum(ntok) OVER (PARTITION BY source
+                                ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - ntok)
+               / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(ntok) AS BIGINT)    AS bin_tokens,
+           round(sum(ntok) / {_PACK_BUDGET}.0, 6) AS fill_ratio
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+    operators=("K1", "E3", "H6", "D1"),
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "source", "doc_id", TX.token_count("text").alias("ntok")
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("ntok").over(w) - F.col("ntok")) / float(_PACK_BUDGET)
+        ).cast("bigint"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("bin_tokens"),
+        F.round(F.sum("ntok") / float(_PACK_BUDGET), 6).alias("fill_ratio"),
+    )

@@ -921,6 +921,54 @@ def test_hybrid_index_facade_matches_registered_query(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_hybrid_index_sharded_vector_leg_matches_monolithic(
+    spark, sf_dir, tmp_path
+):
+    """HybridIndex with a LIST of vector shards (fleet topology) must
+    reproduce the registered hybrid_rrf_batch bit-for-bit when each
+    shard is probed at full cell coverage (sharded exact == mono
+    exact, and the fusion is shard-agnostic)."""
+    from cloudvectordb_spark.api import HybridIndex, TextIndex, VectorIndex
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.search import (
+        _BATCH_QUERIES,
+        hybrid_rrf_batch,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    shard_of = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(2),
+    )
+    shards = [
+        VectorIndex.build(
+            spark,
+            corpus.withColumn("_s", shard_of).filter(F.col("_s") == i).drop("_s"),
+            str(tmp_path / f"hs{i}"),
+            k=4,
+        )
+        for i in range(2)
+    ]
+    hi = HybridIndex(TextIndex.open(spark, sf_dir), shards)
+    probes = corpus.filter(
+        F.col("vec_id").isin([qid for qid, _ in _BATCH_QUERIES])
+    )
+    got = {
+        tuple(r)
+        for r in hi.search_batch(
+            _BATCH_QUERIES, probes, k=10, leg_n=60, nprobe=4
+        ).collect()
+    }
+    want = {tuple(r) for r in hybrid_rrf_batch(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_corpus_pipeline_append_sharded_equals_rebuild(spark, sf_dir, tmp_path):
     """Fleet increment == fleet rebuild: ONE global delta dedup, then
     survivors route to their md5 shard and demoted canonicals are
