@@ -82,6 +82,8 @@ def ensure_ivf(spark, sf_dir: str, root: str) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--shards", type=int, default=0,
+                    help="also measure the fused batch with the vector leg split across N shard indexes (HybridIndex shard-list mode)")
     args = ap.parse_args()
     root = os.path.join("/tmp", "cloudvectordb_hybrid", str(args.docs))
 
@@ -189,6 +191,75 @@ def main() -> int:
         len(fused_sets[q] & bm_exact.get(q, set())) / TOPK for q in qs
     ) / len(qs)
 
+    extra = {}
+    if args.shards > 1:
+        # fleet mode: same text index, vector leg scattered over N md5
+        # shards through HybridIndex's shard-list constructor (the
+        # facade pytest pins bit-equality at full coverage; here we
+        # measure the wall and report top-10 agreement at serving
+        # nprobe, where per-shard pruning may legitimately differ)
+        from cloudvectordb_spark.api import HybridIndex, TextIndex, VectorIndex
+
+        shard_of = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(args.shards),
+        )
+        shard_idx = []
+        t0 = time.perf_counter()
+        for i in range(args.shards):
+            path = f"{root}/ivf_shard{i}_of{args.shards}"
+            if not os.path.exists(f"{path}/vectors/_SUCCESS"):
+                VectorIndex.build(
+                    spark,
+                    emb.withColumn("_s", shard_of)
+                    .filter(F.col("_s") == i)
+                    .drop("_s"),
+                    path,
+                    k=max(8, K_CELLS // args.shards),
+                )
+            shard_idx.append(VectorIndex.open(spark, path))
+        shard_build_s = round(time.perf_counter() - t0, 1)
+        text_ix = TextIndex.open(spark, sf_dir)
+        hi_shard = HybridIndex(text_ix, shard_idx)
+        hi_mono = HybridIndex(text_ix, VectorIndex.open(spark, ivf))
+
+        def timed_hi(hi):
+            # HybridIndex's sharded vector leg fans out eagerly inside
+            # search_batch, so time the whole call
+            def once():
+                return hi.search_batch(
+                    batch, probes_df, k=TOPK, leg_n=LEG_N, nprobe=NPROBE
+                ).collect()
+
+            once()  # warm
+            best, rows = 9e9, None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = once()
+                best = min(best, time.perf_counter() - t0)
+            sets: dict = {}
+            for r in rows:
+                sets.setdefault(r.query_id, set()).add(r.doc_id)
+            return round(best, 3), sets
+
+        mono_s, mono_sets = timed_hi(hi_mono)
+        shard_s, shard_sets = timed_hi(hi_shard)
+        qs = sorted(mono_sets)
+        agree = sum(
+            len(mono_sets[q] & shard_sets.get(q, set())) / TOPK for q in qs
+        ) / len(qs)
+        extra = {
+            "shards": args.shards,
+            "shard_builds_s": shard_build_s,
+            "hybrid_mono_s": mono_s,
+            "hybrid_sharded_s": shard_s,
+            "ms_per_query_sharded": round(1000 * shard_s / N_QUERIES, 1),
+            "sharded_vs_mono_top10_agreement": round(agree, 3),
+        }
+
     print(
         json.dumps(
             {
@@ -204,6 +275,7 @@ def main() -> int:
                 "ms_per_query_fused": round(1000 * fused_s / N_QUERIES, 1),
                 "fused_overlap_vs_vector_exact_at10": round(overlap_vec, 3),
                 "fused_overlap_vs_bm25_exact_at10": round(overlap_bm, 3),
+                **extra,
             }
         )
     )
