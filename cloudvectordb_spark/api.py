@@ -830,15 +830,33 @@ class CorpusPipeline:
         )
         try:
             n_surv = vectors.count()
-            shards, shard_rows = [], []
-            for s, path in enumerate(index_paths):
+
+            # the S shard builds are independent job chains over the
+            # same persisted frame — submit them from S driver threads
+            # so their stages overlap in the scheduler instead of
+            # serializing (the build-side mirror of search_sharded's
+            # concurrent fan-out; on a real fleet each shard also gets
+            # its own executors). Outputs are deterministic either way:
+            # each build is a self-contained deterministic trainer
+            # writing its own path.
+            def _build_one(s_path):
+                s, path = s_path
                 part = vectors.filter(F.col("_shard") == s).drop("_shard")
                 n_part = part.count()
                 ks = k or max(
                     8, min(65536, n_part // CorpusPipeline._ROWS_PER_CELL)
                 )
-                shards.append(VectorIndex.build(spark, part, path, k=ks))
-                shard_rows.append(n_part)
+                return s, VectorIndex.build(spark, part, path, k=ks), n_part
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=S) as pool:
+                built = sorted(
+                    pool.map(_build_one, enumerate(index_paths)),
+                    key=lambda t: t[0],
+                )
+            shards = [ix for _, ix, _ in built]
+            shard_rows = [n for _, _, n in built]
             n_indexed = sum(
                 idx.vectors.count() for idx in shards
             )
