@@ -1173,15 +1173,25 @@ class CorpusPipeline:
             n_before = _total_count()
             _fence("pre-demotion")
             if demoted:
-                # each demoted canonical lives on exactly one md5 shard
+                # each demoted canonical lives on exactly one md5 shard;
+                # the per-shard rewrites are independent (disjoint
+                # paths), so they submit concurrently like the shard
+                # builds/searches do
+                from concurrent.futures import ThreadPoolExecutor
+
                 by_shard: dict[int, list[int]] = {}
                 for d in sorted(demoted):
                     by_shard.setdefault(
                         _shard_of_py(d) if S > 1 else 0, []
                     ).append(d)
-                for s, ids in by_shard.items():
-                    CorpusPipeline._remove_from_index(
-                        spark, indexes[s].path, ids
+                with ThreadPoolExecutor(max_workers=len(by_shard)) as pool:
+                    list(
+                        pool.map(
+                            lambda si: CorpusPipeline._remove_from_index(
+                                spark, indexes[si[0]].path, si[1]
+                            ),
+                            by_shard.items(),
+                        )
                     )
             _lap("demotion_s")
 
@@ -1196,14 +1206,23 @@ class CorpusPipeline:
                 if n_surv and S == 1:
                     indexes[0].append(vectors)
                 elif n_surv:
+                    # per-shard appends write disjoint paths from the
+                    # same persisted frame — concurrent submission,
+                    # like the shard builds
+                    from concurrent.futures import ThreadPoolExecutor
+
                     routed = vectors.withColumn(
                         "_shard", CorpusPipeline._shard_of(S)
                     )
-                    for s, ix in enumerate(indexes):
-                        part = routed.filter(F.col("_shard") == s).drop(
-                            "_shard"
+
+                    def _append_one(s_ix):
+                        s, ix = s_ix
+                        ix.append(
+                            routed.filter(F.col("_shard") == s).drop("_shard")
                         )
-                        ix.append(part)
+
+                    with ThreadPoolExecutor(max_workers=S) as pool:
+                        list(pool.map(_append_one, enumerate(indexes)))
                 _lap("embed_append_s")
                 union = indexes[0].vectors.select("vec_id")
                 for ix in indexes[1:]:
