@@ -885,28 +885,74 @@ class CorpusPipeline:
         }
 
     @staticmethod
-    def _snapshot_guard(spark: SparkSession, indexes: list, run) -> dict:
+    def _snapshot_guard(
+        spark: SparkSession, indexes: list, run, lease: int
+    ) -> dict:
         """Crash-atomic wrapper for the append paths (``safe=True``):
         hard-link-snapshot every shard root BEFORE the first mutation
         (near-free: O(files) metadata ops, zero data copy), run the
-        append, and on ANY failure swap the snapshots back — the index
-        and its dedup state return to the exact pre-append bytes, so
-        the caller just retries. The live ``leases`` dir is carried
-        across a restore (it is excluded from snapshots) so fencing
-        epochs stay monotonic through a rollback."""
+        append, and on failure swap the snapshots back — the index and
+        its dedup state return to the exact pre-append bytes, so the
+        caller just retries. The live ``leases`` dir is carried across
+        a restore (it is excluded from snapshots) so fencing epochs
+        stay monotonic through a rollback.
+
+        FENCING vs ROLLBACK: the restore only runs while THIS writer
+        still holds the newest epoch on the state root. If the failure
+        is a ``CommitConflict`` — or any failure observed after a newer
+        epoch appeared — a successor writer owns the tree, and swapping
+        our pre-append snapshot back would silently revert the
+        successor's committed mutations (and yank the layout out from
+        under it mid-append). In that case the snapshots are deleted
+        and the error re-raised: recovery belongs to the newest-epoch
+        writer, whose own guard snapshotted whatever state it took
+        over.
+
+        A pre-existing ``.pre_append*`` sibling means a previous
+        ``safe=True`` append died hard (its snapshot is the documented
+        manual restore point) — we REFUSE to start rather than
+        silently destroy it or crash later on the restore rename."""
+        import glob
         import os
         import shutil
 
         from cloudvectordb_spark.operators.pipeline import snapshot_ivf_index
+        from cloudvectordb_spark.versioning import CommitConflict, _max_epoch
 
+        state_root = indexes[0].path
         snaps = []
-        for ix in indexes:
-            snap = f"{ix.path}.pre_append{os.getpid()}"
-            snapshot_ivf_index(ix.path, snap)
-            snaps.append((ix.path, snap))
+        try:
+            for ix in indexes:
+                stale = glob.glob(f"{ix.path}.pre_append*")
+                if stale:
+                    raise RuntimeError(
+                        f"stale pre-append snapshot(s) {stale} exist — a "
+                        "previous safe append died mid-flight. Restore "
+                        "the snapshot over the root (or delete it if the "
+                        "live tree is known good) before appending again."
+                    )
+                snap = f"{ix.path}.pre_append{os.getpid()}"
+                snapshot_ivf_index(ix.path, snap)
+                snaps.append((ix.path, snap))
+        except BaseException:
+            # partial snapshot set is useless — don't leak earlier
+            # shards' snapshots (they'd trip the stale check forever)
+            for _, snap in snaps:
+                shutil.rmtree(snap, ignore_errors=True)
+            raise
         try:
             out = run()
-        except BaseException:
+        except BaseException as exc:
+            fenced = isinstance(exc, CommitConflict) or (
+                _max_epoch(state_root) > lease
+            )
+            if fenced:
+                # a newer writer owns the tree: its committed work is
+                # in there, so our pre-append bytes are not a valid
+                # restore point for ANYONE anymore — drop them.
+                for _, snap in snaps:
+                    shutil.rmtree(snap, ignore_errors=True)
+                raise
             for path, snap in reversed(snaps):
                 broken = f"{path}.broken{os.getpid()}"
                 os.rename(path, broken)
@@ -945,6 +991,11 @@ class CorpusPipeline:
                 f"{meta.get('shards')} shard(s); got {len(index_paths)} "
                 "paths — the md5 routing would disagree with the layout"
             )
+        if safe and lease is None:
+            from cloudvectordb_spark.versioning import acquire_lease
+
+            lease = acquire_lease(index_paths[0], owner="corpus-append")
+
         def run():
             return CorpusPipeline._append_impl(
                 spark,
@@ -956,7 +1007,7 @@ class CorpusPipeline:
             )
 
         if safe:
-            return CorpusPipeline._snapshot_guard(spark, shards, run)
+            return CorpusPipeline._snapshot_guard(spark, shards, run, lease)
         return run()
 
     @staticmethod
@@ -1006,10 +1057,15 @@ class CorpusPipeline:
         CRASH SEMANTICS: with ``safe=True`` the append is crash-atomic
         against in-process failures — every index root is hard-link-
         snapshotted before the first mutation (near-free metadata op)
-        and swapped back on ANY exception, so the index and its dedup
-        state return to the exact pre-append bytes and the caller just
+        and swapped back on failure, so the index and its dedup state
+        return to the exact pre-append bytes and the caller just
         retries (pytest-pinned, including a failure injected between
-        the demotion rewrite and the vector append). Default
+        the demotion rewrite and the vector append). EXCEPTION: a
+        writer fenced out by a newer epoch (CommitConflict, or any
+        failure once a newer epoch exists) re-raises WITHOUT restoring
+        — the successor writer's committed mutations are in the tree
+        and rolling them back would lose its data; recovery belongs to
+        the newest-epoch writer. Default
         ``safe=False`` keeps the bare path: a crash MID-append leaves
         the index mutated with the meta NOT rolled (meta commits last)
         — the layout still serves correctly, but the next append must
@@ -1019,6 +1075,10 @@ class CorpusPipeline:
         the root as the manual restore point. Either way the fence
         guarantees two live appends never interleave."""
         idx = VectorIndex.open(spark, index_path)
+        if safe and lease is None:
+            from cloudvectordb_spark.versioning import acquire_lease
+
+            lease = acquire_lease(index_path, owner="corpus-append")
 
         def run():
             return CorpusPipeline._append_impl(
@@ -1031,7 +1091,7 @@ class CorpusPipeline:
             )
 
         if safe:
-            return CorpusPipeline._snapshot_guard(spark, [idx], run)
+            return CorpusPipeline._snapshot_guard(spark, [idx], run, lease)
         return run()
 
     @staticmethod

@@ -2128,6 +2128,14 @@ def snapshot_ivf_index(index_path: str, out_path: str) -> int:
     Excludes the ``leases`` fencing dir (a snapshot is a read-only pin,
     never a writer) and any in-flight ``*.build*`` / ``*_tmp`` staging
     dirs. Returns the number of files linked.
+
+    CONSISTENCY vs a LIVE writer: files that vanish between the walk
+    and the link (an append/demotion rewriting a cell) are skipped, so
+    a concurrent snapshot never crashes — but it may capture a cell
+    mid-rewrite (some files old, some new). For an exact point-in-time
+    pin, take the snapshot under the writer lease or between appends;
+    ``CorpusPipeline.append(safe=True)``'s pre-append snapshot does
+    exactly that (it runs before the first mutation of its own epoch).
     """
     import os
     import shutil
@@ -2153,8 +2161,18 @@ def snapshot_ivf_index(index_path: str, out_path: str) -> int:
             dp = os.path.join(dst_dir, fn)
             try:
                 os.link(sp, dp)
+            except FileNotFoundError:
+                # file deleted between walk and link (a concurrent
+                # append/demotion rewrote its cell) — skip it; the
+                # rewritten replacement is picked up by the walk, or
+                # the caller runs under the writer lease for an exact
+                # point-in-time pin (see note below).
+                continue
             except OSError:
-                shutil.copy2(sp, dp)
+                try:
+                    shutil.copy2(sp, dp)
+                except FileNotFoundError:
+                    continue
             n_linked += 1
     try:
         os.rename(build_dir, out_path)

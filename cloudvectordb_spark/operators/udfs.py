@@ -420,11 +420,14 @@ def user_value_peak_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     def drawdown(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         peak = pdf["value"].cummax()
+        # aggregate UNROUNDED: Python round() is half-to-even while the
+        # DuckDB oracle (and Spark F.round) round half away from zero —
+        # rounding happens once, JVM-side, below.
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
-                "peak_value": [round(peak.iloc[-1], 2)],
-                "max_drawdown": [round((peak - pdf["value"]).max(), 2)],
+                "peak_value": [float(peak.iloc[-1])],
+                "max_drawdown": [float((peak - pdf["value"]).max())],
             }
         )
 
@@ -434,5 +437,10 @@ def user_value_peak_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             drawdown,
             "user_id bigint, peak_value double, max_drawdown double",
+        )
+        .select(
+            "user_id",
+            F.round("peak_value", 2).alias("peak_value"),
+            F.round("max_drawdown", 2).alias("max_drawdown"),
         )
     )

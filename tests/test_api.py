@@ -621,6 +621,136 @@ def test_corpus_pipeline_append_safe_restores_on_failure(
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_corpus_pipeline_append_safe_fenced_never_restores(
+    spark, tmp_path, monkeypatch
+):
+    """The fencing⊃rollback interaction: when a NEWER epoch appears
+    mid-append (a successor writer took over the root), the fenced
+    writer must die with CommitConflict WITHOUT swapping its pre-append
+    snapshot back — restoring would silently revert whatever the
+    successor commits. The snapshot is deleted (it is no longer a valid
+    restore point for anyone) and the live tree is left exactly as the
+    fence found it."""
+    import os
+
+    import pytest
+
+    from cloudvectordb_spark.api import CorpusPipeline
+    from cloudvectordb_spark.versioning import CommitConflict, acquire_lease
+
+    TAU = 0.25
+    x1, x2, x3, y, w, z = _craft_append_fixture(TAU)
+    uniq = lambda g: " ".join(f"{g}w{i}" for i in range(24))  # noqa: E731
+    corpus_rows = [
+        (0, uniq("u0")), (1, x1), (2, x2),
+        (3, y), (4, y),
+        (5, w), (6, w),
+    ]
+    delta_rows = [(10, x3), (11, z), (12, uniq("n"))]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, schema="doc_id long, text string"
+    )
+    inc = str(tmp_path / "inc")
+    out_run = CorpusPipeline.run(
+        spark, mk(corpus_rows), inc, tau=TAU, hasher="md5"
+    )
+    live = out_run["index"]
+    pre_vec = {r.vec_id for r in live.vectors.select("vec_id").collect()}
+
+    real = CorpusPipeline._remove_from_index
+
+    def usurp(spark_, path_, ids_):
+        real(spark_, path_, ids_)  # demotion rewrite HAS happened
+        acquire_lease(inc, owner="successor")  # newer writer takes over
+
+    monkeypatch.setattr(
+        CorpusPipeline, "_remove_from_index", staticmethod(usurp)
+    )
+    with pytest.raises(CommitConflict, match="fenced by newer epoch"):
+        CorpusPipeline.append(spark, inc, mk(delta_rows), safe=True)
+
+    # NOT rolled back: the demotion's removal is still visible (the
+    # successor owns recovery), and no snapshot/broken litter remains
+    post_vec = {r.vec_id for r in live.vectors.select("vec_id").collect()}
+    assert post_vec != pre_vec and post_vec < pre_vec
+    litter = [
+        d for d in os.listdir(tmp_path)
+        if ".pre_append" in d or ".broken" in d
+    ]
+    assert litter == []
+
+
+def test_corpus_pipeline_append_safe_refuses_stale_snapshot(
+    spark, tmp_path
+):
+    """A leftover .pre_append dir (hard-killed previous safe append) is
+    the documented manual restore point: the next safe append must
+    refuse with a clear error instead of destroying it or crashing
+    later on the restore rename."""
+    import os
+
+    import pytest
+
+    from cloudvectordb_spark.api import CorpusPipeline
+
+    uniq = lambda g: " ".join(f"{g}w{i}" for i in range(24))  # noqa: E731
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, schema="doc_id long, text string"
+    )
+    inc = str(tmp_path / "inc")
+    CorpusPipeline.run(
+        spark, mk([(0, uniq("a")), (1, uniq("b"))]), inc,
+        tau=0.25, hasher="md5",
+    )
+    stale = f"{inc}.pre_append424242"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "marker"), "w") as f:
+        f.write("restore point")
+    with pytest.raises(RuntimeError, match="stale pre-append"):
+        CorpusPipeline.append(
+            spark, inc, mk([(10, uniq("c"))]), safe=True
+        )
+    # the restore point was NOT destroyed by the refusal
+    assert os.path.exists(os.path.join(stale, "marker"))
+    # after the operator clears it, the append proceeds normally
+    import shutil
+
+    shutil.rmtree(stale)
+    out = CorpusPipeline.append(spark, inc, mk([(10, uniq("c"))]), safe=True)
+    assert out["indexed"] == 3
+
+
+def test_snapshot_ivf_index_skips_vanished_files(spark, tmp_path):
+    """A file deleted between the walk and the hard-link (concurrent
+    append/demotion rewriting a cell) is skipped, not a crash — and the
+    copy2 fallback path tolerates the same race."""
+    import os
+
+    from cloudvectordb_spark.operators.pipeline import snapshot_ivf_index
+
+    src = tmp_path / "idx"
+    os.makedirs(src / "vectors")
+    for i in range(4):
+        with open(src / "vectors" / f"part-{i}.parquet", "w") as f:
+            f.write(f"data{i}")
+
+    victim = str(src / "vectors" / "part-2.parquet")
+    real_link = os.link
+
+    def racing_link(sp, dp, **kw):
+        if sp == victim:
+            os.remove(victim)  # writer deletes it just before our link
+        return real_link(sp, dp, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch("os.link", side_effect=racing_link):
+        n = snapshot_ivf_index(str(src), str(tmp_path / "snap"))
+    assert n == 3
+    got = sorted(os.listdir(tmp_path / "snap" / "vectors"))
+    assert got == ["part-0.parquet", "part-1.parquet", "part-3.parquet"]
+
+
 def test_corpus_pipeline_append_equals_rebuild_fast(spark, sf_dir, tmp_path):
     """Same equality on the fixture corpus with the production xxhash64
     hasher: split documents into corpus/delta by id, append the delta,
