@@ -404,6 +404,38 @@ class TextIndex:
             bm25_scores_batch(self.spark, self.sf_dir, tuple(batch)), k
         )
 
+    def search_sharded(
+        self,
+        batch: tuple[tuple[int, tuple[str, ...]], ...],
+        k: int = 10,
+        n_shards: int = 2,
+        concurrent: bool = True,
+    ) -> DataFrame:
+        """Batch serving over S INDEPENDENT postings shards with
+        globally-consistent BM25 — the text-side fleet topology,
+        mirroring VectorIndex.search_sharded. Each shard generates
+        candidates from its own postings scan but scores under the
+        MERGED global statistics (n_docs/avgdl/df combine by exact
+        integer sums — the mergeable algebra proven lossless by
+        ``bm25_pruned_merged_bounds``), so per-doc scores are
+        bit-identical to the monolithic index and the k*S merge is
+        lossless: results hash-match ``search_batch`` (value-oracled
+        by the registered `bm25_batch_sharded` query; shard-count
+        invariance pytest-pinned). Output carries the winning shard's
+        ordinal."""
+        from cloudvectordb_spark.operators.search import (
+            sharded_bm25_topk_batch,
+        )
+
+        return sharded_bm25_topk_batch(
+            self.spark,
+            self.sf_dir,
+            tuple(batch),
+            k,
+            n_shards=n_shards,
+            concurrent=concurrent,
+        )
+
     def search_boolean(
         self,
         must: tuple[str, ...],
@@ -483,14 +515,22 @@ class HybridIndex:
 
     RRF_K = 60
 
-    def __init__(self, text: TextIndex, vectors):
+    def __init__(self, text: TextIndex, vectors, text_shards: int = 1):
         """``vectors``: one VectorIndex, or a LIST of shard indexes —
         the fleet topology. With shards, the vector leg goes through
         ``VectorIndex.search_sharded`` (lossless k*S merge, concurrent
         fan-out) and the fusion is unchanged; pytest pins the sharded
-        hybrid == the monolithic hybrid at full cell coverage."""
+        hybrid == the monolithic hybrid at full cell coverage.
+
+        ``text_shards > 1`` shards the TEXT leg the same way: BM25
+        candidates come from S independent postings shards scored
+        under merged global stats (``TextIndex.search_sharded``, score-
+        exact vs the monolithic index), so a fully-sharded hybrid —
+        both legs fleet-topology — is pytest-pinned bit-equal to the
+        monolithic hybrid."""
         self.text = text
         self.vectors = vectors
+        self.text_shards = text_shards
 
     def search_batch(
         self,
@@ -512,10 +552,17 @@ class HybridIndex:
             bm25_scores_batch,
         )
 
-        bm = batch_topk_per_query(
-            bm25_scores_batch(self.text.spark, self.text.sf_dir, tuple(queries)),
-            leg_n,
-        ).select("query_id", "doc_id", F.col("rank").alias("krank"))
+        if self.text_shards > 1:
+            bm = self.text.search_sharded(
+                tuple(queries), k=leg_n, n_shards=self.text_shards
+            ).select("query_id", "doc_id", F.col("rank").alias("krank"))
+        else:
+            bm = batch_topk_per_query(
+                bm25_scores_batch(
+                    self.text.spark, self.text.sf_dir, tuple(queries)
+                ),
+                leg_n,
+            ).select("query_id", "doc_id", F.col("rank").alias("krank"))
         if isinstance(self.vectors, (list, tuple)):
             vec_leg = VectorIndex.search_sharded(
                 list(self.vectors), probes, k=leg_n, nprobe=nprobe

@@ -121,6 +121,116 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = _QUERY_TERMS) -> DataF
 # At 100 TB the same layout is the standard postings shard: term-range
 # row groups, doc-partitioned within term, rebuilt incrementally.
 # ---------------------------------------------------------------------------
+def _write_text_artifacts(spark: SparkSession, docs: DataFrame, build: str) -> None:
+    """Write the full v5 artifact set (postings, positions, dl, stats,
+    term_meta, term_variants) for ONE corpus — the whole fixture
+    (``ensure_text_index``) or one md5-routed shard of it
+    (``ensure_sharded_text_index``). The builder is corpus-agnostic:
+    every artifact derives from the ``docs`` frame it was handed.
+
+    posexplode keeps the 0-based token position for the positional
+    postings (phrase / proximity serving, round 8). The corpus-sized
+    token stream is exploded and shuffled ONCE into the grouped
+    (term, doc_id) frame; all four artifacts (postings, positions, dl,
+    term_meta) derive from it. A first cut re-exploded the stream per
+    artifact — four corpus passes — and went superlinear at 10M docs
+    (282 s build; BASELINE.md round 8). The grouped frame persists
+    MEMORY_AND_DISK for the derived writes, then unpersists."""
+    import os
+
+    from pyspark import StorageLevel
+
+    ptok = docs.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "term")
+    )
+    grouped = (
+        ptok.groupBy("term", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.count("*").alias("tf"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # dl + corpus stats first: the one-row stats agg also sizes the
+    # term-partition width (~1 partition / 25M tokens, floor 8) so
+    # per-partition sort volume stays flat as the corpus grows.
+    # Partition width never changes artifact VALUES. v5 adds dl_sum —
+    # the EXACT bigint token total — so S shard stats merge into the
+    # exact full-corpus avgdl (sum of bigints / sum of bigints, one
+    # float division) instead of a float-weighted mean of per-shard
+    # avgdl values: globally-consistent sharded BM25 needs the merged
+    # avgdl bit-equal to the monolithic one.
+    dl = grouped.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl.write.mode("overwrite").parquet(os.path.join(build, "dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").cast("bigint").alias("dl_sum"),
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(build, "stats"))
+    srow = stats.collect()[0]  # bounded: one row
+    n_tokens = int(srow.dl_sum or 0)
+    n_parts = max(8, min(256, n_tokens // 25_000_000 + 1))
+    postings = grouped.select("term", "doc_id", "tf")
+    (
+        postings.repartition(n_parts, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(build, "postings"))
+    )
+    # positional postings: one row per (term, doc), positions as a
+    # sorted int array — the standard phrase-serving layout, term-
+    # sorted row groups like the tf postings so the per-query
+    # IN-list scan prunes identically.
+    (
+        grouped.select("term", "doc_id", "positions")
+        .repartition(n_parts, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(build, "positions"))
+    )
+    # Per-term max impact for WAND-style top-k pruning (round 8):
+    # the BM25 tf-saturation term tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    # is maximized over a term's postings at index-build time using
+    # the EXACT (tf, dl) pairs, so idf * max_impact is a true upper
+    # bound on any doc's contribution from that term. Stored beside
+    # df so the query-time pruner needs no extra corpus pass.
+    tf_sat = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf")
+        + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    term_meta_f = (
+        postings.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.max(tf_sat).alias("max_impact"),
+        )
+    )
+    term_meta_f.write.mode("overwrite").parquet(
+        os.path.join(build, "term_meta")
+    )
+    # Symmetric-deletion variants (v4): the persisted candidate key
+    # for the fuzzy lookup family — vocab-sized × (len+1) rows,
+    # var-sorted so a query's variant IN-list prunes row groups the
+    # same way query terms prune the postings.
+    (
+        spark.read.parquet(os.path.join(build, "term_meta"))
+        .select(
+            "term",
+            "df",
+            F.explode(_deletion_variants("term")).alias("var"),
+        )
+        .distinct()
+        .repartition(8, "var")
+        .sortWithinPartitions("var")
+        .write.mode("overwrite")
+        .parquet(os.path.join(build, "term_variants"))
+    )
+    grouped.unpersist()
+
+
 def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os
@@ -134,11 +244,11 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     # mtime_ns + size fingerprint (cache.source_tag): a fixture
     # regenerated within the same second as the prior build still gets
     # a fresh index (round-7 ADVICE). md5 keeps the dir name short.
-    # "v4" = index format version (postings + dl + stats + term_meta +
-    # positional postings + term deletion variants); bump whenever the
-    # artifact schema changes so an old on-disk index can never be read
-    # by newer code.
-    fp = hashlib.md5(f"v4|{source_tag(src)}".encode()).hexdigest()[:16]
+    # "v5" = index format version (postings + dl + stats(+dl_sum) +
+    # term_meta + positional postings + term deletion variants); bump
+    # whenever the artifact schema changes so an old on-disk index can
+    # never be read by newer code.
+    fp = hashlib.md5(f"v5|{source_tag(src)}".encode()).hexdigest()[:16]
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp}"
     root = os.path.join(tempfile.gettempdir(), "cloudvectordb_textindex", tag)
     if os.path.exists(os.path.join(root, "_DONE")):
@@ -150,106 +260,78 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
         if os.path.exists(os.path.join(root, "_DONE")):
             return root
         build = f"{root}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
-        docs = load(spark, sf_dir, "documents")
-        # posexplode: keep the 0-based token position for the
-        # positional postings (phrase / proximity serving, round 8)
-        # The corpus-sized token stream is exploded and shuffled ONCE
-        # into the grouped (term, doc_id) frame; all four artifacts
-        # (postings, positions, dl, term_meta) derive from it. A first
-        # cut re-exploded the stream per artifact — four corpus passes
-        # — and went superlinear at 10M docs (282 s build; BASELINE.md
-        # round 8). The grouped frame persists MEMORY_AND_DISK for the
-        # derived writes, then unpersists.
-        from pyspark import StorageLevel
-
-        ptok = docs.select(
-            "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "term")
-        )
-        grouped = (
-            ptok.groupBy("term", "doc_id")
-            .agg(
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-                F.count("*").alias("tf"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # dl + corpus stats first: the one-row stats agg also sizes the
-        # term-partition width (~1 partition / 25M tokens, floor 8) so
-        # per-partition sort volume stays flat as the corpus grows.
-        # Partition width never changes artifact VALUES.
-        dl = grouped.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        dl.write.mode("overwrite").parquet(os.path.join(build, "dl"))
-        stats = dl.agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-        )
-        stats.write.mode("overwrite").parquet(os.path.join(build, "stats"))
-        srow = stats.collect()[0]  # bounded: one row
-        n_tokens = int((srow.n_docs or 0) * (srow.avgdl or 0.0))
-        n_parts = max(8, min(256, n_tokens // 25_000_000 + 1))
-        postings = grouped.select("term", "doc_id", "tf")
-        (
-            postings.repartition(n_parts, "term")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(build, "postings"))
-        )
-        # positional postings: one row per (term, doc), positions as a
-        # sorted int array — the standard phrase-serving layout, term-
-        # sorted row groups like the tf postings so the per-query
-        # IN-list scan prunes identically.
-        (
-            grouped.select("term", "doc_id", "positions")
-            .repartition(n_parts, "term")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(build, "positions"))
-        )
-        # Per-term max impact for WAND-style top-k pruning (round 8):
-        # the BM25 tf-saturation term tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
-        # is maximized over a term's postings at index-build time using
-        # the EXACT (tf, dl) pairs, so idf * max_impact is a true upper
-        # bound on any doc's contribution from that term. Stored beside
-        # df so the query-time pruner needs no extra corpus pass.
-        tf_sat = (F.col("tf") * (_K1 + 1.0)) / (
-            F.col("tf")
-            + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
-        )
-        term_meta_f = (
-            postings.join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats))
-            .groupBy("term")
-            .agg(
-                F.count("*").cast("bigint").alias("df"),
-                F.max(tf_sat).alias("max_impact"),
-            )
-        )
-        term_meta_f.write.mode("overwrite").parquet(
-            os.path.join(build, "term_meta")
-        )
-        # Symmetric-deletion variants (v4): the persisted candidate key
-        # for the fuzzy lookup family — vocab-sized × (len+1) rows,
-        # var-sorted so a query's variant IN-list prunes row groups the
-        # same way query terms prune the postings.
-        (
-            spark.read.parquet(os.path.join(build, "term_meta"))
-            .select(
-                "term",
-                "df",
-                F.explode(_deletion_variants("term")).alias("var"),
-            )
-            .distinct()
-            .repartition(8, "var")
-            .sortWithinPartitions("var")
-            .write.mode("overwrite")
-            .parquet(os.path.join(build, "term_variants"))
-        )
-        grouped.unpersist()
+        _write_text_artifacts(spark, load(spark, sf_dir, "documents"), build)
         open(os.path.join(build, "_DONE"), "w").close()
         try:
             os.rename(build, root)
         except OSError:
             shutil.rmtree(build, ignore_errors=True)
     return root
+
+
+def ensure_sharded_text_index(
+    spark: SparkSession, sf_dir: str, n_shards: int
+) -> list:
+    """Build (once) S INDEPENDENT inverted-index shards for the fixture
+    corpus — docs md5-route to shards by doc_id (the SAME rule the
+    vector fleet uses, so a hybrid deployment co-shards both
+    modalities), and each shard gets the complete v5 artifact tree via
+    the shared builder. Shard builds are independent job chains over
+    disjoint doc subsets, so they submit from S driver threads (the
+    build-side fan-out measured for run_sharded in BASELINE.md r11).
+
+    This is the 100 TB text topology: one postings tree never holds
+    the fleet's tokens — each shard owns its postings scan, its build
+    lifecycle, and its mergeable stats (n_docs, dl_sum, per-term df),
+    which combine by exact integer sums into the global BM25 model
+    (`sharded_bm25_topk_batch`)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cloudvectordb_spark.cache import build_lock, source_tag
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = hashlib.md5(
+        f"v5|shards={n_shards}|{source_tag(src)}".encode()
+    ).hexdigest()[:16]
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp}"
+    root = os.path.join(tempfile.gettempdir(), "cloudvectordb_textindex", tag)
+    paths = [os.path.join(root, f"shard={s}") for s in range(n_shards)]
+    if os.path.exists(os.path.join(root, "_DONE")):
+        return paths
+    with build_lock(root):
+        if os.path.exists(os.path.join(root, "_DONE")):
+            return paths
+        build = f"{root}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        docs = load(spark, sf_dir, "documents")
+        route = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(n_shards),
+        ).cast("int")
+
+        def build_one(s: int) -> None:
+            _write_text_artifacts(
+                spark,
+                docs.filter(route == s),
+                os.path.join(build, f"shard={s}"),
+            )
+
+        with ThreadPoolExecutor(max_workers=n_shards) as pool:
+            list(pool.map(build_one, range(n_shards)))
+        open(os.path.join(build, "_DONE"), "w").close()
+        try:
+            os.rename(build, root)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    return paths
 
 
 def text_index_frames(
@@ -2824,6 +2906,178 @@ def batch_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "bm25", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded text serving with GLOBALLY-CONSISTENT BM25 (round 12): the
+# text-side mirror of VectorIndex.search_sharded. S independent
+# postings shards each generate candidates LOCALLY, but every score is
+# computed under the MERGED global statistics, so per-doc scores are
+# bit-identical to the monolithic index's:
+#
+#   n_docs = Σ n_docs_s          (exact bigint sum)
+#   avgdl  = Σ dl_sum_s / n_docs (exact bigint sums, ONE float divide —
+#                                 dl totals < 2^53 are exact in double,
+#                                 so this equals the monolithic avg)
+#   df(t)  = Σ df_s(t)           (docs are disjoint across shards)
+#
+# tf and dl are doc-local (a doc's postings live entirely on its
+# shard), so shard-local scoring under merged (n_docs, avgdl, df)
+# reproduces the full-corpus BM25 exactly — which makes the k*S merge
+# LOSSLESS: every global top-k doc ranks <= k in its own shard (same
+# invariant sharded_knn_merge pins for vectors). The registered
+# `bm25_batch_sharded` query is value-oracled against the SAME oracle
+# as the monolithic `bm25_batch_topk`, proving hash-identity.
+# ---------------------------------------------------------------------------
+def sharded_text_frames(spark: SparkSession, sf_dir: str, n_shards: int):
+    """Per-shard (postings, dl, stats_row, term_meta) for the S-shard
+    index, session-cached like text_index_frames. The one-row stats
+    are collected once (they are immutable artifacts)."""
+    from cloudvectordb_spark.cache import artifact_cache, session_key
+
+    paths = ensure_sharded_text_index(spark, sf_dir, n_shards)
+
+    def build():
+        out = []
+        for p in paths:
+            postings = spark.read.parquet(f"{p}/postings")
+            dl = spark.read.parquet(f"{p}/dl").persist()
+            srow = spark.read.parquet(f"{p}/stats").collect()[0]
+            term_meta = spark.read.parquet(f"{p}/term_meta")
+            out.append((postings, dl, srow, term_meta))
+        return out
+
+    return artifact_cache(
+        ("sharded_text_frames", tuple(paths), session_key(spark)), build
+    )
+
+
+def sharded_bm25_topk_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: tuple = _BATCH_QUERIES,
+    k: int = _BATCH_K,
+    n_shards: int = 2,
+    concurrent: bool = True,
+) -> DataFrame:
+    """Scatter-gather BM25 batch serving over S postings shards.
+
+    Router side (driver): merge the S one-row shard stats by exact
+    integer algebra, and merge per-term df for the batch's union terms
+    in one tiny vocab-pruned job — the merged model is O(query terms),
+    never corpus-sized, and ships to each shard as a broadcast local
+    relation. Shard side: the shard's postings scan (pushed IN-list of
+    union terms) scores under the merged model and returns its bounded
+    local top-k (<= Q*k rows — the scatter-gather message, never the
+    candidates). Gather: one window over <= Q*k*S rows. With
+    ``concurrent=True`` the S shard jobs submit from S driver threads
+    (stages overlap; on a fleet each shard owns executors). Results
+    are identical either way — the merge is order-insensitive."""
+    shards = sharded_text_frames(spark, sf_dir, n_shards)
+    all_terms = sorted({t for _, ts in batch for t in ts})
+    qt_local = spark.createDataFrame(
+        [(qid, t) for qid, ts in batch for t in ts],
+        schema="query_id int, term string",
+    )
+    # merged global stats: exact bigint sums, one float division
+    n_docs = sum(int(s.n_docs) for _, _, s, _ in shards)
+    avgdl = sum(int(s.dl_sum) for _, _, s, _ in shards) / n_docs
+    stats_local = spark.createDataFrame(
+        [(n_docs, avgdl)], schema="n_docs bigint, avgdl double"
+    )
+    # merged df for the union terms only: S vocab-pruned meta scans
+    # reduced to <= |terms| rows — collected once, shipped to every
+    # shard plan as a local relation
+    metas = [
+        tm.select("term", "df").filter(F.col("term").isin(*all_terms))
+        for _, _, _, tm in shards
+    ]
+    u = metas[0]
+    for m in metas[1:]:
+        u = u.unionByName(m)
+    df_rows = [
+        (r.term, r.df)
+        for r in u.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    ]
+    meta_local = spark.createDataFrame(
+        df_rows, schema="term string, df bigint"
+    )
+
+    def gather(i: int):
+        postings, dl, _, _ = shards[i]
+        tf = postings.filter(F.col("term").isin(*all_terms))
+        scored = _batch_scoring_join(tf, qt_local, dl, stats_local, meta_local)
+        return [
+            (int(r.query_id), int(r.doc_id), float(r.bm25), i)
+            for r in batch_topk_per_query(scored, k).collect()
+        ]
+
+    if concurrent and n_shards > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_shards) as pool:
+            shard_rows = list(pool.map(gather, range(n_shards)))
+    else:
+        shard_rows = [gather(i) for i in range(n_shards)]
+    gathered = spark.createDataFrame(
+        [t for part in shard_rows for t in part],
+        schema="query_id int, doc_id long, bm25 double, shard int",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        gathered.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "bm25", "shard", "rank")
+    )
+
+
+@query(
+    "bm25_batch_sharded",
+    # Sharding with merged global stats is LOSSLESS and score-exact, so
+    # the oracle is EXACTLY the monolithic bm25_batch_topk oracle — the
+    # sharded engine path must hash-match the full-corpus computation.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    {_batch_qt_sql()},
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_K1} + 1.0)
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN qt USING (term)
+      JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, bm25,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored QUALIFY rank <= {_BATCH_K}
+    """,
+    operators=("K2", "E4", "D1", "C2", "D4"),
+)
+def bm25_batch_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-query batch served from TWO independent postings shards
+    under merged global stats — hash-identical to the monolithic
+    bm25_batch_topk (same oracle). See sharded_bm25_topk_batch."""
+    return sharded_bm25_topk_batch(
+        spark, sf_dir, _BATCH_QUERIES, _BATCH_K, n_shards=2
+    ).select("query_id", "doc_id", "bm25", "rank")
 
 
 @query(

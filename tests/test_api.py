@@ -1099,6 +1099,116 @@ def test_hybrid_index_sharded_vector_leg_matches_monolithic(
     assert got == want and len(got) > 0
 
 
+def test_text_index_search_sharded_shard_count_invariance(spark, sf_dir):
+    """Sharded BM25 under merged global stats is score-exact and the
+    k*S merge is lossless, so the result must be IDENTICAL for any
+    shard count — including S=1 — and identical to the monolithic
+    batch path (same scores, same tiebreaks, same ranks)."""
+    from cloudvectordb_spark.api import TextIndex
+    from cloudvectordb_spark.operators.search import (
+        _BATCH_QUERIES,
+        bm25_batch_topk,
+    )
+
+    want = {tuple(r) for r in bm25_batch_topk(spark, sf_dir).collect()}
+    idx = TextIndex.open(spark, sf_dir)
+    for s in (1, 2, 3):
+        got = {
+            tuple(r)
+            for r in idx.search_sharded(_BATCH_QUERIES, k=10, n_shards=s)
+            .select("query_id", "doc_id", "bm25", "rank")
+            .collect()
+        }
+        assert got == want, f"shard count {s} diverged"
+    # concurrent and sequential fan-outs agree (merge order-insensitive)
+    seq = {
+        tuple(r)
+        for r in idx.search_sharded(
+            _BATCH_QUERIES, k=10, n_shards=2, concurrent=False
+        )
+        .select("query_id", "doc_id", "bm25", "rank")
+        .collect()
+    }
+    assert seq == want
+
+
+def test_text_index_sharded_stats_merge_is_exact(spark, sf_dir):
+    """The mergeable-stats algebra behind sharded serving: summed
+    per-shard (n_docs, dl_sum, df) must reproduce the monolithic
+    artifact's integers exactly, and the merged avgdl must be
+    bit-equal to the monolithic one (exact bigint sums, one float
+    division)."""
+    from cloudvectordb_spark.operators.search import (
+        sharded_text_frames,
+        text_index_frames,
+    )
+
+    _, _, stats, term_meta = text_index_frames(spark, sf_dir)
+    mono = stats.collect()[0]
+    shards = sharded_text_frames(spark, sf_dir, 3)
+    assert sum(int(s.n_docs) for _, _, s, _ in shards) == int(mono.n_docs)
+    assert sum(int(s.dl_sum) for _, _, s, _ in shards) == int(mono.dl_sum)
+    merged_avgdl = sum(int(s.dl_sum) for _, _, s, _ in shards) / sum(
+        int(s.n_docs) for _, _, s, _ in shards
+    )
+    assert merged_avgdl == float(mono.avgdl)  # bit-equal, not approx
+    # per-term df merges by exact sum
+    mono_df = {r.term: r.df for r in term_meta.select("term", "df").collect()}
+    merged_df: dict = {}
+    for _, _, _, tm in shards:
+        for r in tm.select("term", "df").collect():
+            merged_df[r.term] = merged_df.get(r.term, 0) + r.df
+    assert merged_df == mono_df
+
+
+def test_hybrid_index_fully_sharded_matches_monolithic(
+    spark, sf_dir, tmp_path
+):
+    """BOTH legs fleet-topology: 2 vector shards AND 2 text shards.
+    The text leg is score-exact under merged stats and the vector leg
+    is exact at full cell coverage, so the fully-sharded hybrid must
+    reproduce the registered hybrid_rrf_batch bit-for-bit."""
+    from cloudvectordb_spark.api import HybridIndex, TextIndex, VectorIndex
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.search import (
+        _BATCH_QUERIES,
+        hybrid_rrf_batch,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    shard_of = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(2),
+    )
+    shards = [
+        VectorIndex.build(
+            spark,
+            corpus.withColumn("_s", shard_of).filter(F.col("_s") == i).drop("_s"),
+            str(tmp_path / f"fhs{i}"),
+            k=4,
+        )
+        for i in range(2)
+    ]
+    hi = HybridIndex(TextIndex.open(spark, sf_dir), shards, text_shards=2)
+    probes = corpus.filter(
+        F.col("vec_id").isin([qid for qid, _ in _BATCH_QUERIES])
+    )
+    got = {
+        tuple(r)
+        for r in hi.search_batch(
+            _BATCH_QUERIES, probes, k=10, leg_n=60, nprobe=4
+        ).collect()
+    }
+    want = {tuple(r) for r in hybrid_rrf_batch(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_corpus_pipeline_append_sharded_equals_rebuild(spark, sf_dir, tmp_path):
     """Fleet increment == fleet rebuild: ONE global delta dedup, then
     survivors route to their md5 shard and demoted canonicals are

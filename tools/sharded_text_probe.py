@@ -1,0 +1,107 @@
+"""Sharded TEXT serving probe: S independent postings shards with
+globally-consistent BM25 vs the monolithic index, same corpus (round
+12 — the text-side mirror of tools/sharded_serve_probe.py).
+
+Builds S md5-split shard indexes over the synthetic word-soup corpus
+(each shard a complete v5 artifact tree with mergeable stats), serves
+one query batch through `sharded_bm25_topk_batch` (per-shard candidate
+generation, scores under the MERGED global model, k*S lossless merge),
+and compares against the monolithic batched path:
+
+- exactness check: the sharded top-k must equal the monolithic top-k
+  per query BIT-FOR-BIT — same scores, same tiebreaks, same ranks
+  (merged stats make sharding score-exact, unlike approximate federated
+  scoring that uses shard-local idf);
+- cost: sharded wall ~ S concurrent pruned postings scans + one
+  Q*k*S-row merge window — the scatter-gather tax measured, not argued.
+
+Usage: python tools/sharded_text_probe.py [--n 1000000] [--shards 2]
+                                          [--batch 64] [--topk 10]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cloudvectordb_spark.session import get_session
+from tools.text_index_probe import _probe_batch, ensure_docs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--shards", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--topk", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_session("sharded-text-probe")
+    from cloudvectordb_spark.operators.search import (
+        batch_topk_per_query,
+        bm25_scores_batch,
+        ensure_sharded_text_index,
+        ensure_text_index,
+        sharded_bm25_topk_batch,
+    )
+
+    root = f"/tmp/cloudvectordb_textshard/{args.n}"
+    sf_dir = os.path.dirname(ensure_docs(spark, args.n, root))
+    batch = _probe_batch(args.batch)
+
+    out = {
+        "metric": "sharded_text_serving",
+        "n": args.n,
+        "shards": args.shards,
+        "batch": args.batch,
+    }
+
+    t0 = time.perf_counter()
+    ensure_text_index(spark, sf_dir)
+    out["mono_build_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    ensure_sharded_text_index(spark, sf_dir, args.shards)
+    out["shard_build_s"] = round(time.perf_counter() - t0, 1)
+
+    def mono():
+        return batch_topk_per_query(
+            bm25_scores_batch(spark, sf_dir, batch), args.topk
+        )
+
+    def sharded():
+        return sharded_bm25_topk_batch(
+            spark, sf_dir, batch, args.topk, n_shards=args.shards
+        ).select("query_id", "doc_id", "bm25", "rank")
+
+    # exactness first (also the warm-up pass for both paths)
+    a = {tuple(r) for r in mono().collect()}
+    b = {tuple(r) for r in sharded().collect()}
+    assert a == b and len(a) > 0, (
+        f"sharded != monolithic: {len(a ^ b)} differing rows"
+    )
+    out["exact_match"] = True
+    out["rows"] = len(a)
+
+    # steady-state timing: best of 2 after the warm-up above
+    for name, fn in (("mono", mono), ("sharded", sharded)):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().collect()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{name}_batch_s"] = round(best, 2)
+    out["ms_per_query_sharded"] = round(
+        out["sharded_batch_s"] / args.batch * 1000, 1
+    )
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
