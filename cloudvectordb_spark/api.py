@@ -262,6 +262,36 @@ class VectorIndex:
         compact_ivf_index(self.spark, self.path, out_path)
         return VectorIndex(self.spark, out_path)
 
+    def pin(self) -> "VectorIndex":
+        """Mark this layout retention-exempt (`_PINNED` marker): it
+        survives every ``vacuum_layouts`` until unpinned — the contract
+        a reader fleet needs while it still serves from a snapshot."""
+        from cloudvectordb_spark.operators.pipeline import pin_layout
+
+        pin_layout(self.path)
+        return self
+
+    def unpin(self) -> "VectorIndex":
+        from cloudvectordb_spark.operators.pipeline import unpin_layout
+
+        unpin_layout(self.path)
+        return self
+
+    @staticmethod
+    def vacuum_layouts(
+        family_dir: str, live_path: str, keep: int = 2, pins: tuple = ()
+    ) -> dict:
+        """Reclaim superseded layout roots for an index family — the
+        retention half of the snapshot/compact/split lifecycle (each
+        publishes a new root, none reclaims). Keeps the live tree,
+        every pin (`pins` or on-disk `_PINNED`), and the `keep` newest
+        others; REFUSES roots a writer lease fences; hard-link-aware
+        byte accounting (a block counts as reclaimed only when its
+        last link drops). See pipeline.vacuum_ivf_layouts."""
+        from cloudvectordb_spark.operators.pipeline import vacuum_ivf_layouts
+
+        return vacuum_ivf_layouts(family_dir, live_path, keep=keep, pins=pins)
+
     def split_hot_cells(
         self,
         out_path: str,

@@ -2217,6 +2217,133 @@ def compact_ivf_index(spark: SparkSession, index_path: str, out_path: str) -> No
 
 
 # ---------------------------------------------------------------------------
+# Layout retention (round 12, verdict #2): snapshot/compact/split each
+# PUBLISH a new layout root and reclaim nothing — a long-lived index
+# family accumulates one full tree per lifecycle event forever (cheap
+# in bytes while hard-links share data blocks, but unbounded in inodes
+# and in stale-layout confusion). vacuum_ivf_layouts is the single
+# destructive reclamation: enumerate the family's roots, keep the live
+# tree + pins + the newest `keep` others, delete the rest —
+# hard-link-aware, so "bytes reclaimed" counts a data block only when
+# its LAST link drops (a file still linked from a surviving root frees
+# nothing), the same discipline versioning.vacuum applies to the
+# postings manifest store.
+# ---------------------------------------------------------------------------
+def pin_layout(path: str) -> None:
+    """Mark a layout root as retention-exempt (a `_PINNED` marker —
+    the on-disk twin of passing it in vacuum's ``pins``). Use for
+    snapshots a reader fleet is still serving from."""
+    import os
+
+    with open(os.path.join(path, "_PINNED"), "w") as f:
+        f.write("pinned")
+
+
+def unpin_layout(path: str) -> None:
+    import os
+
+    marker = os.path.join(path, "_PINNED")
+    if os.path.exists(marker):
+        os.remove(marker)
+
+
+def vacuum_ivf_layouts(
+    family_dir: str,
+    live_path: str,
+    keep: int = 2,
+    pins: tuple = (),
+) -> dict:
+    """Reclaim superseded layout roots under ``family_dir``.
+
+    A ROOT is any direct child directory holding an IVF layout (a
+    ``vectors`` subdir or a ``_BUILT`` marker). Classification, in
+    precedence order:
+
+    - the LIVE root (``live_path``) is never touched;
+    - PINNED roots (listed in ``pins`` or carrying a ``_PINNED``
+      marker, see ``pin_layout``) survive every vacuum;
+    - LEASED roots (a ``leases`` dir inside — some writer generation
+      fenced on them) are REFUSED: skipped and reported, never
+      deleted, because a lease means a writer lifecycle considers the
+      tree its own (e.g. a mid-append primary). Release by vacuuming
+      after the writer completes, or pin explicitly;
+    - in-flight staging dirs (``*.build*``, ``*_tmp``,
+      ``*.pre_append*``) are skipped — they belong to their writer's
+      crash-recovery story, not retention;
+    - of the remaining UNPINNED roots, the ``keep`` most recently
+      modified survive; older ones are deleted.
+
+    Returns ``{"kept", "deleted", "refused_leased", "bytes_reclaimed",
+    "bytes_shared", "files_deleted"}``. ``bytes_reclaimed`` is
+    hard-link-aware: a file whose inode is still referenced elsewhere
+    (st_nlink > 1 at unlink time) frees no data blocks and counts
+    under ``bytes_shared`` instead — so two deleted roots sharing an
+    inode count its bytes exactly once, on the deletion that drops the
+    last link."""
+    import os
+    import shutil
+
+    live_real = os.path.realpath(live_path)
+    pin_reals = {os.path.realpath(p) for p in pins}
+    roots = []
+    for name in sorted(os.listdir(family_dir)):
+        p = os.path.join(family_dir, name)
+        if not os.path.isdir(p):
+            continue
+        if ".build" in name or name.endswith("_tmp") or ".pre_append" in name:
+            continue
+        if not (
+            os.path.isdir(os.path.join(p, "vectors"))
+            or os.path.exists(os.path.join(p, "_BUILT"))
+        ):
+            continue
+        roots.append(p)
+
+    kept, deleted, refused = [], [], []
+    candidates = []
+    for p in roots:
+        rp = os.path.realpath(p)
+        if rp == live_real or rp in pin_reals or os.path.exists(
+            os.path.join(p, "_PINNED")
+        ):
+            kept.append(p)
+        elif os.path.isdir(os.path.join(p, "leases")):
+            refused.append(p)
+        else:
+            candidates.append(p)
+    candidates.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+    kept.extend(candidates[:keep])
+    to_delete = candidates[keep:]
+
+    bytes_reclaimed = 0
+    bytes_shared = 0
+    files_deleted = 0
+    for p in to_delete:
+        for dirpath, _dirs, files in os.walk(p):
+            for fn in files:
+                fp = os.path.join(dirpath, fn)
+                try:
+                    st = os.stat(fp)
+                except FileNotFoundError:
+                    continue
+                if st.st_nlink > 1:
+                    bytes_shared += st.st_size  # blocks survive elsewhere
+                else:
+                    bytes_reclaimed += st.st_size  # last link drops
+                files_deleted += 1
+        shutil.rmtree(p, ignore_errors=True)
+        deleted.append(p)
+    return {
+        "kept": kept,
+        "deleted": deleted,
+        "refused_leased": refused,
+        "bytes_reclaimed": bytes_reclaimed,
+        "bytes_shared": bytes_shared,
+        "files_deleted": files_deleted,
+    }
+
+
+# ---------------------------------------------------------------------------
 # S2 -> S3 artifact loop: embed with the TRAINED encoder artifact, loaded
 # once per Python worker process and cached in a module-level dict (the
 # production pattern for model-per-worker inference). Local mode shares

@@ -39,6 +39,71 @@ def test_vector_index_lifecycle(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_vector_index_vacuum_layouts_retention(spark, sf_dir, tmp_path):
+    """Layout retention (round-12 verdict #2): after a lifecycle chain
+    that published several roots, vacuum keeps the live tree + pinned
+    snapshots + the newest `keep` others, deletes the rest, REFUSES
+    leased roots, and accounts bytes hard-link-aware (an inode shared
+    with a surviving root reclaims nothing; one shared between two
+    deleted roots counts once, when its last link drops)."""
+    import os
+    import time
+
+    from cloudvectordb_spark.versioning import acquire_lease
+
+    fam = tmp_path / "family"
+    os.makedirs(fam)
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    live = VectorIndex.build(spark, emb, str(fam / "live"), k=4)
+
+    # lifecycle chain publishing 4 extra roots (mtime-ordered)
+    snap_pinned = live.snapshot(str(fam / "snap_pinned")).pin()
+    time.sleep(0.05)
+    snap_old = live.snapshot(str(fam / "snap_old"))
+    time.sleep(0.05)
+    snap_mid = live.snapshot(str(fam / "snap_mid"))
+    time.sleep(0.05)
+    compacted = live.compact(str(fam / "compacted"))
+    # a root some writer generation fenced on: must be refused
+    leased = live.snapshot(str(fam / "leased"))
+    acquire_lease(leased.path, owner="writer-gen")
+    # staging litter that must be ignored
+    os.makedirs(fam / "live.build999")
+
+    out = VectorIndex.vacuum_layouts(str(fam), live.path, keep=2)
+
+    names = lambda xs: {os.path.basename(p) for p in xs}  # noqa: E731
+    # live + pinned always survive; keep=2 newest unpinned = compacted, snap_mid
+    assert names(out["kept"]) == {
+        "live", "snap_pinned", "compacted", "snap_mid"
+    }
+    assert names(out["deleted"]) == {"snap_old"}
+    assert names(out["refused_leased"]) == {"leased"}
+    assert os.path.isdir(leased.path) and os.path.isdir(snap_pinned.path)
+    assert not os.path.exists(str(fam / "snap_old"))
+    assert os.path.isdir(str(fam / "live.build999"))  # staging untouched
+
+    # snap_old's files were hard-links shared with the live tree ->
+    # nothing reclaimed, everything counted as shared
+    assert out["bytes_reclaimed"] == 0 and out["bytes_shared"] > 0
+    assert out["files_deleted"] > 0
+
+    # the pinned snapshot still SERVES after vacuum
+    probes = emb.limit(3)
+    assert snap_pinned.search(probes, k=2, nprobe=4).count() > 0
+
+    # second vacuum with keep=0: compacted has its OWN data files
+    # (a rewrite, not links) -> real bytes reclaimed this time
+    out2 = VectorIndex.vacuum_layouts(str(fam), live.path, keep=0)
+    assert names(out2["deleted"]) == {"compacted", "snap_mid"}
+    assert out2["bytes_reclaimed"] > 0  # compacted's unshared blocks
+    # unpin -> the pinned snapshot becomes reclaimable
+    snap_pinned.unpin()
+    out3 = VectorIndex.vacuum_layouts(str(fam), live.path, keep=0)
+    assert names(out3["deleted"]) == {"snap_pinned"}
+    assert os.path.isdir(live.path)
+
+
 def test_vector_index_search_matches_registered_query(spark, sf_dir, tmp_path):
     """Facade search over the SAME layout must equal ivf_topk_search's
     answer (both are pruned exact_knn_fast with nprobe=2)."""
