@@ -62,7 +62,12 @@ class VectorIndex:
     # -- reads ---------------------------------------------------------
     @property
     def vectors(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/vectors")
+        """Every indexed row: the partitioned base layout plus the L0
+        delta tier small appends land in (pipeline.ivf_vectors_frame);
+        compact() folds the tier back into the cells."""
+        from cloudvectordb_spark.operators.pipeline import ivf_vectors_frame
+
+        return ivf_vectors_frame(self.spark, self.path)
 
     def centroids(self) -> list:
         from cloudvectordb_spark.operators.pipeline import index_centroids
@@ -232,12 +237,33 @@ class VectorIndex:
         """Eagerly drop ``vec_ids`` in place by rewriting only the
         cells that hold them (a bounded id set — for bulk expiry use
         the tombstone + compaction lifecycle instead). Returns the
-        number of cells rewritten."""
+        number of cells rewritten.
+
+        If this index is CorpusPipeline-managed (a dedup_state sidecar
+        exists), the maintained ``n_indexed`` counter in the state meta
+        is decremented by the rows actually removed, so the O(delta)
+        append invariants stay exact after out-of-band deletes."""
+        import json
+        import os
+
         from cloudvectordb_spark.operators.pipeline import (
             remove_vectors_from_index,
         )
 
-        return remove_vectors_from_index(self.spark, self.path, vec_ids)
+        cells, rows = remove_vectors_from_index(
+            self.spark, self.path, vec_ids, return_rows=True
+        )
+        meta_path = os.path.join(self.path, "dedup_state", "meta.json")
+        if rows and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if "n_indexed" in meta:
+                meta["n_indexed"] -= rows
+                tmp = f"{meta_path}.tmp{os.getpid()}"
+                with open(tmp, "w") as f:
+                    json.dump(meta, f)
+                os.rename(tmp, meta_path)
+        return cells
 
     def snapshot(self, out_path: str) -> "VectorIndex":
         """Pin the current layout as an immutable READER snapshot
@@ -623,6 +649,72 @@ class HybridIndex:
         )
 
 
+_SIGS_CACHE: dict = {}  # sigs dir -> (file set, sigs df, bands df, depth)
+
+
+def _corpus_sigs_cached(spark: SparkSession, sd: str):
+    """The corpus MinHash sig state — and its derived (id, band, key)
+    banding — as PERSISTED in-memory frames, forward-rolled across
+    appends (round 12, verdict #4): the sigs dir is append-only within
+    a state generation, so after the first load each subsequent append
+    reads ONLY the new sig files and unions them onto the cached
+    frames — the per-append disk cost AND the per-append band
+    re-derivation (4 keys × corpus rows) of the delta-vs-corpus probe
+    both drop from ∝ state to ∝ delta, which is what makes a
+    long-lived ingest service's appends O(delta) in fact. A rewritten
+    dir (run() regenerating state) or a vanished file set falls back
+    to a full reload; the union lineage is rebuilt from disk every 32
+    generations so plans stay shallow. Returns (sigs, bands)."""
+    import glob as _glob
+    import os
+
+    from pyspark import StorageLevel
+
+    from cloudvectordb_spark.operators.dedup import minhash_bands_hashed
+
+    files = frozenset(
+        os.path.basename(f)
+        for f in _glob.glob(os.path.join(sd, "sigs", "*.parquet"))
+    )
+    cached = _SIGS_CACHE.get(sd)
+    if cached and cached[0] == files:
+        return cached[1], cached[2]
+    # release the generation BEFORE last: the immediate predecessor
+    # stays persisted through this roll so the successor's first
+    # materialization reads its blocks from MEMORY (plus only the new
+    # files from disk) — an eager unpersist here would force a full
+    # state re-read from disk on every append, costing exactly what
+    # the cache is supposed to save. Two generations coexist briefly.
+    if cached and cached[4] is not None:
+        for frame in cached[4]:
+            frame.unpersist()
+    if cached and cached[0] < files and cached[3] < 32:
+        new_files = [os.path.join(sd, "sigs", f) for f in files - cached[0]]
+        new = spark.read.parquet(*new_files)
+        df = cached[1].unionByName(new).persist(StorageLevel.MEMORY_AND_DISK)
+        bands = (
+            cached[2]
+            .unionByName(minhash_bands_hashed(new, id_out="corpus_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        depth = cached[3] + 1
+        prev = (cached[1], cached[2])
+    else:
+        base = spark.read.parquet(os.path.join(sd, "sigs"))
+        df = base.persist(StorageLevel.MEMORY_AND_DISK)
+        # numeric band keys (xxhash64 over the band's sig slots): the
+        # cached 40M-row band scan joins on (int, bigint) instead of
+        # hashing 30-byte strings per row; the exact sig verify makes
+        # the pair set identical (collisions only add candidates)
+        bands = minhash_bands_hashed(df, id_out="corpus_id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        depth = 0
+        prev = (cached[1], cached[2]) if cached else None
+    _SIGS_CACHE[sd] = (files, df, bands, depth, prev)
+    return df, bands
+
+
 class CorpusPipeline:
     """The composed reference lifecycle (S1→S4: raw docs → near-dup
     dedup → embed → vectordb) as ONE ergonomic call — the same
@@ -853,7 +945,13 @@ class CorpusPipeline:
             docs,
             index_path,
             labels,
-            {"hasher": hasher, "tau": tau, "text_col": text_col, "shards": 1},
+            {
+                "hasher": hasher,
+                "tau": tau,
+                "text_col": text_col,
+                "shards": 1,
+                "n_indexed": n_indexed,
+            },
         )
         return {
             "docs": n_docs,
@@ -950,7 +1048,13 @@ class CorpusPipeline:
             docs,
             state_root,
             labels,
-            {"hasher": hasher, "tau": tau, "text_col": text_col, "shards": S},
+            {
+                "hasher": hasher,
+                "tau": tau,
+                "text_col": text_col,
+                "shards": S,
+                "n_indexed": n_indexed,
+            },
         )
         return {
             "docs": n_docs,
@@ -1052,6 +1156,7 @@ class CorpusPipeline:
         encoder=None,
         lease: int | None = None,
         safe: bool = False,
+        verify: str = "fast",
     ) -> dict:
         """Incremental append for a run_sharded() fleet: ONE global
         delta dedup against the state on the primary shard (the same
@@ -1081,6 +1186,7 @@ class CorpusPipeline:
                 delta_docs=delta_docs,
                 encoder=encoder,
                 lease=lease,
+                verify=verify,
             )
 
         if safe:
@@ -1095,6 +1201,7 @@ class CorpusPipeline:
         encoder=None,
         lease: int | None = None,
         safe: bool = False,
+        verify: str = "fast",
     ) -> dict:
         """Incremental S1→S4 over a NEW batch of docs, cost ∝ delta
         (round-10 verdict #7): the delta is near-dup-deduped within
@@ -1165,6 +1272,7 @@ class CorpusPipeline:
                 delta_docs=delta_docs,
                 encoder=encoder,
                 lease=lease,
+                verify=verify,
             )
 
         if safe:
@@ -1179,6 +1287,7 @@ class CorpusPipeline:
         delta_docs: DataFrame,
         encoder,
         lease: int | None,
+        verify: str = "fast",
     ) -> dict:
         import hashlib
         import os
@@ -1235,10 +1344,19 @@ class CorpusPipeline:
         _fence("start")
 
         n_delta = delta_docs.count()
+        # corpus-wide stats come from the atomically-committed state
+        # meta, MAINTAINED across appends instead of recounted — the
+        # fused post-append count+distinct over the whole index was the
+        # last ∝-corpus term in the append wall (~8 s at 10M for a 10k
+        # delta; round-11 verdict #4). Legacy states (pre-n_indexed)
+        # fall back to one physical count and start the counter.
+        n_tracked = meta.get("n_indexed")
+        if n_tracked is None:
+            n_tracked = _total_count()
         if n_delta == 0:
             return {
                 "delta": 0, "survivors": 0, "removed": 0, "demoted": 0,
-                "indexed": _total_count(),
+                "indexed": n_tracked,
                 "index": indexes[0], "shards": indexes,
             }
         bounds = delta_docs.agg(
@@ -1253,7 +1371,13 @@ class CorpusPipeline:
                 f"distinct={bounds.nd} of {n_delta}"
             )
 
-        sigs_corpus = spark.read.parquet(f"{sd}/sigs")
+        # the corpus sig state (and its derived banding), persisted
+        # and forward-rolled across appends: the between-join reads the
+        # sigs twice (band derivation + verify), and a repeat append
+        # re-reads only the NEW sig files and derives only THEIR bands
+        # (see _corpus_sigs_cached) — the state scan amortizes away in
+        # a long-lived ingest service
+        sigs_corpus, bands_corpus = _corpus_sigs_cached(spark, sd)
         labels = spark.read.parquet(f"{sd}/labels")  # doc_id -> canonical
         sigs_delta = minhash_sigs(delta_docs, hasher=hasher).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -1278,6 +1402,7 @@ class CorpusPipeline:
                     sigs_corpus,
                     broadcast_new=n_delta
                     <= CorpusPipeline._BROADCAST_DELTA_MAX,
+                    corpus_bands=bands_corpus,
                 )
                 .filter(F.col("est_jaccard") >= tau)
                 .join(labels, F.col("corpus_id") == labels.doc_id, "left")
@@ -1307,8 +1432,9 @@ class CorpusPipeline:
             }
 
             _lap("labels_survivors_s")
-            n_before = _total_count()
+            n_before = n_tracked
             _fence("pre-demotion")
+            rows_demoted = 0
             if demoted:
                 # each demoted canonical lives on exactly one md5 shard;
                 # the per-shard rewrites are independent (disjoint
@@ -1322,7 +1448,7 @@ class CorpusPipeline:
                         _shard_of_py(d) if S > 1 else 0, []
                     ).append(d)
                 with ThreadPoolExecutor(max_workers=len(by_shard)) as pool:
-                    list(
+                    rows_demoted = sum(
                         pool.map(
                             lambda si: CorpusPipeline._remove_from_index(
                                 spark, indexes[si[0]].path, si[1]
@@ -1361,24 +1487,43 @@ class CorpusPipeline:
                     with ThreadPoolExecutor(max_workers=S) as pool:
                         list(pool.map(_append_one, enumerate(indexes)))
                 _lap("embed_append_s")
-                union = indexes[0].vectors.select("vec_id")
-                for ix in indexes[1:]:
-                    union = union.unionByName(ix.vectors.select("vec_id"))
-                post = union.agg(
-                    F.count("*").alias("n"),
-                    F.count_distinct("vec_id").alias("nd"),
-                ).first()
-                n_after, n_distinct = int(post.n), int(post.nd)
+                # O(delta) handoff check: every term is maintained or
+                # bounded — n_surv/n_removed are delta-side counts, and
+                # rows_demoted comes from the demotion rewrite's own
+                # partition-pruned cell accounting. Each demoted
+                # canonical must have been indexed EXACTLY once
+                # (rows_demoted == len(demoted)): together with fresh
+                # distinct delta ids (enforced at entry) this carries
+                # the corpus-wide distinctness invariant inductively,
+                # with no ∝-corpus recount. ``verify="full"`` (the
+                # escape hatch for auditing a state of unknown
+                # provenance) additionally recounts the physical union
+                # and cross-checks the maintained counter.
+                n_after = n_before - rows_demoted + n_surv
                 if not (
                     n_surv + n_removed == n_delta
-                    and n_after == n_before - len(demoted) + n_surv == n_distinct
+                    and rows_demoted == len(demoted)
                 ):
                     raise RuntimeError(
                         "append handoff violated: "
                         f"delta={n_delta} survivors={n_surv} "
-                        f"before={n_before} demoted={len(demoted)} "
-                        f"after={n_after} distinct={n_distinct}"
+                        f"removed={n_removed} before={n_before} "
+                        f"demoted={len(demoted)} rows_demoted={rows_demoted}"
                     )
+                if verify == "full":
+                    union = indexes[0].vectors.select("vec_id")
+                    for ix in indexes[1:]:
+                        union = union.unionByName(ix.vectors.select("vec_id"))
+                    post = union.agg(
+                        F.count("*").alias("n"),
+                        F.count_distinct("vec_id").alias("nd"),
+                    ).first()
+                    if not (n_after == int(post.n) == int(post.nd)):
+                        raise RuntimeError(
+                            "maintained index count diverged from "
+                            f"physical: tracked={n_after} "
+                            f"physical={int(post.n)} distinct={int(post.nd)}"
+                        )
             finally:
                 vectors.unpersist()
             _lap("handoff_counts_s")
@@ -1419,10 +1564,13 @@ class CorpusPipeline:
                     **meta,
                     "n_docs": meta["n_docs"] + n_delta,
                     "max_doc_id": int(bounds.hi),
+                    "n_indexed": n_after,
                 },
             )
         finally:
             sigs_delta.unpersist()
+            # sigs_corpus stays persisted — _SIGS_CACHE owns it and
+            # rolls it forward under the files this append added
             if comp is not None:
                 comp.unpersist()
         _lap("state_roll_s")
@@ -1440,12 +1588,17 @@ class CorpusPipeline:
     @staticmethod
     def _remove_from_index(
         spark: SparkSession, index_path: str, vec_ids: list
-    ) -> None:
+    ) -> int:
         """Demoted canonicals drop through the shared bounded-cell
         rewrite (`pipeline.remove_vectors_from_index`, also the
-        VectorIndex.delete surface)."""
+        VectorIndex.delete surface). Returns rows removed (the
+        partition-pruned accounting the maintained index counter
+        rides on)."""
         from cloudvectordb_spark.operators.pipeline import (
             remove_vectors_from_index,
         )
 
-        remove_vectors_from_index(spark, index_path, vec_ids)
+        _cells, rows = remove_vectors_from_index(
+            spark, index_path, vec_ids, return_rows=True
+        )
+        return rows

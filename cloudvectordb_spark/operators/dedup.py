@@ -998,6 +998,33 @@ def minhash_sigs(docs: DataFrame, hasher: str = "fast") -> DataFrame:
     raise ValueError(f"unknown hasher {hasher!r} (use 'fast' or 'md5')")
 
 
+def minhash_bands_hashed(sigs: DataFrame, id_out: str = "doc_id") -> DataFrame:
+    """(id, band, key) with a NUMERIC key — xxhash64 over the band's two
+    sig slots instead of the string concat. Used for the ingest
+    service's persisted corpus-band cache: joining 40M+ cached band
+    rows on (int, bigint) is markedly cheaper than hashing 30-byte
+    strings, and a (vanishingly rare) xxhash64 collision can only ADD a
+    candidate pair — the exact est_jaccard verify on the full sigs
+    removes it, so pair results are identical to the string scheme."""
+    P = _MINHASH_P
+    return sigs.select(
+        F.col("doc_id").alias(id_out),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.col("sig")[2 * b], F.col("sig")[2 * b + 1]
+                        ).alias("key"),
+                    )
+                    for b in range(P // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_out, "bk.band", "bk.key")
+
+
 def _minhash_bands_of_sigs(sigs: DataFrame, id_out: str = "doc_id") -> DataFrame:
     """(id, band, key) from a sig frame — 2 slots per band, P//2 bands,
     the exact banding scheme of both fused pipelines."""
@@ -1061,7 +1088,10 @@ def minhash_pairs_within(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_pairs_between(
-    new_sigs: DataFrame, corpus_sigs: DataFrame, broadcast_new: bool = True
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    broadcast_new: bool = True,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, corpus_id, est_jaccard) candidate pairs BETWEEN a delta
     sig frame and the persisted corpus sigs — the incremental dedup
@@ -1079,8 +1109,22 @@ def minhash_pairs_between(
     within-join (or run()) instead; pass broadcast_new=False to force
     shuffle joins on both sides."""
     maybe_bc = F.broadcast if broadcast_new else (lambda df: df)
-    bn = _minhash_bands_of_sigs(new_sigs, id_out="new_id")
-    bc = _minhash_bands_of_sigs(corpus_sigs, id_out="corpus_id")
+    # ``corpus_bands``: a pre-derived/persisted (corpus_id, band, key)
+    # frame (the ingest service's rolling cache) — skips re-deriving
+    # band keys per corpus row on every append. The delta side MUST use
+    # the same key encoding; a bigint key marks the hashed scheme
+    # (minhash_bands_hashed), a string key the canonical concat.
+    if corpus_bands is not None:
+        bc = corpus_bands
+        hashed = dict(corpus_bands.dtypes).get("key") == "bigint"
+        bn = (
+            minhash_bands_hashed(new_sigs, id_out="new_id")
+            if hashed
+            else _minhash_bands_of_sigs(new_sigs, id_out="new_id")
+        )
+    else:
+        bn = _minhash_bands_of_sigs(new_sigs, id_out="new_id")
+        bc = _minhash_bands_of_sigs(corpus_sigs, id_out="corpus_id")
     cand = (
         bc.join(maybe_bc(bn), ["band", "key"])
         .select("new_id", "corpus_id")

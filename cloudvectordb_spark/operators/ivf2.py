@@ -30,6 +30,7 @@ from cloudvectordb_spark.operators.pipeline import (
     _KM_D2,
     ensure_ivf_index,
     index_centroids,
+    ivf_vectors_frame,
 )
 from cloudvectordb_spark.registry import query
 
@@ -171,7 +172,7 @@ def _train_fine_centroids_impl(
     spark: SparkSession, path: str, k2: int, rounds: int
 ) -> tuple[str, GroupCents, int]:
     k1 = len(index_centroids(spark, path))
-    vectors = spark.read.parquet(f"{path}/vectors").filter(
+    vectors = ivf_vectors_frame(spark, path).filter(
         F.col("vec_id") < _FIT_CAP
     )
     assert {
@@ -315,7 +316,7 @@ _IVF2_CTES = _ivf2_cte_sql()
 )
 def ivf2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, cents2, k1 = train_fine_centroids(spark, sf_dir)
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = ivf_vectors_frame(spark, path)
     asg = assign_fine_cells(vectors, cents2, k1)
     return asg.groupBy(
         F.col("centroid_id").cast("int").alias("parent_id"),
@@ -388,7 +389,7 @@ def ivf2_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.vec_id, r.embedding) for r in probe_rows],
         schema="vec_id long, embedding array<float>",
     )
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = ivf_vectors_frame(spark, path)
     asg = assign_fine_cells(vectors, cents2, k1)
     cond = F.lit(False)
     for parent, child in sorted(cells):
@@ -461,7 +462,7 @@ def filtered_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.vec_id, r.embedding) for r in probe_rows],
         schema="probe_id long, probe_vec array<float>",
     )
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = ivf_vectors_frame(spark, path)
     scored = (
         vectors.filter(
             F.col("centroid_id").isin(cell_ids) & F.col("label").isin(1, 3)

@@ -625,7 +625,7 @@ def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
     return artifact_cache(
         ("ivf_frames", path, session_key(spark)),
         lambda: (
-            spark.read.parquet(f"{path}/vectors"),
+            ivf_vectors_frame(spark, path),
             spark.read.parquet(f"{path}/centroids"),
         ),
     )
@@ -676,6 +676,18 @@ def ivf_content_tag(path: str) -> str:
             newest = max(newest, e.stat().st_mtime_ns)
             n_children += 1
     parts = [f"{os.path.abspath(vec)}|{newest}|{n_children}"]
+    # the L0 delta tier mutates on small appends without touching
+    # vectors/ — it must move the fingerprint too (histogram cache,
+    # append-proofing)
+    delta_dir = f"{path}/vectors_delta"
+    if os.path.isdir(delta_dir):
+        newest_d = os.stat(delta_dir).st_mtime_ns
+        n_d = 0
+        with os.scandir(delta_dir) as it:
+            for e in it:
+                newest_d = max(newest_d, e.stat().st_mtime_ns)
+                n_d += 1
+        parts.append(f"l0|{newest_d}|{n_d}")
     tombs = f"{path}/tombstones"
     if os.path.exists(tombs):
         st_t = os.stat(tombs)
@@ -697,7 +709,7 @@ def ivf_cell_histogram(spark: SparkSession, path: str, vectors: DataFrame | None
     from cloudvectordb_spark.cache import artifact_cache
 
     def build():
-        v = vectors if vectors is not None else spark.read.parquet(f"{path}/vectors")
+        v = vectors if vectors is not None else ivf_vectors_frame(spark, path)
         rows = v.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
         return {int(r.centroid_id): int(r.n) for r in rows}
 
@@ -785,7 +797,7 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
 
     path = ensure_ivf_index(spark, sf_dir)
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = ivf_vectors_frame(spark, path)
     cents = index_centroids(spark, path)
     probe_rows = (
         load(spark, sf_dir, "embeddings")
@@ -1446,7 +1458,7 @@ def semantic_pairs_on_index(
     from cloudvectordb_spark.cache import artifact_cache
     from cloudvectordb_spark.operators.kmeans_det import assign_top2_cells
 
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = ivf_vectors_frame(spark, path)
     cents = index_centroids(spark, path)
     assigned2 = assign_top2_cells(
         vectors.drop("centroid_id").select("vec_id", "embedding"), cents
@@ -1885,8 +1897,45 @@ def lsh_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partitions that received rows. At 100 TB this is the daily-delta path:
 # work ∝ delta size, never corpus size.
 # ---------------------------------------------------------------------------
+def ivf_vectors_frame(spark: SparkSession, index_path: str) -> DataFrame:
+    """EVERY row of a persisted IVF index: the partitioned base layout
+    plus, when present, the L0 delta tier (``vectors_delta`` — compact,
+    unpartitioned parquet that small appends land in; see
+    ``append_to_ivf_index``). This is the single read surface for index
+    contents — cell pruning still works on the union (the base leg
+    prunes whole partition dirs; the L0 leg is a bounded small-file
+    scan with the same centroid_id predicate), and compaction folds L0
+    back into the partitioned layout."""
+    import os
+
+    base = spark.read.parquet(f"{index_path}/vectors")
+    delta_dir = f"{index_path}/vectors_delta"
+    if os.path.isdir(delta_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(delta_dir)
+    ):
+        delta = spark.read.parquet(delta_dir)
+        # the partition-dir column reads back as int; L0 stores it as a
+        # regular column whose type follows the assigner — align
+        base_t = dict(base.dtypes)["centroid_id"]
+        delta = delta.withColumn(
+            "centroid_id", F.col("centroid_id").cast(base_t)
+        )
+        base = base.unionByName(delta, allowMissingColumns=True)
+    return base
+
+
+# rows-per-cell ratio below which an append lands in the L0 tier: a
+# partitioned append creates ~one FILE per touched cell, so a delta
+# with far fewer rows than cells pays thousands of file creations +
+# committer renames for kilobytes of data (measured 19.3 s / 4.3k files
+# for a 10k-row delta on a 2,180-cell index — the round-12 append
+# floor). Below the threshold the delta writes as a handful of L0
+# files instead; compaction folds the tier away.
+_L0_ROWS_PER_CELL = 32
+
+
 def append_to_ivf_index(
-    new_vectors: DataFrame, index_path: str
+    new_vectors: DataFrame, index_path: str, l0: str | bool = "auto"
 ) -> None:
     """Assign ``new_vectors`` (vec_id, embedding, ...) to their nearest
     existing centroid and append them to the layout.
@@ -1896,12 +1945,36 @@ def append_to_ivf_index(
     pass per row, no crossJoin row amplification, no per-vec_id window
     shuffle (the old k-way explode + row_number cost 101 s for a 90k
     delta against k=2048; the kernel pass is seconds), and bit-identical
-    tie behavior to build-time assignment."""
+    tie behavior to build-time assignment.
+
+    WHERE the rows land is the LSM decision (``l0``):
+
+    - ``False`` — the classic partitioned append: one file per touched
+      cell under ``vectors/centroid_id=*``. Right when the delta is
+      large relative to the cell count (each file gets real data).
+    - ``True`` — the L0 tier: ONE compact unpartitioned write under
+      ``vectors_delta/`` with centroid_id as a regular column. Right
+      for small deltas, where the partitioned scatter would create
+      thousands of near-empty files (file-creation + commit cost
+      dominates the append wall; small-files debt poisons every later
+      scan). Readers see L0 through ``ivf_vectors_frame``; compaction
+      (``compact_ivf_index``) folds it into the cells.
+    - ``"auto"`` (default) — L0 when rows < _L0_ROWS_PER_CELL × cells.
+    """
     from cloudvectordb_spark.operators.kmeans_det import assign_cells
 
     spark = new_vectors.sparkSession
     cents = index_centroids(spark, index_path)
     assigned = assign_cells(new_vectors, cents)
+    if l0 == "auto":
+        l0 = new_vectors.count() < _L0_ROWS_PER_CELL * len(cents)
+    if l0:
+        # one bounded write: ≤ a few files regardless of how many cells
+        # the delta scatters across; the rows still carry their cell id
+        assigned.coalesce(4).write.mode("append").parquet(
+            f"{index_path}/vectors_delta"
+        )
+        return
     # shuffle on the key first: an unshuffled partitionBy append writes
     # one file per (task x touched cell) — the same small-files debt
     # write_ivf_index's compacted write killed at bulk-build time
@@ -1913,7 +1986,7 @@ def append_to_ivf_index(
 
 
 def remove_vectors_from_index(
-    spark: SparkSession, index_path: str, vec_ids: list
+    spark: SparkSession, index_path: str, vec_ids: list, return_rows: bool = False
 ) -> int:
     """Physically drop ``vec_ids`` by rewriting ONLY the cells that
     hold them — never the whole layout. One narrow (vec_id,
@@ -1923,11 +1996,35 @@ def remove_vectors_from_index(
     removed. The eager complement to the tombstone/anti-join lifecycle
     (`index_delete_compaction`): same end state, paid immediately on a
     bounded cell set instead of amortized at compaction. Returns the
-    number of cells rewritten."""
+    number of cells rewritten, or with ``return_rows=True`` the tuple
+    (cells rewritten, rows removed) — the row count comes from two
+    partition-PRUNED scans of just the touched cells (centroid_id is
+    the partition dir), so the accounting stays bounded like the
+    rewrite itself (the O(delta)-append invariant check rides on it)."""
+    import os
     import shutil
 
-    vectors = spark.read.parquet(f"{index_path}/vectors")
     doomed = F.col("vec_id").isin([int(v) for v in vec_ids])
+    # L0 tier first: a victim may live in vectors_delta (a small-delta
+    # append that has not been compacted yet) — rewrite the whole tier
+    # without the doomed rows (it is small by the L0 admission rule)
+    n_l0_removed = 0
+    delta_dir = f"{index_path}/vectors_delta"
+    if os.path.isdir(delta_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(delta_dir)
+    ):
+        l0 = spark.read.parquet(delta_dir)
+        n_l0_doomed = l0.filter(doomed).count()
+        if n_l0_doomed:
+            tmp_l0 = f"{index_path}/vectors_delta_rewrite_tmp"
+            l0.filter(~doomed).coalesce(4).write.mode("overwrite").parquet(
+                tmp_l0
+            )
+            shutil.rmtree(delta_dir)
+            os.rename(tmp_l0, delta_dir)
+            n_l0_removed = n_l0_doomed
+
+    vectors = spark.read.parquet(f"{index_path}/vectors")
     cells = [
         int(r.centroid_id)
         for r in vectors.filter(doomed)
@@ -1936,7 +2033,12 @@ def remove_vectors_from_index(
         .collect()
     ]
     if not cells:
-        return 0
+        return (0, n_l0_removed) if return_rows else 0
+    n_touched_before = (
+        vectors.filter(F.col("centroid_id").isin(cells)).count()
+        if return_rows
+        else 0
+    )
     tmp = f"{index_path}/vectors_rewrite_tmp"
     (
         vectors.filter(F.col("centroid_id").isin(cells) & ~doomed)
@@ -1944,6 +2046,7 @@ def remove_vectors_from_index(
         .parquet(tmp)
     )
     staged = spark.read.parquet(tmp)
+    n_staged = staged.count() if return_rows else 0
     kept_cells = {
         int(r.centroid_id)
         for r in staged.select("centroid_id").distinct().collect()
@@ -1958,6 +2061,8 @@ def remove_vectors_from_index(
             .parquet(f"{index_path}/vectors")
         )
     shutil.rmtree(tmp)
+    if return_rows:
+        return len(cells), (n_touched_before - n_staged) + n_l0_removed
     return len(cells)
 
 
@@ -1999,7 +2104,10 @@ def split_hot_cells(
         lloyd_centroids,
     )
 
-    vectors = spark.read.parquet(f"{index_path}/vectors")
+    # sizes and hot-cell contents come from the UNION view (base
+    # partitioned layout + L0 delta tier) so uncompacted small appends
+    # count toward hotness and re-split with their cell
+    vectors = ivf_vectors_frame(spark, index_path)
     cents = index_centroids(spark, index_path)
     sizes = {
         int(r.centroid_id): int(r.n)
@@ -2015,11 +2123,14 @@ def split_hot_cells(
     build_dir = f"{out_path}.build{os.getpid()}"
     os.makedirs(f"{build_dir}/vectors", exist_ok=True)
     # unchanged cells: hard-link every file (same-device metadata op;
-    # copy on the rare cross-device fallback)
+    # copy on the rare cross-device fallback). Link only dirs that
+    # EXIST in the base layout — a cell may live purely in L0.
     for c in sizes:
         if c in hot_set:
             continue
         src = f"{index_path}/vectors/centroid_id={c}"
+        if not os.path.isdir(src):
+            continue  # L0-only cell: carried by the L0 pass below
         dst = f"{build_dir}/vectors/centroid_id={c}"
         os.makedirs(dst, exist_ok=True)
         for fn in os.listdir(src):
@@ -2030,6 +2141,19 @@ def split_hot_cells(
                 os.link(sp, dp)
             except OSError:
                 shutil.copy2(sp, dp)
+    # L0 rows of UNCHANGED cells carry over as the new root's L0 tier
+    # (hot cells' L0 rows re-split with their cell via the union frame)
+    delta_dir = f"{index_path}/vectors_delta"
+    if os.path.isdir(delta_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(delta_dir)
+    ):
+        carry = spark.read.parquet(delta_dir)
+        if hot:
+            carry = carry.filter(~F.col("centroid_id").isin(hot))
+        if carry.limit(1).count():
+            carry.coalesce(4).write.mode("overwrite").parquet(
+                f"{build_dir}/vectors_delta"
+            )
 
     next_id = max((cid for cid, _ in cents), default=-1) + 1
     new_cents = [(int(cid), list(v)) for cid, v in cents if cid not in hot_set]
@@ -2196,7 +2320,9 @@ def compact_ivf_index(spark: SparkSession, index_path: str, out_path: str) -> No
     import os
     import shutil
 
-    vectors = spark.read.parquet(f"{index_path}/vectors")
+    # the helper includes the L0 delta tier, so compaction FOLDS it:
+    # the new root is pure partitioned layout, no vectors_delta
+    vectors = ivf_vectors_frame(spark, index_path)
     centroids = spark.read.parquet(f"{index_path}/centroids")
     build_dir = f"{out_path}.build{os.getpid()}"
     n_cells = centroids.count()
@@ -2948,7 +3074,7 @@ def ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudvectordb_spark.operators.vector_ops import exact_knn
 
     path = ensure_ivf_index(spark, sf_dir)
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = ivf_vectors_frame(spark, path)
     cents = index_centroids(spark, path)
     emb = load(spark, sf_dir, "embeddings")
     probe_rows = (
@@ -3276,7 +3402,7 @@ def ivf_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift (L2 between the frozen centroid and the cell's CURRENT mean),
     with thresholded recommendations."""
     path = ensure_ivf_index(spark, sf_dir)
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = ivf_vectors_frame(spark, path)
     cents_df = spark.read.parquet(f"{path}/centroids")
     sizes = vectors.groupBy("centroid_id").agg(F.count("*").alias("n"))
     bal = sizes.agg((F.max("n") / F.avg("n")).alias("imbalance"))
@@ -3338,7 +3464,7 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudvectordb_spark.operators.kmeans_det import _dist_structs
 
     path = ensure_ivf_index(spark, sf_dir)
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = ivf_vectors_frame(spark, path)
     cents = index_centroids(spark, path)
     # d2 to the OWN assigned centroid: pick the struct whose cid matches
     structs = _dist_structs(F.col("embedding"), cents)

@@ -725,8 +725,9 @@ def test_corpus_pipeline_append_safe_fenced_never_restores(
     real = CorpusPipeline._remove_from_index
 
     def usurp(spark_, path_, ids_):
-        real(spark_, path_, ids_)  # demotion rewrite HAS happened
+        rows = real(spark_, path_, ids_)  # demotion rewrite HAS happened
         acquire_lease(inc, owner="successor")  # newer writer takes over
+        return rows
 
     monkeypatch.setattr(
         CorpusPipeline, "_remove_from_index", staticmethod(usurp)

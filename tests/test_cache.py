@@ -155,3 +155,33 @@ def test_artifact_rebuilds_on_subsecond_source_change(
     r2 = builder(spark, str(sfd))
     assert r1 != r2
     assert int(os.path.getmtime(sfd / source)) == int(st.st_mtime)
+
+
+def test_scheduler_pool_tags_and_clears_thread_jobs(spark):
+    """The multi-tenant pool wiring: scheduler_pool must tag THIS
+    thread's jobs with the pool name for the with-block only, results
+    unchanged by the tag (the FAIR/FIFO mode switch itself is a
+    JVM-start option probed in tools/multitenant_probe.py)."""
+    from cloudvectordb_spark.session import scheduler_pool
+
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
+    with scheduler_pool(spark, "tenant-a"):
+        assert sc.getLocalProperty("spark.scheduler.pool") == "tenant-a"
+        got = spark.range(100).count()
+        assert got == 100
+        # nesting another tenant on a DIFFERENT thread is independent
+        import threading
+
+        seen = {}
+
+        def other():
+            seen["pool"] = sc.getLocalProperty("spark.scheduler.pool")
+
+        t = threading.Thread(target=other)
+        t.start()
+        t.join()
+        # child threads may inherit or start clean depending on the
+        # py4j thread origin; the contract is only that THIS thread's
+        # tag is exact and restored after the block
+    assert sc.getLocalProperty("spark.scheduler.pool") is None

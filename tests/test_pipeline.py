@@ -403,6 +403,7 @@ def test_ivf_incremental_append_and_search(spark, sf_dir, tmp_path):
     from cloudvectordb_spark.operators.pipeline import (
         append_to_ivf_index,
         build_ivf_assignments,
+        ivf_vectors_frame,
         write_ivf_index,
     )
     from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
@@ -413,10 +414,12 @@ def test_ivf_incremental_append_and_search(spark, sf_dir, tmp_path):
     out = str(tmp_path / "ivf")
     assigned, cents = build_ivf_assignments(base, k=4, seed=42)
     write_ivf_index(assigned, cents, out)
-    n_base = spark.read.parquet(out + "/vectors").count()
+    n_base = ivf_vectors_frame(spark, out).count()
 
     append_to_ivf_index(delta.select("vec_id", "embedding", "label"), out)
-    after = spark.read.parquet(out + "/vectors")
+    # the union read surface: a small delta lands in the L0 tier, so
+    # the raw vectors/ dir alone no longer holds every row
+    after = ivf_vectors_frame(spark, out)
     assert after.count() == n_base + delta.count()
     assert after.select("vec_id").distinct().count() == emb.count()
 
@@ -476,10 +479,15 @@ def test_ivf_compaction_one_file_per_cell(spark, sf_dir, tmp_path):
     out = str(tmp_path / "ivf")
     assigned, cents = build_ivf_assignments(base, k=4, seed=42)
     write_ivf_index(assigned, cents, out)
-    # two delta increments -> multiple files per touched cell
-    append_to_ivf_index(emb.filter(F2.col("vec_id") < 50).select("vec_id", "embedding", "label"), out)
+    # two delta increments -> multiple files per touched cell.
+    # l0=False forces the partitioned-scatter path: this test is about
+    # compaction healing THAT fragmentation (auto mode would route
+    # these small deltas to the L0 tier, which has its own fold test
+    # in test_vector.py).
+    append_to_ivf_index(emb.filter(F2.col("vec_id") < 50).select("vec_id", "embedding", "label"), out, l0=False)
     append_to_ivf_index(
-        emb.filter((F2.col("vec_id") >= 50) & (F2.col("vec_id") < 100)).select("vec_id", "embedding", "label"), out
+        emb.filter((F2.col("vec_id") >= 50) & (F2.col("vec_id") < 100)).select("vec_id", "embedding", "label"), out,
+        l0=False,
     )
     frag_files = glob.glob(out + "/vectors/centroid_id=*/*.parquet")
 

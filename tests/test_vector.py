@@ -169,3 +169,102 @@ def test_binary_quant_hamming_recall_vs_exact(spark, sf_dir):
         got.setdefault(r.probe_id, set()).add(r.neighbor_id)
     recalls = [len(exact[p] & got.get(p, set())) / len(exact[p]) for p in exact]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_l0_append_tier_parity_and_fold(spark, sf_dir, tmp_path):
+    """The L0 delta tier (round 12): a small append lands as a handful
+    of vectors_delta files instead of one file per touched cell, and
+    every read surface — contents, search, histogram, stats — sees the
+    union; an explicitly-partitioned append of the same delta yields
+    IDENTICAL search results; compaction folds the tier away."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.pipeline import (
+        append_to_ivf_index,
+        ivf_cell_histogram,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 50).select("vec_id", "embedding")
+    delta = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+
+    a = VectorIndex.build(spark, base, str(tmp_path / "a"), k=4)
+    b = VectorIndex.build(spark, base, str(tmp_path / "b"), k=4)
+    hist_before = dict(ivf_cell_histogram(spark, a.path))
+
+    append_to_ivf_index(delta, a.path, l0=True)
+    append_to_ivf_index(delta, b.path, l0=False)
+
+    # layout shapes: a grew an L0 tier, b scattered into cell dirs
+    assert os.path.isdir(f"{a.path}/vectors_delta")
+    assert not os.path.isdir(f"{b.path}/vectors_delta")
+
+    # contents identical
+    rows = lambda ix: {  # noqa: E731
+        (r.vec_id, tuple(r.embedding), r.centroid_id)
+        for r in ix.vectors.collect()
+    }
+    assert rows(a) == rows(b)
+
+    # search identical at full coverage AND pruned
+    probes = delta.limit(5)
+    for nprobe in (1, 4):
+        ra = {
+            tuple(r)
+            for r in a.search(probes, k=3, nprobe=nprobe).collect()
+        }
+        rb = {
+            tuple(r)
+            for r in b.search(probes, k=3, nprobe=nprobe).collect()
+        }
+        assert ra == rb and len(ra) > 0
+
+    # histogram cache invalidated by the L0 append (content tag moved)
+    hist_after = dict(ivf_cell_histogram(spark, a.path))
+    assert sum(hist_after.values()) == sum(hist_before.values()) + 50
+
+    # delete removes L0 rows too (the demotion-correctness path)
+    victims = [r.vec_id for r in delta.limit(3).collect()]
+    a.delete(victims)
+    assert not {
+        r.vec_id for r in a.vectors.filter(F.col("vec_id").isin(victims)).collect()
+    }
+
+    # compaction folds the tier: pure partitioned layout, equal contents
+    c = a.compact(str(tmp_path / "c"))
+    assert not os.path.isdir(f"{c.path}/vectors_delta")
+    b.delete(victims)
+    assert rows(c) == rows(b)
+
+
+def test_ivf_l0_split_carries_delta_rows(spark, sf_dir, tmp_path):
+    """split_hot_cells on an index with an uncompacted L0 tier: hot
+    cells re-split WITH their L0 rows; unchanged cells' L0 rows carry
+    into the new root — contents preserved exactly."""
+    from pyspark.sql import functions as F
+
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.pipeline import append_to_ivf_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 40).select("vec_id", "embedding")
+    delta = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    ix = VectorIndex.build(spark, base, str(tmp_path / "s"), k=4)
+    append_to_ivf_index(delta, ix.path, l0=True)
+    before = {
+        (r.vec_id, tuple(r.embedding)) for r in ix.vectors.collect()
+    }
+    new, stats = ix.split_hot_cells(str(tmp_path / "s2"), factor=1.2)
+    after = {
+        (r.vec_id, tuple(r.embedding)) for r in new.vectors.collect()
+    }
+    assert after == before
+    # one cell per vector still holds
+    assert new.vectors.groupBy("vec_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0

@@ -115,6 +115,12 @@ def bootstrap_state(spark, root: str, index_path: str, tau: float) -> dict:
             "n_docs": int(stats.n),
             "max_doc_id": int(stats.mx),
             "text_col": "text",
+            # seed the maintained index counter (round-12 verdict #4):
+            # the migration touches the index once; appends never
+            # recount the corpus after this
+            "n_indexed": spark.read.parquet(
+                f"{index_path}/vectors"
+            ).count(),
         },
     )
     return {
@@ -123,12 +129,16 @@ def bootstrap_state(spark, root: str, index_path: str, tau: float) -> dict:
     }
 
 
-def _run_one_append(spark, root: str, index_path: str, n_corpus: int, n_delta: int) -> dict:
+def _run_one_append(
+    spark, root: str, index_path: str, n_corpus: int, n_delta: int,
+    id_base: int | None = None,
+) -> dict:
     from cloudvectordb_spark.api import CorpusPipeline
 
-    delta = synthetic_delta(spark, n_corpus, n_delta)
-    delta.write.mode("overwrite").parquet(f"{root}/delta_docs_{n_delta}")
-    delta = spark.read.parquet(f"{root}/delta_docs_{n_delta}")
+    base = id_base if id_base is not None else n_corpus
+    delta = synthetic_delta(spark, base, n_delta)
+    delta.write.mode("overwrite").parquet(f"{root}/delta_docs_{base}_{n_delta}")
+    delta = spark.read.parquet(f"{root}/delta_docs_{base}_{n_delta}")
     t0 = time.perf_counter()
     out = CorpusPipeline.append(spark, index_path, delta)
     append_wall = time.perf_counter() - t0
@@ -162,6 +172,14 @@ def main() -> int:
         "(also exercises the broadcast->shuffle fallback past "
         "CorpusPipeline._BROADCAST_DELTA_MAX)",
     )
+    ap.add_argument(
+        "--sequence",
+        default=None,
+        help="comma list of delta sizes appended BACK-TO-BACK with no "
+        "state restore — the steady-state ingest-service shape, where "
+        "the forward-rolled sig cache makes appends after the first "
+        "read only the delta's own sig files (round-12 verdict #4)",
+    )
     args = ap.parse_args()
     root = args.root or f"/tmp/cloudvectordb_e2e/{args.n}"
     index_path = f"{root}/ivf"
@@ -170,6 +188,44 @@ def main() -> int:
 
     spark = get_session("append-probe")
     boot = bootstrap_state(spark, root, index_path, args.tau)
+
+    if args.sequence:
+        import json as _json
+
+        from cloudvectordb_spark.api import CorpusPipeline
+
+        # always start from the pristine snapshot so the sequence is
+        # reproducible (create it on first use, like --scaling)
+        import shutil
+
+        snap = f"{root}/ivf_snapshot"
+        if not os.path.exists(snap):
+            shutil.copytree(index_path, snap)
+        shutil.rmtree(index_path)
+        shutil.copytree(snap, index_path)
+        rows = []
+        id_base = args.n
+        for n_delta in (int(x) for x in args.sequence.split(",")):
+            rows.append(
+                _run_one_append(
+                    spark, root, index_path, args.n, n_delta,
+                    id_base=id_base,
+                )
+            )
+            id_base = int(
+                CorpusPipeline._read_state_meta(index_path)["max_doc_id"]
+            ) + 1
+        print(
+            _json.dumps(
+                {
+                    "metric": "append_sequence_probe",
+                    "corpus": args.n,
+                    "bootstrap": boot,
+                    "runs": rows,
+                }
+            )
+        )
+        return 0
 
     if args.scaling:
         import shutil

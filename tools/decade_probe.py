@@ -1,0 +1,197 @@
+"""100M-vector decade probe (round 12, verdict #6): one more order of
+magnitude on the vector hot paths, on one box.
+
+Confirms at 100M × dim-64 (~26 GB of raw vectors):
+- BUILD stays flat-in-k: the routed two-level IMI assignment is timed
+  at two k values spanning ~3× (write-free, so the comparison is pure
+  trainer+assign cost), then the real partitioned layout is written
+  once at the auto-k (n/4096) the facade would pick;
+- SERVING stays ∝ probed cells: strict-nprobe batch latency at
+  nprobe 2/8/32 against the partition-pruned layout, plus recall@10
+  of the nprobe=32 tier vs exact BLAS over the full corpus;
+- the APPEND floor amortizes: one 1M frozen-centroid append (1% of
+  corpus) timed against the build wall.
+
+Stage-idempotent: each stage persists its artifact/stats and is
+skipped on re-run (long probes get killed; re-invoke to continue).
+Run under tmux with SPARK_DRIVER_MEMORY=48g (container notes).
+
+Usage: python tools/decade_probe.py [--n 100000000] [--delta 1000000]
+Prints one JSON line per completed stage and a final combined line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cloudvectordb_spark.session import get_session
+
+DIM = 64
+
+
+def _load_stats(path: str) -> dict:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_stats(path: str, stats: dict) -> None:
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.rename(tmp, path)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000_000)
+    ap.add_argument("--delta", type=int, default=1_000_000)
+    ap.add_argument("--k-scan", default="8192")
+    ap.add_argument("--probes", type=int, default=32)
+    ap.add_argument("--recall-probes", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = get_session("decade-probe")
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.operators import pipeline as P
+    from tools.scale_probe import synthetic_corpus
+
+    root = f"/tmp/cloudvectordb_decade/{args.n}"
+    os.makedirs(root, exist_ok=True)
+    stats_path = f"{root}/stats.json"
+    stats = _load_stats(stats_path)
+    stats.update({"metric": "decade_probe", "n": args.n, "dim": DIM})
+
+    corpus_path = f"{root}/corpus"
+    if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+        t0 = time.perf_counter()
+        synthetic_corpus(spark, args.n + args.delta, DIM, parts=256).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+        stats["corpus_write_s"] = round(time.perf_counter() - t0, 1)
+        _save_stats(stats_path, stats)
+        print(json.dumps({"stage": "corpus", "s": stats["corpus_write_s"]}))
+    corpus = spark.read.parquet(corpus_path)
+    base = corpus.filter(F.col("vec_id") < args.n)
+    delta = corpus.filter(F.col("vec_id") >= args.n)
+
+    auto_k = max(8, min(65536, args.n // 4096))
+    stats["auto_k"] = auto_k
+
+    # flat-in-k evidence: routed assign+count at a smaller k, write-free
+    for k in (int(x) for x in args.k_scan.split(",") if x):
+        key = f"assign_k{k}_s"
+        if key not in stats:
+            t0 = time.perf_counter()
+            assigned, _cents = P.build_ivf_assignments(base, k=k)
+            n_cells = (
+                assigned.groupBy("centroid_id").count().count()
+            )
+            stats[key] = round(time.perf_counter() - t0, 1)
+            stats[f"assign_k{k}_cells"] = int(n_cells)
+            _save_stats(stats_path, stats)
+            print(json.dumps({"stage": key, "s": stats[key]}))
+
+    index_path = f"{root}/ivf"
+    if not os.path.exists(f"{index_path}/_BUILT"):
+        t0 = time.perf_counter()
+        assigned, cents = P.build_ivf_assignments(base, k=auto_k)
+        stats["build_assign_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        P.write_ivf_index(assigned, cents, index_path)
+        stats["build_write_s"] = round(time.perf_counter() - t0, 1)
+        _save_stats(stats_path, stats)
+        print(
+            json.dumps(
+                {
+                    "stage": "build",
+                    "assign_s": stats["build_assign_s"],
+                    "write_s": stats["build_write_s"],
+                }
+            )
+        )
+    idx = VectorIndex.open(spark, index_path)
+
+    if "serving" not in stats:
+        cents = idx.centroids()
+        probes = spark.createDataFrame(
+            [
+                (int(r.vec_id), r.embedding)
+                for r in base.filter(
+                    F.col("vec_id") < args.probes
+                ).collect()
+            ],
+            schema="vec_id long, embedding array<float>",
+        )
+        serving = {"n_cells": len(cents)}
+        for nprobe in (2, 8, 32):
+            idx.search_batch(probes, k=10, nprobe=nprobe).count()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                idx.search_batch(probes, k=10, nprobe=nprobe).collect()
+                best = min(best, time.perf_counter() - t0)
+            serving[f"nprobe{nprobe}_ms_per_q"] = round(
+                best / args.probes * 1000, 1
+            )
+        stats["serving"] = serving
+        _save_stats(stats_path, stats)
+        print(json.dumps({"stage": "serving", **serving}))
+
+    if "recall_at_10" not in stats:
+        from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
+
+        rp = [
+            (int(r.vec_id), r.embedding)
+            for r in base.filter(
+                F.col("vec_id") < args.recall_probes
+            ).collect()
+        ]
+        probes_df = spark.createDataFrame(
+            rp, schema="vec_id long, embedding array<float>"
+        )
+        t0 = time.perf_counter()
+        exact = {
+            (int(r.probe_id), int(r.neighbor_id))
+            for r in exact_knn_fast(base, probes_df, k=10).collect()
+        }
+        stats["exact_scan_s"] = round(time.perf_counter() - t0, 1)
+        approx = {
+            (int(r.probe_id), int(r.neighbor_id))
+            for r in idx.search_batch(probes_df, k=10, nprobe=32).collect()
+        }
+        stats["recall_at_10"] = round(len(exact & approx) / len(exact), 4)
+        _save_stats(stats_path, stats)
+        print(
+            json.dumps(
+                {
+                    "stage": "recall",
+                    "recall_at_10": stats["recall_at_10"],
+                    "exact_scan_s": stats["exact_scan_s"],
+                }
+            )
+        )
+
+    if "append_s" not in stats:
+        t0 = time.perf_counter()
+        idx.append(delta.select("vec_id", "embedding"))
+        stats["append_s"] = round(time.perf_counter() - t0, 1)
+        stats["indexed_after_append"] = idx.vectors.count()
+        _save_stats(stats_path, stats)
+        print(json.dumps({"stage": "append", "s": stats["append_s"]}))
+
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
