@@ -2980,8 +2980,9 @@ def sharded_bm25_topk_batch(
         schema="query_id int, term string",
     )
     # merged global stats: exact bigint sums, one float division
-    n_docs = sum(int(s.n_docs) for _, _, s, _ in shards)
-    avgdl = sum(int(s.dl_sum) for _, _, s, _ in shards) / n_docs
+    # (an empty shard — S > corpus clusters — contributes 0/0 nulls)
+    n_docs = sum(int(s.n_docs or 0) for _, _, s, _ in shards)
+    avgdl = sum(int(s.dl_sum or 0) for _, _, s, _ in shards) / max(1, n_docs)
     stats_local = spark.createDataFrame(
         [(n_docs, avgdl)], schema="n_docs bigint, avgdl double"
     )
