@@ -1905,23 +1905,45 @@ def ivf_vectors_frame(spark: SparkSession, index_path: str) -> DataFrame:
     contents — cell pruning still works on the union (the base leg
     prunes whole partition dirs; the L0 leg is a bounded small-file
     scan with the same centroid_id predicate), and compaction folds L0
-    back into the partitioned layout."""
+    back into the partitioned layout.
+
+    The frame is cached per (session, path, append-proof content tag):
+    constructing a fresh DataFrame re-runs Spark's driver-side FILE
+    LISTING of the whole layout, and at 100M-scale cell counts that
+    listing is a ~20 s fixed tax on EVERY query batch (measured: 25k
+    cells × 4 files → ~700 ms/probe regardless of nprobe,
+    tools/decade_probe.py). Cached, the listing is paid once per
+    layout GENERATION — the content tag moves on any append, delete,
+    rewrite, or tombstone, so mutations invalidate exactly."""
     import os
 
-    base = spark.read.parquet(f"{index_path}/vectors")
-    delta_dir = f"{index_path}/vectors_delta"
-    if os.path.isdir(delta_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(delta_dir)
-    ):
-        delta = spark.read.parquet(delta_dir)
-        # the partition-dir column reads back as int; L0 stores it as a
-        # regular column whose type follows the assigner — align
-        base_t = dict(base.dtypes)["centroid_id"]
-        delta = delta.withColumn(
-            "centroid_id", F.col("centroid_id").cast(base_t)
-        )
-        base = base.unionByName(delta, allowMissingColumns=True)
-    return base
+    from cloudvectordb_spark.cache import artifact_cache, session_key
+
+    def build():
+        base = spark.read.parquet(f"{index_path}/vectors")
+        delta_dir = f"{index_path}/vectors_delta"
+        if os.path.isdir(delta_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(delta_dir)
+        ):
+            delta = spark.read.parquet(delta_dir)
+            # the partition-dir column reads back as int; L0 stores it
+            # as a regular column whose type follows the assigner
+            base_t = dict(base.dtypes)["centroid_id"]
+            delta = delta.withColumn(
+                "centroid_id", F.col("centroid_id").cast(base_t)
+            )
+            base = base.unionByName(delta, allowMissingColumns=True)
+        return base
+
+    return artifact_cache(
+        (
+            "ivf_vectors_frame",
+            os.path.abspath(index_path),
+            session_key(spark),
+            ivf_content_tag(index_path),
+        ),
+        build,
+    )
 
 
 # rows-per-cell ratio below which an append lands in the L0 tier: a

@@ -58,6 +58,7 @@ def main() -> int:
     ap.add_argument("--k-scan", default="8192")
     ap.add_argument("--probes", type=int, default=32)
     ap.add_argument("--recall-probes", type=int, default=8)
+    ap.add_argument("--parts", type=int, default=512)
     args = ap.parse_args()
 
     spark = get_session("decade-probe")
@@ -74,7 +75,7 @@ def main() -> int:
     corpus_path = f"{root}/corpus"
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         t0 = time.perf_counter()
-        synthetic_corpus(spark, args.n + args.delta, DIM, parts=256).write.mode(
+        synthetic_corpus(spark, args.n + args.delta, DIM, parts=args.parts).write.mode(
             "overwrite"
         ).parquet(corpus_path)
         stats["corpus_write_s"] = round(time.perf_counter() - t0, 1)
@@ -107,8 +108,31 @@ def main() -> int:
         assigned, cents = P.build_ivf_assignments(base, k=auto_k)
         stats["build_assign_s"] = round(time.perf_counter() - t0, 1)
         t0 = time.perf_counter()
-        P.write_ivf_index(assigned, cents, index_path)
+        # WAVE write: this box's usable disk (~94 GB) cannot hold
+        # corpus (27 GB) + one full 27 GB shuffle + the 27 GB output
+        # simultaneously, so the partitioned write lands in 4 waves —
+        # live shuffle stays ~7 GB while the output accrues (each wave
+        # re-runs the cheap assignment scan; the trainer ran once
+        # above). On a cluster with real shuffle capacity this is
+        # write_ivf_index verbatim; results identical (4 files/cell
+        # instead of 1 — compaction heals that, and probes prune by
+        # dir either way).
+        waves = 4
+        for w in range(waves):
+            (
+                assigned.filter(F.pmod(F.col("vec_id"), waves) == w)
+                .repartition("centroid_id")
+                .write.mode("append")
+                .partitionBy("centroid_id")
+                .parquet(f"{index_path}/vectors")
+            )
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            f"{index_path}/centroids"
+        )
+        with open(f"{index_path}/_BUILT", "w") as f:
+            f.write("ok")
         stats["build_write_s"] = round(time.perf_counter() - t0, 1)
+        stats["build_write_waves"] = waves
         _save_stats(stats_path, stats)
         print(
             json.dumps(
