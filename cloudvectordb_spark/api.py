@@ -227,11 +227,16 @@ class VectorIndex:
         )
 
     # -- writes --------------------------------------------------------
-    def append(self, new_vectors: DataFrame) -> None:
-        """Delta ingest against FROZEN centroids (work ∝ delta)."""
+    def append(self, new_vectors: DataFrame, l0: str | bool = "auto") -> None:
+        """Delta ingest against FROZEN centroids (work ∝ delta).
+        ``l0``: where the rows land — the L0 delta tier or the
+        partitioned cells (see pipeline.append_to_ivf_index). Callers
+        that know the delta's size can pass True/False to skip auto
+        mode's routing count (one extra job over the delta lineage —
+        persist the delta first if it is expensive to recompute)."""
         from cloudvectordb_spark.operators.pipeline import append_to_ivf_index
 
-        append_to_ivf_index(new_vectors, self.path)
+        append_to_ivf_index(new_vectors, self.path, l0=l0)
 
     def delete(self, vec_ids: list) -> int:
         """Eagerly drop ``vec_ids`` in place by rewriting only the
@@ -239,10 +244,16 @@ class VectorIndex:
         the tombstone + compaction lifecycle instead). Returns the
         number of cells rewritten.
 
-        If this index is CorpusPipeline-managed (a dedup_state sidecar
-        exists), the maintained ``n_indexed`` counter in the state meta
-        is decremented by the rows actually removed, so the O(delta)
-        append invariants stay exact after out-of-band deletes."""
+        If THIS ROOT carries the dedup_state sidecar (a single-index
+        CorpusPipeline root — the primary), the maintained ``n_indexed``
+        counter in the state meta is decremented by the rows actually
+        removed, so the O(delta) append invariants stay exact after
+        out-of-band deletes. CAVEATS: on a run_sharded fleet the state
+        lives on the PRIMARY shard only, so a delete on a secondary
+        shard cannot adjust the global counter (route fleet deletes
+        through the pipeline, or follow with append(verify="full"),
+        which recounts and raises on divergence); the read-modify-write
+        is not fenced, so do not race it against a live append."""
         import json
         import os
 
@@ -305,7 +316,11 @@ class VectorIndex:
 
     @staticmethod
     def vacuum_layouts(
-        family_dir: str, live_path: str, keep: int = 2, pins: tuple = ()
+        family_dir: str,
+        live_path: str,
+        keep: int = 2,
+        pins: tuple = (),
+        retire: tuple = (),
     ) -> dict:
         """Reclaim superseded layout roots for an index family — the
         retention half of the snapshot/compact/split lifecycle (each
@@ -316,7 +331,9 @@ class VectorIndex:
         last link drops). See pipeline.vacuum_ivf_layouts."""
         from cloudvectordb_spark.operators.pipeline import vacuum_ivf_layouts
 
-        return vacuum_ivf_layouts(family_dir, live_path, keep=keep, pins=pins)
+        return vacuum_ivf_layouts(
+            family_dir, live_path, keep=keep, pins=pins, retire=retire
+        )
 
     def split_hot_cells(
         self,
@@ -649,7 +666,7 @@ class HybridIndex:
         )
 
 
-_SIGS_CACHE: dict = {}  # sigs dir -> (file set, sigs df, bands df, depth)
+_SIGS_CACHE: dict = {}  # (sigs dir, session) -> (files, sigs, bands, depth, prev)
 
 
 def _corpus_sigs_cached(spark: SparkSession, sd: str):
@@ -672,11 +689,17 @@ def _corpus_sigs_cached(spark: SparkSession, sd: str):
 
     from cloudvectordb_spark.operators.dedup import minhash_bands_hashed
 
+    from cloudvectordb_spark.cache import session_key
+
     files = frozenset(
         os.path.basename(f)
         for f in _glob.glob(os.path.join(sd, "sigs", "*.parquet"))
     )
-    cached = _SIGS_CACHE.get(sd)
+    # keyed by session too: a persisted frame is bound to ITS
+    # SparkSession — serving a dead session's frame to a successor
+    # fails loudly (the convention every cache in this repo follows)
+    ck = (sd, session_key(spark))
+    cached = _SIGS_CACHE.get(ck)
     if cached and cached[0] == files:
         return cached[1], cached[2]
     # release the generation BEFORE last: the immediate predecessor
@@ -711,8 +734,22 @@ def _corpus_sigs_cached(spark: SparkSession, sd: str):
         )
         depth = 0
         prev = (cached[1], cached[2]) if cached else None
-    _SIGS_CACHE[sd] = (files, df, bands, depth, prev)
+    _SIGS_CACHE[ck] = (files, df, bands, depth, prev)
     return df, bands
+
+
+def _corpus_sigs_release_prev(spark: SparkSession, sd: str) -> None:
+    """Release the PREVIOUS sig-cache generation once the current one
+    has materialized (the append calls this after its dedup phase):
+    without it the predecessor stays persisted until the NEXT append
+    rolls the cache — ~2x the sig state pinned for no benefit."""
+    from cloudvectordb_spark.cache import session_key
+
+    cached = _SIGS_CACHE.get((sd, session_key(spark)))
+    if cached and cached[4] is not None:
+        for frame in cached[4]:
+            frame.unpersist()
+        _SIGS_CACHE[(sd, session_key(spark))] = cached[:4] + (None,)
 
 
 class CorpusPipeline:
@@ -1415,6 +1452,9 @@ class CorpusPipeline:
             comp = connected_components(
                 pairs_dd.unionByName(cross), src="a_id", dst="b_id"
             ).persist(StorageLevel.MEMORY_AND_DISK)
+            # the dedup phase materialized the rolled sig/band cache;
+            # the predecessor generation can release its storage now
+            _corpus_sigs_release_prev(spark, sd)
             _lap("dedup_cc_s")
             lo = int(bounds.lo)
             delta_removed = comp.filter(

@@ -1935,15 +1935,23 @@ def ivf_vectors_frame(spark: SparkSession, index_path: str) -> DataFrame:
             base = base.unionByName(delta, allowMissingColumns=True)
         return base
 
-    return artifact_cache(
-        (
-            "ivf_vectors_frame",
-            os.path.abspath(index_path),
-            session_key(spark),
-            ivf_content_tag(index_path),
-        ),
-        build,
+    from cloudvectordb_spark.cache import invalidate
+
+    key = (
+        "ivf_vectors_frame",
+        os.path.abspath(index_path),
+        session_key(spark),
+        ivf_content_tag(index_path),
     )
+    from cloudvectordb_spark.cache import _CACHE
+
+    if key not in _CACHE:
+        # evict prior GENERATIONS of this layout first: every mutation
+        # moves the content tag, and each stale entry pins a full
+        # driver-side file listing — an ingest service would otherwise
+        # leak one per append
+        invalidate(key[:3])
+    return artifact_cache(key, build)
 
 
 # rows-per-cell ratio below which an append lands in the L0 tier: a
@@ -2400,6 +2408,7 @@ def vacuum_ivf_layouts(
     live_path: str,
     keep: int = 2,
     pins: tuple = (),
+    retire: tuple = (),
 ) -> dict:
     """Reclaim superseded layout roots under ``family_dir``.
 
@@ -2412,9 +2421,13 @@ def vacuum_ivf_layouts(
       marker, see ``pin_layout``) survive every vacuum;
     - LEASED roots (a ``leases`` dir inside — some writer generation
       fenced on them) are REFUSED: skipped and reported, never
-      deleted, because a lease means a writer lifecycle considers the
-      tree its own (e.g. a mid-append primary). Release by vacuuming
-      after the writer completes, or pin explicitly;
+      deleted, because the files alone cannot prove no writer is
+      live. Epoch markers are never garbage-collected by completion,
+      so an EX-LIVE root that was superseded by a split/compact stays
+      refused forever by default — the operator retires it EXPLICITLY
+      via ``retire=(path, ...)``, which lets a listed root be
+      reclaimed despite its leases (the deliberate, auditable act of
+      declaring that writer generation dead);
     - in-flight staging dirs (``*.build*``, ``*_tmp``,
       ``*.pre_append*``) are skipped — they belong to their writer's
       crash-recovery story, not retention;
@@ -2455,11 +2468,22 @@ def vacuum_ivf_layouts(
             os.path.join(p, "_PINNED")
         ):
             kept.append(p)
-        elif os.path.isdir(os.path.join(p, "leases")):
+        elif os.path.isdir(os.path.join(p, "leases")) and os.path.realpath(
+            p
+        ) not in {os.path.realpath(r) for r in retire}:
             refused.append(p)
         else:
             candidates.append(p)
-    candidates.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+    def published_at(p):
+        # order by the LAYOUT's publish time, not the root dir's mtime:
+        # pin/unpin marker writes touch the root dir and would let an
+        # ancient just-unpinned snapshot displace a genuinely newer
+        # layout from the keep set. The vectors subdir is created at
+        # publish and never touched by markers.
+        v = os.path.join(p, "vectors")
+        return os.path.getmtime(v if os.path.isdir(v) else p)
+
+    candidates.sort(key=published_at, reverse=True)
     kept.extend(candidates[:keep])
     to_delete = candidates[keep:]
 

@@ -80,13 +80,19 @@ class scheduler_pool:
         self.name = name
 
     def __enter__(self):
-        self.spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", self.name
-        )
+        sc = self.spark.sparkContext
+        self._outer = sc.getLocalProperty("spark.scheduler.pool")
+        sc.setLocalProperty("spark.scheduler.pool", self.name)
         return self
 
     def __exit__(self, *exc):
-        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+        # restore what the thread had on entry (an outer pool block or
+        # a caller-set tag), not bare None — clearing unconditionally
+        # would silently drop the rest of the outer block's jobs into
+        # the default pool and lose their fairness share
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", self._outer
+        )
         return False
 
 

@@ -102,6 +102,14 @@ def test_vector_index_vacuum_layouts_retention(spark, sf_dir, tmp_path):
     out3 = VectorIndex.vacuum_layouts(str(fam), live.path, keep=0)
     assert names(out3["deleted"]) == {"snap_pinned"}
     assert os.path.isdir(live.path)
+    # an ex-live leased root can only go via EXPLICIT retire
+    out4 = VectorIndex.vacuum_layouts(str(fam), live.path, keep=0)
+    assert names(out4["refused_leased"]) == {"leased"}
+    out5 = VectorIndex.vacuum_layouts(
+        str(fam), live.path, keep=0, retire=(str(fam / "leased"),)
+    )
+    assert names(out5["deleted"]) == {"leased"}
+    assert not os.path.exists(str(fam / "leased"))
 
 
 def test_vector_index_search_matches_registered_query(spark, sf_dir, tmp_path):

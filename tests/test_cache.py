@@ -184,4 +184,8 @@ def test_scheduler_pool_tags_and_clears_thread_jobs(spark):
         # child threads may inherit or start clean depending on the
         # py4j thread origin; the contract is only that THIS thread's
         # tag is exact and restored after the block
+        # NESTED blocks restore the OUTER pool, not bare None
+        with scheduler_pool(spark, "sub-task"):
+            assert sc.getLocalProperty("spark.scheduler.pool") == "sub-task"
+        assert sc.getLocalProperty("spark.scheduler.pool") == "tenant-a"
     assert sc.getLocalProperty("spark.scheduler.pool") is None
