@@ -227,15 +227,92 @@ class VectorIndex:
         )
 
     # -- writes --------------------------------------------------------
-    def append(self, new_vectors: DataFrame, l0: str | bool = "auto") -> None:
+    def _tracked_meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "dedup_state", "meta.json")
+
+    def _has_tracked_counter(self) -> bool:
+        import json
+        import os
+
+        p = self._tracked_meta_path()
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            return "n_indexed" in json.load(f)
+
+    def _bump_n_indexed(self, delta_rows: int, lease: int) -> None:
+        """Fenced read-modify-write of the maintained ``n_indexed``
+        counter in the dedup-state meta. MUST be called under a held
+        lease on this root: the lease fences any in-flight
+        CorpusPipeline.append (it checks the epoch before every state
+        mutation and before its own meta commit), so the value read
+        here cannot be concurrently overwritten by an older writer.
+        After the rename, verifies this lease is STILL the newest
+        epoch — if a successor writer appeared mid-RMW the counter may
+        have raced, and that is reported loudly (CommitConflict with
+        the verify="full" remedy) instead of silently diverging
+        (round-12 ADVICE item 2)."""
+        import json
+        import os
+
+        from cloudvectordb_spark.versioning import CommitConflict, _max_epoch
+
+        meta_path = self._tracked_meta_path()
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["n_indexed"] += delta_rows
+        tmp = f"{meta_path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, meta_path)
+        newest = _max_epoch(self.path)
+        if newest > lease:
+            raise CommitConflict(
+                f"n_indexed update under epoch {lease} raced a newer "
+                f"writer (epoch {newest}) on {self.path} — the "
+                "maintained counter may be stale; re-audit with "
+                "CorpusPipeline.append(..., verify='full')"
+            )
+
+    def append(
+        self,
+        new_vectors: DataFrame,
+        l0: str | bool = "auto",
+        maintain_counter: bool = True,
+    ) -> None:
         """Delta ingest against FROZEN centroids (work ∝ delta).
         ``l0``: where the rows land — the L0 delta tier or the
         partitioned cells (see pipeline.append_to_ivf_index). Callers
         that know the delta's size can pass True/False to skip auto
         mode's routing count (one extra job over the delta lineage —
-        persist the delta first if it is expensive to recompute)."""
+        persist the delta first if it is expensive to recompute).
+
+        If THIS ROOT carries the dedup_state sidecar (a single-index
+        CorpusPipeline root), the maintained ``n_indexed`` counter is
+        bumped by the rows appended, under a fencing lease, mirroring
+        ``delete`` — a direct append no longer silently diverges the
+        counter the O(delta) handoff invariant rides on (round-12
+        ADVICE item 1). NOTE: a direct append bypasses the pipeline's
+        dedup state (no sigs, no labels) — later near-dup appends will
+        not see these rows as corpus; for deduplicated corpora route
+        deltas through CorpusPipeline.append. ``maintain_counter=False``
+        is for writers that own the counter themselves (the pipeline's
+        internal shard appends, which hold the lease and commit the
+        final count in one place)."""
         from cloudvectordb_spark.operators.pipeline import append_to_ivf_index
 
+        if maintain_counter and self._has_tracked_counter():
+            from cloudvectordb_spark.versioning import acquire_lease
+
+            lease = acquire_lease(self.path, owner="vector-append")
+            rows = append_to_ivf_index(
+                new_vectors, self.path, l0=l0, return_rows=True
+            )
+            if rows:
+                self._bump_n_indexed(rows, lease)
+            return
         append_to_ivf_index(new_vectors, self.path, l0=l0)
 
     def delete(self, vec_ids: list) -> int:
@@ -248,32 +325,30 @@ class VectorIndex:
         CorpusPipeline root — the primary), the maintained ``n_indexed``
         counter in the state meta is decremented by the rows actually
         removed, so the O(delta) append invariants stay exact after
-        out-of-band deletes. CAVEATS: on a run_sharded fleet the state
-        lives on the PRIMARY shard only, so a delete on a secondary
-        shard cannot adjust the global counter (route fleet deletes
-        through the pipeline, or follow with append(verify="full"),
-        which recounts and raises on divergence); the read-modify-write
-        is not fenced, so do not race it against a live append."""
-        import json
-        import os
-
+        out-of-band deletes. The decrement is FENCED: a lease is
+        acquired before the rewrite (any in-flight pipeline append
+        aborts at its next epoch check instead of racing the counter),
+        and a successor epoch appearing mid-update raises loudly with
+        the verify="full" remedy (round-12 ADVICE item 2). CAVEAT: on
+        a run_sharded fleet the state lives on the PRIMARY shard only,
+        so a delete on a secondary shard cannot adjust the global
+        counter (route fleet deletes through the pipeline, or follow
+        with CorpusPipeline.append(..., verify="full"))."""
         from cloudvectordb_spark.operators.pipeline import (
             remove_vectors_from_index,
         )
 
+        tracked = self._has_tracked_counter()
+        lease = None
+        if tracked:
+            from cloudvectordb_spark.versioning import acquire_lease
+
+            lease = acquire_lease(self.path, owner="vector-delete")
         cells, rows = remove_vectors_from_index(
             self.spark, self.path, vec_ids, return_rows=True
         )
-        meta_path = os.path.join(self.path, "dedup_state", "meta.json")
-        if rows and os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            if "n_indexed" in meta:
-                meta["n_indexed"] -= rows
-                tmp = f"{meta_path}.tmp{os.getpid()}"
-                with open(tmp, "w") as f:
-                    json.dump(meta, f)
-                os.rename(tmp, meta_path)
+        if rows and tracked:
+            self._bump_n_indexed(-rows, lease)
         return cells
 
     def snapshot(self, out_path: str) -> "VectorIndex":
@@ -666,7 +741,30 @@ class HybridIndex:
         )
 
 
-_SIGS_CACHE: dict = {}  # (sigs dir, session) -> (files, sigs, bands, depth, prev)
+_SIGS_CACHE: dict = {}
+# (sigs dir, session) -> (files, sigs, bands, depth, prev, spark)
+# ``files`` is a frozenset of (basename, size, mtime_ns) — name alone
+# would let an in-place rewrite that preserves file names (external
+# restore/copy tooling) serve a stale generation (round-12 ADVICE 5)
+
+
+def _sigs_cache_sweep() -> None:
+    """Drop cache entries owned by STOPPED SparkSessions: their
+    persisted frames are unusable (and unpersist would fail), but the
+    dict reference pins the frame objects — and with them the dead
+    session — forever. Called on every cache lookup; the dict stays
+    bounded by the live sessions actually running appends."""
+    dead = []
+    for ck, entry in _SIGS_CACHE.items():
+        sess = entry[5]
+        try:
+            alive = getattr(sess.sparkContext, "_jsc", None) is not None
+        except Exception:
+            alive = False
+        if not alive:
+            dead.append(ck)
+    for ck in dead:
+        del _SIGS_CACHE[ck]
 
 
 def _corpus_sigs_cached(spark: SparkSession, sd: str):
@@ -691,13 +789,20 @@ def _corpus_sigs_cached(spark: SparkSession, sd: str):
 
     from cloudvectordb_spark.cache import session_key
 
+    def _stat_tag(f: str) -> tuple:
+        st = os.stat(f)
+        return (os.path.basename(f), st.st_size, st.st_mtime_ns)
+
     files = frozenset(
-        os.path.basename(f)
+        _stat_tag(f)
         for f in _glob.glob(os.path.join(sd, "sigs", "*.parquet"))
     )
     # keyed by session too: a persisted frame is bound to ITS
     # SparkSession — serving a dead session's frame to a successor
-    # fails loudly (the convention every cache in this repo follows)
+    # fails loudly (the convention every cache in this repo follows);
+    # entries of stopped sessions are swept so the dict cannot pin
+    # dead sessions' frames across a long-lived process
+    _sigs_cache_sweep()
     ck = (sd, session_key(spark))
     cached = _SIGS_CACHE.get(ck)
     if cached and cached[0] == files:
@@ -712,7 +817,10 @@ def _corpus_sigs_cached(spark: SparkSession, sd: str):
         for frame in cached[4]:
             frame.unpersist()
     if cached and cached[0] < files and cached[3] < 32:
-        new_files = [os.path.join(sd, "sigs", f) for f in files - cached[0]]
+        new_files = [
+            os.path.join(sd, "sigs", name)
+            for (name, _sz, _mt) in files - cached[0]
+        ]
         new = spark.read.parquet(*new_files)
         df = cached[1].unionByName(new).persist(StorageLevel.MEMORY_AND_DISK)
         bands = (
@@ -734,7 +842,7 @@ def _corpus_sigs_cached(spark: SparkSession, sd: str):
         )
         depth = 0
         prev = (cached[1], cached[2]) if cached else None
-    _SIGS_CACHE[ck] = (files, df, bands, depth, prev)
+    _SIGS_CACHE[ck] = (files, df, bands, depth, prev, spark)
     return df, bands
 
 
@@ -749,7 +857,7 @@ def _corpus_sigs_release_prev(spark: SparkSession, sd: str) -> None:
     if cached and cached[4] is not None:
         for frame in cached[4]:
             frame.unpersist()
-        _SIGS_CACHE[(sd, session_key(spark))] = cached[:4] + (None,)
+        _SIGS_CACHE[(sd, session_key(spark))] = cached[:4] + (None,) + cached[5:]
 
 
 class CorpusPipeline:
@@ -1507,7 +1615,11 @@ class CorpusPipeline:
                 n_surv = vectors.count()
                 _fence("pre-append")
                 if n_surv and S == 1:
-                    indexes[0].append(vectors)
+                    # the pipeline holds the lease and commits the final
+                    # count itself — the per-index counter bump (which
+                    # acquires its OWN lease and would fence this very
+                    # append) must not run here
+                    indexes[0].append(vectors, maintain_counter=False)
                 elif n_surv:
                     # per-shard appends write disjoint paths from the
                     # same persisted frame — concurrent submission,
@@ -1521,7 +1633,8 @@ class CorpusPipeline:
                     def _append_one(s_ix):
                         s, ix = s_ix
                         ix.append(
-                            routed.filter(F.col("_shard") == s).drop("_shard")
+                            routed.filter(F.col("_shard") == s).drop("_shard"),
+                            maintain_counter=False,
                         )
 
                     with ThreadPoolExecutor(max_workers=S) as pool:

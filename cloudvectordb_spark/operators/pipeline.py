@@ -1965,8 +1965,11 @@ _L0_ROWS_PER_CELL = 32
 
 
 def append_to_ivf_index(
-    new_vectors: DataFrame, index_path: str, l0: str | bool = "auto"
-) -> None:
+    new_vectors: DataFrame,
+    index_path: str,
+    l0: str | bool = "auto",
+    return_rows: bool = False,
+) -> int | None:
     """Assign ``new_vectors`` (vec_id, embedding, ...) to their nearest
     existing centroid and append them to the layout.
 
@@ -1993,18 +1996,28 @@ def append_to_ivf_index(
     """
     from cloudvectordb_spark.operators.kmeans_det import assign_cells
 
+    # strict tri-state: any other string (l0="false", l0="none") is a
+    # caller typo that `if l0:` would silently treat as True, routing
+    # the delta to the wrong tier (round-12 ADVICE item 3)
+    if not (l0 is True or l0 is False or l0 == "auto"):
+        raise ValueError(
+            f"l0 must be True, False, or 'auto'; got {l0!r}"
+        )
     spark = new_vectors.sparkSession
     cents = index_centroids(spark, index_path)
     assigned = assign_cells(new_vectors, cents)
+    n = None
+    if l0 == "auto" or return_rows:
+        n = new_vectors.count()
     if l0 == "auto":
-        l0 = new_vectors.count() < _L0_ROWS_PER_CELL * len(cents)
+        l0 = n < _L0_ROWS_PER_CELL * len(cents)
     if l0:
         # one bounded write: ≤ a few files regardless of how many cells
         # the delta scatters across; the rows still carry their cell id
         assigned.coalesce(4).write.mode("append").parquet(
             f"{index_path}/vectors_delta"
         )
-        return
+        return n if return_rows else None
     # shuffle on the key first: an unshuffled partitionBy append writes
     # one file per (task x touched cell) — the same small-files debt
     # write_ivf_index's compacted write killed at bulk-build time
@@ -2013,6 +2026,7 @@ def append_to_ivf_index(
     assigned.repartition("centroid_id").write.mode("append").partitionBy(
         "centroid_id"
     ).parquet(f"{index_path}/vectors")
+    return n if return_rows else None
 
 
 def remove_vectors_from_index(
@@ -2490,7 +2504,15 @@ def vacuum_ivf_layouts(
     bytes_reclaimed = 0
     bytes_shared = 0
     files_deleted = 0
+    delete_failed = []
     for p in to_delete:
+        # tally per root, commit the tally only if the rmtree actually
+        # took the root away: a partially failed delete (permissions, a
+        # concurrent writer recreating files) must not report the root
+        # as gone nor its bytes as reclaimed (round-12 ADVICE item 4) —
+        # a still-present root lands in delete_failed, conservatively
+        # uncounted (any files that DID unlink undercount, never over)
+        r_reclaimed = r_shared = r_files = 0
         for dirpath, _dirs, files in os.walk(p):
             for fn in files:
                 fp = os.path.join(dirpath, fn)
@@ -2499,15 +2521,22 @@ def vacuum_ivf_layouts(
                 except FileNotFoundError:
                     continue
                 if st.st_nlink > 1:
-                    bytes_shared += st.st_size  # blocks survive elsewhere
+                    r_shared += st.st_size  # blocks survive elsewhere
                 else:
-                    bytes_reclaimed += st.st_size  # last link drops
-                files_deleted += 1
+                    r_reclaimed += st.st_size  # last link drops
+                r_files += 1
         shutil.rmtree(p, ignore_errors=True)
+        if os.path.exists(p):
+            delete_failed.append(p)
+            continue
+        bytes_reclaimed += r_reclaimed
+        bytes_shared += r_shared
+        files_deleted += r_files
         deleted.append(p)
     return {
         "kept": kept,
         "deleted": deleted,
+        "delete_failed": delete_failed,
         "refused_leased": refused,
         "bytes_reclaimed": bytes_reclaimed,
         "bytes_shared": bytes_shared,
