@@ -741,123 +741,32 @@ class HybridIndex:
         )
 
 
-_SIGS_CACHE: dict = {}
-# (sigs dir, session) -> (files, sigs, bands, depth, prev, spark)
-# ``files`` is a frozenset of (basename, size, mtime_ns) — name alone
-# would let an in-place rewrite that preserves file names (external
-# restore/copy tooling) serve a stale generation (round-12 ADVICE 5)
-
-
-def _sigs_cache_sweep() -> None:
-    """Drop cache entries owned by STOPPED SparkSessions: their
-    persisted frames are unusable (and unpersist would fail), but the
-    dict reference pins the frame objects — and with them the dead
-    session — forever. Called on every cache lookup; the dict stays
-    bounded by the live sessions actually running appends."""
-    dead = []
-    for ck, entry in _SIGS_CACHE.items():
-        sess = entry[5]
-        try:
-            alive = getattr(sess.sparkContext, "_jsc", None) is not None
-        except Exception:
-            alive = False
-        if not alive:
-            dead.append(ck)
-    for ck in dead:
-        del _SIGS_CACHE[ck]
-
-
 def _corpus_sigs_cached(spark: SparkSession, sd: str):
-    """The corpus MinHash sig state — and its derived (id, band, key)
-    banding — as PERSISTED in-memory frames, forward-rolled across
-    appends (round 12, verdict #4): the sigs dir is append-only within
-    a state generation, so after the first load each subsequent append
-    reads ONLY the new sig files and unions them onto the cached
-    frames — the per-append disk cost AND the per-append band
-    re-derivation (4 keys × corpus rows) of the delta-vs-corpus probe
-    both drop from ∝ state to ∝ delta, which is what makes a
-    long-lived ingest service's appends O(delta) in fact. A rewritten
-    dir (run() regenerating state) or a vanished file set falls back
-    to a full reload; the union lineage is rebuilt from disk every 32
-    generations so plans stay shallow. Returns (sigs, bands)."""
-    import glob as _glob
-    import os
+    """Back-compat shim over ``operators.sigstate.corpus_sig_state``
+    (round-13 verdict #1 moved the state cache there): returns the
+    state's memoized lazy-union (sigs, bands) frames. The union is a
+    view over per-generation persisted frames — scanning it reads each
+    generation from ITS OWN cache; nothing is ever union-re-persisted
+    (the round-12 shape copied the WHOLE state through the block store
+    on every append — a hidden ∝-state term this removes). The frames
+    carry the layout's bucket columns (sbucket / bucket) alongside the
+    classic (doc_id, sig) / (corpus_id, band, key)."""
+    from cloudvectordb_spark.operators.sigstate import corpus_sig_state
 
-    from pyspark import StorageLevel
-
-    from cloudvectordb_spark.operators.dedup import minhash_bands_hashed
-
-    from cloudvectordb_spark.cache import session_key
-
-    def _stat_tag(f: str) -> tuple:
-        st = os.stat(f)
-        return (os.path.basename(f), st.st_size, st.st_mtime_ns)
-
-    files = frozenset(
-        _stat_tag(f)
-        for f in _glob.glob(os.path.join(sd, "sigs", "*.parquet"))
-    )
-    # keyed by session too: a persisted frame is bound to ITS
-    # SparkSession — serving a dead session's frame to a successor
-    # fails loudly (the convention every cache in this repo follows);
-    # entries of stopped sessions are swept so the dict cannot pin
-    # dead sessions' frames across a long-lived process
-    _sigs_cache_sweep()
-    ck = (sd, session_key(spark))
-    cached = _SIGS_CACHE.get(ck)
-    if cached and cached[0] == files:
-        return cached[1], cached[2]
-    # release the generation BEFORE last: the immediate predecessor
-    # stays persisted through this roll so the successor's first
-    # materialization reads its blocks from MEMORY (plus only the new
-    # files from disk) — an eager unpersist here would force a full
-    # state re-read from disk on every append, costing exactly what
-    # the cache is supposed to save. Two generations coexist briefly.
-    if cached and cached[4] is not None:
-        for frame in cached[4]:
-            frame.unpersist()
-    if cached and cached[0] < files and cached[3] < 32:
-        new_files = [
-            os.path.join(sd, "sigs", name)
-            for (name, _sz, _mt) in files - cached[0]
-        ]
-        new = spark.read.parquet(*new_files)
-        df = cached[1].unionByName(new).persist(StorageLevel.MEMORY_AND_DISK)
-        bands = (
-            cached[2]
-            .unionByName(minhash_bands_hashed(new, id_out="corpus_id"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        depth = cached[3] + 1
-        prev = (cached[1], cached[2])
-    else:
-        base = spark.read.parquet(os.path.join(sd, "sigs"))
-        df = base.persist(StorageLevel.MEMORY_AND_DISK)
-        # numeric band keys (xxhash64 over the band's sig slots): the
-        # cached 40M-row band scan joins on (int, bigint) instead of
-        # hashing 30-byte strings per row; the exact sig verify makes
-        # the pair set identical (collisions only add candidates)
-        bands = minhash_bands_hashed(df, id_out="corpus_id").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        depth = 0
-        prev = (cached[1], cached[2]) if cached else None
-    _SIGS_CACHE[ck] = (files, df, bands, depth, prev, spark)
-    return df, bands
+    state = corpus_sig_state(spark, sd)
+    return state._union(0), state._union(1)
 
 
 def _corpus_sigs_release_prev(spark: SparkSession, sd: str) -> None:
-    """Release the PREVIOUS sig-cache generation once the current one
-    has materialized (the append calls this after its dedup phase):
-    without it the predecessor stays persisted until the NEXT append
-    rolls the cache — ~2x the sig state pinned for no benefit."""
+    """Release superseded cache generations once the current probe has
+    materialized (folds and full reloads defer their predecessors'
+    unpersist until here, so a roll never forces a disk re-read)."""
     from cloudvectordb_spark.cache import session_key
+    from cloudvectordb_spark.operators.sigstate import _STATES
 
-    cached = _SIGS_CACHE.get((sd, session_key(spark)))
-    if cached and cached[4] is not None:
-        for frame in cached[4]:
-            frame.unpersist()
-        _SIGS_CACHE[(sd, session_key(spark))] = cached[:4] + (None,) + cached[5:]
+    state = _STATES.get((sd, session_key(spark)))
+    if state is not None:
+        state.release_pending()
 
 
 class CorpusPipeline:
@@ -1441,7 +1350,7 @@ class CorpusPipeline:
 
         from cloudvectordb_spark.operators.dedup import (
             connected_components,
-            minhash_pairs_between,
+            minhash_pairs_between_state,
             minhash_pairs_within,
             minhash_sigs,
         )
@@ -1516,13 +1425,15 @@ class CorpusPipeline:
                 f"distinct={bounds.nd} of {n_delta}"
             )
 
-        # the corpus sig state (and its derived banding), persisted
-        # and forward-rolled across appends: the between-join reads the
-        # sigs twice (band derivation + verify), and a repeat append
-        # re-reads only the NEW sig files and derives only THEIR bands
-        # (see _corpus_sigs_cached) — the state scan amortizes away in
-        # a long-lived ingest service
-        sigs_corpus, bands_corpus = _corpus_sigs_cached(spark, sd)
+        # the corpus sig state: bucketed, generation-rolled, persisted
+        # per generation (operators/sigstate.py, round-13 verdict #1) —
+        # a repeat append persists ONLY the previous delta's sigs/bands
+        # (∝ delta), and the candidate/verify scans batch-prune to the
+        # delta's touched band buckets (∝ touched buckets, flat in
+        # corpus for a bounded delta)
+        from cloudvectordb_spark.operators.sigstate import corpus_sig_state
+
+        state = corpus_sig_state(spark, sd, n_hint=meta["n_docs"])
         labels = spark.read.parquet(f"{sd}/labels")  # doc_id -> canonical
         sigs_delta = minhash_sigs(delta_docs, hasher=hasher).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -1542,12 +1453,12 @@ class CorpusPipeline:
             # rows + one 8-slot sig); past the cap the join falls back
             # to symmetric shuffles — results identical either way
             cross = (
-                minhash_pairs_between(
+                minhash_pairs_between_state(
                     sigs_delta,
-                    sigs_corpus,
+                    state,
                     broadcast_new=n_delta
                     <= CorpusPipeline._BROADCAST_DELTA_MAX,
-                    corpus_bands=bands_corpus,
+                    n_new=n_delta,
                 )
                 .filter(F.col("est_jaccard") >= tau)
                 .join(labels, F.col("corpus_id") == labels.doc_id, "left")
@@ -1560,9 +1471,6 @@ class CorpusPipeline:
             comp = connected_components(
                 pairs_dd.unionByName(cross), src="a_id", dst="b_id"
             ).persist(StorageLevel.MEMORY_AND_DISK)
-            # the dedup phase materialized the rolled sig/band cache;
-            # the predecessor generation can release its storage now
-            _corpus_sigs_release_prev(spark, sd)
             _lap("dedup_cc_s")
             lo = int(bounds.lo)
             delta_removed = comp.filter(
@@ -1578,6 +1486,10 @@ class CorpusPipeline:
                     (F.col("node") < lo) & (F.col("node") != F.col("component"))
                 ).collect()
             }
+            # comp is materialized now, so frames in ITS lineage (the
+            # probe's persisted candidate set) and any superseded cache
+            # generations (a fold's inputs) can release their storage
+            _corpus_sigs_release_prev(spark, sd)
 
             _lap("labels_survivors_s")
             n_before = n_tracked
@@ -1684,32 +1596,43 @@ class CorpusPipeline:
             # -- state forward-roll (meta commits last) ----------------
             _fence("pre-state-roll")
             sigs_delta.write.mode("append").parquet(f"{sd}/sigs")
-            remap = spark.createDataFrame(
-                [(o, n) for o, n in demoted.items()] or [(-1, -1)],
-                schema="old_canon long, new_canon long",
+            delta_labels = comp.filter(
+                F.col("node") != F.col("component")
+            ).select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("canonical"),
             )
-            new_rows = (
-                labels.join(
-                    F.broadcast(remap),
-                    labels.canonical == remap.old_canon,
-                    "left",
+            if not demoted:
+                # no demotions → every existing label row is unchanged
+                # and every non-identity comp node is a FRESH delta id
+                # (corpus nodes in comp are canonicals, and with no
+                # demotion each stays its own component) — the roll is
+                # a pure append of ∝-delta rows, not a rewrite of the
+                # ∝-duplicates label set (the rewrite was the last
+                # ∝-state term in a demotion-free append's state roll)
+                delta_labels.write.mode("append").parquet(f"{sd}/labels")
+            else:
+                remap = spark.createDataFrame(
+                    [(o, n) for o, n in demoted.items()],
+                    schema="old_canon long, new_canon long",
                 )
-                .select(
-                    "doc_id",
-                    F.coalesce("new_canon", "canonical").alias("canonical"),
-                )
-                .unionByName(
-                    comp.filter(F.col("node") != F.col("component")).select(
-                        F.col("node").alias("doc_id"),
-                        F.col("component").alias("canonical"),
+                new_rows = (
+                    labels.join(
+                        F.broadcast(remap),
+                        labels.canonical == remap.old_canon,
+                        "left",
                     )
+                    .select(
+                        "doc_id",
+                        F.coalesce("new_canon", "canonical").alias("canonical"),
+                    )
+                    .unionByName(delta_labels)
+                    .distinct()
                 )
-                .distinct()
-            )
-            build = f"{sd}/labels.build{os.getpid()}"
-            new_rows.write.mode("overwrite").parquet(build)
-            shutil.rmtree(f"{sd}/labels")
-            os.rename(build, f"{sd}/labels")
+                build = f"{sd}/labels.build{os.getpid()}"
+                new_rows.write.mode("overwrite").parquet(build)
+                shutil.rmtree(f"{sd}/labels")
+                os.rename(build, f"{sd}/labels")
             _fence("pre-meta-commit")
             CorpusPipeline._write_state_meta(
                 state_root,

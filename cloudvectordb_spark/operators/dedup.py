@@ -1145,6 +1145,82 @@ def minhash_pairs_between(
     )
 
 
+def minhash_pairs_between_state(
+    new_sigs: DataFrame,
+    state,
+    broadcast_new: bool = True,
+    n_new: int | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id, est_jaccard) candidates BETWEEN a delta sig
+    frame and a bucketed ``CorpusSigState`` — the bucket-sharded twin
+    of ``minhash_pairs_between`` (round-13 verdict #1), pair-set
+    IDENTICAL to it (pytest-pinned): bucket pruning only removes rows
+    that cannot equi-join (same xxhash64, same modulus on both sides).
+
+    Two point-read prunes, both adaptive (skipped for corpus-sized
+    inputs, where they cannot help):
+
+    1. CANDIDATE scan: the delta's band keys name their buckets (one
+       tiny distinct over ≤4·|delta| cached rows); the corpus band
+       scan batch-prunes to those buckets — ∝ touched buckets, flat in
+       corpus size for a bounded delta.
+    2. VERIFY scan: the candidate set (persisted once — the band join
+       runs exactly once) names its corpus ids' buckets; the corpus
+       SIG scan prunes the same way. An empty candidate set returns
+       without touching the sig state at all.
+    """
+    from cloudvectordb_spark.operators.sigstate import _PRUNE_MAX, band_bucket
+
+    spark = new_sigs.sparkSession
+    maybe_bc = F.broadcast if broadcast_new else (lambda df: df)
+    bn = minhash_bands_hashed(new_sigs, id_out="new_id")
+    prune_bound = min(state.nb // 2, _PRUNE_MAX)
+    touched = None
+    if n_new is not None and 4 * n_new <= 4 * prune_bound:
+        # ≤4 band rows per doc — worth ONE small job to learn the
+        # touched set only when it could actually prune (the state
+        # accessor re-checks the realized size and skips an IN-list
+        # that grew past the batch-stat sweet spot)
+        tb = (
+            bn.select(band_bucket(F.col("key"), state.nb).alias("b"))
+            .distinct()
+            .collect()
+        )
+        touched = [int(r.b) for r in tb]
+    cand = (
+        state.bands(touched)
+        .join(maybe_bc(bn), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+        .persist()
+    )
+    state.defer_release(cand)
+    n_cand = cand.count()
+    if n_cand == 0:
+        return spark.createDataFrame(
+            [], schema="new_id long, corpus_id long, est_jaccard double"
+        )
+    touched_ids = None
+    if n_cand <= prune_bound:
+        ti = (
+            cand.select(band_bucket(F.col("corpus_id"), state.nb).alias("b"))
+            .distinct()
+            .collect()
+        )
+        touched_ids = [int(r.b) for r in ti]
+    sn = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sa"))
+    sc = state.sigs(touched_ids).select(
+        F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sb")
+    )
+    return (
+        sc.join(maybe_bc(cand), "corpus_id")
+        .join(maybe_bc(sn), "new_id")
+        .select(
+            "new_id", "corpus_id", _minhash_est("sa", "sb").alias("est_jaccard")
+        )
+    )
+
+
 @query(
     "minhash_incremental_pairs",
     # the incremental-append join (CorpusPipeline.append's dedup stage)

@@ -1919,6 +1919,11 @@ def ivf_vectors_frame(spark: SparkSession, index_path: str) -> DataFrame:
 
     from cloudvectordb_spark.cache import artifact_cache, session_key
 
+    # a crashed in-place L0 fold leaves rows in a staging dir no reader
+    # scans — heal before serving (cheap isdir check on the hot path)
+    if os.path.isdir(f"{index_path}/vectors_delta.folding"):
+        recover_l0_fold(spark, index_path)
+
     def build():
         base = spark.read.parquet(f"{index_path}/vectors")
         delta_dir = f"{index_path}/vectors_delta"
@@ -1962,6 +1967,27 @@ def ivf_vectors_frame(spark: SparkSession, index_path: str) -> DataFrame:
 # floor). Below the threshold the delta writes as a handful of L0
 # files instead; compaction folds the tier away.
 _L0_ROWS_PER_CELL = 32
+# Cost-based admission (round-13 verdict #2): the hard 32-rows/cell
+# rule sent the 100M decade's 1M append (41 rows/cell, just over) down
+# the partitioned path — ~25k file creations ≈ 537 s for a write whose
+# DATA is seconds. The auto rule now reasons in rows-per-created-file:
+# a partitioned append touching ~cells·(1-e^(-n/cells)) cells is
+# file-creation-bound below _L0_MIN_FILL rows per file (measured
+# ~5-20 ms per created file vs ~µs per row), so those deltas take L0
+# regardless of the old ratio. Above _L0_MAX_TIER_ROWS a delta is a
+# bulk load: its per-file fill is amortized (or it should be a
+# build/compact), and parking it in L0 would just defer the same
+# scatter to the fold — partitioned path.
+_L0_MIN_FILL = 256
+_L0_MAX_TIER_ROWS = 4_000_000
+
+
+def _l0_fold_budget(n_cells: int) -> int:
+    """Tier size past which the scan tax outweighs the fold's file
+    scatter: at _L0_ROWS_PER_CELL×cells the fold writes files at least
+    as full as the old partitioned-append rule would have, and the
+    1M floor keeps small indexes from folding on every append."""
+    return max(_L0_ROWS_PER_CELL * n_cells, 1_000_000)
 
 
 def append_to_ivf_index(
@@ -1992,8 +2018,17 @@ def append_to_ivf_index(
       dominates the append wall; small-files debt poisons every later
       scan). Readers see L0 through ``ivf_vectors_frame``; compaction
       (``compact_ivf_index``) folds it into the cells.
-    - ``"auto"`` (default) — L0 when rows < _L0_ROWS_PER_CELL × cells.
+    - ``"auto"`` (default) — COST-BASED (round-13 verdict #2): L0 when
+      the partitioned write would be file-creation-bound (estimated
+      rows per created file < _L0_MIN_FILL) and the delta is not a
+      bulk load (≤ _L0_MAX_TIER_ROWS). After an L0 write, the tier
+      auto-FOLDS into the cells once it exceeds the scan-tax budget
+      (``_l0_fold_budget`` — see ``fold_l0_tier``), so the burst
+      pattern "many small appends" pays the file scatter once,
+      amortized, instead of per append or per query.
     """
+    import math
+
     from cloudvectordb_spark.operators.kmeans_det import assign_cells
 
     # strict tri-state: any other string (l0="false", l0="none") is a
@@ -2004,19 +2039,29 @@ def append_to_ivf_index(
             f"l0 must be True, False, or 'auto'; got {l0!r}"
         )
     spark = new_vectors.sparkSession
+    recover_l0_fold(spark, index_path)  # heal a crashed fold first
     cents = index_centroids(spark, index_path)
     assigned = assign_cells(new_vectors, cents)
     n = None
     if l0 == "auto" or return_rows:
         n = new_vectors.count()
     if l0 == "auto":
-        l0 = n < _L0_ROWS_PER_CELL * len(cents)
+        k = len(cents)
+        # expected cells touched by n uniform assignments — skew only
+        # lowers it, making the estimate conservative toward L0
+        est_files = max(1.0, k * (1.0 - math.exp(-n / max(1, k))))
+        l0 = (n / est_files) < _L0_MIN_FILL and n <= _L0_MAX_TIER_ROWS
     if l0:
         # one bounded write: ≤ a few files regardless of how many cells
         # the delta scatters across; the rows still carry their cell id
         assigned.coalesce(4).write.mode("append").parquet(
             f"{index_path}/vectors_delta"
         )
+        # scheduled post-burst compaction: parquet row counts are
+        # footer metadata, so sizing the tier is cheap
+        tier = spark.read.parquet(f"{index_path}/vectors_delta")
+        if tier.count() > _l0_fold_budget(len(cents)):
+            fold_l0_tier(spark, index_path)
         return n if return_rows else None
     # shuffle on the key first: an unshuffled partitionBy append writes
     # one file per (task x touched cell) — the same small-files debt
@@ -2027,6 +2072,107 @@ def append_to_ivf_index(
         "centroid_id"
     ).parquet(f"{index_path}/vectors")
     return n if return_rows else None
+
+
+def fold_l0_tier(spark: SparkSession, index_path: str) -> int:
+    """Fold the L0 delta tier into the partitioned cells IN PLACE — the
+    scheduled post-burst compaction that keeps the tier's scan tax
+    bounded (round-13 verdict #2). Called automatically by
+    ``append_to_ivf_index`` when the tier passes ``_l0_fold_budget``;
+    callable directly to schedule the fold off the ingest path.
+
+    Crash discipline (the LSM fold protocol):
+
+    1. the tier RENAMES to ``vectors_delta.folding`` (atomic) — readers
+       stop seeing it as live tier, new appends open a fresh tier;
+    2. one keyed partitioned write appends the staged rows to their
+       cells (≥ budget/cells ≈ _L0_ROWS_PER_CELL rows per created
+       file — at least as full as the old partitioned-append rule);
+    3. a ``_COMMITTED`` marker lands in the staging dir, then the dir
+       is removed.
+
+    A crash at any point is healed by ``recover_l0_fold`` (invoked by
+    every append and every ``ivf_vectors_frame`` build): marker present
+    → the write committed, drop the staging dir; no marker → AUDIT
+    which staged ids already reached the cells and either restore the
+    tier (none), drop staging (all), or surgically remove the partial
+    copies then restore (the narrow mid-job-commit window) — readers
+    never double-count and never lose rows. Returns rows folded."""
+    import os
+    import shutil
+
+    recover_l0_fold(spark, index_path)
+    delta_dir = f"{index_path}/vectors_delta"
+    if not (
+        os.path.isdir(delta_dir)
+        and any(f.endswith(".parquet") for f in os.listdir(delta_dir))
+    ):
+        return 0
+    staging = f"{index_path}/vectors_delta.folding"
+    os.rename(delta_dir, staging)
+    rows = spark.read.parquet(staging)
+    n = rows.count()
+    base_t = dict(spark.read.parquet(f"{index_path}/vectors").dtypes)[
+        "centroid_id"
+    ]
+    (
+        rows.withColumn("centroid_id", F.col("centroid_id").cast(base_t))
+        .repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_path}/vectors")
+    )
+    with open(os.path.join(staging, "_COMMITTED"), "w") as f:
+        f.write("folded")
+    shutil.rmtree(staging)
+    return n
+
+
+def recover_l0_fold(spark: SparkSession, index_path: str) -> str | None:
+    """Heal a crashed ``fold_l0_tier`` (see its crash discipline).
+    Returns None (nothing to do), "committed" (staging dropped), or
+    "restored" (tier restored, minus any partially-committed rows
+    first removed from the cells — the self-healing audit)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    staging = f"{index_path}/vectors_delta.folding"
+    if not os.path.isdir(staging):
+        return None
+    if os.path.exists(os.path.join(staging, "_COMMITTED")):
+        shutil.rmtree(staging)
+        return "committed"
+    staged = spark.read.parquet(staging)
+    staged_ids = [int(r.vec_id) for r in staged.select("vec_id").collect()]
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    present = [
+        int(r.vec_id)
+        for r in vectors.join(
+            staged.select("vec_id"), "vec_id", "left_semi"
+        ).select("vec_id").collect()
+    ]
+    if len(present) == len(staged_ids):
+        # the write committed fully; only the marker was lost
+        shutil.rmtree(staging)
+        return "committed"
+    if present:
+        # mid-job-commit crash: some staged rows reached their cells —
+        # remove exactly those copies, then restore the whole tier
+        remove_vectors_from_index(spark, index_path, present)
+    delta_dir = f"{index_path}/vectors_delta"
+    if not os.path.isdir(delta_dir):
+        os.rename(staging, delta_dir)
+    else:
+        # an append already opened a fresh tier: move the staged files
+        # in under recovery-unique names
+        for fp in _glob.glob(os.path.join(staging, "*.parquet")):
+            os.rename(
+                fp,
+                os.path.join(delta_dir, f"recovered-{os.path.basename(fp)}"),
+            )
+        shutil.rmtree(staging)
+    return "restored"
 
 
 def remove_vectors_from_index(

@@ -166,3 +166,211 @@ def test_sigs_cache_detects_inplace_rewrite(spark, tmp_path):
         fh.write(data)
     s3, _b3 = _corpus_sigs_cached(spark, sd)
     assert s3 is not s1, "stale sig generation served after rewrite"
+
+
+def _perturb(text: str) -> str:
+    words = text.split(" ")
+    words[len(words) // 2] = "zz"
+    return " ".join(words)
+
+
+def test_between_state_parity_and_pruning(spark, tmp_path):
+    """minhash_pairs_between_state (bucket-pruned, generation-rolled)
+    returns the EXACT pair set of the classic minhash_pairs_between on
+    the same state — with pruning active (small delta, n_new set) and
+    inactive (n_new=None). Bucket pruning can only remove rows that
+    cannot equi-join, so any divergence is a routing bug."""
+    from cloudvectordb_spark.api import CorpusPipeline
+    from cloudvectordb_spark.operators.dedup import (
+        minhash_pairs_between,
+        minhash_pairs_between_state,
+        minhash_sigs,
+    )
+    from cloudvectordb_spark.operators.sigstate import corpus_sig_state
+
+    rows = [(i, _uniq(f"u{i}")) for i in range(20)]
+    CorpusPipeline.run(spark, _mk_docs(spark, rows), str(tmp_path / "cp"))
+    sd = CorpusPipeline._state_dir(str(tmp_path / "cp"))
+    state = corpus_sig_state(spark, sd)
+
+    # delta: 3 near-dups of corpus docs + 2 unique
+    delta_rows = [
+        (100, _perturb(_uniq("u3"))),
+        (101, _perturb(_uniq("u7"))),
+        (102, _uniq("u11")),
+        (103, _uniq("x103")),
+        (104, _uniq("x104")),
+    ]
+    sigs_delta = minhash_sigs(_mk_docs(spark, delta_rows))
+
+    def pairs_set(df):
+        return {
+            (r.new_id, r.corpus_id, r.est_jaccard) for r in df.collect()
+        }
+
+    classic = pairs_set(
+        minhash_pairs_between(
+            sigs_delta, state.sigs(), corpus_bands=state.bands()
+        )
+    )
+    pruned = pairs_set(
+        minhash_pairs_between_state(sigs_delta, state, n_new=len(delta_rows))
+    )
+    unpruned = pairs_set(minhash_pairs_between_state(sigs_delta, state))
+    assert classic == pruned == unpruned
+    assert {(n, c) for n, c, _ in classic} >= {(100, 3), (101, 7), (102, 11)}
+
+
+def test_l0_cost_based_admission(spark, sf_dir, tmp_path, monkeypatch):
+    """The auto rule reasons in rows-per-created-file: a delta whose
+    partitioned write would scatter near-empty files takes L0 even
+    above the old 32-rows/cell ratio (the 100M decade's 537 s cliff:
+    41 rows/cell went partitioned); a well-filled delta still goes
+    partitioned; a bulk load never parks in L0."""
+    import glob
+
+    import cloudvectordb_spark.operators.pipeline as pl
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = VectorIndex.build(spark, emb, str(tmp_path / "ivf"), k=8)
+    n_cells = len(idx.centroids())
+
+    # the decade-cliff shape in miniature: fill ≈ 41 rows/file — must
+    # route to L0 under the cost rule (old rule: partitioned)
+    monkeypatch.setattr(pl, "_L0_MAX_TIER_ROWS", 10**6)
+    delta = emb.limit(41 * n_cells).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), "embedding"
+    )
+    pl.append_to_ivf_index(delta, idx.path)
+    assert glob.glob(str(tmp_path / "ivf" / "vectors_delta" / "*.parquet"))
+
+    # a bulk load (> _L0_MAX_TIER_ROWS) goes partitioned regardless
+    monkeypatch.setattr(pl, "_L0_MAX_TIER_ROWS", 10)
+    tier_before = len(
+        glob.glob(str(tmp_path / "ivf" / "vectors_delta" / "*.parquet"))
+    )
+    bulk = emb.limit(41 * n_cells).select(
+        (F.col("vec_id") + 2 * 10**6).alias("vec_id"), "embedding"
+    )
+    pl.append_to_ivf_index(bulk, idx.path)
+    assert (
+        len(glob.glob(str(tmp_path / "ivf" / "vectors_delta" / "*.parquet")))
+        == tier_before
+    )
+
+
+def test_l0_auto_fold_and_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
+    """The tier folds into the cells once it passes the scan-tax
+    budget — contents exact — and a crashed fold heals from every
+    failure point (pre-write, committed-unmarked, mid-commit)."""
+    import os
+    import shutil
+
+    import cloudvectordb_spark.operators.pipeline as pl
+    from cloudvectordb_spark.api import VectorIndex
+    from cloudvectordb_spark.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = VectorIndex.build(spark, emb, str(tmp_path / "ivf"), k=4)
+    monkeypatch.setattr(pl, "_l0_fold_budget", lambda k: 30)
+    d1 = emb.limit(20).select((F.col("vec_id") + 10**6).alias("vec_id"), "embedding")
+    pl.append_to_ivf_index(d1, idx.path, l0=True)
+    assert os.path.isdir(str(tmp_path / "ivf" / "vectors_delta"))
+    expect = {r.vec_id for r in idx.vectors.select("vec_id").collect()}
+    d2 = emb.limit(20).select((F.col("vec_id") + 2 * 10**6).alias("vec_id"), "embedding")
+    pl.append_to_ivf_index(d2, idx.path, l0=True)  # 40 > 30 → auto-fold
+    assert not os.path.isdir(str(tmp_path / "ivf" / "vectors_delta"))
+    got = {r.vec_id for r in idx.vectors.select("vec_id").collect()}
+    assert got == expect | {int(r.vec_id) for r in d2.collect()}
+    assert idx.vectors.count() == idx.vectors.select("vec_id").distinct().count()
+
+    # crash recovery, all three failure points
+    delta_dir = str(tmp_path / "ivf" / "vectors_delta")
+    staging = str(tmp_path / "ivf" / "vectors_delta.folding")
+    d3 = emb.limit(10).select((F.col("vec_id") + 3 * 10**6).alias("vec_id"), "embedding")
+    pl.append_to_ivf_index(d3, idx.path, l0=True)
+    n_all = idx.vectors.count()
+
+    # (a) crash BEFORE the write: staging exists, no rows in cells
+    os.rename(delta_dir, staging)
+    assert pl.recover_l0_fold(spark, idx.path) == "restored"
+    assert os.path.isdir(delta_dir) and idx.vectors.count() == n_all
+
+    # (b) crash AFTER the write committed but BEFORE the marker: the
+    # audit finds every staged id already in the cells → drop staging
+    folded = pl.fold_l0_tier(spark, idx.path)
+    assert folded == 10
+    d4 = emb.limit(10).select((F.col("vec_id") + 4 * 10**6).alias("vec_id"), "embedding")
+    pl.append_to_ivf_index(d4, idx.path, l0=True)
+    os.rename(delta_dir, staging)
+    base_t = dict(spark.read.parquet(f"{idx.path}/vectors").dtypes)["centroid_id"]
+    (
+        spark.read.parquet(staging)
+        .withColumn("centroid_id", F.col("centroid_id").cast(base_t))
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(f"{idx.path}/vectors")
+    )
+    assert pl.recover_l0_fold(spark, idx.path) == "committed"
+    assert not os.path.isdir(staging)
+    n_now = idx.vectors.count()
+    assert n_now == idx.vectors.select("vec_id").distinct().count()
+
+    # (b2) marker present: staging drops without any audit job
+    os.makedirs(staging)
+    with open(os.path.join(staging, "_COMMITTED"), "w") as f:
+        f.write("folded")
+    assert pl.recover_l0_fold(spark, idx.path) == "committed"
+    assert not os.path.isdir(staging)
+
+    # (c) mid-commit: SOME staged rows reached the cells — the audit
+    # removes the partial copies and restores the tier intact
+    d5 = emb.limit(10).select((F.col("vec_id") + 5 * 10**6).alias("vec_id"), "embedding")
+    pl.append_to_ivf_index(d5, idx.path, l0=True)
+    os.rename(delta_dir, staging)
+    partial = [int(r.vec_id) for r in spark.read.parquet(staging).limit(3).collect()]
+    half = spark.read.parquet(staging).filter(F.col("vec_id").isin(partial))
+    base_t = dict(spark.read.parquet(f"{idx.path}/vectors").dtypes)["centroid_id"]
+    (
+        half.withColumn("centroid_id", F.col("centroid_id").cast(base_t))
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(f"{idx.path}/vectors")
+    )
+    assert pl.recover_l0_fold(spark, idx.path) == "restored"
+    frame = pl.ivf_vectors_frame(spark, idx.path)
+    assert frame.count() == n_now + 10
+    assert frame.select("vec_id").distinct().count() == n_now + 10
+
+
+def test_sig_state_rolls_and_folds(spark, tmp_path, monkeypatch):
+    """Appends add ONE persisted generation each (∝ delta — never a
+    re-persist of the whole state); past _FOLD_DEPTH the generations
+    fold into a single base and results stay identical."""
+    import cloudvectordb_spark.operators.sigstate as sigstate
+    from cloudvectordb_spark.api import CorpusPipeline
+    from cloudvectordb_spark.operators.sigstate import corpus_sig_state
+
+    monkeypatch.setattr(sigstate, "_FOLD_DEPTH", 2)
+    out = _build_pipeline(spark, tmp_path)
+    root = out["index"].path
+    sd = CorpusPipeline._state_dir(root)
+    assert len(corpus_sig_state(spark, sd).gens) == 1
+
+    nid = 100
+    CorpusPipeline.append(
+        spark, root, _mk_docs(spark, [(nid, _uniq("a1"))])
+    )
+    assert len(corpus_sig_state(spark, sd).gens) == 2  # base + delta
+    CorpusPipeline.append(
+        spark, root, _mk_docs(spark, [(nid + 1, _uniq("a2"))])
+    )
+    # third generation exceeds the (patched) fold depth → one base
+    assert len(corpus_sig_state(spark, sd).gens) == 1
+    st = corpus_sig_state(spark, sd)
+    assert st.sigs().count() == 10  # 8 corpus + 2 appended
+    # a dup of an appended doc is found THROUGH the folded state
+    res = CorpusPipeline.append(
+        spark, root, _mk_docs(spark, [(nid + 2, _perturb(_uniq("a2")))])
+    )
+    assert res["removed"] == 1
