@@ -1434,11 +1434,15 @@ class CorpusPipeline:
         from cloudvectordb_spark.operators.sigstate import corpus_sig_state
 
         state = corpus_sig_state(spark, sd, n_hint=meta["n_docs"])
+        _lap("state_load_s")
         labels = spark.read.parquet(f"{sd}/labels")  # doc_id -> canonical
         sigs_delta = minhash_sigs(delta_docs, hasher=hasher).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        sigs_delta.count()  # materialize: the ∝-delta shingle+hash pass
+        _lap("delta_sig_s")
         comp = None
+        probe_stats: dict = {}
         try:
             pairs_dd = (
                 minhash_pairs_within(sigs_delta)
@@ -1459,6 +1463,7 @@ class CorpusPipeline:
                     broadcast_new=n_delta
                     <= CorpusPipeline._BROADCAST_DELTA_MAX,
                     n_new=n_delta,
+                    stats=probe_stats,
                 )
                 .filter(F.col("est_jaccard") >= tau)
                 .join(labels, F.col("corpus_id") == labels.doc_id, "left")
@@ -1650,6 +1655,7 @@ class CorpusPipeline:
             if comp is not None:
                 comp.unpersist()
         _lap("state_roll_s")
+        walls.update(probe_stats)
         return {
             "delta": n_delta,
             "survivors": n_surv,

@@ -1150,6 +1150,7 @@ def minhash_pairs_between_state(
     state,
     broadcast_new: bool = True,
     n_new: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(new_id, corpus_id, est_jaccard) candidates BETWEEN a delta sig
     frame and a bucketed ``CorpusSigState`` — the bucket-sharded twin
@@ -1173,29 +1174,41 @@ def minhash_pairs_between_state(
 
     spark = new_sigs.sparkSession
     maybe_bc = F.broadcast if broadcast_new else (lambda df: df)
-    bn = minhash_bands_hashed(new_sigs, id_out="new_id")
+    # the delta side uses the SAME band-folded single bigint join key
+    # as the state cache (sigstate._bucketize): one-key probes take the
+    # LongHashedRelation fast path (10× over the composite probe)
+    bn = minhash_bands_hashed(new_sigs, id_out="new_id").select(
+        "new_id", F.xxhash64("band", "key").alias("bk")
+    )
     prune_bound = min(state.nb // 2, _PRUNE_MAX)
     touched = None
-    if n_new is not None and 4 * n_new <= 4 * prune_bound:
+    if n_new is not None and 4 * n_new <= prune_bound:
         # ≤4 band rows per doc — worth ONE small job to learn the
         # touched set only when it could actually prune (the state
         # accessor re-checks the realized size and skips an IN-list
         # that grew past the batch-stat sweet spot)
         tb = (
-            bn.select(band_bucket(F.col("key"), state.nb).alias("b"))
+            bn.select(band_bucket(F.col("bk"), state.nb).alias("b"))
             .distinct()
             .collect()
         )
         touched = [int(r.b) for r in tb]
+    import time as _time
+
+    t0 = _time.perf_counter()
     cand = (
         state.bands(touched)
-        .join(maybe_bc(bn), ["band", "key"])
+        .join(maybe_bc(bn), ["bk"])
         .select("new_id", "corpus_id")
         .distinct()
         .persist()
     )
     state.defer_release(cand)
     n_cand = cand.count()
+    if stats is not None:
+        stats["cand_scan_s"] = round(_time.perf_counter() - t0, 2)
+        stats["n_cand"] = n_cand
+        stats["touched_buckets"] = len(touched) if touched is not None else -1
     if n_cand == 0:
         return spark.createDataFrame(
             [], schema="new_id long, corpus_id long, est_jaccard double"

@@ -2647,17 +2647,34 @@ def vacuum_ivf_layouts(
     kept.extend(candidates[:keep])
     to_delete = candidates[keep:]
 
+    stats = reclaim_roots(to_delete)
+    deleted.extend(stats.pop("deleted"))
+    return {
+        "kept": kept,
+        "deleted": deleted,
+        "refused_leased": refused,
+        **stats,
+    }
+
+
+def reclaim_roots(to_delete: list) -> dict:
+    """Delete artifact roots with hard-link-aware byte accounting — the
+    shared reclaim loop of ``vacuum_ivf_layouts`` and the text-side
+    ``search.vacuum_text_indexes``. A file whose inode is still
+    referenced elsewhere (st_nlink > 1 at unlink time) frees no data
+    blocks and counts under ``bytes_shared``; a root that SURVIVES its
+    rmtree (permissions, concurrent recreate) lands in
+    ``delete_failed`` with nothing counted (round-12 ADVICE item 4 —
+    any files that did unlink undercount, never over)."""
+    import os
+    import shutil
+
     bytes_reclaimed = 0
     bytes_shared = 0
     files_deleted = 0
+    deleted = []
     delete_failed = []
     for p in to_delete:
-        # tally per root, commit the tally only if the rmtree actually
-        # took the root away: a partially failed delete (permissions, a
-        # concurrent writer recreating files) must not report the root
-        # as gone nor its bytes as reclaimed (round-12 ADVICE item 4) —
-        # a still-present root lands in delete_failed, conservatively
-        # uncounted (any files that DID unlink undercount, never over)
         r_reclaimed = r_shared = r_files = 0
         for dirpath, _dirs, files in os.walk(p):
             for fn in files:
@@ -2680,10 +2697,8 @@ def vacuum_ivf_layouts(
         files_deleted += r_files
         deleted.append(p)
     return {
-        "kept": kept,
         "deleted": deleted,
         "delete_failed": delete_failed,
-        "refused_leased": refused,
         "bytes_reclaimed": bytes_reclaimed,
         "bytes_shared": bytes_shared,
         "files_deleted": files_deleted,

@@ -231,6 +231,279 @@ def _write_text_artifacts(spark: SparkSession, docs: DataFrame, build: str) -> N
     grouped.unpersist()
 
 
+def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> dict:
+    """Incremental delta ingest into ONE v5 artifact tree (round-13
+    verdict #3) — the per-shard building block of
+    ``append_sharded_text_artifacts``. Cost shape:
+
+    - postings / positions / dl: APPEND-ONLY (∝ delta rows — the
+      corpus-sized artifacts are never rewritten; delta files are
+      term-sorted so the per-query IN-list prunes them like base
+      files, LSM-style tiers that a rebuild/compaction folds);
+    - stats: EXACT integer algebra — n_docs += Δn, dl_sum += Δdl_sum
+      (bigints), avgdl = dl_sum / n_docs: bit-equal to a rebuild, so
+      merged sharded BM25 stays bit-identical to monolithic;
+    - term_meta: df(t) += Δdf(t) by exact integer addition (docs are
+      fresh, so old and delta postings are disjoint); max_impact stays
+      a VALID upper bound under avgdl drift — tf·(k1+1)/(tf+k1(1-b+
+      b·dl/avgdl)) is increasing in avgdl, and its growth factor is
+      < avgdl_new/avgdl_old (the dl-dominated limit), so the old bound
+      inflates by max(1, avgdl_new/avgdl_old) and maxes with the
+      delta's own exact bound. WAND pruning stays exact (upper bounds
+      only loosen); a rebuild re-tightens. term_meta and its derived
+      term_variants are VOCAB-sized rewrites, not corpus-sized.
+
+    Requires fresh doc_ids (enforced against the dl artifact). Returns
+    {"n_docs", "dl_sum", "delta_docs"}. Pytest pins append == rebuild
+    on postings/positions/dl/stats/term_meta.df content and on served
+    BM25 results."""
+    import os
+    import shutil
+
+    from pyspark import StorageLevel
+
+    ptok = docs.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "term")
+    )
+    grouped = (
+        ptok.groupBy("term", "doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.count("*").alias("tf"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        dl_delta = grouped.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        old_dl = spark.read.parquet(os.path.join(root, "dl"))
+        n_clash = old_dl.join(
+            docs.select("doc_id"), "doc_id", "left_semi"
+        ).count()
+        if n_clash:
+            raise ValueError(
+                f"append_text_artifacts requires fresh doc_ids; {n_clash} "
+                f"delta ids already exist in {root}/dl"
+            )
+        srow = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
+        drow = dl_delta.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("s")
+        ).first()
+        n_docs = int(srow.n_docs or 0) + int(drow.n or 0)
+        dl_sum = int(srow.dl_sum or 0) + int(drow.s or 0)
+        avgdl_old = float(srow.avgdl or 0.0)
+        avgdl = dl_sum / max(1, n_docs)
+
+        # corpus-sized artifacts: pure appends, term-sorted delta files
+        dl_delta.coalesce(1).write.mode("append").parquet(
+            os.path.join(root, "dl")
+        )
+        n_parts = max(1, int(drow.s or 0) // 25_000_000 + 1)
+        postings_delta = grouped.select("term", "doc_id", "tf")
+        (
+            postings_delta.repartition(n_parts, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("append")
+            .parquet(os.path.join(root, "postings"))
+        )
+        (
+            grouped.select("term", "doc_id", "positions")
+            .repartition(n_parts, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("append")
+            .parquet(os.path.join(root, "positions"))
+        )
+
+        # vocab-sized artifacts: merged rewrite, atomic swap
+        tf_sat = (F.col("tf") * (_K1 + 1.0)) / (
+            F.col("tf")
+            + _K1 * (1.0 - _B + _B * F.col("dl") / F.lit(avgdl))
+        )
+        delta_tm = (
+            postings_delta.join(dl_delta, "doc_id")
+            .groupBy("term")
+            .agg(
+                F.count("*").cast("bigint").alias("d_df"),
+                F.max(tf_sat).alias("d_max"),
+            )
+        )
+        infl = max(1.0, avgdl / avgdl_old) if avgdl_old > 0 else 1.0
+        old_tm = spark.read.parquet(os.path.join(root, "term_meta"))
+        merged = (
+            old_tm.join(delta_tm, "term", "full_outer")
+            .select(
+                "term",
+                (
+                    F.coalesce(F.col("df"), F.lit(0))
+                    + F.coalesce(F.col("d_df"), F.lit(0))
+                ).cast("bigint").alias("df"),
+                F.greatest(
+                    F.coalesce(F.col("max_impact") * F.lit(infl), F.lit(0.0)),
+                    F.coalesce(F.col("d_max"), F.lit(0.0)),
+                ).alias("max_impact"),
+            )
+        )
+        tm_build = os.path.join(root, f"term_meta.build{os.getpid()}")
+        merged.write.mode("overwrite").parquet(tm_build)
+        # stats swap LAST-but-one; variants derive from the new meta
+        new_tm = spark.read.parquet(tm_build)
+        tv_build = os.path.join(root, f"term_variants.build{os.getpid()}")
+        (
+            new_tm.select(
+                "term", "df", F.explode(_deletion_variants("term")).alias("var")
+            )
+            .distinct()
+            .repartition(8, "var")
+            .sortWithinPartitions("var")
+            .write.mode("overwrite")
+            .parquet(tv_build)
+        )
+        st_build = os.path.join(root, f"stats.build{os.getpid()}")
+        spark.createDataFrame(
+            [(n_docs, avgdl, dl_sum)],
+            schema="n_docs bigint, avgdl double, dl_sum bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(st_build)
+        for name, build in (
+            ("term_meta", tm_build),
+            ("term_variants", tv_build),
+            ("stats", st_build),
+        ):
+            live = os.path.join(root, name)
+            old = f"{live}.old{os.getpid()}"
+            os.rename(live, old)
+            os.rename(build, live)
+            shutil.rmtree(old)
+    finally:
+        grouped.unpersist()
+    return {"n_docs": n_docs, "dl_sum": dl_sum, "delta_docs": int(drow.n or 0)}
+
+
+def vacuum_text_indexes(
+    family_dir: str,
+    live_paths: tuple = (),
+    keep: int = 2,
+    pins: tuple = (),
+) -> dict:
+    """Retention for TEXT index artifact roots (round-13 verdict #5) —
+    the text-side twin of ``pipeline.vacuum_ivf_layouts``: every
+    rebuild (v3→v5 format bumps, fixture regeneration, shard-count
+    changes) leaves a superseded tree under the family dir, and
+    nothing reclaimed them. A ROOT is a direct child holding a v5 tree
+    (``_DONE`` marker, a ``postings`` subdir, or a ``shard=0`` fleet
+    layout). Classification mirrors the vector side:
+
+    - roots in ``live_paths`` (or that CONTAIN a live path — a shard
+      path names its parent fleet root) are never touched;
+    - pinned roots (``pins`` or an on-disk ``_PINNED`` marker, see
+      ``pipeline.pin_layout``) survive every vacuum — the contract a
+      reader still serving from a superseded tree needs;
+    - in-flight ``*.build*`` staging dirs belong to their writer;
+    - of the rest, the ``keep`` most recently PUBLISHED (postings dir
+      mtime) survive; older roots reclaim through the shared
+      hard-link-aware loop (``pipeline.reclaim_roots``).
+
+    Versioned postings stores (the tiered-ingest manifest trees) keep
+    their own manifest-pinned vacuum in ``versioning.vacuum``; this
+    function covers the immutable artifact-tree family."""
+    import os
+
+    from cloudvectordb_spark.operators.pipeline import reclaim_roots
+
+    def _is_root(p: str) -> bool:
+        return (
+            os.path.exists(os.path.join(p, "_DONE"))
+            or os.path.isdir(os.path.join(p, "postings"))
+            or os.path.isdir(os.path.join(p, "shard=0"))
+        )
+
+    live_reals = {os.path.realpath(p) for p in live_paths}
+    pin_reals = {os.path.realpath(p) for p in pins}
+    roots = []
+    for name in sorted(os.listdir(family_dir)):
+        p = os.path.join(family_dir, name)
+        if not os.path.isdir(p) or ".build" in name or not _is_root(p):
+            continue
+        roots.append(p)
+
+    def _published_at(p: str) -> float:
+        for sub in ("postings", os.path.join("shard=0", "postings")):
+            d = os.path.join(p, sub)
+            if os.path.isdir(d):
+                return os.path.getmtime(d)
+        return os.path.getmtime(p)
+
+    kept, candidates = [], []
+    for p in roots:
+        rp = os.path.realpath(p)
+        is_live = rp in live_reals or any(
+            lr == rp or lr.startswith(rp + os.sep) for lr in live_reals
+        )
+        if is_live or rp in pin_reals or os.path.exists(
+            os.path.join(p, "_PINNED")
+        ):
+            kept.append(p)
+        else:
+            candidates.append(p)
+    candidates.sort(key=_published_at, reverse=True)
+    kept.extend(candidates[:keep])
+    stats = reclaim_roots(candidates[keep:])
+    deleted = stats.pop("deleted")
+    return {"kept": kept, "deleted": deleted, **stats}
+
+
+def text_shard_route(n_shards: int):
+    """The md5 doc->shard routing expression — MUST stay identical to
+    the build-time rule in ensure_sharded_text_index (and to the
+    vector fleet's _shard_of) or deltas land on the wrong shard."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+
+
+def append_sharded_text_artifacts(
+    spark: SparkSession, shard_paths: list, docs: DataFrame
+) -> dict:
+    """Route a text delta to its md5 shards and run the per-shard
+    incremental append on each — the text fleet's missing increment
+    (round-13 verdict #3): a delta no longer means rebuilding S shard
+    trees. Shard appends touch disjoint trees, so they submit
+    concurrently like the shard builds/searches; merged-stats
+    exactness is inherited from the per-shard exact integer algebra
+    (sharded_bm25_topk_batch recomputes its merged model from the
+    shard stats on every call, so served scores stay bit-identical to
+    a monolithic index over the same corpus)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
+    S = len(shard_paths)
+    routed = docs.withColumn("_shard", text_shard_route(S)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        routed.count()
+
+        def one(s: int) -> dict:
+            return append_text_artifacts(
+                spark,
+                routed.filter(F.col("_shard") == s).drop("_shard"),
+                shard_paths[s],
+            )
+
+        with ThreadPoolExecutor(max_workers=S) as pool:
+            outs = list(pool.map(one, range(S)))
+    finally:
+        routed.unpersist()
+    return {
+        "n_docs": sum(o["n_docs"] for o in outs),
+        "dl_sum": sum(o["dl_sum"] for o in outs),
+        "delta_docs": sum(o["delta_docs"] for o in outs),
+        "shards": outs,
+    }
+
+
 def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os

@@ -55,9 +55,53 @@ def get_session(
     sched = os.environ.get("SPARK_GRAFT_SCHEDULER")
     if sched:
         builder = builder.config("spark.scheduler.mode", sched.upper())
+        if sched.upper() == "FAIR":
+            # weighted pools for WRITER ISOLATION (round-13 verdict
+            # #4): equal-weight round-robin still hands a mutation job
+            # half the slots, which is where the serve-under-mutation
+            # p95 tail came from. The shipped allocation gives
+            # ``serving`` an 8:1 weight and a minShare of half the
+            # cores (slots it reclaims IMMEDIATELY when a batch
+            # arrives), while ``maintenance`` writers backfill the
+            # idle capacity between batches. Unlisted pool names keep
+            # Spark's defaults (weight 1), so multi-tenant callers are
+            # unaffected.
+            builder = builder.config(
+                "spark.scheduler.allocation.file", _fair_pools_file()
+            )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _fair_pools_file() -> str:
+    """Write (once) the FAIR allocation XML defining the engine's two
+    standing pools and return its path."""
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), "cloudvectordb_fair_pools.xml"
+    )
+    cores = os.cpu_count() or 8
+    xml = f"""<?xml version="1.0"?>
+<allocations>
+  <pool name="serving">
+    <schedulingMode>FIFO</schedulingMode>
+    <weight>8</weight>
+    <minShare>{max(4, cores // 2)}</minShare>
+  </pool>
+  <pool name="maintenance">
+    <schedulingMode>FIFO</schedulingMode>
+    <weight>1</weight>
+    <minShare>0</minShare>
+  </pool>
+</allocations>
+"""
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(xml)
+    os.replace(tmp, path)
+    return path
 
 
 class scheduler_pool:

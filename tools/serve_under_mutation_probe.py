@@ -53,9 +53,35 @@ def main() -> int:
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--nprobe", type=int, default=8)
     ap.add_argument("--quiet-batches", type=int, default=8)
+    ap.add_argument(
+        "--pools",
+        action="store_true",
+        help="writer isolation (round-13 verdict #4): FAIR scheduler "
+        "with the serving batches in the high-weight/minShare "
+        "'serving' pool and the mutation chain in the low-share "
+        "'maintenance' pool — the p95 tail the shared-FIFO run shows "
+        "is the split phase stealing cores",
+    )
     args = ap.parse_args()
 
+    if args.pools:
+        os.environ["SPARK_GRAFT_SCHEDULER"] = "FAIR"
     spark = get_session("serve-under-mutation")
+    from cloudvectordb_spark.session import scheduler_pool
+
+    class _noop:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    serve_pool = (
+        (lambda: scheduler_pool(spark, "serving")) if args.pools else _noop
+    )
+    write_pool = (
+        (lambda: scheduler_pool(spark, "maintenance")) if args.pools else _noop
+    )
     from cloudvectordb_spark.api import VectorIndex
     from tools.scale_probe import synthetic_corpus
 
@@ -68,7 +94,12 @@ def main() -> int:
     base = corpus.filter(F.col("vec_id") < args.n)
     delta = corpus.filter(F.col("vec_id") >= args.n)
 
-    out = {"metric": "serve_under_mutation", "n": args.n, "delta": args.delta}
+    out = {
+        "metric": "serve_under_mutation",
+        "n": args.n,
+        "delta": args.delta,
+        "pools": bool(args.pools),
+    }
     t0 = time.perf_counter()
     live = VectorIndex.build(spark, base, f"{fam}/live", k=args.k)
     out["build_s"] = round(time.perf_counter() - t0, 1)
@@ -77,11 +108,12 @@ def main() -> int:
     probes = base.filter(F.col("vec_id") < args.batch)
 
     def serve_once() -> tuple[float, str]:
-        t = time.perf_counter()
-        rows = snap.search_batch(
-            probes, k=args.topk, nprobe=args.nprobe
-        ).collect()
-        return time.perf_counter() - t, _result_hash(rows)
+        with serve_pool():
+            t = time.perf_counter()
+            rows = snap.search_batch(
+                probes, k=args.topk, nprobe=args.nprobe
+            ).collect()
+            return time.perf_counter() - t, _result_hash(rows)
 
     # quiet baseline (first call warms the plan/code paths, untimed)
     serve_once()
@@ -100,6 +132,8 @@ def main() -> int:
 
     def writer():
         try:
+            ctx = write_pool()
+            ctx.__enter__()
             t = time.perf_counter()
             live.append(delta)
             writer_walls["append_s"] = round(time.perf_counter() - t, 1)
@@ -114,6 +148,8 @@ def main() -> int:
             writer_walls["compact_s"] = round(time.perf_counter() - t, 1)
         except BaseException as e:  # surfaced after the join
             writer_err.append(repr(e))
+        finally:
+            ctx.__exit__(None, None, None)
 
     th = threading.Thread(target=writer, daemon=True)
     th.start()
