@@ -3247,6 +3247,41 @@ def sharded_bm25_topk_batch(
     (stages overlap; on a fleet each shard owns executors). Results
     are identical either way — the merge is order-insensitive."""
     shards = sharded_text_frames(spark, sf_dir, n_shards)
+    return _sharded_bm25_from_frames(spark, shards, batch, k, concurrent)
+
+
+def sharded_bm25_topk_batch_paths(
+    spark: SparkSession,
+    shard_paths: list,
+    batch: tuple,
+    k: int = _BATCH_K,
+    concurrent: bool = True,
+) -> DataFrame:
+    """`sharded_bm25_topk_batch` over EXPLICIT shard tree paths,
+    frames read fresh (no fingerprint cache) — the serving surface for
+    MUTABLE fleets maintained by ``append_sharded_text_artifacts``,
+    where the merged model must be recomputed from the shards' current
+    stats on every call."""
+    shards = []
+    for p in shard_paths:
+        shards.append(
+            (
+                spark.read.parquet(f"{p}/postings"),
+                spark.read.parquet(f"{p}/dl"),
+                spark.read.parquet(f"{p}/stats").collect()[0],
+                spark.read.parquet(f"{p}/term_meta"),
+            )
+        )
+    return _sharded_bm25_from_frames(spark, shards, batch, k, concurrent)
+
+
+def _sharded_bm25_from_frames(
+    spark: SparkSession,
+    shards: list,
+    batch: tuple,
+    k: int,
+    concurrent: bool,
+) -> DataFrame:
     all_terms = sorted({t for _, ts in batch for t in ts})
     qt_local = spark.createDataFrame(
         [(qid, t) for qid, ts in batch for t in ts],
@@ -3286,13 +3321,13 @@ def sharded_bm25_topk_batch(
             for r in batch_topk_per_query(scored, k).collect()
         ]
 
-    if concurrent and n_shards > 1:
+    if concurrent and len(shards) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=n_shards) as pool:
-            shard_rows = list(pool.map(gather, range(n_shards)))
+        with ThreadPoolExecutor(max_workers=len(shards)) as pool:
+            shard_rows = list(pool.map(gather, range(len(shards))))
     else:
-        shard_rows = [gather(i) for i in range(n_shards)]
+        shard_rows = [gather(i) for i in range(len(shards))]
     gathered = spark.createDataFrame(
         [t for part in shard_rows for t in part],
         schema="query_id int, doc_id long, bm25 double, shard int",

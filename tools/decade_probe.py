@@ -213,6 +213,85 @@ def main() -> int:
         _save_stats(stats_path, stats)
         print(json.dumps({"stage": "append", "s": stats["append_s"]}))
 
+    if "append2_s" not in stats:
+        # round-13 rerun of the 537 s cliff (verdict #2/#8): a FRESH 1M
+        # delta through the auto admission — the cost rule must route
+        # it to L0 (fill ≈ 40 rows per would-be file at ~25k cells)
+        # with NO manual knob, and land orders of magnitude under the
+        # partitioned scatter. Self-probe proves the tier serves.
+        import glob as _glob
+
+        # materialize the delta first (like the corpus), derived from
+        # the persisted corpus by an id shift (no generator pass: the
+        # stub-encoder mapInPandas sits BELOW the id filter, so a
+        # generated delta would re-encode all N+2Δ rows to keep Δ).
+        # Reused embeddings are fine for an append probe — routing,
+        # admission, and file mechanics only see (id, vector).
+        d2_path = f"{root}/delta2"
+        if not os.path.exists(f"{d2_path}/_SUCCESS"):
+            (
+                corpus.filter(F.col("vec_id") < args.delta)
+                .select(
+                    (F.col("vec_id") + args.n + args.delta).alias("vec_id"),
+                    "embedding",
+                )
+                .repartition(64)
+                .write.mode("overwrite")
+                .parquet(d2_path)
+            )
+        delta2 = spark.read.parquet(d2_path)
+        t0 = time.perf_counter()
+        idx.append(delta2.select("vec_id", "embedding"))
+        stats["append2_s"] = round(time.perf_counter() - t0, 1)
+        stats["append2_l0_files"] = len(
+            _glob.glob(f"{index_path}/vectors_delta/*.parquet")
+        )
+        probe_id = args.n + args.delta
+        probe_df = delta2.filter(F.col("vec_id") == probe_id).select(
+            "vec_id", "embedding"
+        )
+        top = idx.search_batch(probe_df, k=1, nprobe=8).first()
+        # the shifted delta duplicates an existing embedding exactly, so
+        # rank 1 is either the new id or its zero-distance twin
+        stats["append2_selfprobe_rank1"] = bool(
+            top is not None
+            and int(top.neighbor_id)
+            in (probe_id, probe_id - (args.n + args.delta))
+        )
+        _save_stats(stats_path, stats)
+        print(
+            json.dumps(
+                {
+                    "stage": "append2",
+                    "s": stats["append2_s"],
+                    "l0_files": stats["append2_l0_files"],
+                    "selfprobe_rank1": stats["append2_selfprobe_rank1"],
+                }
+            )
+        )
+
+    if "serving_post_append2" not in stats:
+        # latency with the L0 tier live: the union read surface's
+        # bounded small-file leg must not erase the ∝-probed-cells shape
+        rp = [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in base.filter(F.col("vec_id") < args.probes).collect()
+        ]
+        probes_df = spark.createDataFrame(
+            rp, schema="vec_id long, embedding array<float>"
+        )
+        post: dict = {}
+        for np_ in (2, 8, 32):
+            idx.search_batch(probes_df, k=10, nprobe=np_).collect()  # warm
+            t0 = time.perf_counter()
+            idx.search_batch(probes_df, k=10, nprobe=np_).collect()
+            post[f"nprobe{np_}_ms_per_q"] = round(
+                (time.perf_counter() - t0) / args.probes * 1000, 1
+            )
+        stats["serving_post_append2"] = post
+        _save_stats(stats_path, stats)
+        print(json.dumps({"stage": "serving_post_append2", **post}))
+
     print(json.dumps(stats))
     return 0
 

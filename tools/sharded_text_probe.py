@@ -40,6 +40,11 @@ def main() -> int:
     ap.add_argument("--shards", type=int, default=2)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument(
+        "--append", type=int, default=0,
+        help="delta docs for the incremental sharded append phase "
+        "(round-13 verdict #3): append == rebuild equality + cost row",
+    )
     args = ap.parse_args()
 
     spark = get_session("sharded-text-probe")
@@ -99,6 +104,69 @@ def main() -> int:
     out["ms_per_query_sharded"] = round(
         out["sharded_batch_s"] / args.batch * 1000, 1
     )
+
+    # --- incremental sharded-text append (round-13 verdict #3) ------
+    # delta docs are the word-soup corpus's NEXT ids (ensure_docs is
+    # deterministic per doc_id, so corpus(n+Δ) == corpus(n) ∪ delta):
+    # append routes them to their md5 shard trees; a full shard
+    # rebuild over corpus(n+Δ) is the equality oracle AND the cost
+    # comparison the increment replaces.
+    if args.append:
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from cloudvectordb_spark.operators.search import (
+            _write_text_artifacts,
+            append_sharded_text_artifacts,
+            sharded_bm25_topk_batch_paths,
+            text_shard_route,
+        )
+
+        big_root = f"/tmp/cloudvectordb_textshard/{args.n + args.append}"
+        sf_big = os.path.dirname(ensure_docs(spark, args.n + args.append, big_root))
+        docs_big = spark.read.parquet(f"{sf_big}/documents.parquet")
+        delta = docs_big.filter(F.col("doc_id") >= args.n)
+
+        src_paths = ensure_sharded_text_index(spark, sf_dir, args.shards)
+        inc_paths = [f"{root}/appendable/shard={s}" for s in range(args.shards)]
+        shutil.rmtree(f"{root}/appendable", ignore_errors=True)
+        for sp, ip in zip(src_paths, inc_paths):
+            shutil.copytree(sp, ip)
+        t0 = time.perf_counter()
+        res = append_sharded_text_artifacts(spark, inc_paths, delta)
+        out["append_delta"] = args.append
+        out["append_wall_s"] = round(time.perf_counter() - t0, 1)
+        out["append_docs_indexed"] = res["n_docs"]
+
+        reb_paths = [f"{root}/rebuilt/shard={s}" for s in range(args.shards)]
+        shutil.rmtree(f"{root}/rebuilt", ignore_errors=True)
+        route = text_shard_route(args.shards)
+        t0 = time.perf_counter()
+        for s in range(args.shards):
+            _write_text_artifacts(spark, docs_big.filter(route == s), reb_paths[s])
+        out["rebuild_wall_s"] = round(time.perf_counter() - t0, 1)
+        out["append_vs_rebuild_x"] = round(
+            out["rebuild_wall_s"] / max(0.1, out["append_wall_s"]), 1
+        )
+
+        a = {
+            tuple(r)
+            for r in sharded_bm25_topk_batch_paths(
+                spark, inc_paths, batch, args.topk
+            ).select("query_id", "doc_id", "bm25", "rank").collect()
+        }
+        b = {
+            tuple(r)
+            for r in sharded_bm25_topk_batch_paths(
+                spark, reb_paths, batch, args.topk
+            ).select("query_id", "doc_id", "bm25", "rank").collect()
+        }
+        assert a == b and len(a) > 0, (
+            f"appended fleet != rebuilt fleet: {len(a ^ b)} differing rows"
+        )
+        out["append_exact_match"] = True
+
     print(json.dumps(out))
     return 0
 
