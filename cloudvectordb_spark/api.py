@@ -1648,6 +1648,23 @@ class CorpusPipeline:
                     "n_indexed": n_after,
                 },
             )
+            # post-rename re-check (round-13 ADVICE item 3): the
+            # pre-commit fence is check-then-act — a direct
+            # VectorIndex.append/delete acquiring its lease in the
+            # window between _fence and the meta rename would have its
+            # fenced counter update silently clobbered by this write.
+            # Mirroring _bump_n_indexed: verify this lease is STILL
+            # the newest epoch AFTER the rename and report the race
+            # loudly with the verify="full" remedy.
+            newest_after = _max_epoch(state_root)
+            if newest_after > lease:
+                raise CommitConflict(
+                    f"state meta committed under epoch {lease} raced a "
+                    f"newer writer (epoch {newest_after}) on "
+                    f"{state_root} — the maintained counters may have "
+                    "interleaved; re-audit with "
+                    "CorpusPipeline.append(..., verify='full')"
+                )
         finally:
             sigs_delta.unpersist()
             # sigs_corpus stays persisted — _SIGS_CACHE owns it and

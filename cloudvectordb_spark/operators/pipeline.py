@@ -2074,6 +2074,47 @@ def append_to_ivf_index(
     return n if return_rows else None
 
 
+def _proc_starttime(pid: int) -> int | None:
+    """Kernel start-tick of ``pid`` (/proc/<pid>/stat field 22) — the
+    pid-reuse guard for owner liveness checks. None when unreadable
+    (non-Linux, or the process is gone)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return int(f.read().rsplit(")", 1)[1].split()[19])
+    except Exception:
+        return None
+
+
+def _fold_owner_blob() -> str:
+    import json
+    import os
+
+    pid = os.getpid()
+    return json.dumps({"pid": pid, "starttime": _proc_starttime(pid)})
+
+
+def _owner_alive(blob: str) -> bool:
+    """True iff the process that wrote an ``_FOLD_OWNER`` marker is
+    still running (same pid AND same kernel start-tick, so a recycled
+    pid does not impersonate a dead owner). Malformed/legacy markers
+    read as dead — the pre-ownership heal semantics."""
+    import json
+    import os
+
+    try:
+        info = json.loads(blob)
+        pid = int(info["pid"])
+    except Exception:
+        return False
+    if pid == os.getpid():
+        return True  # our own claim (re-entrant reader in this process)
+    cur = _proc_starttime(pid)
+    if cur is None:
+        return False
+    recorded = info.get("starttime")
+    return recorded is None or cur == recorded
+
+
 def fold_l0_tier(spark: SparkSession, index_path: str) -> int:
     """Fold the L0 delta tier into the partitioned cells IN PLACE — the
     scheduled post-burst compaction that keeps the tier's scan tax
@@ -2081,35 +2122,65 @@ def fold_l0_tier(spark: SparkSession, index_path: str) -> int:
     ``append_to_ivf_index`` when the tier passes ``_l0_fold_budget``;
     callable directly to schedule the fold off the ingest path.
 
-    Crash discipline (the LSM fold protocol):
+    Crash discipline (the LSM fold protocol, OWNED since round 14):
 
-    1. the tier RENAMES to ``vectors_delta.folding`` (atomic) — readers
-       stop seeing it as live tier, new appends open a fresh tier;
-    2. one keyed partitioned write appends the staged rows to their
+    1. the folder CLAIMS the tier by exclusive-creating an
+       ``_FOLD_OWNER`` marker (pid + /proc start-tick) inside the live
+       tier dir — losing the create means another fold owns this tier
+       (return 0), which closes the isdir→rename TOCTOU where two
+       concurrent appends both entered the fold (round-13 ADVICE 1);
+    2. the tier RENAMES to ``vectors_delta.folding`` (atomic; the
+       owner marker rides along) — readers stop seeing it as live
+       tier, new appends open a fresh tier;
+    3. one keyed partitioned write appends the staged rows to their
        cells (≥ budget/cells ≈ _L0_ROWS_PER_CELL rows per created
        file — at least as full as the old partitioned-append rule);
-    3. a ``_COMMITTED`` marker lands in the staging dir, then the dir
+    4. a ``_COMMITTED`` marker lands in the staging dir, then the dir
        is removed.
 
     A crash at any point is healed by ``recover_l0_fold`` (invoked by
-    every append and every ``ivf_vectors_frame`` build): marker present
-    → the write committed, drop the staging dir; no marker → AUDIT
-    which staged ids already reached the cells and either restore the
-    tier (none), drop staging (all), or surgically remove the partial
-    copies then restore (the narrow mid-job-commit window) — readers
-    never double-count and never lose rows. Returns rows folded."""
+    every append and every ``ivf_vectors_frame`` build) — but ONLY
+    once the recorded owner is dead: a live in-flight fold is left
+    alone (recovery on it would rename the staging dir out from under
+    the running write job, duplicating or losing vectors). Single-box
+    liveness oracle is pid + start-tick; a multi-node deployment would
+    swap in a heartbeat-file mtime lease, same protocol. Heal rules:
+    marker present → the write committed, drop the staging dir; no
+    marker → AUDIT which staged ids already reached the cells and
+    either restore the tier (none), drop staging (all), or surgically
+    remove the partial copies then restore (the narrow mid-job-commit
+    window) — readers never double-count and never lose rows.
+    Returns rows folded (0 when another fold owns the tier)."""
     import os
     import shutil
 
     recover_l0_fold(spark, index_path)
     delta_dir = f"{index_path}/vectors_delta"
+    staging = f"{index_path}/vectors_delta.folding"
+    if os.path.isdir(staging):
+        return 0  # a LIVE fold is in flight (recovery left it alone)
     if not (
         os.path.isdir(delta_dir)
         and any(f.endswith(".parquet") for f in os.listdir(delta_dir))
     ):
         return 0
-    staging = f"{index_path}/vectors_delta.folding"
-    os.rename(delta_dir, staging)
+    owner_path = os.path.join(delta_dir, "_FOLD_OWNER")
+    try:
+        with open(owner_path, "x") as f:
+            f.write(_fold_owner_blob())
+    except FileExistsError:
+        return 0  # another folder claimed this tier first
+    try:
+        os.rename(delta_dir, staging)
+    except OSError:
+        # tier vanished or staging appeared between claim and rename
+        # (cannot happen under the claim discipline; belt-and-braces) —
+        # release the claim so future folds are not blocked
+        try:
+            os.unlink(owner_path)
+        except OSError:
+            pass
+        return 0
     rows = spark.read.parquet(staging)
     n = rows.count()
     base_t = dict(spark.read.parquet(f"{index_path}/vectors").dtypes)[
@@ -2129,19 +2200,57 @@ def fold_l0_tier(spark: SparkSession, index_path: str) -> int:
 
 
 def recover_l0_fold(spark: SparkSession, index_path: str) -> str | None:
-    """Heal a crashed ``fold_l0_tier`` (see its crash discipline).
-    Returns None (nothing to do), "committed" (staging dropped), or
-    "restored" (tier restored, minus any partially-committed rows
-    first removed from the cells — the self-healing audit)."""
+    """Heal a crashed ``fold_l0_tier`` (see its crash discipline) —
+    but ONLY a crashed one: the staging dir carries its folder's
+    ``_FOLD_OWNER`` (pid + start-tick), and while that owner is alive
+    the fold is in flight, not crashed — destructive recovery here
+    would yank the staging dir out from under the owner's running
+    write job (round-13 ADVICE item 1). Returns None (nothing to do),
+    "in-flight" (live fold, left alone), "committed" (staging
+    dropped), or "restored" (tier restored, minus any
+    partially-committed rows first removed from the cells — the
+    self-healing audit). Also clears an ORPHANED claim (a dead
+    owner's ``_FOLD_OWNER`` still in the live tier dir — the crash
+    window between claim and rename) so future folds are not blocked
+    forever."""
     import glob as _glob
     import os
     import shutil
 
+    # orphaned claim in the LIVE tier: crash between claim and rename
+    live_claim = f"{index_path}/vectors_delta/_FOLD_OWNER"
+    if os.path.exists(live_claim):
+        try:
+            with open(live_claim) as f:
+                blob = f.read()
+        except OSError:
+            blob = ""
+        if not _owner_alive(blob):
+            try:
+                os.unlink(live_claim)
+            except OSError:
+                pass
     staging = f"{index_path}/vectors_delta.folding"
     if not os.path.isdir(staging):
         return None
+    owner_file = os.path.join(staging, "_FOLD_OWNER")
+    if os.path.exists(owner_file):
+        try:
+            with open(owner_file) as f:
+                blob = f.read()
+        except OSError:
+            blob = ""
+        if _owner_alive(blob) and not os.path.exists(
+            os.path.join(staging, "_COMMITTED")
+        ):
+            # the fold's write job is (or may be) still running — only
+            # its owner may complete or abandon this staging dir. A
+            # _COMMITTED marker overrides: the write landed, dropping
+            # staging merely finishes the owner's own next step.
+            return "in-flight"
     if os.path.exists(os.path.join(staging, "_COMMITTED")):
-        shutil.rmtree(staging)
+        # may race the owner's own rmtree — both removals are correct
+        shutil.rmtree(staging, ignore_errors=True)
         return "committed"
     staged = spark.read.parquet(staging)
     staged_ids = [int(r.vec_id) for r in staged.select("vec_id").collect()]
@@ -2160,6 +2269,11 @@ def recover_l0_fold(spark: SparkSession, index_path: str) -> str | None:
         # mid-job-commit crash: some staged rows reached their cells —
         # remove exactly those copies, then restore the whole tier
         remove_vectors_from_index(spark, index_path, present)
+    # drop the dead owner's claim so the restored tier is foldable
+    try:
+        os.unlink(os.path.join(staging, "_FOLD_OWNER"))
+    except OSError:
+        pass
     delta_dir = f"{index_path}/vectors_delta"
     if not os.path.isdir(delta_dir):
         os.rename(staging, delta_dir)

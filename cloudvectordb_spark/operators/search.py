@@ -231,6 +231,156 @@ def _write_text_artifacts(spark: SparkSession, docs: DataFrame, build: str) -> N
     grouped.unpersist()
 
 
+_TEXT_STAGING = "append.staging"
+# vocab-sized artifacts replaced wholesale by an append (the delta
+# artifacts — postings/positions/dl — are file-moves, not swaps)
+_TEXT_SWAPPED = ("term_meta", "term_variants", "stats")
+
+
+def _acquire_text_append_lock(root: str) -> str:
+    """Per-root append lease (round-13 ADVICE item 2): exclusive-create
+    a ``_APPEND_LOCK`` recording pid + /proc start-tick. A LIVE holder
+    makes a second appender fail loudly (appends on one tree must
+    serialize — the artifacts cross-reference each other); a DEAD
+    holder's crashed append is healed (``recover_text_append``) and
+    the lock stolen. Returns the lock path (caller unlinks in
+    ``finally``)."""
+    import os
+
+    from cloudvectordb_spark.operators.pipeline import (
+        _fold_owner_blob,
+        _owner_alive,
+    )
+
+    lock = os.path.join(root, "_APPEND_LOCK")
+    for _ in range(4):
+        try:
+            with open(lock, "x") as f:
+                f.write(_fold_owner_blob())
+            return lock
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    blob = f.read()
+            except OSError:
+                blob = ""
+            if _owner_alive(blob):
+                raise RuntimeError(
+                    f"append already in flight on {root} (live owner "
+                    f"{blob!r}) — text appends serialize per root; "
+                    "retry after it completes"
+                )
+            # dead owner: finish or undo its crashed append, steal lock
+            recover_text_append(root)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+    raise RuntimeError(f"could not acquire append lock on {root}")
+
+
+def _apply_text_append(root: str) -> None:
+    """Apply a COMMITTED staged append to the live tree — pure renames,
+    idempotent at every crash point, so ``recover_text_append`` can
+    re-run it verbatim to roll a crashed append forward:
+
+    - delta artifacts (dl/postings/positions): each staged parquet file
+      moves into the live dir under its Spark job-UUID basename (a
+      crashed retry simply skips files already moved);
+    - vocab-sized rewrites (term_meta/term_variants/stats): two-phase
+      rename — live parks at ``<name>.swapping``, staged dir renames
+      in, parked dir removed. Each state the crash can leave (parked
+      only / parked+new-live / done) re-resolves deterministically.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    staging = os.path.join(root, _TEXT_STAGING)
+    if not os.path.exists(os.path.join(staging, "_COMMIT")):
+        return
+    for name in ("dl", "postings", "positions"):
+        src = os.path.join(staging, name)
+        if os.path.isdir(src):
+            for fp in _glob.glob(os.path.join(src, "*.parquet")):
+                os.rename(
+                    fp, os.path.join(root, name, os.path.basename(fp))
+                )
+            shutil.rmtree(src)
+    for name in _TEXT_SWAPPED:
+        src = os.path.join(staging, name)
+        live = os.path.join(root, name)
+        parked = f"{live}.swapping"
+        if os.path.isdir(src):
+            if os.path.isdir(live) and not os.path.isdir(parked):
+                os.rename(live, parked)
+            if not os.path.isdir(live):
+                os.rename(src, live)
+        if os.path.isdir(parked):
+            shutil.rmtree(parked)
+    shutil.rmtree(staging)
+
+
+def recover_text_append(root: str) -> str | None:
+    """Heal a crashed ``append_text_artifacts`` on ``root``:
+
+    - staging dir WITHOUT the ``_COMMIT`` marker → the crash happened
+      while everything was still being staged; the live tree was never
+      touched — roll BACK (drop staging). A retry of the same delta
+      passes the fresh-doc_id check (nothing was ingested).
+    - staging dir WITH ``_COMMIT`` → every artifact was fully staged;
+      roll FORWARD by re-running the idempotent apply. A retry then
+      correctly reports the doc_id clash (the delta IS ingested).
+
+    Returns None / "rolled_back" / "rolled_forward"."""
+    import os
+    import shutil
+
+    staging = os.path.join(root, _TEXT_STAGING)
+    if not os.path.isdir(staging):
+        return None
+    if os.path.exists(os.path.join(staging, "_COMMIT")):
+        _apply_text_append(root)
+        return "rolled_forward"
+    shutil.rmtree(staging)
+    return "rolled_back"
+
+
+def _await_stable_text_root(root: str, timeout: float = 10.0) -> None:
+    """Reader fence for the mutable-fleet serving surface
+    (``sharded_bm25_topk_batch_paths``): an append's APPLY phase is a
+    brief window of renames where term_meta/stats may be mid-swap
+    (round-13 ADVICE item 2). The window opens only once the
+    ``_COMMIT`` marker exists (all heavy writes happen in staging, so
+    pre-commit readers see the old consistent tree); spin the
+    milliseconds until it closes, and if the appender is DEAD, roll
+    its committed append forward ourselves."""
+    import os
+    import time
+
+    from cloudvectordb_spark.operators.pipeline import _owner_alive
+
+    commit = os.path.join(root, _TEXT_STAGING, "_COMMIT")
+    if not os.path.exists(commit):
+        return
+    deadline = time.monotonic() + timeout
+    while os.path.exists(commit):
+        try:
+            with open(commit) as f:
+                blob = f.read()
+        except OSError:
+            continue  # marker vanished between exists() and open()
+        if not _owner_alive(blob):
+            recover_text_append(root)
+            return
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"append apply phase on {root} still open after "
+                f"{timeout}s (live owner {blob!r})"
+            )
+        time.sleep(0.005)
+
+
 def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> dict:
     """Incremental delta ingest into ONE v5 artifact tree (round-13
     verdict #3) — the per-shard building block of
@@ -253,6 +403,21 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
       only loosen); a rebuild re-tightens. term_meta and its derived
       term_variants are VOCAB-sized rewrites, not corpus-sized.
 
+    Crash + concurrency discipline (round-13 ADVICE item 2, mirroring
+    the vector-side L0 fold protocol): a per-root ``_APPEND_LOCK``
+    lease serializes appends (a dead holder's crashed append is healed
+    and the lock stolen); EVERY artifact — delta files and vocab-sized
+    rewrites — is first written into ``append.staging/``, then a
+    ``_COMMIT`` marker makes the append durable, then the idempotent
+    apply (pure renames) moves deltas in and swaps the rewrites. A
+    crash before the marker rolls BACK (live tree untouched; the retry
+    passes the fresh-doc_id check); after it, ``recover_text_append``
+    rolls FORWARD (the retry then correctly reports the clash because
+    the delta IS ingested). Readers fence on the marker
+    (``_await_stable_text_root``), so concurrent
+    ``sharded_bm25_topk_batch_paths`` calls never observe a mid-swap
+    tree.
+
     Requires fresh doc_ids (enforced against the dl artifact). Returns
     {"n_docs", "dl_sum", "delta_docs"}. Pytest pins append == rebuild
     on postings/positions/dl/stats/term_meta.df content and on served
@@ -262,6 +427,7 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
 
     from pyspark import StorageLevel
 
+    lock = _acquire_text_append_lock(root)  # heals any crashed append
     ptok = docs.select(
         "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "term")
     )
@@ -273,7 +439,13 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    staging = os.path.join(root, _TEXT_STAGING)
     try:
+        # a prior append may have crashed between releasing its lock
+        # and finishing (or its apply raised): roll a COMMITTED staging
+        # forward before the doc_id check, never silently delete it
+        recover_text_append(root)
+        shutil.rmtree(staging, ignore_errors=True)  # rolled-back litter
         dl_delta = grouped.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         old_dl = spark.read.parquet(os.path.join(root, "dl"))
         n_clash = old_dl.join(
@@ -282,7 +454,9 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
         if n_clash:
             raise ValueError(
                 f"append_text_artifacts requires fresh doc_ids; {n_clash} "
-                f"delta ids already exist in {root}/dl"
+                f"delta ids already exist in {root}/dl (a prior append "
+                "of this delta that crashed post-commit was rolled "
+                "forward — it IS ingested)"
             )
         srow = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
         drow = dl_delta.agg(
@@ -293,27 +467,28 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
         avgdl_old = float(srow.avgdl or 0.0)
         avgdl = dl_sum / max(1, n_docs)
 
-        # corpus-sized artifacts: pure appends, term-sorted delta files
-        dl_delta.coalesce(1).write.mode("append").parquet(
-            os.path.join(root, "dl")
+        # corpus-sized artifacts: delta files STAGED (∝ delta), moved
+        # into the live dirs only at apply time
+        dl_delta.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "dl")
         )
         n_parts = max(1, int(drow.s or 0) // 25_000_000 + 1)
         postings_delta = grouped.select("term", "doc_id", "tf")
         (
             postings_delta.repartition(n_parts, "term")
             .sortWithinPartitions("term", "doc_id")
-            .write.mode("append")
-            .parquet(os.path.join(root, "postings"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, "postings"))
         )
         (
             grouped.select("term", "doc_id", "positions")
             .repartition(n_parts, "term")
             .sortWithinPartitions("term", "doc_id")
-            .write.mode("append")
-            .parquet(os.path.join(root, "positions"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(staging, "positions"))
         )
 
-        # vocab-sized artifacts: merged rewrite, atomic swap
+        # vocab-sized artifacts: merged rewrite, staged then swapped
         tf_sat = (F.col("tf") * (_K1 + 1.0)) / (
             F.col("tf")
             + _K1 * (1.0 - _B + _B * F.col("dl") / F.lit(avgdl))
@@ -342,11 +517,9 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
                 ).alias("max_impact"),
             )
         )
-        tm_build = os.path.join(root, f"term_meta.build{os.getpid()}")
+        tm_build = os.path.join(staging, "term_meta")
         merged.write.mode("overwrite").parquet(tm_build)
-        # stats swap LAST-but-one; variants derive from the new meta
         new_tm = spark.read.parquet(tm_build)
-        tv_build = os.path.join(root, f"term_variants.build{os.getpid()}")
         (
             new_tm.select(
                 "term", "df", F.explode(_deletion_variants("term")).alias("var")
@@ -355,25 +528,27 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
             .repartition(8, "var")
             .sortWithinPartitions("var")
             .write.mode("overwrite")
-            .parquet(tv_build)
+            .parquet(os.path.join(staging, "term_variants"))
         )
-        st_build = os.path.join(root, f"stats.build{os.getpid()}")
         spark.createDataFrame(
             [(n_docs, avgdl, dl_sum)],
             schema="n_docs bigint, avgdl double, dl_sum bigint",
-        ).coalesce(1).write.mode("overwrite").parquet(st_build)
-        for name, build in (
-            ("term_meta", tm_build),
-            ("term_variants", tv_build),
-            ("stats", st_build),
-        ):
-            live = os.path.join(root, name)
-            old = f"{live}.old{os.getpid()}"
-            os.rename(live, old)
-            os.rename(build, live)
-            shutil.rmtree(old)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "stats")
+        )
+        # COMMIT: every artifact is staged — from here the append rolls
+        # forward (crash-healed by recover_text_append), never back
+        from cloudvectordb_spark.operators.pipeline import _fold_owner_blob
+
+        with open(os.path.join(staging, "_COMMIT"), "w") as f:
+            f.write(_fold_owner_blob())
+        _apply_text_append(root)
     finally:
         grouped.unpersist()
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
     return {"n_docs": n_docs, "dl_sum": dl_sum, "delta_docs": int(drow.n or 0)}
 
 
@@ -3261,9 +3436,13 @@ def sharded_bm25_topk_batch_paths(
     frames read fresh (no fingerprint cache) — the serving surface for
     MUTABLE fleets maintained by ``append_sharded_text_artifacts``,
     where the merged model must be recomputed from the shards' current
-    stats on every call."""
+    stats on every call. Each shard root is fenced against an
+    in-flight append's brief apply window first
+    (``_await_stable_text_root``), so the frames always come from a
+    consistent artifact generation."""
     shards = []
     for p in shard_paths:
+        _await_stable_text_root(p)
         shards.append(
             (
                 spark.read.parquet(f"{p}/postings"),

@@ -76,11 +76,21 @@ def get_session(
 
 def _fair_pools_file() -> str:
     """Write (once) the FAIR allocation XML defining the engine's two
-    standing pools and return its path."""
+    standing pools and return its path.
+
+    The path is PER-USER (uid in the filename): a fixed world-shared
+    name under a sticky-bit /tmp breaks on multi-user boxes — a
+    pre-existing file owned by another user makes the atomic
+    ``os.replace`` fail (EPERM) and kills ``get_session`` whenever
+    FAIR is on, or silently serves another process's allocation
+    content (round-13 ADVICE item 4). The content is deterministic
+    per box, so processes of the SAME user sharing the file stay
+    correct; the replace stays atomic for crash safety."""
     import tempfile
 
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
     path = os.path.join(
-        tempfile.gettempdir(), "cloudvectordb_fair_pools.xml"
+        tempfile.gettempdir(), f"cloudvectordb_fair_pools_{uid}.xml"
     )
     cores = os.cpu_count() or 8
     xml = f"""<?xml version="1.0"?>

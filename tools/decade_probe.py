@@ -270,6 +270,97 @@ def main() -> int:
             )
         )
 
+    if "fold_l0_s" not in stats:
+        # round-14 verdict #1 rerun prep: fold the r13 tier (≈1M rows
+        # from append2) into the cells FIRST, timed as its own stage —
+        # this is the amortized burst scatter the L0 design defers, and
+        # folding now lets append3 measure the pure L0 append wall.
+        t0 = time.perf_counter()
+        folded = P.fold_l0_tier(spark, index_path)
+        stats["fold_l0_s"] = round(time.perf_counter() - t0, 1)
+        stats["fold_l0_rows"] = folded
+        _save_stats(stats_path, stats)
+        print(
+            json.dumps(
+                {
+                    "stage": "fold_l0",
+                    "s": stats["fold_l0_s"],
+                    "rows": folded,
+                }
+            )
+        )
+
+    if "append3_s" not in stats:
+        # round-14 verdict #1: the 752 s append2 wall was a 4-task BLAS
+        # assign from the AQE-coalesced delta read — the parallelism
+        # floor now lives INSIDE assign_cells_blas. Rerun the same
+        # 1M-append shape with NO probe-side repartition workaround;
+        # done = minutes-scale wall, L0 admission, self-probe serves.
+        import glob as _glob
+
+        d3_path = f"{root}/delta3"
+        shift3 = args.n + 2 * args.delta
+        if not os.path.exists(f"{d3_path}/_SUCCESS"):
+            (
+                corpus.filter(F.col("vec_id") < args.delta)
+                .select(
+                    (F.col("vec_id") + shift3).alias("vec_id"),
+                    "embedding",
+                )
+                .write.mode("overwrite")
+                .parquet(d3_path)
+            )
+        delta3 = spark.read.parquet(d3_path)
+        stats["append3_read_partitions"] = delta3.rdd.getNumPartitions()
+        t0 = time.perf_counter()
+        idx.append(delta3.select("vec_id", "embedding"))
+        stats["append3_s"] = round(time.perf_counter() - t0, 1)
+        stats["append3_l0_files"] = len(
+            _glob.glob(f"{index_path}/vectors_delta/*.parquet")
+        )
+        probe_df = delta3.filter(F.col("vec_id") == shift3).select(
+            "vec_id", "embedding"
+        )
+        top = idx.search_batch(probe_df, k=1, nprobe=8).first()
+        # delta3 row 0 duplicates corpus vec 0's embedding, which also
+        # has a delta2 twin — rank 1 is any of the three exact copies
+        stats["append3_selfprobe_rank1"] = bool(
+            top is not None
+            and int(top.neighbor_id) in (0, args.n + args.delta, shift3)
+        )
+        _save_stats(stats_path, stats)
+        print(
+            json.dumps(
+                {
+                    "stage": "append3",
+                    "s": stats["append3_s"],
+                    "read_partitions": stats["append3_read_partitions"],
+                    "l0_files": stats["append3_l0_files"],
+                    "selfprobe_rank1": stats["append3_selfprobe_rank1"],
+                }
+            )
+        )
+
+    if "serving_post_append3" not in stats:
+        rp = [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in base.filter(F.col("vec_id") < args.probes).collect()
+        ]
+        probes_df = spark.createDataFrame(
+            rp, schema="vec_id long, embedding array<float>"
+        )
+        post3: dict = {}
+        for np_ in (2, 8, 32):
+            idx.search_batch(probes_df, k=10, nprobe=np_).collect()  # warm
+            t0 = time.perf_counter()
+            idx.search_batch(probes_df, k=10, nprobe=np_).collect()
+            post3[f"nprobe{np_}_ms_per_q"] = round(
+                (time.perf_counter() - t0) / args.probes * 1000, 1
+            )
+        stats["serving_post_append3"] = post3
+        _save_stats(stats_path, stats)
+        print(json.dumps({"stage": "serving_post_append3", **post3}))
+
     if "serving_post_append2" not in stats:
         # latency with the L0 tier live: the union read surface's
         # bounded small-file leg must not erase the ∝-probed-cells shape
