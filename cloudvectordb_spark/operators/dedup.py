@@ -1234,6 +1234,119 @@ def minhash_pairs_between_state(
     )
 
 
+def minhash_pairs_between_sharded(
+    new_sigs: DataFrame,
+    sstate,
+    concurrent: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id, est_jaccard) candidates BETWEEN a delta and
+    an S-shard ``ShardedSigState`` — the scatter-gather fleet path for
+    the mid-size-delta regime (round-13 verdict #2 → round 14):
+
+    - SCATTER: the delta's band keys route by bucket to their owning
+      shard's contiguous range; each shard joins ONLY its keys against
+      its range-pruned band scan (∝ state/S rows read — the sorted
+      bucketed cache's batch min/max stats skip every other shard's
+      batches). The S legs submit from S driver threads, mirroring
+      ``search_sharded``: on a fleet each leg is a different machine's
+      local scan.
+    - GATHER: the union of S bounded candidate sets. The verify join
+      routes candidate corpus_ids the same way (sbucket ranges), so
+      the sig point-reads are range-pruned per shard too.
+
+    Pair-set IDENTICAL to ``minhash_pairs_between_state`` /
+    ``minhash_pairs_between`` (pytest-pinned): the shard ranges
+    partition bucket space, and bucket is a pure function of the join
+    key on both sides, so every equi-joinable (delta key, corpus key)
+    pair meets in exactly one shard. Unlike the ≤_PRUNE_MAX IN-list,
+    range predicates stay cheap no matter how many buckets a 10k-doc
+    delta touches — per-shard scan cost is ∝ state/S where the
+    single-state probe pays the full band scan.
+
+    ``stats`` (optional) receives per-shard scatter walls and
+    candidate counts — the evidence ``tools/sigshard_probe.py``
+    records."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cloudvectordb_spark.operators.sigstate import band_bucket
+
+    spark = new_sigs.sparkSession
+    bn = (
+        minhash_bands_hashed(new_sigs, id_out="new_id")
+        .select("new_id", F.xxhash64("band", "key").alias("bk"))
+        .withColumn("bucket", band_bucket(F.col("bk"), sstate.nb))
+        .persist()
+    )
+    sstate.state.defer_release(bn)
+    bn.count()
+
+    def scatter(s: int):
+        lo, hi = sstate.ranges[s]
+        keys = bn.filter((F.col("bucket") >= lo) & (F.col("bucket") < hi))
+        t0 = _time.perf_counter()
+        cand_s = (
+            sstate.bands_shard(s)
+            .join(F.broadcast(keys.select("new_id", "bk")), ["bk"])
+            .select("new_id", "corpus_id")
+            .distinct()
+            .persist()
+        )
+        n = cand_s.count()
+        return s, cand_s, n, round(_time.perf_counter() - t0, 3)
+
+    if concurrent and sstate.n_shards > 1:
+        with ThreadPoolExecutor(max_workers=sstate.n_shards) as pool:
+            legs = list(pool.map(scatter, range(sstate.n_shards)))
+    else:
+        legs = [scatter(s) for s in range(sstate.n_shards)]
+    legs.sort(key=lambda t: t[0])
+    if stats is not None:
+        stats["per_shard_cand_s"] = [t[3] for t in legs]
+        stats["per_shard_n_cand"] = [t[2] for t in legs]
+    cands = [c for _, c, n, _ in legs if n]
+    for _, c, _, _ in legs:
+        sstate.state.defer_release(c)
+    if not cands:
+        return spark.createDataFrame(
+            [], schema="new_id long, corpus_id long, est_jaccard double"
+        )
+    sn = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sa"))
+
+    def verify(s: int, cand_s: DataFrame) -> DataFrame:
+        # candidate corpus ids route by SBUCKET — each verify leg reads
+        # only shards whose sig range can hold its candidates
+        routed = cand_s.withColumn(
+            "sb", band_bucket(F.col("corpus_id"), sstate.nb)
+        )
+        lo, hi = sstate.ranges[s]
+        mine = routed.filter(
+            (F.col("sb") >= lo) & (F.col("sb") < hi)
+        ).select("new_id", "corpus_id")
+        sc = sstate.sigs_shard(s).select(
+            F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sb_sig")
+        )
+        return (
+            sc.join(F.broadcast(mine), "corpus_id")
+            .join(F.broadcast(sn), "new_id")
+            .select(
+                "new_id",
+                "corpus_id",
+                _minhash_est("sa", "sb_sig").alias("est_jaccard"),
+            )
+        )
+
+    from functools import reduce as _reduce
+
+    # gather dedup: the same pair can surface in TWO shards (different
+    # bands of one pair route to different buckets) — the coordinator
+    # dedups the bounded union, like the unsharded path's distinct()
+    all_cand = _reduce(DataFrame.unionByName, cands).distinct()
+    out = [verify(s, all_cand) for s in range(sstate.n_shards)]
+    return _reduce(DataFrame.unionByName, out)
+
+
 @query(
     "minhash_incremental_pairs",
     # the incremental-append join (CorpusPipeline.append's dedup stage)
@@ -1298,6 +1411,115 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_between(
         sigs.filter(F.col("doc_id") % 2 == 1),
         sigs.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
+def _ensure_sig_state_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture generation) an on-disk dedup-state dir
+    holding the EVEN-doc_id corpus sigs — the persisted signature
+    state the sharded scatter-gather query probes. Same
+    fingerprint+lock discipline as ensure_text_index."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cloudvectordb_spark.cache import build_lock, source_tag
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = hashlib.md5(f"sigstate-v1|{source_tag(src)}".encode()).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "cloudvectordb_sigstate", fp
+    )
+    if os.path.exists(os.path.join(root, "_DONE")):
+        return root
+    with build_lock(root):
+        if os.path.exists(os.path.join(root, "_DONE")):
+            return root
+        build = f"{root}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        minhash_sigs(
+            docs.filter(F.col("doc_id") % 2 == 0), hasher="md5"
+        ).write.mode("overwrite").parquet(os.path.join(build, "sigs"))
+        open(os.path.join(build, "_DONE"), "w").close()
+        try:
+            os.rename(build, root)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    return root
+
+
+@query(
+    "minhash_sharded_state_pairs",
+    # the SAME result set as minhash_incremental_pairs, produced by the
+    # round-14 scatter-gather fleet path: the corpus sigs live in a
+    # persisted bucket-sorted state, 4 bucket-range shards each probe
+    # only their range (batch-stat pruned), and the gather unions the
+    # bounded candidate sets. DuckDB replays the logical join — shard
+    # routing is physical only, so the oracle is the incremental one.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS g
+      FROM documents WHERE doc_id < 500
+    ),
+    hp AS (
+      SELECT doc_id, p,
+        CAST((
+          (CAST((u >> 0)  & 255 AS HUGEINT) * 72057594037927936) +
+          (CAST((u >> 8)  & 255 AS HUGEINT) * 281474976710656) +
+          (CAST((u >> 16) & 255 AS HUGEINT) * 1099511627776) +
+          (CAST((u >> 24) & 255 AS HUGEINT) * 4294967296) +
+          (CAST((u >> 32) & 255 AS HUGEINT) * 16777216) +
+          (CAST((u >> 40) & 255 AS HUGEINT) * 65536) +
+          (CAST((u >> 48) & 255 AS HUGEINT) * 256) +
+          CAST((u >> 56) & 255 AS HUGEINT)
+        ) // 16 AS BIGINT) AS th
+      FROM (
+        SELECT doc_id, p.p AS p,
+               md5_number_upper(CAST(p.p AS VARCHAR) || ':' || g) AS u
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p) p
+      )
+    ),
+    mhp AS (SELECT doc_id, p, min(th) AS mh FROM hp GROUP BY doc_id, p),
+    banded AS (
+      SELECT doc_id, p // 2 AS band,
+             string_agg(CAST(mh AS VARCHAR), ':' ORDER BY p) AS key
+      FROM mhp GROUP BY doc_id, p // 2
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+      FROM banded n JOIN banded o USING (band, key)
+      WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+    )
+    SELECT c.new_id, c.corpus_id,
+           round(avg(CASE WHEN ma.mh = mb.mh THEN 1.0 ELSE 0.0 END), 4)
+             AS est_jaccard
+    FROM cand c
+    JOIN mhp ma ON ma.doc_id = c.new_id
+    JOIN mhp mb ON mb.doc_id = c.corpus_id AND mb.p = ma.p
+    GROUP BY c.new_id, c.corpus_id
+    """,
+    operators=("G5", "H4", "C1", "D1"),
+)
+def minhash_sharded_state_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 fleet shape: the delta (odd ids) probes a PERSISTED
+    bucket-sorted signature state through 4 bucket-range shards —
+    scatter (per-shard range-pruned band join), gather (dedup union),
+    range-routed sig verify. Value-identical to the single-state and
+    classic incremental joins (the shard ranges partition bucket
+    space); the oracle replays the logical join."""
+    from cloudvectordb_spark.operators.sigstate import sharded_sig_state
+
+    sd = _ensure_sig_state_dir(spark, sf_dir)
+    sstate = sharded_sig_state(spark, sd, 4)
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 500) & (F.col("doc_id") % 2 == 1)
+    )
+    return minhash_pairs_between_sharded(
+        minhash_sigs(docs, hasher="md5"), sstate
     )
 
 

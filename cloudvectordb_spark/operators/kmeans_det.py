@@ -138,14 +138,35 @@ def assign_cells_blas(
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)
     cmat = np.array([c for _, c in cents], dtype=np.float64)  # (k, d)
     c2 = (cmat * cmat).sum(axis=1)
+    # Row-chunk the kernel so the (rows × k) distance matrix stays
+    # bounded PER WORKER: at k≈25k a default 10k-row Arrow batch is a
+    # ~2 GB d2 alone, and 32 concurrent workers OOM-kill each other
+    # (measured: the floor-lifted 100M append crashed 32-wide before
+    # chunking). 128 MB caps resident kernel memory at
+    # parallelism × ~3 chunks ≈ a few GB box-wide; per-row results are
+    # independent, so chunking cannot change assignments.
+    max_rows = max(256, (128 << 20) // (8 * max(1, len(cids))))
 
     def run(batches):
         for pdf in batches:
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = (x * x).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (x @ cmat.T)
-            d2 = np.floor(np.abs(d2) * 1e6 + 0.5) / 1e6  # d2 >= 0 up to ulps
+            outs = []
+            for lo in range(0, len(pdf), max_rows):
+                x = np.stack(
+                    pdf[vec_col].iloc[lo : lo + max_rows].to_numpy()
+                ).astype(np.float64)
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    + c2[None, :]
+                    - 2.0 * (x @ cmat.T)
+                )
+                d2 = np.floor(np.abs(d2) * 1e6 + 0.5) / 1e6  # d2 >= 0 up to ulps
+                outs.append(cids[d2.argmin(axis=1)])
             pdf = pdf.copy()
-            pdf[out] = cids[d2.argmin(axis=1)].astype(np.int32)
+            pdf[out] = (
+                np.concatenate(outs).astype(np.int32)
+                if outs
+                else np.array([], dtype=np.int32)
+            )
             yield pdf
 
     schema = T.StructType(

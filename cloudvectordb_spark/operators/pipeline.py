@@ -2053,8 +2053,15 @@ def append_to_ivf_index(
         l0 = (n / est_files) < _L0_MIN_FILL and n <= _L0_MAX_TIER_ROWS
     if l0:
         # one bounded write: ≤ a few files regardless of how many cells
-        # the delta scatters across; the rows still carry their cell id
-        assigned.coalesce(4).write.mode("append").parquet(
+        # the delta scatters across; the rows still carry their cell id.
+        # repartition, NOT coalesce: coalesce(4) propagates BACKWARD
+        # through the assign mapInPandas and collapses the O(rows·k·dim)
+        # kernel to 4 tasks — the true mechanism of the r13 752 s append2
+        # wall (it silently defeated both the input's partitioning and
+        # the assign parallelism floor). The explicit shuffle costs
+        # seconds for a bounded L0 delta and pins the kernel at the
+        # input-side width.
+        assigned.repartition(4).write.mode("append").parquet(
             f"{index_path}/vectors_delta"
         )
         # scheduled post-burst compaction: parquet row counts are

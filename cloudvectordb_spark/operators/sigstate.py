@@ -211,6 +211,77 @@ class CorpusSigState:
         self._bands_all = None
 
 
+def shard_ranges(nb: int, n_shards: int) -> list[tuple[int, int]]:
+    """Contiguous bucket ranges [lo, hi) per shard. Contiguity matters:
+    the cached layout is SORTED by bucket, so each shard's rows sit in
+    contiguous cache batches and a range predicate prunes by batch
+    min/max stats — cheap regardless of how many buckets a delta
+    touches, which is exactly the mid-size-delta regime the
+    ≤_PRUNE_MAX IN-list honestly can't cover."""
+    step = (nb + n_shards - 1) // n_shards
+    return [(s * step, min(nb, (s + 1) * step)) for s in range(n_shards)]
+
+
+class ShardedSigState:
+    """S independent bucket-range shards of the corpus MinHash state —
+    the fleet's scatter-gather layout (round-13 verdict #2 → round 14).
+
+    On a fleet, shard s is a separate machine holding ONLY its bucket
+    range's band/sig rows; a delta's band keys route by
+    ``bucket = pmod(xxhash64(bk), nb)`` and each shard probes only the
+    keys that land in its range. On one box the shards are
+    range-filtered legs over the same sorted bucketed cache
+    (``CorpusSigState``), and the sorted layout's per-batch min/max
+    stats make each leg scan ~1/S of the cached batches — the same
+    ∝ state/S per-shard cost the fleet shape promises, measured per
+    shard by ``tools/sigshard_probe.py``. Probes submit the S legs
+    from S driver threads (mirroring ``search_sharded``), and the
+    gather is a union of bounded candidate sets — keyed equi-joins
+    only, never all-pairs.
+
+    This is a VIEW: it adds no second persisted copy of the state and
+    rolls forward with the underlying ``corpus_sig_state`` cache."""
+
+    def __init__(self, state: CorpusSigState, n_shards: int):
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        self.state = state
+        self.n_shards = n_shards
+        self.ranges = shard_ranges(state.nb, n_shards)
+
+    @property
+    def nb(self) -> int:
+        return self.state.nb
+
+    def bands_shard(self, s: int) -> DataFrame:
+        """(corpus_id, bk) owned by shard ``s`` — a batch-pruned range
+        scan of the bucketed band cache (∝ state/S rows read)."""
+        lo, hi = self.ranges[s]
+        return (
+            self.state._union(1)
+            .filter((F.col("bucket") >= lo) & (F.col("bucket") < hi))
+            .select("corpus_id", "bk")
+        )
+
+    def sigs_shard(self, s: int) -> DataFrame:
+        """(doc_id, sig) whose sbucket lands in shard ``s`` — the
+        verify join's range-pruned point-read leg."""
+        lo, hi = self.ranges[s]
+        return (
+            self.state._union(0)
+            .filter((F.col("sbucket") >= lo) & (F.col("sbucket") < hi))
+            .select("doc_id", "sig")
+        )
+
+
+def sharded_sig_state(
+    spark: SparkSession, sd: str, n_shards: int, n_hint: int | None = None
+) -> ShardedSigState:
+    """The S-shard scatter-gather view over the cached (and
+    forward-rolled) ``corpus_sig_state`` for a dedup-state dir."""
+    return ShardedSigState(corpus_sig_state(spark, sd, n_hint), n_shards)
+
+
 # (sigs dir, session key) -> CorpusSigState
 _STATES: dict = {}
 

@@ -347,6 +347,68 @@ def test_pipeline_meta_commit_recheck(spark, tmp_path, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# verdict #2: sharded sig-state scatter-gather parity
+# ---------------------------------------------------------------------------
+def _perturb(text: str) -> str:
+    words = text.split(" ")
+    words[len(words) // 2] = "zz"
+    return " ".join(words)
+
+
+def test_sharded_sig_state_parity(spark, tmp_path):
+    """minhash_pairs_between_sharded over S bucket-range shards returns
+    the EXACT pair set of minhash_pairs_between_state and the classic
+    between-join, for S in {1, 2, 4, 8} — shard ranges partition bucket
+    space and bucket is a pure function of the join key, so every
+    joinable pair meets in exactly one shard; the gather dedups pairs
+    that surface via two bands in two shards."""
+    from cloudvectordb_spark.api import CorpusPipeline
+    from cloudvectordb_spark.operators.dedup import (
+        minhash_pairs_between,
+        minhash_pairs_between_sharded,
+        minhash_pairs_between_state,
+        minhash_sigs,
+    )
+    from cloudvectordb_spark.operators.sigstate import (
+        corpus_sig_state,
+        sharded_sig_state,
+    )
+
+    rows = [(i, _uniq(f"u{i}")) for i in range(20)]
+    CorpusPipeline.run(spark, _mk_docs(spark, rows), str(tmp_path / "cp"))
+    sd = CorpusPipeline._state_dir(str(tmp_path / "cp"))
+    state = corpus_sig_state(spark, sd)
+
+    delta_rows = [
+        (100, _perturb(_uniq("u3"))),
+        (101, _perturb(_uniq("u7"))),
+        (102, _uniq("u11")),
+        (103, _uniq("x103")),
+    ]
+    sigs_delta = minhash_sigs(_mk_docs(spark, delta_rows))
+
+    def pairs_set(df):
+        return {(r.new_id, r.corpus_id, r.est_jaccard) for r in df.collect()}
+
+    classic = pairs_set(minhash_pairs_between(sigs_delta, state.sigs()))
+    single = pairs_set(minhash_pairs_between_state(sigs_delta, state))
+    assert classic == single
+    assert {(n, c) for n, c, _ in classic} >= {(100, 3), (101, 7), (102, 11)}
+    for S in (1, 2, 4, 8):
+        stats: dict = {}
+        sh = pairs_set(
+            minhash_pairs_between_sharded(
+                sigs_delta, sharded_sig_state(spark, sd, S), stats=stats
+            )
+        )
+        assert sh == classic, f"S={S} pair set diverged"
+        assert len(stats["per_shard_cand_s"]) == S
+        assert sum(stats["per_shard_n_cand"]) >= len(
+            {(n, c) for n, c, _ in classic}
+        )
+
+
+# ---------------------------------------------------------------------------
 # verdict #6: COVERAGE.md staleness gate
 # ---------------------------------------------------------------------------
 def test_coverage_md_matches_registry():
