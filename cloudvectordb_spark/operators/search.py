@@ -207,6 +207,11 @@ def _write_text_artifacts(spark: SparkSession, docs: DataFrame, build: str) -> N
             F.count("*").cast("bigint").alias("df"),
             F.max(tf_sat).alias("max_impact"),
         )
+        # v6: the avgdl these impacts were computed against rides with
+        # the rows, so a TIERED append's merged reader can inflate each
+        # generation's bound to the current avgdl exactly (see
+        # read_term_meta_merged) instead of rewriting the vocab
+        .withColumn("avgdl_ref", F.lit(float(srow.avgdl or 0.0)))
     )
     term_meta_f.write.mode("overwrite").parquet(
         os.path.join(build, "term_meta")
@@ -235,6 +240,107 @@ _TEXT_STAGING = "append.staging"
 # vocab-sized artifacts replaced wholesale by an append (the delta
 # artifacts — postings/positions/dl — are file-moves, not swaps)
 _TEXT_SWAPPED = ("term_meta", "term_variants", "stats")
+# term_meta/term_variants tiers per fold: each append stages a
+# delta-vocab tier; past this depth the append absorbs base + tiers
+# into a fresh base (amortized vocab rewrite ∝ vocab/DEPTH per append)
+_TEXT_META_FOLD_DEPTH = 8
+
+
+def _meta_tier_dirs(root: str) -> list:
+    import glob as _glob
+    import os
+
+    return sorted(_glob.glob(os.path.join(root, "term_meta_tiers", "tier-*")))
+
+
+def _variant_tier_dirs(root: str) -> list:
+    import glob as _glob
+    import os
+
+    return sorted(
+        _glob.glob(os.path.join(root, "term_variants_tiers", "tier-*"))
+    )
+
+
+def _merged_term_meta_frame(
+    spark: SparkSession, root: str, extra=None, avgdl_now: float | None = None
+):
+    """(term, df, max_impact, avgdl_ref) merged across the base
+    term_meta, every tier, and an optional in-flight delta frame — df
+    by EXACT bigint addition (fresh docs ⇒ disjoint postings), each
+    generation's max_impact inflated by max(1, avgdl_now/avgdl_ref):
+    tf·(k1+1)/(tf+k1(1-b+b·dl/avgdl)) is increasing in avgdl with
+    growth factor < avgdl_new/avgdl_old (the dl-dominated limit), so
+    the inflated value stays a TRUE upper bound. Output rows re-anchor
+    at avgdl_now."""
+    import os
+    from functools import reduce as _reduce
+
+    if avgdl_now is None:
+        srow = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
+        avgdl_now = float(srow.avgdl or 0.0)
+
+    def leg(df):
+        if "avgdl_ref" in df.columns:
+            ref = F.coalesce(F.col("avgdl_ref"), F.lit(avgdl_now))
+        else:  # pre-v6 base: bounds valid at its last rewrite's avgdl,
+            # which the stats row still carried then — inflate from it
+            ref = F.lit(avgdl_now)
+        infl = F.when(
+            (ref > 0) & (F.lit(avgdl_now) > ref), F.lit(avgdl_now) / ref
+        ).otherwise(F.lit(1.0))
+        return df.select(
+            "term",
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("max_impact") * infl).alias("mi"),
+        )
+
+    legs = [leg(spark.read.parquet(os.path.join(root, "term_meta")))]
+    legs += [leg(spark.read.parquet(t)) for t in _meta_tier_dirs(root)]
+    if extra is not None:
+        legs.append(leg(extra))
+    u = _reduce(DataFrame.unionByName, legs)
+    return u.groupBy("term").agg(
+        F.sum("df").cast("bigint").alias("df"),
+        F.max("mi").alias("max_impact"),
+    ).withColumn("avgdl_ref", F.lit(avgdl_now))
+
+
+def read_term_meta_merged(spark: SparkSession, root: str) -> DataFrame:
+    """(term, df, max_impact) — the SERVING view of a tiered text root
+    (round-14 verdict #4): base + delta-vocab tiers merged by exact df
+    addition, WAND bounds inflated per generation to the current
+    avgdl. A tier-free root (the immutable fixture trees, or right
+    after a fold) returns the base scan unchanged, so the merged read
+    costs nothing until tiers exist; term filters push into every leg
+    (Catalyst pushes the IN-list through union and partial-agg)."""
+    import os
+
+    if not _meta_tier_dirs(root):
+        return spark.read.parquet(os.path.join(root, "term_meta")).select(
+            "term", "df", "max_impact"
+        )
+    return _merged_term_meta_frame(spark, root).select(
+        "term", "df", "max_impact"
+    )
+
+
+def read_term_variants_merged(spark: SparkSession, root: str) -> DataFrame:
+    """(term, df, var) — the fuzzy-lookup candidate key across base +
+    tiers; a term's variant set is identical in every generation, so
+    the exact merged df is a (term, var)-keyed sum."""
+    import os
+    from functools import reduce as _reduce
+
+    tiers = _variant_tier_dirs(root)
+    base = spark.read.parquet(os.path.join(root, "term_variants"))
+    if not tiers:
+        return base
+    legs = [base] + [spark.read.parquet(t) for t in tiers]
+    u = _reduce(DataFrame.unionByName, [x.select("term", "df", "var") for x in legs])
+    return u.groupBy("term", "var").agg(
+        F.sum("df").cast("bigint").alias("df")
+    ).select("term", "df", "var")
 
 
 def _acquire_text_append_lock(root: str) -> str:
@@ -307,6 +413,19 @@ def _apply_text_append(root: str) -> None:
                     fp, os.path.join(root, name, os.path.basename(fp))
                 )
             shutil.rmtree(src)
+    # delta-vocab tiers: staged as tier-<uuid>.term_meta / .term_variants,
+    # landing under term_meta_tiers/ and term_variants_tiers/ (idempotent:
+    # a moved tier's source is gone; a duplicate retry drops its source)
+    for src in _glob.glob(os.path.join(staging, "tier-*.*")):
+        base = os.path.basename(src)
+        tname, kind = base.split(".", 1)
+        dest_dir = os.path.join(root, f"{kind}_tiers")
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, tname)
+        if os.path.isdir(dest):
+            shutil.rmtree(src)
+        else:
+            os.rename(src, dest)
     for name in _TEXT_SWAPPED:
         src = os.path.join(staging, name)
         live = os.path.join(root, name)
@@ -318,6 +437,15 @@ def _apply_text_append(root: str) -> None:
                 os.rename(src, live)
         if os.path.isdir(parked):
             shutil.rmtree(parked)
+    # a FOLD append lists the tiers its merged base absorbed — they
+    # drop only after the swaps above landed (missing dirs are fine on
+    # a roll-forward retry)
+    drop = os.path.join(staging, "_DROP_TIERS")
+    if os.path.exists(drop):
+        with open(drop) as f:
+            for rel in f.read().splitlines():
+                if rel:
+                    shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
     shutil.rmtree(staging)
 
 
@@ -393,15 +521,19 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
     - stats: EXACT integer algebra — n_docs += Δn, dl_sum += Δdl_sum
       (bigints), avgdl = dl_sum / n_docs: bit-equal to a rebuild, so
       merged sharded BM25 stays bit-identical to monolithic;
-    - term_meta: df(t) += Δdf(t) by exact integer addition (docs are
-      fresh, so old and delta postings are disjoint); max_impact stays
-      a VALID upper bound under avgdl drift — tf·(k1+1)/(tf+k1(1-b+
-      b·dl/avgdl)) is increasing in avgdl, and its growth factor is
-      < avgdl_new/avgdl_old (the dl-dominated limit), so the old bound
-      inflates by max(1, avgdl_new/avgdl_old) and maxes with the
-      delta's own exact bound. WAND pruning stays exact (upper bounds
-      only loosen); a rebuild re-tightens. term_meta and its derived
-      term_variants are VOCAB-sized rewrites, not corpus-sized.
+    - term_meta / term_variants: ∝ DELTA VOCAB per append (round-14
+      verdict #4 — the r13 version rewrote the whole merged vocab per
+      append). Each append stages a delta-vocab TIER carrying its own
+      ``avgdl_ref`` anchor; serving reads the merged view
+      (``read_term_meta_merged``): df(t) = Σ tiers' df(t) by exact
+      integer addition (fresh docs ⇒ disjoint postings), and each
+      generation's max_impact inflates by max(1, avgdl_now/avgdl_ref)
+      — a VALID upper bound because tf·(k1+1)/(tf+k1(1-b+b·dl/avgdl))
+      is increasing in avgdl with growth factor < avgdl_new/avgdl_old
+      (the dl-dominated limit). WAND pruning stays exact (bounds only
+      loosen); every ``_TEXT_META_FOLD_DEPTH`` appends the tiers FOLD
+      into a fresh re-anchored base (amortized ∝ vocab/DEPTH), and a
+      rebuild re-tightens the bounds fully.
 
     Crash + concurrency discipline (round-13 ADVICE item 2, mirroring
     the vector-side L0 fold protocol): a per-root ``_APPEND_LOCK``
@@ -488,7 +620,15 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
             .parquet(os.path.join(staging, "positions"))
         )
 
-        # vocab-sized artifacts: merged rewrite, staged then swapped
+        # vocab-sized artifacts — TIERED (round-13 verdict #4 → round
+        # 14): the r13 append rewrote the whole merged vocab per append
+        # (∝ vocab, the last non-∝-delta term in the append wall; vocab
+        # grows with corpus). Now each append stages only a DELTA-vocab
+        # tier carrying its own avgdl_ref anchor; serving reads the
+        # merged view (read_term_meta_merged — df by exact bigint
+        # addition, bounds inflated per generation), and every
+        # _TEXT_META_FOLD_DEPTH appends the tiers FOLD into a fresh
+        # base (the amortized vocab rewrite, ∝ vocab/DEPTH per append).
         tf_sat = (F.col("tf") * (_K1 + 1.0)) / (
             F.col("tf")
             + _K1 * (1.0 - _B + _B * F.col("dl") / F.lit(avgdl))
@@ -497,39 +637,63 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
             postings_delta.join(dl_delta, "doc_id")
             .groupBy("term")
             .agg(
-                F.count("*").cast("bigint").alias("d_df"),
-                F.max(tf_sat).alias("d_max"),
+                F.count("*").cast("bigint").alias("df"),
+                F.max(tf_sat).alias("max_impact"),
             )
+            .withColumn("avgdl_ref", F.lit(float(avgdl)))
         )
-        infl = max(1.0, avgdl / avgdl_old) if avgdl_old > 0 else 1.0
-        old_tm = spark.read.parquet(os.path.join(root, "term_meta"))
-        merged = (
-            old_tm.join(delta_tm, "term", "full_outer")
-            .select(
-                "term",
-                (
-                    F.coalesce(F.col("df"), F.lit(0))
-                    + F.coalesce(F.col("d_df"), F.lit(0))
-                ).cast("bigint").alias("df"),
-                F.greatest(
-                    F.coalesce(F.col("max_impact") * F.lit(infl), F.lit(0.0)),
-                    F.coalesce(F.col("d_max"), F.lit(0.0)),
-                ).alias("max_impact"),
+        tiers = _meta_tier_dirs(root)
+        if len(tiers) + 1 < _TEXT_META_FOLD_DEPTH:
+            # tier path: ∝ delta vocab only
+            import uuid as _uuid
+
+            tname = f"tier-{_uuid.uuid4().hex[:12]}"
+            delta_tm.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(staging, f"{tname}.term_meta")
             )
-        )
-        tm_build = os.path.join(staging, "term_meta")
-        merged.write.mode("overwrite").parquet(tm_build)
-        new_tm = spark.read.parquet(tm_build)
-        (
-            new_tm.select(
-                "term", "df", F.explode(_deletion_variants("term")).alias("var")
+            (
+                delta_tm.select(
+                    "term",
+                    "df",
+                    F.explode(_deletion_variants("term")).alias("var"),
+                )
+                .distinct()
+                .coalesce(1)
+                .sortWithinPartitions("var")
+                .write.mode("overwrite")
+                .parquet(os.path.join(staging, f"{tname}.term_variants"))
             )
-            .distinct()
-            .repartition(8, "var")
-            .sortWithinPartitions("var")
-            .write.mode("overwrite")
-            .parquet(os.path.join(staging, "term_variants"))
-        )
+        else:
+            # fold path: ONE merged rewrite absorbs base + tiers +
+            # delta (exact df sums; every bound inflated to the new
+            # avgdl and re-anchored at it — validity unchanged), and
+            # the apply drops the folded tiers
+            merged = _merged_term_meta_frame(
+                spark, root, extra=delta_tm, avgdl_now=float(avgdl)
+            )
+            tm_build = os.path.join(staging, "term_meta")
+            merged.write.mode("overwrite").parquet(tm_build)
+            new_tm = spark.read.parquet(tm_build)
+            (
+                new_tm.select(
+                    "term",
+                    "df",
+                    F.explode(_deletion_variants("term")).alias("var"),
+                )
+                .distinct()
+                .repartition(8, "var")
+                .sortWithinPartitions("var")
+                .write.mode("overwrite")
+                .parquet(os.path.join(staging, "term_variants"))
+            )
+            with open(os.path.join(staging, "_DROP_TIERS"), "w") as f:
+                f.write(
+                    "\n".join(
+                        os.path.relpath(t, root)
+                        for t in tiers
+                        + _variant_tier_dirs(root)
+                    )
+                )
         spark.createDataFrame(
             [(n_docs, avgdl, dl_sum)],
             schema="n_docs bigint, avgdl double, dl_sum bigint",
@@ -692,11 +856,13 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     # mtime_ns + size fingerprint (cache.source_tag): a fixture
     # regenerated within the same second as the prior build still gets
     # a fresh index (round-7 ADVICE). md5 keeps the dir name short.
-    # "v5" = index format version (postings + dl + stats(+dl_sum) +
-    # term_meta + positional postings + term deletion variants); bump
-    # whenever the artifact schema changes so an old on-disk index can
-    # never be read by newer code.
-    fp = hashlib.md5(f"v5|{source_tag(src)}".encode()).hexdigest()[:16]
+    # "v6" = index format version (postings + dl + stats(+dl_sum) +
+    # term_meta(+avgdl_ref — the per-generation WAND-bound anchor the
+    # tiered append's merged reader inflates from) + positional
+    # postings + term deletion variants); bump whenever the artifact
+    # schema changes so an old on-disk index can never be read by
+    # newer code.
+    fp = hashlib.md5(f"v6|{source_tag(src)}".encode()).hexdigest()[:16]
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp}"
     root = os.path.join(tempfile.gettempdir(), "cloudvectordb_textindex", tag)
     if os.path.exists(os.path.join(root, "_DONE")):
@@ -744,7 +910,7 @@ def ensure_sharded_text_index(
 
     src = os.path.join(sf_dir, "documents.parquet")
     fp = hashlib.md5(
-        f"v5|shards={n_shards}|{source_tag(src)}".encode()
+        f"v6|shards={n_shards}|{source_tag(src)}".encode()
     ).hexdigest()[:16]
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp}"
     root = os.path.join(tempfile.gettempdir(), "cloudvectordb_textindex", tag)
@@ -3448,7 +3614,9 @@ def sharded_bm25_topk_batch_paths(
                 spark.read.parquet(f"{p}/postings"),
                 spark.read.parquet(f"{p}/dl"),
                 spark.read.parquet(f"{p}/stats").collect()[0],
-                spark.read.parquet(f"{p}/term_meta"),
+                # merged tier view: exact df across base + delta-vocab
+                # tiers (tier-free roots return the raw base scan)
+                read_term_meta_merged(spark, p),
             )
         )
     return _sharded_bm25_from_frames(spark, shards, batch, k, concurrent)

@@ -353,6 +353,7 @@ def test_sharded_text_append_equals_rebuild(spark, sf_dir, tmp_path):
         _write_text_artifacts,
         append_sharded_text_artifacts,
         batch_topk_per_query,
+        read_term_meta_merged,
         text_shard_route,
     )
 
@@ -382,8 +383,10 @@ def test_sharded_text_append_equals_rebuild(spark, sf_dir, tmp_path):
         sb = spark.read.parquet(f"{reb_paths[s]}/stats").collect()[0]
         assert (int(sa.n_docs), int(sa.dl_sum)) == (int(sb.n_docs), int(sb.dl_sum))
         assert float(sa.avgdl) == float(sb.avgdl)  # bit-equal
-        tm_a = spark.read.parquet(f"{inc_paths[s]}/term_meta")
-        tm_b = spark.read.parquet(f"{reb_paths[s]}/term_meta")
+        # round 14: appends stage delta-vocab TIERS; the serving
+        # contract moved to the merged view (exact df, valid bounds)
+        tm_a = read_term_meta_merged(spark, inc_paths[s])
+        tm_b = read_term_meta_merged(spark, reb_paths[s])
         da, db = tm_a.select("term", "df"), tm_b.select("term", "df")
         assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
         # max_impact: appended bound must DOMINATE the rebuilt exact max
@@ -411,7 +414,7 @@ def test_sharded_text_append_equals_rebuild(spark, sf_dir, tmp_path):
             schema="query_id int, term string",
         )
         metas = [
-            spark.read.parquet(f"{p}/term_meta")
+            read_term_meta_merged(spark, p)
             .select("term", "df")
             .filter(F.col("term").isin(*terms))
             for p in paths

@@ -171,9 +171,22 @@ def _text_root(spark, sf_dir, tmp_path, name, hi=200):
 
 
 def _tree_fingerprint(spark, root) -> tuple:
+    from cloudvectordb_spark.operators.search import (
+        read_term_meta_merged,
+        read_term_variants_merged,
+    )
+
     parts = []
-    for art in ("postings", "positions", "dl", "term_meta", "term_variants"):
-        df = spark.read.parquet(os.path.join(root, art))
+    frames = [
+        spark.read.parquet(os.path.join(root, art))
+        for art in ("postings", "positions", "dl")
+    ] + [
+        # tiered artifacts compare through their MERGED serving views
+        # (tier dir names are uuids; content is the contract)
+        read_term_meta_merged(spark, root),
+        read_term_variants_merged(spark, root),
+    ]
+    for df in frames:
         h = df.select(F.xxhash64(*sorted(df.columns)).alias("h"))
         parts.append(h.select(F.expr("bit_xor(h)")).first()[0])
     srow = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
@@ -305,6 +318,90 @@ def test_text_reader_fence(spark, sf_dir, tmp_path):
         spark, [root], batch=sx._BATCH_QUERIES[:1], k=3
     )
     assert res.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# verdict #4: tiered term_meta / term_variants (∝ delta vocab appends)
+# ---------------------------------------------------------------------------
+def test_term_meta_tiered_append_and_fold(spark, sf_dir, tmp_path, monkeypatch):
+    """Each append stages a DELTA-VOCAB term_meta/term_variants tier —
+    the base is untouched (the r13 ∝-vocab rewrite is gone); the merged
+    view equals a rebuild on (term, df) exactly with max_impact a
+    dominating WAND bound; past _TEXT_META_FOLD_DEPTH the tiers fold
+    into one re-anchored base and the served results stay bit-equal."""
+    import cloudvectordb_spark.operators.search as sx
+    from cloudvectordb_spark.catalog import load
+    from cloudvectordb_spark.operators.search import (
+        _write_text_artifacts,
+        read_term_meta_merged,
+        read_term_variants_merged,
+    )
+
+    monkeypatch.setattr(sx, "_TEXT_META_FOLD_DEPTH", 3)
+    docs = load(spark, sf_dir, "documents")
+    inc = str(tmp_path / "inc")
+    _write_text_artifacts(spark, docs.filter(F.col("doc_id") < 200), inc)
+    reb = str(tmp_path / "reb")
+    _write_text_artifacts(spark, docs.filter(F.col("doc_id") < 260), reb)
+
+    def base_fp():
+        df = spark.read.parquet(os.path.join(inc, "term_meta"))
+        return df.select(
+            F.expr("bit_xor(xxhash64(term, df, max_impact))")
+        ).first()[0]
+
+    fp0 = base_fp()
+    # appends 1 and 2: tier path — base bit-untouched, one tier each,
+    # tier rows == the delta's distinct vocab (∝ delta, not corpus)
+    for i, (lo, hi) in enumerate([(200, 220), (220, 240)]):
+        delta = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        sx.append_text_artifacts(spark, delta, inc)
+        assert len(sx._meta_tier_dirs(inc)) == i + 1
+        assert len(sx._variant_tier_dirs(inc)) == i + 1
+        assert base_fp() == fp0, "tier append must not rewrite the base"
+        tier = spark.read.parquet(sx._meta_tier_dirs(inc)[-1])
+        n_delta_vocab = (
+            delta.select(
+                F.explode(sx.TX.tokens("text")).alias("t")
+            ).distinct().count()
+        )
+        assert tier.count() == n_delta_vocab
+
+    # append 3 crosses the (patched) fold depth: tiers fold into a
+    # fresh base, nothing tiered remains
+    delta3 = docs.filter((F.col("doc_id") >= 240) & (F.col("doc_id") < 260))
+    sx.append_text_artifacts(spark, delta3, inc)
+    assert sx._meta_tier_dirs(inc) == [] and sx._variant_tier_dirs(inc) == []
+    assert base_fp() != fp0  # the fold IS the amortized rewrite
+
+    # merged view == rebuild: df exact, variants exact, bounds dominate
+    ma, mb = read_term_meta_merged(spark, inc), read_term_meta_merged(spark, reb)
+    da, db = ma.select("term", "df"), mb.select("term", "df")
+    assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
+    va = read_term_variants_merged(spark, inc)
+    vb = read_term_variants_merged(spark, reb)
+    assert va.exceptAll(vb).count() == 0 and vb.exceptAll(va).count() == 0
+    viol = (
+        ma.alias("a").join(mb.alias("b"), "term")
+        .filter(F.col("a.max_impact") < F.col("b.max_impact") - 1e-12)
+        .count()
+    )
+    assert viol == 0, "merged max_impact must dominate the rebuilt bound"
+
+    # served batch: bit-identical to the rebuild through the mutable
+    # serving surface (which reads the merged view)
+    batch = sx._BATCH_QUERIES[:4]
+    a = {
+        tuple(r)
+        for r in sx.sharded_bm25_topk_batch_paths(spark, [inc], batch, 5)
+        .select("query_id", "doc_id", "bm25", "rank").collect()
+    }
+    b = {
+        tuple(r)
+        for r in sx.sharded_bm25_topk_batch_paths(spark, [reb], batch, 5)
+        .select("query_id", "doc_id", "bm25", "rank").collect()
+    }
+    assert a == b and len(a) > 0
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,7 @@ def ensure_sigs(spark, n: int) -> str:
     return root
 
 
-def probe_once(spark, sd: str, n: int, n_delta: int):
+def probe_once(spark, sd: str, n: int, n_delta: int, n_shards: int | None = None):
     from cloudvectordb_spark.operators.dedup import (
         minhash_pairs_between_sharded,
         minhash_pairs_between_state,
@@ -80,7 +80,7 @@ def probe_once(spark, sd: str, n: int, n_delta: int):
     from tools.append_probe import synthetic_delta
 
     state = corpus_sig_state(spark, sd, n_hint=n)
-    S = max(2, n // BASE_DOCS_PER_SHARD)
+    S = n_shards if n_shards else max(2, n // BASE_DOCS_PER_SHARD)
     sstate = sharded_sig_state(spark, sd, S, n_hint=n)
     delta = synthetic_delta(spark, n, n_delta).persist()
     delta.count()
@@ -109,14 +109,28 @@ def main() -> int:
     ap.add_argument("--sizes", default="1000000,2000000,4000000")
     ap.add_argument("--delta", type=int, default=10_000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--sd",
+        default=None,
+        help="probe an EXISTING sigs dir (e.g. the 10M e2e rehearsal's "
+        "dedup_state) instead of building synthetic states; pass the "
+        "corpus size via --sizes N so S and the delta ids line up",
+    )
+    ap.add_argument(
+        "--shards",
+        type=int,
+        default=None,
+        help="override S (default n // 500k) — decomposes per-leg "
+        "fixed job overhead from the range-pruned scan itself",
+    )
     args = ap.parse_args()
 
     spark = get_session("sigshard-probe")
     rows = []
     for n in (int(x) for x in args.sizes.split(",")):
-        root = ensure_sigs(spark, n)
+        root = args.sd if args.sd else ensure_sigs(spark, n)
         S, delta, sigs_delta, single, sharded = probe_once(
-            spark, f"{root}", n, args.delta
+            spark, f"{root}", n, args.delta, n_shards=args.shards
         )
         # warm both paths (state load + codegen), check parity once
         p_single, _ = single()
