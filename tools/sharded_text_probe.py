@@ -45,6 +45,20 @@ def main() -> int:
         help="delta docs for the incremental sharded append phase "
         "(round-13 verdict #3): append == rebuild equality + cost row",
     )
+    ap.add_argument(
+        "--no-rebuild-check", action="store_true",
+        help="skip the full-rebuild equality oracle for the append "
+        "(the 10k-delta run already pins it; a 1M-delta rebuild at 10M "
+        "doubles the probe wall for a second copy of the same proof)",
+    )
+    ap.add_argument(
+        "--serve-under-append", action="store_true",
+        help="round-14 verdict #3: serve batches concurrently with the "
+        "append and assert every batch is bit-equal to either the "
+        "pre-append or post-append reference (the reader fence makes "
+        "mid-apply states unobservable); records serve latencies "
+        "quiet vs busy",
+    )
     args = ap.parse_args()
 
     spark = get_session("sharded-text-probe")
@@ -133,39 +147,114 @@ def main() -> int:
         shutil.rmtree(f"{root}/appendable", ignore_errors=True)
         for sp, ip in zip(src_paths, inc_paths):
             shutil.copytree(sp, ip)
-        t0 = time.perf_counter()
-        res = append_sharded_text_artifacts(spark, inc_paths, delta)
-        out["append_delta"] = args.append
-        out["append_wall_s"] = round(time.perf_counter() - t0, 1)
-        out["append_docs_indexed"] = res["n_docs"]
 
-        reb_paths = [f"{root}/rebuilt/shard={s}" for s in range(args.shards)]
-        shutil.rmtree(f"{root}/rebuilt", ignore_errors=True)
-        route = text_shard_route(args.shards)
-        t0 = time.perf_counter()
-        for s in range(args.shards):
-            _write_text_artifacts(spark, docs_big.filter(route == s), reb_paths[s])
-        out["rebuild_wall_s"] = round(time.perf_counter() - t0, 1)
-        out["append_vs_rebuild_x"] = round(
-            out["rebuild_wall_s"] / max(0.1, out["append_wall_s"]), 1
-        )
+        if args.serve_under_append:
+            # reference: quiet pre-append serving (also the latency base)
+            import threading
 
-        a = {
-            tuple(r)
-            for r in sharded_bm25_topk_batch_paths(
-                spark, inc_paths, batch, args.topk
-            ).select("query_id", "doc_id", "bm25", "rank").collect()
-        }
-        b = {
-            tuple(r)
-            for r in sharded_bm25_topk_batch_paths(
-                spark, reb_paths, batch, args.topk
-            ).select("query_id", "doc_id", "bm25", "rank").collect()
-        }
-        assert a == b and len(a) > 0, (
-            f"appended fleet != rebuilt fleet: {len(a ^ b)} differing rows"
-        )
-        out["append_exact_match"] = True
+            def serve():
+                return sorted(
+                    tuple(r)
+                    for r in sharded_bm25_topk_batch_paths(
+                        spark, inc_paths, batch, args.topk
+                    ).select("query_id", "doc_id", "bm25", "rank").collect()
+                )
+
+            pre = serve()
+            quiet = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                serve()
+                quiet.append(time.perf_counter() - t0)
+            app_err: list = []
+
+            def run_append():
+                try:
+                    append_sharded_text_artifacts(spark, inc_paths, delta)
+                except Exception as exc:  # noqa: BLE001
+                    app_err.append(exc)
+
+            th = threading.Thread(target=run_append)
+            t_app = time.perf_counter()
+            th.start()
+            busy, mid_results = [], []
+            while th.is_alive():
+                t0 = time.perf_counter()
+                mid_results.append(serve())
+                busy.append(time.perf_counter() - t0)
+            th.join()
+            out["append_under_serve_wall_s"] = round(
+                time.perf_counter() - t_app, 1
+            )
+            if app_err:
+                raise app_err[0]
+            post = serve()
+            # Consistency model (per-shard atomicity, pytest-pinned in
+            # test_round14): each SHARD's tree flips atomically behind
+            # the reader fence, but the S shard appends commit
+            # independently — a merged batch may legitimately combine
+            # shard generations (the standard sharded-search reality;
+            # there is no cross-shard transaction). So: with S == 1
+            # every mid-append batch must be exactly pre or post; with
+            # S > 1 mixed-generation batches are counted, not failed.
+            states = set()
+            mixed = 0
+            for got in mid_results:
+                if got == pre:
+                    states.add("pre")
+                elif got == post:
+                    states.add("post")
+                elif args.shards == 1:
+                    raise AssertionError(
+                        "mid-append batch matched neither the pre- nor "
+                        "post-append tree — a torn read escaped the fence"
+                    )
+                else:
+                    mixed += 1
+                    states.add("mixed-shard-generations")
+            out["serve_mixed_generation_batches"] = mixed
+            out["serve_under_append_batches"] = len(busy)
+            out["serve_quiet_s"] = round(min(quiet), 2)
+            out["serve_busy_max_s"] = round(max(busy), 2) if busy else None
+            out["serve_states_observed"] = sorted(states)
+        else:
+            t0 = time.perf_counter()
+            res = append_sharded_text_artifacts(spark, inc_paths, delta)
+            out["append_delta"] = args.append
+            out["append_wall_s"] = round(time.perf_counter() - t0, 1)
+            out["append_docs_indexed"] = res["n_docs"]
+
+        if not args.no_rebuild_check:
+            reb_paths = [f"{root}/rebuilt/shard={s}" for s in range(args.shards)]
+            shutil.rmtree(f"{root}/rebuilt", ignore_errors=True)
+            route = text_shard_route(args.shards)
+            t0 = time.perf_counter()
+            for s in range(args.shards):
+                _write_text_artifacts(
+                    spark, docs_big.filter(route == s), reb_paths[s]
+                )
+            out["rebuild_wall_s"] = round(time.perf_counter() - t0, 1)
+            if "append_wall_s" in out:
+                out["append_vs_rebuild_x"] = round(
+                    out["rebuild_wall_s"] / max(0.1, out["append_wall_s"]), 1
+                )
+
+            a = {
+                tuple(r)
+                for r in sharded_bm25_topk_batch_paths(
+                    spark, inc_paths, batch, args.topk
+                ).select("query_id", "doc_id", "bm25", "rank").collect()
+            }
+            b = {
+                tuple(r)
+                for r in sharded_bm25_topk_batch_paths(
+                    spark, reb_paths, batch, args.topk
+                ).select("query_id", "doc_id", "bm25", "rank").collect()
+            }
+            assert a == b and len(a) > 0, (
+                f"appended fleet != rebuilt fleet: {len(a ^ b)} differing rows"
+            )
+            out["append_exact_match"] = True
 
     print(json.dumps(out))
     return 0
