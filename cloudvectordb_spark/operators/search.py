@@ -162,10 +162,15 @@ def _write_text_artifacts(spark: SparkSession, docs: DataFrame, build: str) -> N
     # avgdl bit-equal to the monolithic one.
     dl = grouped.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dl.write.mode("overwrite").parquet(os.path.join(build, "dl"))
+    # v6 adds max_doc_id: the O(1) freshness fence — an append whose
+    # delta ids all exceed it is provably clash-free without the
+    # corpus-sized dl semi-join (the fixed-cost floor the 10M text
+    # decade measured: 46 s for a 10k delta, mostly this scan)
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.sum("dl").cast("bigint").alias("dl_sum"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
     stats.write.mode("overwrite").parquet(os.path.join(build, "stats"))
     srow = stats.collect()[0]  # bounded: one row
@@ -579,23 +584,46 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
         recover_text_append(root)
         shutil.rmtree(staging, ignore_errors=True)  # rolled-back litter
         dl_delta = grouped.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        old_dl = spark.read.parquet(os.path.join(root, "dl"))
-        n_clash = old_dl.join(
-            docs.select("doc_id"), "doc_id", "left_semi"
-        ).count()
-        if n_clash:
-            raise ValueError(
-                f"append_text_artifacts requires fresh doc_ids; {n_clash} "
-                f"delta ids already exist in {root}/dl (a prior append "
-                "of this delta that crashed post-commit was rolled "
-                "forward — it IS ingested)"
-            )
         srow = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
         drow = dl_delta.agg(
-            F.count("*").alias("n"), F.sum("dl").alias("s")
+            F.count("*").alias("n"),
+            F.sum("dl").alias("s"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
         ).first()
+        # Freshness check, two tiers (round-14 — the 10M decade showed
+        # the append wall is FIXED-COST dominated, mostly this scan):
+        # when the stats row carries the maintained max_doc_id fence
+        # and every delta id sits above it, clash-freedom is PROVEN in
+        # O(1) — the common monotonic-id ingest stream skips the
+        # corpus-sized dl semi-join entirely. Non-monotonic deltas (or
+        # pre-fence trees) fall back to the exact scan, which also
+        # upgrades the tree: the new stats row records the true max.
+        fence = getattr(srow, "max_doc_id", None)
+        corpus_max = None
+        if fence is None or drow.lo is None or int(drow.lo) <= int(fence):
+            old_dl = spark.read.parquet(os.path.join(root, "dl"))
+            clash = old_dl.join(
+                docs.select("doc_id"), "doc_id", "left_semi"
+            ).agg(F.count("*").alias("n")).first()
+            if int(clash.n):
+                raise ValueError(
+                    f"append_text_artifacts requires fresh doc_ids; "
+                    f"{int(clash.n)} delta ids already exist in "
+                    f"{root}/dl (a prior append of this delta that "
+                    "crashed post-commit was rolled forward — it IS "
+                    "ingested)"
+                )
+            if fence is None:
+                corpus_max = int(
+                    old_dl.agg(F.max("doc_id").alias("mx")).first().mx or 0
+                )
         n_docs = int(srow.n_docs or 0) + int(drow.n or 0)
         dl_sum = int(srow.dl_sum or 0) + int(drow.s or 0)
+        max_doc_id = max(
+            int(fence) if fence is not None else (corpus_max or 0),
+            int(drow.hi) if drow.hi is not None else 0,
+        )
         avgdl_old = float(srow.avgdl or 0.0)
         avgdl = dl_sum / max(1, n_docs)
 
@@ -695,8 +723,9 @@ def append_text_artifacts(spark: SparkSession, docs: DataFrame, root: str) -> di
                     )
                 )
         spark.createDataFrame(
-            [(n_docs, avgdl, dl_sum)],
-            schema="n_docs bigint, avgdl double, dl_sum bigint",
+            [(n_docs, avgdl, dl_sum, max_doc_id)],
+            schema="n_docs bigint, avgdl double, dl_sum bigint, "
+            "max_doc_id bigint",
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(staging, "stats")
         )
@@ -856,13 +885,14 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     # mtime_ns + size fingerprint (cache.source_tag): a fixture
     # regenerated within the same second as the prior build still gets
     # a fresh index (round-7 ADVICE). md5 keeps the dir name short.
-    # "v6" = index format version (postings + dl + stats(+dl_sum) +
+    # "v7" = index format version (postings + dl + stats(+dl_sum,
+    # +max_doc_id — the O(1) append freshness fence) +
     # term_meta(+avgdl_ref — the per-generation WAND-bound anchor the
     # tiered append's merged reader inflates from) + positional
     # postings + term deletion variants); bump whenever the artifact
     # schema changes so an old on-disk index can never be read by
     # newer code.
-    fp = hashlib.md5(f"v6|{source_tag(src)}".encode()).hexdigest()[:16]
+    fp = hashlib.md5(f"v7|{source_tag(src)}".encode()).hexdigest()[:16]
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp}"
     root = os.path.join(tempfile.gettempdir(), "cloudvectordb_textindex", tag)
     if os.path.exists(os.path.join(root, "_DONE")):
@@ -910,7 +940,7 @@ def ensure_sharded_text_index(
 
     src = os.path.join(sf_dir, "documents.parquet")
     fp = hashlib.md5(
-        f"v6|shards={n_shards}|{source_tag(src)}".encode()
+        f"v7|shards={n_shards}|{source_tag(src)}".encode()
     ).hexdigest()[:16]
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp}"
     root = os.path.join(tempfile.gettempdir(), "cloudvectordb_textindex", tag)

@@ -405,6 +405,65 @@ def test_term_meta_tiered_append_and_fold(spark, sf_dir, tmp_path, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# round-14 cliff fix: O(1) doc_id freshness fence on text appends
+# ---------------------------------------------------------------------------
+def test_text_append_freshness_fence(spark, sf_dir, tmp_path, monkeypatch):
+    """stats carries max_doc_id (v7): a monotonic-id delta proves
+    clash-freedom in O(1) and SKIPS the corpus-sized dl semi-join (the
+    fixed-cost floor of the 10M text-decade append wall); clashing or
+    below-fence ids still fall back to the exact scan and raise; a
+    pre-fence tree (no max_doc_id) scans once and upgrades."""
+    import pyspark.sql.readwriter as rw
+
+    import cloudvectordb_spark.operators.search as sx
+    from cloudvectordb_spark.catalog import load
+
+    root, _ = _text_root(spark, sf_dir, tmp_path, "tf", hi=200)
+    docs = load(spark, sf_dir, "documents")
+
+    dl_reads = []
+    real_parquet = rw.DataFrameReader.parquet
+
+    def spying_parquet(self, *paths):
+        dl_reads.extend(p for p in paths if p.endswith(os.sep + "dl"))
+        return real_parquet(self, *paths)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spying_parquet)
+
+    # fresh monotonic delta: NO dl read (the fence proves freshness)
+    d1 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 220))
+    sx.append_text_artifacts(spark, d1, root)
+    assert dl_reads == [], "fenced append must not scan the dl artifact"
+    srow = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
+    assert int(srow.max_doc_id) == 219
+
+    # clashing delta: falls back to the exact scan and raises
+    with pytest.raises(ValueError, match="fresh doc_ids"):
+        sx.append_text_artifacts(spark, d1, root)
+    assert dl_reads, "below-fence ids must take the exact scan"
+
+    # pre-fence tree (legacy stats row): one exact scan, then upgraded
+    legacy = spark.createDataFrame(
+        [(int(srow.n_docs), float(srow.avgdl), int(srow.dl_sum))],
+        schema="n_docs bigint, avgdl double, dl_sum bigint",
+    )
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(root, "stats"))
+    legacy.coalesce(1).write.parquet(os.path.join(root, "stats"))
+    dl_reads.clear()
+    d2 = docs.filter((F.col("doc_id") >= 220) & (F.col("doc_id") < 240))
+    sx.append_text_artifacts(spark, d2, root)
+    assert dl_reads, "pre-fence tree must take the exact scan once"
+    srow2 = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
+    assert int(srow2.max_doc_id) == 239  # upgraded with the TRUE max
+    dl_reads.clear()
+    d3 = docs.filter((F.col("doc_id") >= 240) & (F.col("doc_id") < 260))
+    sx.append_text_artifacts(spark, d3, root)
+    assert dl_reads == []  # fenced again after the upgrade
+
+
+# ---------------------------------------------------------------------------
 # ADVICE low: post-meta-commit epoch re-check
 # ---------------------------------------------------------------------------
 def test_pipeline_meta_commit_recheck(spark, tmp_path, monkeypatch):
