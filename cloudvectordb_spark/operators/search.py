@@ -3652,6 +3652,107 @@ def sharded_bm25_topk_batch_paths(
     return _sharded_bm25_from_frames(spark, shards, batch, k, concurrent)
 
 
+def _ensure_tiered_text_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once: a MUTATED text root — corpus (doc_id < 400) built,
+    then the 400..499 delta INCREMENTALLY appended, leaving a real
+    delta-vocab term_meta/term_variants tier in place (the append is
+    below `_TEXT_META_FOLD_DEPTH`, so no fold hides it). Serving this
+    root exercises the full round-14 mutable-path stack — append
+    protocol, O(1) freshness fence, tiered merged view — under the
+    driver's value oracle, not just pytest."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cloudvectordb_spark.cache import build_lock, source_tag
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = hashlib.md5(
+        f"tiered-v7|{source_tag(src)}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), "cloudvectordb_texttier", fp
+    )
+    if os.path.exists(os.path.join(root, "_DONE")):
+        return root
+    with build_lock(root):
+        if os.path.exists(os.path.join(root, "_DONE")):
+            return root
+        docs = load(spark, sf_dir, "documents")
+        build = f"{root}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        _write_text_artifacts(
+            spark, docs.filter(F.col("doc_id") < 400), build
+        )
+        append_text_artifacts(
+            spark,
+            docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500)),
+            build,
+        )
+        open(os.path.join(build, "_DONE"), "w").close()
+        try:
+            os.rename(build, root)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    return root
+
+
+@query(
+    "bm25_batch_tiered_append",
+    # IDENTICAL scoring to bm25_batch_topk restricted to doc_id < 500:
+    # the served root is corpus(<400) + an INCREMENTAL append of
+    # 400..499, so exact stats/df algebra makes the appended tree's
+    # scores bit-equal to an index built over the union — DuckDB
+    # replays the union index directly. This puts the round-14 mutable
+    # stack (append protocol, freshness fence, tiered term_meta merged
+    # view) under the driver's value oracle on every round.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 500
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    {{qt}},
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+           WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_K1} + 1.0)
+               / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN qt USING (term)
+      JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, bm25,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM scored QUALIFY rank <= {_BATCH_K}
+    """.replace("{qt}", _batch_qt_sql()),
+    operators=("K2", "E4", "D1", "C2", "G1"),
+)
+def bm25_batch_tiered_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 mutable-path serving: batch BM25 over a root that was BUILT
+    at doc_id<400 and incrementally APPENDED to 500 — the term_meta
+    tier is live, so df comes through the tiered merged view and the
+    stats row through the exact append algebra. Value-identical to an
+    index built over the union corpus (the oracle)."""
+    root = _ensure_tiered_text_root(spark, sf_dir)
+    return sharded_bm25_topk_batch_paths(
+        spark, [root], _BATCH_QUERIES, _BATCH_K
+    ).select("query_id", "doc_id", "bm25", "rank")
+
+
 def _sharded_bm25_from_frames(
     spark: SparkSession,
     shards: list,
