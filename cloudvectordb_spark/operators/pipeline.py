@@ -816,6 +816,140 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_knn_fast(pruned, probes_local, k=10)
 
 
+def _ensure_l0_tiered_ivf(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once: an IVF index built over vec_id < 400 (the default
+    deterministic k=8 trainer), then vec_ids 400..499 appended through
+    the L0 path with FROZEN centroids — the tier stays live (far below
+    the fold budget), so searches against this root exercise the
+    base ∪ L0 union read surface. The round-14 driver-gated twin of
+    the text side's tiered root."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from cloudvectordb_spark.cache import build_lock, source_tag
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(
+        f"l0tier|{os.path.abspath(sf_dir)}|8|42|lloyd{_IVF_ROUNDS}"
+        f"|{source_tag(src)}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), "cloudvectordb_ivftier", tag)
+    marker = os.path.join(path, "_BUILT")
+    if os.path.exists(marker):
+        return path
+    with build_lock(path):
+        if os.path.exists(marker):
+            return path
+        build_dir = f"{path}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        emb = load(spark, sf_dir, "embeddings")
+        assigned, centroids = build_ivf_assignments(
+            emb.filter(F.col("vec_id") < 400), k=8, seed=42
+        )
+        write_ivf_index(assigned, centroids, build_dir)
+        append_to_ivf_index(
+            emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+            .select("vec_id", "embedding"),
+            build_dir,
+            l0=True,
+        )
+        with open(os.path.join(build_dir, "_BUILT"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(build_dir, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build_dir, ignore_errors=True)
+    return path
+
+
+_KM_D2_APP = _KM_D2.replace("e.v", "a.v")
+
+
+@query(
+    "ivf_l0_tier_search",
+    # The appended-index twin of ivf_topk_search: the trainer CTEs run
+    # over ONLY the base corpus (vec_id < 400); the appended rows are
+    # assigned by the same frozen-centroid argmin, and the search scans
+    # the UNION of cells and live L0 tier — so the serving read surface
+    # for mutated indexes (ivf_vectors_frame's base ∪ vectors_delta) is
+    # value-oracled by the driver every round, not just pytest.
+    oracle=f"""
+    WITH {_kmeans_cte_sql(k=8, seed=42, rounds=_IVF_ROUNDS,
+                          table="(SELECT * FROM embeddings WHERE vec_id < 400) base")},
+    app AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id >= 400 AND vec_id < 500
+    ),
+    app_assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_KM_D2_APP}, c.cid) AS rn
+        FROM app a, km_c{_IVF_ROUNDS} c
+      ) WHERE rn = 1
+    ),
+    all_assign AS (
+      SELECT vec_id, v, cid FROM km_assign
+      UNION ALL SELECT vec_id, v, cid FROM app_assign
+    ),
+    probe_cells AS (
+      SELECT DISTINCT cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_KM_D2}, c.cid) AS rn
+        FROM km_emb e, km_c{_IVF_ROUNDS} c WHERE e.vec_id < 3
+      ) WHERE rn <= 2
+    ),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM km_emb WHERE vec_id < 3),
+    scored AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.v, p.pv), 6) AS score
+      FROM all_assign a, p
+      WHERE a.cid IN (SELECT cid FROM probe_cells)
+        AND a.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    operators=("K8", "K9", "E4", "G1"),
+)
+def ivf_l0_tier_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8/K9 mutable-path serving: batch ANN over an index BUILT at
+    vec_id<400 then L0-APPENDED to 500 — candidates come from the
+    partitioned cells AND the live delta tier through the single
+    ``ivf_vectors_frame`` union surface, pruned by the same literal
+    cell filter (partition dirs on the base leg, a bounded small-file
+    scan on the tier leg). Value-identical to an index whose cells
+    held the union all along (frozen-centroid assignment is per-row)."""
+    from cloudvectordb_spark.operators.kmeans_det import nearest_cells_py
+    from cloudvectordb_spark.operators.vector_ops import exact_knn_fast
+
+    path = _ensure_l0_tiered_ivf(spark, sf_dir)
+    vectors = ivf_vectors_frame(spark, path)
+    cents = index_centroids(spark, path)
+    probe_rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cell_ids = sorted(
+        {c for r in probe_rows for c in nearest_cells_py(r.embedding, cents, 2)}
+    )
+    probes_local = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in probe_rows],
+        schema="vec_id long, embedding array<float>",
+    )
+    pruned = vectors.filter(F.col("centroid_id").isin(cell_ids))
+    return exact_knn_fast(pruned, probes_local, k=10)
+
+
 def ivf_batch_search_strict(
     spark: SparkSession,
     vectors: DataFrame,
