@@ -34,6 +34,13 @@ SERVING = [
     "postings_tier_compaction",
     "index_delete_compaction",
     "fuzzy_term_search",
+    # round 14: the MUTATED-index serving paths — a text root with a
+    # live term_meta tier and an IVF root with a live L0 tier — so a
+    # regression in the merged-view / union-scan read surfaces gates
+    # perf like the immutable paths do (adds ~2 queries to the group
+    # sum vs r13 artifacts; compare per-query across rounds)
+    "bm25_batch_tiered_append",
+    "ivf_l0_tier_search",
 ]
 
 
