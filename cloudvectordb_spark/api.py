@@ -1211,6 +1211,7 @@ class CorpusPipeline:
         lease: int | None = None,
         safe: bool = False,
         verify: str = "fast",
+        sig_shards: int = 1,
     ) -> dict:
         """Incremental append for a run_sharded() fleet: ONE global
         delta dedup against the state on the primary shard (the same
@@ -1241,6 +1242,7 @@ class CorpusPipeline:
                 encoder=encoder,
                 lease=lease,
                 verify=verify,
+                sig_shards=sig_shards,
             )
 
         if safe:
@@ -1256,6 +1258,7 @@ class CorpusPipeline:
         lease: int | None = None,
         safe: bool = False,
         verify: str = "fast",
+        sig_shards: int = 1,
     ) -> dict:
         """Incremental S1→S4 over a NEW batch of docs, cost ∝ delta
         (round-10 verdict #7): the delta is near-dup-deduped within
@@ -1327,6 +1330,7 @@ class CorpusPipeline:
                 encoder=encoder,
                 lease=lease,
                 verify=verify,
+                sig_shards=sig_shards,
             )
 
         if safe:
@@ -1342,6 +1346,7 @@ class CorpusPipeline:
         encoder,
         lease: int | None,
         verify: str = "fast",
+        sig_shards: int = 1,
     ) -> dict:
         import hashlib
         import os
@@ -1456,8 +1461,28 @@ class CorpusPipeline:
             # while it is broadcast-SIZED (each delta doc is ~4 band
             # rows + one 8-slot sig); past the cap the join falls back
             # to symmetric shuffles — results identical either way
-            cross = (
-                minhash_pairs_between_state(
+            # sig_shards > 1 opts the corpus probe into the
+            # scatter-gather fleet path (round 14): S bucket-range legs
+            # each range-prune to ~state/S rows — pair-set identical to
+            # the single-state probe (pytest-pinned), so the dedup
+            # semantics are unchanged; on one box prefer the default
+            # (the warm full scan beats S-way job overhead — measured,
+            # BASELINE.md round-14 sig-shard table).
+            if sig_shards > 1:
+                from cloudvectordb_spark.operators.dedup import (
+                    minhash_pairs_between_sharded,
+                )
+                from cloudvectordb_spark.operators.sigstate import (
+                    ShardedSigState,
+                )
+
+                probe_pairs = minhash_pairs_between_sharded(
+                    sigs_delta,
+                    ShardedSigState(state, sig_shards),
+                    stats=probe_stats,
+                )
+            else:
+                probe_pairs = minhash_pairs_between_state(
                     sigs_delta,
                     state,
                     broadcast_new=n_delta
@@ -1465,6 +1490,8 @@ class CorpusPipeline:
                     n_new=n_delta,
                     stats=probe_stats,
                 )
+            cross = (
+                probe_pairs
                 .filter(F.col("est_jaccard") >= tau)
                 .join(labels, F.col("corpus_id") == labels.doc_id, "left")
                 .select(

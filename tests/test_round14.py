@@ -564,6 +564,44 @@ def test_sharded_sig_state_parity(spark, tmp_path):
         )
 
 
+def test_append_with_sig_shards_matches_default(spark, tmp_path):
+    """CorpusPipeline.append(sig_shards=S) routes the corpus probe
+    through the scatter-gather fleet path; dedup decisions and the
+    final indexed set are IDENTICAL to the default single-state probe
+    (the pair-set parity theorem, end to end through the pipeline)."""
+    from cloudvectordb_spark.api import CorpusPipeline
+
+    rows = [(i, _uniq(f"u{i}")) for i in range(16)]
+    for name in ("a", "b"):
+        CorpusPipeline.run(
+            spark, _mk_docs(spark, rows), str(tmp_path / name), tau=0.25
+        )
+    delta_rows = [
+        (100, _perturb(_uniq("u3"))),
+        (101, _perturb(_uniq("u7"))),
+        (102, _uniq("x102")),
+        (103, _perturb(_uniq("u3"))),
+    ]
+    ra = CorpusPipeline.append(
+        spark, str(tmp_path / "a"), _mk_docs(spark, delta_rows)
+    )
+    rb = CorpusPipeline.append(
+        spark, str(tmp_path / "b"), _mk_docs(spark, delta_rows),
+        sig_shards=4,
+    )
+    for key in ("delta", "survivors", "removed", "demoted", "indexed"):
+        assert ra[key] == rb[key], f"{key} diverged under sig_shards=4"
+    va = {
+        int(r.vec_id)
+        for r in ra["index"].vectors.select("vec_id").collect()
+    }
+    vb = {
+        int(r.vec_id)
+        for r in rb["index"].vectors.select("vec_id").collect()
+    }
+    assert va == vb
+
+
 # ---------------------------------------------------------------------------
 # verdict #6: COVERAGE.md staleness gate
 # ---------------------------------------------------------------------------
