@@ -23,24 +23,18 @@ from cloudvectordb_spark.session import get_session
 # maintenance — so regressions there gate perf like the r1 headline set
 # does. Timed identically; reported under "serving" and NOT folded into
 # the headline total (BASELINE.md carries the committed per-query
-# numbers). Module-level so tools/plan_audit.py audits the same set.
-SERVING = [
-    "bm25_batch_topk",
-    "bm25_batch_pruned",
-    "bm25_batch_adaptive",
-    "hybrid_rrf_batch",
-    "ivf_strict_nprobe_search",
-    "incremental_ingest_e2e",
-    "postings_tier_compaction",
-    "index_delete_compaction",
-    "fuzzy_term_search",
-    # round 14: the MUTATED-index serving paths — a text root with a
-    # live term_meta tier and an IVF root with a live L0 tier — so a
-    # regression in the merged-view / union-scan read surfaces gates
-    # perf like the immutable paths do (adds ~2 queries to the group
-    # sum vs r13 artifacts; compare per-query across rounds)
-    "bm25_batch_tiered_append",
-    "ivf_l0_tier_search",
+# numbers). The list itself lives in registry.py (round-14 verdict #2:
+# the driver's correctness window must include it too); re-exported here
+# so tools/plan_audit.py and existing imports keep working.
+from cloudvectordb_spark.registry import SERVING  # noqa: F401
+
+# The serving subtotal comparable across rounds r8–r13 (before the two
+# r14 mutated-index additions) — emitted as serving_core_seconds so the
+# cross-round trend line doesn't conflate group growth with regression
+# (round-14 verdict nit #4).
+SERVING_CORE = [
+    n for n in SERVING
+    if n not in ("bm25_batch_tiered_append", "ivf_l0_tier_search")
 ]
 
 
@@ -152,6 +146,47 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    detail, out = build_output(timings, serving, spreads, errors, runs, sf, load0)
+    if not out["valid"]:
+        print(
+            f"bench reading is LOAD-SKEWED ({out['invalid_reason']}) — "
+            "re-run on an idle box before committing",
+            file=sys.stderr,
+        )
+    # Full per-query spread dict on an EARLIER stdout line: the driver
+    # captures only the last ~2000 chars of stdout and parses the FINAL
+    # JSON line, so detail that is allowed to scale with query count must
+    # never ride on the machine-readable line (round-14 verdict #1:
+    # BENCH_r14.json was parsed:null because the spread dict pushed the
+    # final line to 2124 chars). tests/test_bench_output.py pins the
+    # final line under FINAL_LINE_BUDGET.
+    print(json.dumps(detail))
+    print(json.dumps(out))
+
+
+# The driver's tail capture is 2000 chars; keep headroom for per-query
+# timing digits growing (e.g. 9.999 -> 12.345) and an occasional short
+# errors entry. tests/test_bench_output.py builds the dict from the LIVE
+# registry and asserts the emitted final line stays under this.
+FINAL_LINE_BUDGET = 1800
+
+
+def build_output(
+    timings: dict[str, float],
+    serving: dict[str, float],
+    spreads: dict[str, float],
+    errors: dict[str, str],
+    runs: int,
+    sf: float,
+    load0: tuple[float, int],
+) -> tuple[dict, dict]:
+    """Build the (detail_line, final_machine_line) pair.
+
+    The FINAL line is the one the driver parses and must stay compact
+    (< FINAL_LINE_BUDGET chars): per-query medians, group subtotals, the
+    spread SUMMARY (sum + the single widest query), stat/runs/sf/load/
+    valid. The detail line carries the full per-query spread dict.
+    """
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_seconds",
@@ -160,7 +195,10 @@ def main() -> None:
         "queries": timings,
         "serving": serving,
         "serving_seconds": round(sum(serving.values()), 3),
-        "spread": spreads,
+        # subtotal over the r8–r13-comparable subset (round-14 nit #4)
+        "serving_core_seconds": round(
+            sum(serving.get(n, 0.0) for n in SERVING_CORE), 3
+        ),
         "spread_seconds": round(sum(spreads.values()), 3),
         "stat": "median" if runs > 1 else "single",
         "runs": runs,
@@ -172,6 +210,9 @@ def main() -> None:
         # timings per BASELINE.md "Reading bench numbers under load".
         "load": _load_indicator(load0),
     }
+    if spreads:
+        worst = max(spreads, key=lambda n: spreads[n])
+        out["spread_max"] = {worst: spreads[worst]}
     # validity gate (round-12 verdict #6): the artifact itself declares
     # whether its own load line passes the repo's reading rule — a
     # consumer (or the builder about to commit BENCH_r{N}.json) must
@@ -181,20 +222,14 @@ def main() -> None:
     if procs_start > 0:
         reasons.append(f"java_procs_start={procs_start} (another JVM on the box)")
     if la_start > _LOAD_VALID_MAX:
-        reasons.append(
-            f"loadavg_1m_start={la_start} > {_LOAD_VALID_MAX}"
-        )
+        reasons.append(f"loadavg_1m_start={la_start} > {_LOAD_VALID_MAX}")
     out["valid"] = not reasons
     if reasons:
         out["invalid_reason"] = "; ".join(reasons)
-        print(
-            f"bench reading is LOAD-SKEWED ({out['invalid_reason']}) — "
-            "re-run on an idle box before committing",
-            file=sys.stderr,
-        )
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    detail = {"metric": "per_query_spread_seconds", "spread": spreads}
+    return detail, out
 
 
 def _count_java_procs() -> int:

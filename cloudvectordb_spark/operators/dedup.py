@@ -766,7 +766,9 @@ _MINHASH_LIM = 200
     JOIN mhp mb ON mb.doc_id = c.b_id AND mb.p = ma.p
     GROUP BY c.a_id, c.b_id
     """,
-    operators=("G5", "H4", "C1", "D1"),
+    # C9: the candidate stage is a self-join pairing — `banded` aliased
+    # a/b, equi-joined on (band, key) with a_id < b_id ordering.
+    operators=("G5", "H4", "C1", "D1", "C9"),
 )
 def minhash_banded_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _MINHASH_LIM)

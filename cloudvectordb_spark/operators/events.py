@@ -1965,6 +1965,19 @@ def asof_signup_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("A5", "J5", "G4", "J4"),
 )
 def streaming_union_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sunk = _dedup_roundtrip_sunk(spark, sf_dir)
+    return sunk.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _dedup_roundtrip_sunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The union-doubled → dedup-within-watermark → parquet-sink stream
+    (see the roundtrip note above), returned as the SUNK batch frame.
+    Checkpoint root is source-fingerprint-keyed, so the two queries
+    reading it (roundtrip summary + the sliding/stateful combo below)
+    run the stream once per fixture generation."""
     import hashlib
     import os
     import tempfile
@@ -1990,10 +2003,109 @@ def streaming_union_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         os.path.join(root, "out"),
         os.path.join(root, "ckpt"),
     )
-    sunk = spark.read.parquet(os.path.join(root, "out"))
-    return sunk.groupBy("event_type").agg(
+    return spark.read.parquet(os.path.join(root, "out"))
+
+
+# ---------------------------------------------------------------------------
+# The full streaming lifecycle in ONE query (round 15): the union-doubled
+# stream dedup-sinks exactly one copy per event_id (A5 readStream, J4
+# watermark, J5 dropDuplicatesWithinWatermark, G4 exact dedup), then the
+# SUNK output serves two downstream shapes — a 10m/5m sliding-window
+# census per event type (J2: each event lands in exactly two windows)
+# and a per-user stateful peak-exposure fold (J6 batch twin via L3
+# applyInPandas: max prefix sum over time-ordered values — the running
+# state a streaming per-key processor would carry; kernel shape matches
+# user_running_total_grouped_map / streaming.jobs.running_user_totals_
+# stream). Output grain: event_type, with the order-free global state
+# summary (n_users exact, max peak — no cross-user float sum) repeated
+# via a 1-row BNLJ. The oracle replays dedup as the raw table (the
+# 90-day watermark exceeds the fixture span, so the stream provably
+# re-emits exactly the source — pinned by streaming_union_dedup_
+# roundtrip) and the stateful fold as a frame-bounded window max.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_dedup_sliding_stateful_e2e",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws,
+             event_type
+      FROM events
+    ),
+    sw AS (
+      SELECT event_type, CAST(count(DISTINCT ws) AS BIGINT) AS n_windows_10m
+      FROM slid GROUP BY event_type
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2)     AS sum_value
+      FROM events GROUP BY event_type
+    ),
+    run AS (
+      SELECT user_id,
+             round(sum(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING), 2) AS rv
+      FROM events
+    ),
+    peak AS (SELECT user_id, max(rv) AS peak FROM run GROUP BY user_id),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             round(max(peak), 2)      AS max_user_peak
+      FROM peak
+    )
+    SELECT b.event_type, b.n, b.sum_value, sw.n_windows_10m,
+           st.n_users, st.max_user_peak
+    FROM base b JOIN sw USING (event_type) CROSS JOIN st
+    """,
+    operators=("A5", "J2", "J4", "J5", "J6", "G4", "L3", "D1"),
+)
+def streaming_dedup_sliding_stateful_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    sunk = _dedup_roundtrip_sunk(spark, sf_dir)
+
+    base = sunk.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    sw = (
+        sunk.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("_n"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_windows_10m"))
+    )
+
+    def peak_state(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the per-key state fold a streaming processor would run: walk
+        # events in time order carrying (running, peak) — emitted once
+        # per key at end-of-stream. cumsum rounded at 2dp exactly like
+        # the oracle's frame sum (same sequential order ⇒ same float).
+        pdf = pdf.sort_values(["ts", "event_id"])
+        rv = pdf["value"].cumsum().round(2)
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "peak": [rv.max()]}
+        )
+
+    peaks = (
+        sunk.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(peak_state, "user_id bigint, peak double")
+    )
+    st = peaks.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.max("peak"), 2).alias("max_user_peak"),
+    )
+    return base.join(sw, "event_type").crossJoin(st).select(
+        "event_type", "n", "sum_value", "n_windows_10m",
+        "n_users", "max_user_peak",
     )
 
 

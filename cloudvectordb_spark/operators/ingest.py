@@ -148,7 +148,13 @@ def _ingest_oracle() -> str:
 @query(
     "incremental_ingest_e2e",
     oracle=_ingest_oracle(),
-    operators=("H4", "C5", "K5", "K9", "K2", "G4", "D1"),
+    # D2: the per-stage counts are global (no-groupBy) aggregates;
+    # B4: the postings builder prunes terms with .isin(*_TERMS);
+    # G3: the merge==rebuild invariant is exceptAll in BOTH directions;
+    # K1: TX.tokens tokenizes the survivors for the postings stage.
+    operators=(
+        "H4", "C5", "K5", "K9", "K2", "G4", "D1", "D2", "B4", "G3", "K1",
+    ),
 )
 def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudvectordb_spark.operators.kmeans_det import assign_cells
@@ -971,7 +977,10 @@ def compact_postings_shards(shards: list[DataFrame]) -> DataFrame:
       (SELECT CAST(sum(tf) AS BIGINT) FROM serving) AS serving_total_tf,
       (SELECT n FROM mism) = 0                      AS tiered_equals_rebuild
     """,
-    operators=("G1", "D1", "C3", "H4", "K2"),
+    # B6: the tiered==rebuild gate is NULL handling in anger — a full-
+    # outer join compared with null-safe equality (~(tf_s <=> tf_r)),
+    # the engine twin of the oracle's IS DISTINCT FROM.
+    operators=("G1", "D1", "C3", "H4", "K2", "B6"),
 )
 def postings_tier_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row proof that LSM shard tiering is invisible to the text

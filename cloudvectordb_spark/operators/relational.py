@@ -42,7 +42,9 @@ from cloudvectordb_spark.registry import query
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
-    operators=("D1", "B2", "H6"),
+    # A1: this is the flagship pushed-filter parquet scan (plan audit
+    # pins PushedFilters on l_shipdate + pruned ReadSchema).
+    operators=("D1", "B2", "H6", "A1"),
     bench=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

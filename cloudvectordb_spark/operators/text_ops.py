@@ -34,7 +34,8 @@ _STOPLIST_SQL = "['" + "', '".join(TX.STOPWORDS) + "']"
     FROM documents
     GROUP BY lang
     """,
-    operators=("K2", "H1", "D1"),
+    # K1: TX.token_count is the whitespace tokenizer applied per doc.
+    operators=("K2", "H1", "D1", "K1"),
     bench=True,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

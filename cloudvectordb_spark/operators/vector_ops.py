@@ -78,7 +78,9 @@ def exact_knn(
       FROM scored
     ) WHERE rank <= 10
     """,
-    operators=("K8", "K7", "E4", "C10", "C2"),
+    # C7: exact_knn IS the bounded cross join (corpus.crossJoin(
+    # broadcast(probes)) — the oracle's `FROM embeddings e, p` twin).
+    operators=("K8", "K7", "E4", "C10", "C2", "C7"),
     bench=True,
 )
 def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

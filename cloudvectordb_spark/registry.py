@@ -51,20 +51,54 @@ def query(
 # therefore load-bearing: the first window must be a covering set.
 DRIVER_SAMPLE = 50
 
+# Serving/maintenance bench group (round-8 verdict #6; round-14 verdict
+# next-round #2): batched text + ANN serving, hybrid fusion, incremental
+# index maintenance, and the MUTATED-index read surfaces. Lives here (not
+# bench.py) so ``_priority_order`` can pull these inside the driver's
+# first-DRIVER_SAMPLE correctness window — the driver both TIMES them
+# (bench.py re-exports this list) and VALUE-CHECKS them every round.
+SERVING = [
+    "bm25_batch_topk",
+    "bm25_batch_pruned",
+    "bm25_batch_adaptive",
+    "hybrid_rrf_batch",
+    "ivf_strict_nprobe_search",
+    "incremental_ingest_e2e",
+    "postings_tier_compaction",
+    "index_delete_compaction",
+    "fuzzy_term_search",
+    # round 14: the MUTATED-index serving paths — a text root with a
+    # live term_meta tier and an IVF root with a live L0 tier — so a
+    # regression in the merged-view / union-scan read surfaces gates
+    # perf like the immutable paths do (adds ~2 queries to the group
+    # sum vs r13 artifacts; compare per-query across rounds)
+    "bm25_batch_tiered_append",
+    "ivf_l0_tier_search",
+]
+
+# Non-bench queries that must nonetheless sit inside the driver's
+# correctness window: the sharded sig-state probe is the third
+# mutation-surface query (round-14 verdict #2) — not timed per-round
+# (its cost rides minhash family numbers in BASELINE.md) but its value
+# oracle must gate every round like the other two.
+WINDOW_PINNED = frozenset(SERVING) | {"minhash_sharded_state_pairs"}
+
 
 def _priority_order(reg: dict[str, QuerySpec]) -> list[str]:
     """Order queries so the driver's first-``DRIVER_SAMPLE`` window covers
-    every SURVEY §2 operator ID and every bench query.
+    every SURVEY §2 operator ID, every bench query, AND every serving-
+    group query (round-14 verdict #2: the mutation-surface queries were
+    timed by the driver but sat outside its 50-query correctness window).
 
-    Deterministic given the registry: bench queries first, then a greedy
-    set-cover over the remaining operator IDs (most-new-IDs wins, oracle-
-    backed breaks ties), then redundancy elimination, then all remaining
-    oracle-backed queries, then rows-only demos last.
+    Deterministic given the registry: bench + serving queries first, then
+    a greedy set-cover over the remaining operator IDs (most-new-IDs
+    wins, oracle-backed breaks ties), then redundancy elimination, then
+    all remaining oracle-backed queries, then rows-only demos last.
     ``tests/test_registry.py`` asserts the covering invariant so a future
     registration can't silently push an operator ID out of the window.
     """
     all_ids = {op for s in reg.values() for op in s.operators}
-    bench = [n for n, s in reg.items() if s.bench]
+    bench = [n for n, s in reg.items() if s.bench or n in WINDOW_PINNED]
     chosen = list(bench)
     covered = {op for n in chosen for op in reg[n].operators}
     while not all_ids <= covered:

@@ -24,6 +24,26 @@ def test_first_window_contains_every_bench_query():
     assert not missing, f"bench queries outside driver window: {missing}"
 
 
+def test_first_window_contains_every_serving_query():
+    # Round-14 verdict #2: the mutation-surface serving queries
+    # (ivf_l0_tier_search, bm25_batch_tiered_append, ...) were timed by
+    # the driver's bench but sat outside its 50-query correctness window.
+    # The serving group is now pinned ahead of the set-cover picks so the
+    # driver VALUE-checks the mutable read surfaces every round.
+    from cloudvectordb_spark.registry import WINDOW_PINNED
+
+    qs = all_queries()
+    first = set(list(qs)[:DRIVER_SAMPLE])
+    missing = [n for n in sorted(WINDOW_PINNED) if n not in first]
+    assert not missing, f"pinned queries outside driver window: {missing}"
+    for name in (
+        "ivf_l0_tier_search",
+        "bm25_batch_tiered_append",
+        "minhash_sharded_state_pairs",
+    ):
+        assert name in WINDOW_PINNED, f"{name} must stay window-pinned"
+
+
 def test_window_prefers_oracle_backed_queries():
     # Rows-only queries may sit in the window only if they are bench queries
     # or the sole cover for some operator ID; everything else oracle-first.
