@@ -2322,20 +2322,43 @@ def fold_l0_tier(spark: SparkSession, index_path: str) -> int:
         except OSError:
             pass
         return 0
-    rows = spark.read.parquet(staging)
-    n = rows.count()
-    base_t = dict(spark.read.parquet(f"{index_path}/vectors").dtypes)[
-        "centroid_id"
-    ]
-    (
-        rows.withColumn("centroid_id", F.col("centroid_id").cast(base_t))
-        .repartition("centroid_id")
-        .write.mode("append")
-        .partitionBy("centroid_id")
-        .parquet(f"{index_path}/vectors")
-    )
-    with open(os.path.join(staging, "_COMMITTED"), "w") as f:
-        f.write("folded")
+    try:
+        rows = spark.read.parquet(staging)
+        n = rows.count()
+        base_t = dict(spark.read.parquet(f"{index_path}/vectors").dtypes)[
+            "centroid_id"
+        ]
+        (
+            rows.withColumn("centroid_id", F.col("centroid_id").cast(base_t))
+            .repartition("centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{index_path}/vectors")
+        )
+        with open(os.path.join(staging, "_COMMITTED"), "w") as f:
+            f.write("folded")
+    except BaseException:
+        # round-14 ADVICE (high): a failure here — job error, OOM,
+        # cancellation — in a still-RUNNING process used to strand the
+        # staging dir behind a live-pid _FOLD_OWNER: recover_l0_fold
+        # reported "in-flight" forever and the tier's rows vanished from
+        # the ivf_vectors_frame serving union for the process lifetime.
+        # Release our claim and heal in-line: the recovery audit restores
+        # the tier to vectors_delta, first surgically removing any rows
+        # the failed write already committed to cells, so readers never
+        # lose and never double-count. Then re-raise the original error.
+        try:
+            os.unlink(os.path.join(staging, "_FOLD_OWNER"))
+        except OSError:
+            pass
+        try:
+            recover_l0_fold(spark, index_path)
+        except Exception:
+            # best-effort: with the claim released, the NEXT append or
+            # frame build heals this staging dir even if the in-line
+            # attempt also failed (e.g. the executor pool is gone)
+            pass
+        raise
     shutil.rmtree(staging)
     return n
 
