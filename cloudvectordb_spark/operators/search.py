@@ -336,21 +336,25 @@ def _merged_term_meta_frame(
     ).withColumn("avgdl_ref", F.lit(avgdl_now))
 
 
-def read_term_meta_merged(spark: SparkSession, root: str) -> DataFrame:
+def read_term_meta_merged(
+    spark: SparkSession, root: str, avgdl_now: float | None = None
+) -> DataFrame:
     """(term, df, max_impact) — the SERVING view of a tiered text root
     (round-14 verdict #4): base + delta-vocab tiers merged by exact df
     addition, WAND bounds inflated per generation to the current
     avgdl. A tier-free root (the immutable fixture trees, or right
     after a fold) returns the base scan unchanged, so the merged read
     costs nothing until tiers exist; term filters push into every leg
-    (Catalyst pushes the IN-list through union and partial-agg)."""
+    (Catalyst pushes the IN-list through union and partial-agg).
+    Callers that already hold the root's stats row pass ``avgdl_now``
+    to skip the merged view's own one-row stats job (round 15)."""
     import os
 
     if not _meta_tier_dirs(root):
         return spark.read.parquet(os.path.join(root, "term_meta")).select(
             "term", "df", "max_impact"
         )
-    return _merged_term_meta_frame(spark, root).select(
+    return _merged_term_meta_frame(spark, root, avgdl_now=avgdl_now).select(
         "term", "df", "max_impact"
     )
 
@@ -3888,14 +3892,19 @@ def sharded_bm25_topk_batch_paths(
     shards = []
     for p in shard_paths:
         _await_stable_text_root(p)
+        srow = spark.read.parquet(f"{p}/stats").collect()[0]
         shards.append(
             (
                 spark.read.parquet(f"{p}/postings"),
                 spark.read.parquet(f"{p}/dl"),
-                spark.read.parquet(f"{p}/stats").collect()[0],
+                srow,
                 # merged tier view: exact df across base + delta-vocab
-                # tiers (tier-free roots return the raw base scan)
-                read_term_meta_merged(spark, p),
+                # tiers (tier-free roots return the raw base scan);
+                # the stats row already in hand skips the view's own
+                # one-row avgdl job (round 15)
+                read_term_meta_merged(
+                    spark, p, avgdl_now=float(srow.avgdl or 0.0)
+                ),
             )
         )
     return _sharded_bm25_from_frames(spark, shards, batch, k, concurrent)
@@ -4031,6 +4040,27 @@ def _sharded_bm25_from_frames(
     u = metas[0]
     for m in metas[1:]:
         u = u.unionByName(m)
+
+    # Single-shard fast path (round 15): with S=1 the shard-local top-k
+    # IS the global top-k (same ordering keys), so the scatter-gather
+    # collect + local-relation re-window is pure overhead — serve the
+    # whole thing as ONE lazy plan: the vocab-pruned meta frame rides
+    # the plan as the broadcast side (same ≤ |terms| rows, same df
+    # integers — S=1 needs no cross-shard summing) and the one scoring
+    # job replaces a df-merge collect, a per-shard top-k collect, and a
+    # local-relation re-window. Bit-identical: the gather path's
+    # float(r.bm25) driver round-trip is exact for doubles and the
+    # re-window re-derives the same rank.
+    if len(shards) == 1:
+        postings, dl, _, _ = shards[0]
+        tf = postings.filter(F.col("term").isin(*all_terms))
+        scored = _batch_scoring_join(tf, qt_local, dl, stats_local, u)
+        return (
+            batch_topk_per_query(scored, k)
+            .withColumn("shard", F.lit(0).cast("int"))
+            .select("query_id", "doc_id", "bm25", "shard", "rank")
+        )
+
     df_rows = [
         (r.term, r.df)
         for r in u.groupBy("term").agg(F.sum("df").alias("df")).collect()
@@ -4520,7 +4550,19 @@ def bm25_batch_pruned_scores(
     k: int = _BATCH_K,
 ) -> tuple[DataFrame, DataFrame]:
     """(survivor (query, doc, term) pairs, exact-scored survivors) —
-    split like _bm25_pruned_parts so tests can count scored pairs."""
+    split like _bm25_pruned_parts so tests can count scored pairs.
+
+    Round-15 restructure: the original fully-lazy formulation nested
+    exact_scores(tagged ⨝ cand) inside theta inside survivors inside the
+    final exact_scores, and each exact_scores referenced its input three
+    times — the physical plan exploded to 604 operators / 102 postings
+    scans (plans/r15/bm25_batch_pruned_before.txt). The candidate set
+    (≤ k·Q rows) and per-query thetas (Q rows) are BOUNDED by
+    construction, so they are gathered eagerly to the driver (the same
+    ≤ Q·k gather budget the sharded scatter paths use) and re-enter the
+    plan as local relations, collapsing the lineage to 4 postings scans
+    (2 eager candidate/theta jobs + 2 in the final lazy plan). Scores
+    are unchanged: same pairs, same arithmetic, same 6-dp rounding."""
     postings, dl, stats, term_meta = text_index_frames(spark, sf_dir)
     all_terms = sorted({t for _, ts in batch for t in ts})
     qt = spark.createDataFrame(
@@ -4544,9 +4586,6 @@ def bm25_batch_pruned_scores(
             ).alias("ub_t"),
         )
     )
-    # NOTE: phases 1-3 below each re-derive this frame; checkpointing it
-    # was measured SLOWER at sf0.1 (4.1 -> 4.6 s — the pruned postings
-    # scan is cheaper than the materialization), so the recompute stands
     tagged = tf.join(F.broadcast(qt), "term")
     # Phase 1: per-(query, doc) upper bounds from per-term constants
     ub = (
@@ -4556,36 +4595,52 @@ def bm25_batch_pruned_scores(
     )
 
     def exact_scores(pairs: DataFrame) -> DataFrame:
-        # the (doc, term, tf) side MUST dedup: a term shared by two
-        # batch queries appears once per query in `pairs`, and a
-        # duplicate row would double that term's contribution for every
-        # query containing it (tf is functionally determined by
-        # (doc, term), so distinct is exact)
-        return _batch_scoring_join(
-            pairs.select("doc_id", "term", "tf").distinct(),
-            pairs.select("query_id", "term").distinct(),
-            dl,
-            stats,
-            term_meta,
-        ).join(
-            pairs.select("query_id", "doc_id").distinct(),
-            ["query_id", "doc_id"],
-            "left_semi",
+        # pairs rows are unique per (query_id, doc_id, term) — tagged is
+        # a key-preserving join of unique postings rows with unique qt
+        # rows, and the pair-set join below keys on (query_id, doc_id) —
+        # so scoring them directly (single reference, no distincts, no
+        # semi-join) groups exactly the rows the old deduped
+        # _batch_scoring_join + semi-join shape did, term-overlap
+        # included (pytest: ..._overlapping_terms_lossless).
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+            F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            pairs.join(F.broadcast(meta.select("term", "df")), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query_id", "doc_id")
+            .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
         )
 
-    # Phase 2: per-query theta = k-th exact score among its top-k by ub
+    # Phase 2: per-query theta = k-th exact score among its top-k by ub.
+    # cand is ≤ k·Q rows and theta is Q rows — bounded driver gathers
+    # that cut the plan's recursive re-derivation (see docstring).
     wu = Window.partitionBy("query_id").orderBy(
         F.desc("ub"), F.asc("doc_id")
     )
-    cand = (
+    cand_rows = (
         ub.withColumn("r", F.row_number().over(wu))
         .filter(F.col("r") <= k)
         .select("query_id", "doc_id")
+        .collect()
     )
-    theta = (
+    cand = spark.createDataFrame(
+        [(int(r.query_id), int(r.doc_id)) for r in cand_rows],
+        schema="query_id int, doc_id bigint",
+    )
+    theta_rows = (
         exact_scores(tagged.join(F.broadcast(cand), ["query_id", "doc_id"]))
         .groupBy("query_id")
         .agg(F.min("bm25").alias("theta"))
+        .collect()
+    )
+    theta = spark.createDataFrame(
+        [(int(r.query_id), float(r.theta)) for r in theta_rows],
+        schema="query_id int, theta double",
     )
     # Phase 3: per-query survivors (rounding slop as in the single path)
     survivors = (
@@ -4712,18 +4767,22 @@ def bm25_batch_route_and_run(
     batch: tuple[tuple[int, tuple[str, ...]], ...],
     k: int,
     pair_cost_ratio: float,
+    df_by_term: dict | None = None,
 ) -> tuple[str, int, DataFrame]:
     """Route one request batch and run the chosen plan. The df lookup
     is bounded by the batch's own vocabulary (a broadcast-sized
-    term_meta filter), never a corpus scan."""
-    _postings, _dl, _stats, term_meta = text_index_frames(spark, sf_dir)
-    terms = sorted({t for _, ts in batch for t in ts})
-    df_by_term = {
-        r.term: int(r.df)
-        for r in term_meta.filter(F.col("term").isin(*terms))
-        .select("term", "df")
-        .collect()
-    }
+    term_meta filter), never a corpus scan; a caller routing SEVERAL
+    batches passes one prefetched ``df_by_term`` covering their union
+    vocabulary so the lookup job runs once, not per batch (round 15)."""
+    if df_by_term is None:
+        _postings, _dl, _stats, term_meta = text_index_frames(spark, sf_dir)
+        terms = sorted({t for _, ts in batch for t in ts})
+        df_by_term = {
+            r.term: int(r.df)
+            for r in term_meta.filter(F.col("term").isin(*terms))
+            .select("term", "df")
+            .collect()
+        }
     strategy, est_pairs = route_bm25_batch(df_by_term, batch, k, pair_cost_ratio)
     if strategy == "pruned":
         _, scored = bm25_batch_pruned_scores(spark, sf_dir, batch, k)
@@ -4805,10 +4864,24 @@ _ADAPTIVE_COLD_CASES = (("uniform_cold", _BATCH_QUERIES, _COLD_PAIR_COST),)
 def _run_adaptive_cases(
     spark: SparkSession, sf_dir: str, cases
 ) -> DataFrame:
+    # One df-lookup job for the UNION of the cases' vocabularies — each
+    # case's routing reads its own terms out of the shared dict, so N
+    # cases cost one bounded collect instead of N (round 15; decisions
+    # and est_pairs unchanged — same integers from the same artifact).
+    _postings, _dl, _stats, term_meta = text_index_frames(spark, sf_dir)
+    all_terms = sorted(
+        {t for _n, batch, _r in cases for _q, ts in batch for t in ts}
+    )
+    df_by_term = {
+        r.term: int(r.df)
+        for r in term_meta.filter(F.col("term").isin(*all_terms))
+        .select("term", "df")
+        .collect()
+    }
     parts = []
     for name, batch, r in cases:
         strategy, est_pairs, topk = bm25_batch_route_and_run(
-            spark, sf_dir, batch, _BATCH_K, r
+            spark, sf_dir, batch, _BATCH_K, r, df_by_term=df_by_term
         )
         parts.append(
             topk.select(
