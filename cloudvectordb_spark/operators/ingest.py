@@ -220,11 +220,22 @@ def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("tf").cast("bigint").alias("tf"))
     )
     full_rebuild = postings(base.unionByName(scr))
-    d1 = merged.exceptAll(full_rebuild).agg(
-        F.count("*").alias("_d1")
-    )
-    d2 = full_rebuild.exceptAll(merged).agg(
-        F.count("*").alias("_d2")
+    # Keyed full-outer equality instead of two exceptAll passes (round
+    # 15, same conversion as index_delete_compaction): both sides are
+    # groupBy outputs, unique per (term, doc_id), so bidirectional
+    # multiset difference == one null-safe tf compare — the rebuild
+    # tokenize runs once instead of twice. Same boolean, same oracle.
+    mism = (
+        merged.select("term", "doc_id", F.col("tf").alias("tf_m"))
+        .join(
+            full_rebuild.select(
+                "term", "doc_id", F.col("tf").alias("tf_r")
+            ),
+            ["term", "doc_id"],
+            "full_outer",
+        )
+        .filter(~F.expr("tf_m <=> tf_r"))
+        .agg(F.count("*").alias("_n_mismatch"))
     )
     s_post = merged.agg(
         F.count("*").cast("bigint").alias("n_merged_postings"),
@@ -237,8 +248,7 @@ def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s_emb)
         .crossJoin(s_assign)
         .crossJoin(s_post)
-        .crossJoin(d1)
-        .crossJoin(d2)
+        .crossJoin(mism)
         .select(
             "n_base_docs",
             "n_delta_docs",
@@ -251,7 +261,7 @@ def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cells_touched",
             "n_merged_postings",
             "merged_total_tf",
-            ((F.col("_d1") == 0) & (F.col("_d2") == 0)).alias(
+            (F.col("_n_mismatch") == 0).alias(
                 "postings_merge_equals_rebuild"
             ),
             (F.col("n_base_docs") + F.col("n_ingested"))
@@ -487,8 +497,24 @@ def index_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .select("term", "doc_id", "tf")
     )
-    d1 = compacted.exceptAll(rebuild).agg(F.count("*").alias("_d1"))
-    d2 = rebuild.exceptAll(compacted).agg(F.count("*").alias("_d2"))
+    # Keyed full-outer equality instead of two exceptAll passes (round
+    # 15): (term, doc_id) is unique on both sides — compacted inherits
+    # the persisted postings' key, rebuild is a groupBy output — so
+    # bidirectional multiset difference == a null-safe tf compare over
+    # one full-outer join. The executed exceptAll plan re-ran the
+    # surviving-corpus tokenize TWICE with zero exchange reuse (42
+    # scans, the r14→r15 drift this query carried); the join form
+    # tokenizes once. Same boolean, same oracle.
+    mism = (
+        compacted.select("term", "doc_id", F.col("tf").alias("tf_c"))
+        .join(
+            rebuild.select("term", "doc_id", F.col("tf").alias("tf_r")),
+            ["term", "doc_id"],
+            "full_outer",
+        )
+        .filter(~F.expr("tf_c <=> tf_r"))
+        .agg(F.count("*").alias("_n_mismatch"))
+    )
 
     live_dl = dl.join(tomb, "doc_id", "left_anti")
     s_all = dl.agg(
@@ -538,8 +564,7 @@ def index_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s_live)
         .crossJoin(s_pb)
         .crossJoin(s_pa)
-        .crossJoin(d1)
-        .crossJoin(d2)
+        .crossJoin(mism)
         .crossJoin(dfchk)
         .select(
             "n_docs_before",
@@ -550,7 +575,7 @@ def index_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_postings_removed"),
             "n_postings_after",
-            ((F.col("_d1") == 0) & (F.col("_d2") == 0)).alias(
+            (F.col("_n_mismatch") == 0).alias(
                 "compaction_equals_rebuild"
             ),
             (
@@ -1003,6 +1028,15 @@ def postings_tier_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     docs = docs.withColumn("_h1", h1)
 
+    # Round-15 note: a conditional-aggregate restructure (one shared
+    # tokenize+shuffle, per-class tf as count(when)) was tried and
+    # MEASURED WORSE — Catalyst's column pruning specializes each
+    # consumer's aggregate (cls() keeps one tf column), so the "shared"
+    # exchange is never identical and never reused, while every
+    # consumer's scan loses its class filter pushdown and tokenizes the
+    # FULL corpus. The per-class subtrees below keep their pushed
+    # filters (work sums to ~2 corpus passes, overlapped across cores);
+    # that is the better shape both locally and at scale.
     def postings(d: DataFrame) -> DataFrame:
         return (
             d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))

@@ -4617,20 +4617,17 @@ def bm25_batch_pruned_scores(
         )
 
     # Phase 2: per-query theta = k-th exact score among its top-k by ub.
-    # cand is ≤ k·Q rows and theta is Q rows — bounded driver gathers
-    # that cut the plan's recursive re-derivation (see docstring).
+    # One eager job: the candidate window stays lazy inside the theta
+    # plan (cand is never needed as a value, only theta's Q rows are),
+    # and the bounded theta gather re-enters phase 3 as a local
+    # relation, cutting the plan's recursive re-derivation (docstring).
     wu = Window.partitionBy("query_id").orderBy(
         F.desc("ub"), F.asc("doc_id")
     )
-    cand_rows = (
+    cand = (
         ub.withColumn("r", F.row_number().over(wu))
         .filter(F.col("r") <= k)
         .select("query_id", "doc_id")
-        .collect()
-    )
-    cand = spark.createDataFrame(
-        [(int(r.query_id), int(r.doc_id)) for r in cand_rows],
-        schema="query_id int, doc_id bigint",
     )
     theta_rows = (
         exact_scores(tagged.join(F.broadcast(cand), ["query_id", "doc_id"]))
