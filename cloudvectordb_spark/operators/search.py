@@ -1277,10 +1277,29 @@ def bm25_scores_indexed(
     """bm25_scores served from the persisted inverted index: the scan
     reads query-term postings (term-sorted row groups -> pushed IN-list
     prunes the read), never the raw text. Bit-identical to the inline
-    path; the oracle twins recompute from documents unchanged."""
-    postings, dl, stats, _ = text_index_frames(spark, sf_dir)
+    path; the oracle twins recompute from documents unchanged.
+
+    df comes from term_meta (round 15) — the SAME integers the inline
+    countDistinct produces (term_meta is built as one row per (term,
+    doc) pair of these postings), read from a ≤ |terms|-row vocab scan
+    instead of a second pass over the query-term postings: the executed
+    plan drops from two postings scans per call to one."""
+    postings, dl, stats, term_meta = text_index_frames(spark, sf_dir)
     tf = postings.filter(F.col("term").isin(*terms))
-    return _bm25_from_parts(tf, dl, stats)
+    dfreq = term_meta.filter(F.col("term").isin(*terms)).select("term", "df")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (_K1 + 1.0)) / (
+        F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
 
 
 # ---------------------------------------------------------------------------
