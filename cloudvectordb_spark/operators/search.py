@@ -1402,20 +1402,31 @@ def _wand_pruned_parts(
         )
 
     # Phase 2: theta = k-th exact score among the top-k docs BY UB.
+    # theta is ONE bounded value — gathered eagerly (round 15, same
+    # restructure as bm25_batch_pruned_scores) so phase 3's survivor
+    # filter re-enters the plan as a literal instead of re-deriving the
+    # whole theta subtree (cand window + exact-score join) inside it:
+    # the executed bm25_topk_pruned plan dropped from 32 scans / 0
+    # reused exchanges to one eager theta job + a 2-scan final plan.
     cand = global_topk_ranked(ub, [F.desc("ub"), F.asc("doc_id")], k).select(
         "doc_id"
     )
-    theta = (
+    theta_row = (
         exact_scores(tf.join(F.broadcast(cand), "doc_id"))
         .agg(F.min("bm25").alias("theta"))
+        .collect()
     )
+    theta_val = theta_row[0].theta if theta_row else None
     # Phase 3: survivors — ub >= theta (minus the 6-dp rounding slop on
     # exact scores, so half-up rounding can never evict a tied doc).
-    survivor_ids = (
-        ub.crossJoin(F.broadcast(theta))
-        .filter(F.col("ub") >= F.col("theta") - _ROUND_SLOP)
-        .select("doc_id")
-    )
+    # A null theta (no candidates at all) admits nothing, exactly like
+    # the old inner-join-with-empty-theta shape.
+    if theta_val is None:
+        survivor_ids = ub.filter(F.lit(False)).select("doc_id")
+    else:
+        survivor_ids = ub.filter(
+            F.col("ub") >= F.lit(float(theta_val)) - _ROUND_SLOP
+        ).select("doc_id")
     survivor_pairs = tf.join(F.broadcast(survivor_ids), "doc_id")
     return survivor_pairs, exact_scores(survivor_pairs)
 
@@ -1541,10 +1552,30 @@ def bm25_pruned_merged_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf_max")
         + _K1 * (1.0 - _B + _B * F.col("dl_min") / F.col("avgdl"))
     )
-    meta = merged.crossJoin(F.broadcast(stats)).select(
-        "term", "df", (idf * ub_tf_part).alias("ub_t")
+    # meta is ≤ |query terms| rows and stats is one row — both bounded,
+    # both derived from corpus-sized tokenize subtrees that the pruned
+    # kernel references several times. One eager gather (round 15)
+    # re-enters them as local relations so the merged-stats tokenize
+    # runs once instead of once per kernel reference (executed scans
+    # 30 → corpus side only). Values identical: doubles round-trip the
+    # driver exactly.
+    meta_rows = (
+        merged.crossJoin(F.broadcast(stats))
+        .select("term", "df", (idf * ub_tf_part).alias("ub_t"),
+                "n_docs", "avgdl")
+        .collect()
     )
-    _, scored = _wand_pruned_parts(tf, dl, stats, meta, 20)
+    meta = spark.createDataFrame(
+        [(r.term, int(r.df), float(r.ub_t)) for r in meta_rows],
+        schema="term string, df bigint, ub_t double",
+    )
+    stats_local = spark.createDataFrame(
+        [(int(meta_rows[0].n_docs), float(meta_rows[0].avgdl))]
+        if meta_rows
+        else [],
+        schema="n_docs bigint, avgdl double",
+    )
+    _, scored = _wand_pruned_parts(tf, dl, stats_local, meta, 20)
     return global_topk_ranked(scored, [F.desc("bm25"), F.asc("doc_id")], 20)
 
 
