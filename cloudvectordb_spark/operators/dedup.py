@@ -1314,7 +1314,16 @@ def minhash_pairs_between_sharded(
         return spark.createDataFrame(
             [], schema="new_id long, corpus_id long, est_jaccard double"
         )
-    sn = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sa"))
+    # Delta-sized and broadcast into EVERY verify leg — persist once so
+    # the S legs share one signature computation instead of re-deriving
+    # the delta tokenize+minhash per leg (round 15: the un-persisted
+    # frame put S copies of that subtree in the gather plan; executed
+    # scans dropped ~4x at S=4). Released with the other deferred
+    # frames on the state's release_pending().
+    sn = new_sigs.select(
+        F.col("doc_id").alias("new_id"), F.col("sig").alias("sa")
+    ).persist()
+    sstate.state.defer_release(sn)
 
     def verify(s: int, cand_s: DataFrame) -> DataFrame:
         # candidate corpus ids route by SBUCKET — each verify leg reads
@@ -1343,8 +1352,12 @@ def minhash_pairs_between_sharded(
 
     # gather dedup: the same pair can surface in TWO shards (different
     # bands of one pair route to different buckets) — the coordinator
-    # dedups the bounded union, like the unsharded path's distinct()
-    all_cand = _reduce(DataFrame.unionByName, cands).distinct()
+    # dedups the bounded union, like the unsharded path's distinct().
+    # Persisted (bounded: ≤ |candidate pairs| rows) so the S verify
+    # legs share one distinct pass instead of re-running the
+    # union+exchange per leg (round 15).
+    all_cand = _reduce(DataFrame.unionByName, cands).distinct().persist()
+    sstate.state.defer_release(all_cand)
     out = [verify(s, all_cand) for s in range(sstate.n_shards)]
     return _reduce(DataFrame.unionByName, out)
 

@@ -633,7 +633,17 @@ def ann_tier_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 3)
-    exact_cos = exact_knn(emb, probes, k=10).select("probe_id", "neighbor_id")
+    # exact_cos is ≤ 3·10 rows and is the baseline for TWO tiers (ivf +
+    # binary) — gathered once and re-entered as a local relation so the
+    # final plan carries one exact cosine corpus pass, not two
+    # (round 15; same integers, driver round-trip is exact).
+    exact_cos_rows = (
+        exact_knn(emb, probes, k=10).select("probe_id", "neighbor_id").collect()
+    )
+    exact_cos = spark.createDataFrame(
+        [(int(r.probe_id), int(r.neighbor_id)) for r in exact_cos_rows],
+        schema="probe_id long, neighbor_id long",
+    )
 
     pv = probes.select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
