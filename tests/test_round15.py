@@ -283,3 +283,25 @@ def test_pin_vacuum_keeps_newest_snapshots(spark, sf_dir, tmp_path):
     snaps = sorted(os.listdir(fam / "snapshots"))
     assert len(snaps) == 2  # older generations vacuumed
     assert S.read_text_fleet_manifest(str(fam))["snapshot"] == snaps[-1]
+
+
+def test_single_shard_fast_path_matches_gather(spark, sf_dir):
+    """Round 15: S=1 text serving takes the one-lazy-plan fast path
+    (no scatter-gather collect, vocab-pruned meta as broadcast side)
+    while S>1 keeps the per-shard gather. Scores are computed under
+    merged GLOBAL stats either way, so the two shardings must agree on
+    every shared column bit-for-bit; the fast path's shard column is
+    the literal 0."""
+    from cloudvectordb_spark.operators.search import sharded_bm25_topk_batch
+
+    one_rows = sharded_bm25_topk_batch(
+        spark, sf_dir, n_shards=1, concurrent=False
+    ).collect()
+    two_rows = sharded_bm25_topk_batch(
+        spark, sf_dir, n_shards=2, concurrent=False
+    ).collect()
+    k1 = {(r.query_id, r.doc_id, r.bm25, r.rank) for r in one_rows}
+    k2 = {(r.query_id, r.doc_id, r.bm25, r.rank) for r in two_rows}
+    assert k1 == k2
+    assert len(k1) == 40  # 4 queries x top-10
+    assert {r.shard for r in one_rows} == {0}
