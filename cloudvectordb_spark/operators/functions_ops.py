@@ -971,7 +971,7 @@ def calendar_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("D5", "D2", "B4"),
 )
 def ks_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cloudvectordb_spark.ranking import with_global_prefix_sum
+    from cloudvectordb_spark.ranking import with_global_prefix_sums
 
     docs = load(spark, sf_dir, "documents").filter(
         F.col("source").isin("src0", "src1")
@@ -980,7 +980,9 @@ def ks_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sample points), then build both cumulative counts with the bucketed
     # distributed prefix-sum primitive — NO single-partition window over
     # corpus-scaling input (ranking.py; the naive Window.orderBy form is
-    # exactly what tools/plan_audit.py hard-flags).
+    # exactly what tools/plan_audit.py hard-flags). Both ECDFs cumulate
+    # under ONE bucket pass (round 15) — two chained single-weight calls
+    # re-derived the first call's whole plan inside the second.
     per_v = (
         docs.groupBy("n_chars")
         .agg(
@@ -988,8 +990,9 @@ def ks_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("wb"),
         )
     )
-    t = with_global_prefix_sum(per_v, "n_chars", "wa", cum_col="ca0", total_col="na")
-    t = with_global_prefix_sum(t, "n_chars", "wb", cum_col="cb0", total_col="nb")
+    t = with_global_prefix_sums(
+        per_v, "n_chars", ["wa", "wb"], ["ca0", "cb0"], ["na", "nb"]
+    )
     # inclusive ECDF counts at each sample point
     t = t.withColumn("ca", F.col("ca0") + F.col("wa")).withColumn(
         "cb", F.col("cb0") + F.col("wb")

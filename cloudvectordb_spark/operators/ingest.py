@@ -150,10 +150,12 @@ def _ingest_oracle() -> str:
     oracle=_ingest_oracle(),
     # D2: the per-stage counts are global (no-groupBy) aggregates;
     # B4: the postings builder prunes terms with .isin(*_TERMS);
-    # G3: the merge==rebuild invariant is exceptAll in BOTH directions;
+    # B6: the merge==rebuild gate is a full-outer join compared with
+    #     null-safe equality (round 15 — it replaced the bidirectional
+    #     exceptAll, so the G3 tag moved off this query);
     # K1: TX.tokens tokenizes the survivors for the postings stage.
     operators=(
-        "H4", "C5", "K5", "K9", "K2", "G4", "D1", "D2", "B4", "G3", "K1",
+        "H4", "C5", "K5", "K9", "K2", "G4", "D1", "D2", "B4", "B6", "K1",
     ),
 )
 def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2052,15 +2052,21 @@ def hybrid_linear_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
 
     def _minmax(df: DataFrame, col: str, out: str) -> DataFrame:
-        # stats over the N-row list only: bounded broadcast fan-out
-        stats = df.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
-        norm = F.when(F.col("_mx") == F.col("_mn"), F.lit(0.0)).otherwise(
-            F.round((F.col(col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")), 6)
+        # stats over the N-row list only — as a constant-partition window
+        # over the already-bounded top-N frame (the global_topk_ranked
+        # _zero pattern), so df is referenced ONCE: the old separate
+        # agg + crossJoin referenced df twice and re-derived the whole
+        # corpus-pass lineage per reference (round 15). Same values.
+        from cloudvectordb_spark.ranking import _zero
+
+        wall = Window.partitionBy(_zero(F.col("doc_id"))).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-        return (
-            df.crossJoin(F.broadcast(stats))
-            .select("doc_id", norm.alias(out))
+        mn, mx = F.min(col).over(wall), F.max(col).over(wall)
+        norm = F.when(mx == mn, F.lit(0.0)).otherwise(
+            F.round((F.col(col) - mn) / (mx - mn), 6)
         )
+        return df.select("doc_id", norm.alias(out))
 
     bm = global_topk_ranked(
         bm25_scores_indexed(spark, sf_dir), [F.desc("bm25"), F.asc("doc_id")], _RRF_N, "krank"
@@ -2747,10 +2753,28 @@ def hybrid_linear_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
 
-    bm = global_topk_ranked(
-        bm25_scores_indexed(spark, sf_dir), [F.desc("bm25"), F.asc("doc_id")], _RRF_N, "krank"
-    ).select("doc_id", "bm25")
-    bstats = bm.agg(F.min("bm25").alias("bmin"), F.max("bm25").alias("bmax"))
+    from cloudvectordb_spark.ranking import _zero
+
+    # min/max ride each bounded top-N list as a constant-partition
+    # window (round 15): the old separate agg + crossJoin referenced
+    # each list twice, re-deriving its full corpus-pass lineage per
+    # reference. On the full-outer join a row missing from one side has
+    # NULL score AND NULL stats — norm coalesces to 0 either way, so
+    # the fused values are unchanged.
+    wb = Window.partitionBy(_zero(F.col("doc_id"))).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bm = (
+        global_topk_ranked(
+            bm25_scores_indexed(spark, sf_dir),
+            [F.desc("bm25"), F.asc("doc_id")],
+            _RRF_N,
+            "krank",
+        )
+        .select("doc_id", "bm25")
+        .withColumn("bmin", F.min("bm25").over(wb))
+        .withColumn("bmax", F.max("bm25").over(wb))
+    )
 
     probe = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("probe_vec")
@@ -2763,10 +2787,14 @@ def hybrid_linear_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(V.cosine("embedding", "probe_vec"), 6).alias("sim"),
         )
     )
-    vec = global_topk_ranked(
-        sims, [F.desc("sim"), F.asc("doc_id")], _RRF_N, "vrank"
-    ).select("doc_id", "sim")
-    vstats = vec.agg(F.min("sim").alias("vmin"), F.max("sim").alias("vmax"))
+    vec = (
+        global_topk_ranked(
+            sims, [F.desc("sim"), F.asc("doc_id")], _RRF_N, "vrank"
+        )
+        .select("doc_id", "sim")
+        .withColumn("vmin", F.min("sim").over(wb))
+        .withColumn("vmax", F.max("sim").over(wb))
+    )
 
     norm_b = F.coalesce(
         (F.col("bm25") - F.col("bmin"))
@@ -2778,16 +2806,11 @@ def hybrid_linear_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0)),
         F.lit(0.0),
     )
-    fused = (
-        bm.join(vec, ["doc_id"], "full_outer")
-        .crossJoin(F.broadcast(bstats))
-        .crossJoin(F.broadcast(vstats))
-        .select(
-            "doc_id",
-            F.round(
-                _FUSE_ALPHA * norm_b + (1 - _FUSE_ALPHA) * norm_v, 6
-            ).alias("fused_score"),
-        )
+    fused = bm.join(vec, ["doc_id"], "full_outer").select(
+        "doc_id",
+        F.round(
+            _FUSE_ALPHA * norm_b + (1 - _FUSE_ALPHA) * norm_v, 6
+        ).alias("fused_score"),
     )
     return global_topk_ranked(
         fused, [F.desc("fused_score"), F.asc("doc_id")], 10

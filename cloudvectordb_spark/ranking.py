@@ -166,6 +166,25 @@ def with_global_prefix_sum(
     bucket-local running sum. cum_before = bucket offset + local exclusive
     cumsum — exact for any bucket boundaries.
     """
+    return with_global_prefix_sums(
+        df, order_col, [weight_col], [cum_col], [total_col], n_buckets
+    )
+
+
+def with_global_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    weight_cols: list[str],
+    cum_cols: list[str],
+    total_cols: list[str],
+    n_buckets: int = _BUCKETS,
+) -> DataFrame:
+    """N exclusive prefix sums (plus grand totals) under ONE bucket pass
+    (round 15): one stats aggregate, one offsets table, one bucket-local
+    window ordering shared by every weight column. Chaining N single-
+    weight calls instead re-derives the previous call's whole plan as
+    the next call's input (N× the stats/offset/window machinery —
+    ks_source_length_drift executed 21 scans that way)."""
     val = F.col(order_col).cast("double")
     stats = df.agg(F.min(val).alias("_vmin"), F.max(val).alias("_vmax"))
     span = F.col("_vmax") - F.col("_vmin")
@@ -178,37 +197,44 @@ def with_global_prefix_sum(
     tagged = df.crossJoin(F.broadcast(stats)).withColumn("_bucket", bucket)
 
     wo = Window.partitionBy(_zero(F.col("_bucket"))).orderBy(F.asc("_bucket"))
-    offsets = (
-        tagged.groupBy("_bucket")
-        .agg(F.sum(F.col(weight_col)).alias("_bw"))
-        .withColumn(
-            "_offset",
+    wtot = Window.partitionBy(_zero(F.col("_bucket"))).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = tagged.groupBy("_bucket").agg(
+        *[F.sum(F.col(w)).alias(f"_bw{i}") for i, w in enumerate(weight_cols)]
+    )
+    for i in range(len(weight_cols)):
+        offsets = offsets.withColumn(
+            f"_offset{i}",
             F.coalesce(
-                F.sum("_bw").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.sum(f"_bw{i}").over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
                 F.lit(0),
             ),
-        )
-        .withColumn(
-            "_tot",
-            F.sum("_bw").over(
-                Window.partitionBy(_zero(F.col("_bucket"))).rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
-        .select("_bucket", "_offset", "_tot")
+        ).withColumn(f"_tot{i}", F.sum(f"_bw{i}").over(wtot))
+    offsets = offsets.select(
+        "_bucket",
+        *[f"_offset{i}" for i in range(len(weight_cols))],
+        *[f"_tot{i}" for i in range(len(weight_cols))],
     )
 
     wl = Window.partitionBy("_bucket").orderBy(F.asc(order_col))
-    local_cum = F.coalesce(
-        F.sum(weight_col).over(wl.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
-    return (
-        tagged.join(F.broadcast(offsets), "_bucket")
-        .withColumn(cum_col, (F.col("_offset") + local_cum).cast("bigint"))
-        .withColumn(total_col, F.col("_tot").cast("bigint"))
-        .drop("_bucket", "_vmin", "_vmax", "_offset", "_bw", "_tot")
+    out = tagged.join(F.broadcast(offsets), "_bucket")
+    for i, (w, c, t) in enumerate(zip(weight_cols, cum_cols, total_cols)):
+        local_cum = F.coalesce(
+            F.sum(w).over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        out = out.withColumn(
+            c, (F.col(f"_offset{i}") + local_cum).cast("bigint")
+        ).withColumn(t, F.col(f"_tot{i}").cast("bigint"))
+    return out.drop(
+        "_bucket",
+        "_vmin",
+        "_vmax",
+        *[f"_offset{i}" for i in range(len(weight_cols))],
+        *[f"_tot{i}" for i in range(len(weight_cols))],
     )
 
 
