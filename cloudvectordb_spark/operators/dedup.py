@@ -1866,7 +1866,15 @@ def leakage_safe_split_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    edges = shingle_jaccard_edges(docs, _CC_TAU)
+    # The shingle-Jaccard edge derivation (inverted-index self-join +
+    # exact Jaccard rescore — the query's dominant cost) feeds BOTH
+    # connected_components (which materializes its own symmetrized
+    # copy) AND the final leak-counting join. localCheckpoint it once
+    # (round 16) so the final plan reads the materialized edge list
+    # instead of re-running the whole self-join; lazy, so the cost
+    # lands inside this invocation's first job, and the blocks die
+    # with the returned plan (no cross-run reuse).
+    edges = shingle_jaccard_edges(docs, _CC_TAU).localCheckpoint(eager=False)
     comp = connected_components(edges)
     tagged = (
         docs.select("doc_id")

@@ -465,8 +465,11 @@ def index_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     index via tombstones is equivalent to a full rebuild:
 
     - ``compaction_equals_rebuild`` — postings anti-join tombstones vs
-      re-tokenizing the surviving corpus, compared exceptAll in BOTH
-      directions in one plan (full vocabulary, not just query terms).
+      re-tokenizing the surviving corpus, compared as ONE keyed
+      full-outer join with a null-safe tf mismatch gate (round 15;
+      (term, doc_id) is unique on both sides, so zero mismatch rows ==
+      bidirectional multiset equality — full vocabulary, not just
+      query terms).
     - ``stats_decrement_ok`` — (N, Σdl) maintained by integer
       decrement equals a recount over surviving doc lengths; this is
       the exact arithmetic bm25_after_deletes' serve path relies on.

@@ -636,9 +636,13 @@ def ann_tier_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact_cos is ≤ 3·10 rows and is the baseline for TWO tiers (ivf +
     # binary) — gathered once and re-entered as a local relation so the
     # final plan carries one exact cosine corpus pass, not two
-    # (round 15; same integers, driver round-trip is exact).
-    exact_cos_rows = (
-        exact_knn(emb, probes, k=10).select("probe_id", "neighbor_id").collect()
+    # (round 15; same integers, driver round-trip is exact). Budget-
+    # enforced (round 16): ≤ |probes|·k by the top-k construction.
+    from cloudvectordb_spark.gather import bounded_gather
+
+    exact_cos_rows = bounded_gather(
+        exact_knn(emb, probes, k=10).select("probe_id", "neighbor_id"),
+        "ann_tier_recall_summary exact baseline",
     )
     exact_cos = spark.createDataFrame(
         [(int(r.probe_id), int(r.neighbor_id)) for r in exact_cos_rows],

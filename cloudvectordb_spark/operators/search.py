@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from cloudvectordb_spark.catalog import load
 from cloudvectordb_spark.functions import text as TX
 from cloudvectordb_spark.functions import vector as V
+from cloudvectordb_spark.gather import GATHER_ROW_BUDGET, bounded_gather
 from cloudvectordb_spark.ranking import global_topk_ranked
 from cloudvectordb_spark.registry import query
 
@@ -1411,10 +1412,11 @@ def _wand_pruned_parts(
     cand = global_topk_ranked(ub, [F.desc("ub"), F.asc("doc_id")], k).select(
         "doc_id"
     )
-    theta_row = (
-        exact_scores(tf.join(F.broadcast(cand), "doc_id"))
-        .agg(F.min("bm25").alias("theta"))
-        .collect()
+    theta_row = bounded_gather(
+        exact_scores(tf.join(F.broadcast(cand), "doc_id")).agg(
+            F.min("bm25").alias("theta")
+        ),
+        "_wand_pruned_parts theta",
     )
     theta_val = theta_row[0].theta if theta_row else None
     # Phase 3: survivors — ub >= theta (minus the 6-dp rounding slop on
@@ -1472,11 +1474,43 @@ def bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counters, compaction merges them with sum/max/min, and no posting is
 # ever rescanned to refresh a bound.
 # ---------------------------------------------------------------------------
-def _shard_term_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(tf, dl, per-term mergeable stats) for one corpus shard."""
+def _shard_term_stats(
+    docs: DataFrame, terms: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(query-term tf, dl, per-term mergeable stats) for one corpus
+    shard.
+
+    Round 16: tf and dl are lazily ``localCheckpoint``'ed, so each
+    shard is tokenized exactly TWICE per invocation (one streaming
+    aggregation pass per frame) no matter how many times the WAND
+    kernel re-references them — previously the merged-stats gather,
+    the theta job and the survivor plan each re-derived the shard
+    tokenize per reference (~9 executions of the tokenize subtree per
+    shard in one call).  localCheckpoint, not persist: the
+    materialization is keyed to THIS invocation's RDD, so repeated
+    calls recompute from the parquet inputs (no cross-run reuse —
+    Spark's CacheManager plan-matching never sees it) and the blocks
+    are GC'd with the returned plan (no unpersist lifetime problem).
+    Going to ONE tokenize pass per shard would require materializing
+    the full-vocabulary tf (dl = per-doc sum of tf) — at scale that is
+    writing the whole postings index per query, strictly worse than a
+    second streaming pass over the tokens.
+
+    Stats are computed from the same checkpointed frames, restricted
+    to the query terms: per-term (df, tf_max, dl_min) depend only on
+    that term's own (tf, dl) rows, so the query-term subset yields
+    integers identical to the old full-vocabulary aggregate filtered
+    late."""
     tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint(
+        eager=False
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     stats = (
         tf.join(dl, "doc_id")
         .groupBy("term")
@@ -1509,7 +1543,7 @@ def bm25_pruned_merged_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = [docs.filter(is_delta), docs.filter(~is_delta)]
     tfs, dls, stats_parts, counts = [], [], [], []
     for shard in shards:
-        tf_s, dl_s, st_s = _shard_term_stats(shard)
+        tf_s, dl_s, st_s = _shard_term_stats(shard, _QUERY_TERMS)
         tfs.append(tf_s)
         dls.append(dl_s)
         stats_parts.append(st_s)
@@ -1520,9 +1554,7 @@ def bm25_pruned_merged_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # shard merge: docs are disjoint, so sum/max/min reproduce the
     # full-corpus integers exactly (df) or bound them (tf_max, dl_min)
-    tf = (
-        tfs[0].unionByName(tfs[1]).filter(F.col("term").isin(*_QUERY_TERMS))
-    )
+    tf = tfs[0].unionByName(tfs[1])
     dl = dls[0].unionByName(dls[1])
     stats = (
         counts[0]
@@ -1537,7 +1569,6 @@ def bm25_pruned_merged_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         stats_parts[0]
         .unionByName(stats_parts[1])
-        .filter(F.col("term").isin(*_QUERY_TERMS))
         .groupBy("term")
         .agg(
             F.sum("df").alias("df"),
@@ -1553,17 +1584,20 @@ def bm25_pruned_merged_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _K1 * (1.0 - _B + _B * F.col("dl_min") / F.col("avgdl"))
     )
     # meta is ≤ |query terms| rows and stats is one row — both bounded,
-    # both derived from corpus-sized tokenize subtrees that the pruned
-    # kernel references several times. One eager gather (round 15)
-    # re-enters them as local relations so the merged-stats tokenize
-    # runs once instead of once per kernel reference (executed scans
-    # 30 → corpus side only). Values identical: doubles round-trip the
-    # driver exactly.
-    meta_rows = (
-        merged.crossJoin(F.broadcast(stats))
-        .select("term", "df", (idf * ub_tf_part).alias("ub_t"),
-                "n_docs", "avgdl")
-        .collect()
+    # both derived from the (now checkpointed) shard frames. One eager
+    # gather (round 15) re-enters them as local relations so the
+    # merged-stats aggregation runs once instead of once per kernel
+    # reference; this gather job is also what materializes the shard
+    # tf/dl checkpoints that the theta job and the final survivor plan
+    # reuse (round 16). Values identical: doubles round-trip the
+    # driver exactly. Budget-enforced (round 16): the gather is
+    # |query terms|-bounded by the groupBy, never corpus-sized.
+    meta_rows = bounded_gather(
+        merged.crossJoin(F.broadcast(stats)).select(
+            "term", "df", (idf * ub_tf_part).alias("ub_t"),
+            "n_docs", "avgdl",
+        ),
+        "bm25_pruned_merged_bounds meta",
     )
     meta = spark.createDataFrame(
         [(r.term, int(r.df), float(r.ub_t)) for r in meta_rows],
@@ -4636,10 +4670,23 @@ def bm25_batch_pruned_scores(
     plan as local relations, collapsing the lineage to 4 postings scans
     (2 eager candidate/theta jobs + 2 in the final lazy plan). Scores
     are unchanged: same pairs, same arithmetic, same 6-dp rounding."""
+    # Entry guard (round 16): the eager candidate/theta restructure
+    # gathers ≤ Q·k rows to the driver — enforce the budget up front so
+    # an oversized caller batch raises instead of silently collecting.
+    if len(batch) * k > GATHER_ROW_BUDGET:
+        raise ValueError(
+            f"bm25_batch_pruned_scores: batch of {len(batch)} queries x "
+            f"k={k} exceeds the {GATHER_ROW_BUDGET}-row eager-gather "
+            "budget; serve it through the sharded scatter-gather path"
+        )
     postings, dl, stats, term_meta = text_index_frames(spark, sf_dir)
     all_terms = sorted({t for _, ts in batch for t in ts})
+    # dict.fromkeys dedup (round-16 ADVICE): a caller batch repeating a
+    # term inside one query's term tuple must count it once, like the
+    # pre-round-15 distinct()-based shape did; for dup-free batches the
+    # rows (and their order) are unchanged.
     qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in batch for t in ts],
+        list(dict.fromkeys((qid, t) for qid, ts in batch for t in ts)),
         schema="query_id int, term string",
     )
     tf = postings.filter(F.col("term").isin(*all_terms))
@@ -4702,11 +4749,11 @@ def bm25_batch_pruned_scores(
         .filter(F.col("r") <= k)
         .select("query_id", "doc_id")
     )
-    theta_rows = (
+    theta_rows = bounded_gather(
         exact_scores(tagged.join(F.broadcast(cand), ["query_id", "doc_id"]))
         .groupBy("query_id")
-        .agg(F.min("bm25").alias("theta"))
-        .collect()
+        .agg(F.min("bm25").alias("theta")),
+        "bm25_batch_pruned_scores theta",
     )
     theta = spark.createDataFrame(
         [(int(r.query_id), float(r.theta)) for r in theta_rows],

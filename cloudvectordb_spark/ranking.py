@@ -185,6 +185,13 @@ def with_global_prefix_sums(
     weight calls instead re-derives the previous call's whole plan as
     the next call's input (N× the stats/offset/window machinery —
     ks_source_length_drift executed 21 scans that way)."""
+    if not (len(weight_cols) == len(cum_cols) == len(total_cols)):
+        raise ValueError(
+            "with_global_prefix_sums: weight_cols, cum_cols and "
+            f"total_cols must have equal lengths (got {len(weight_cols)}"
+            f"/{len(cum_cols)}/{len(total_cols)}) — the output zip "
+            "would silently drop trailing columns"
+        )
     val = F.col(order_col).cast("double")
     stats = df.agg(F.min(val).alias("_vmin"), F.max(val).alias("_vmax"))
     span = F.col("_vmax") - F.col("_vmin")

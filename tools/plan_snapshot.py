@@ -2,6 +2,14 @@
 plans/<tag>/<query>_<suffix>.txt — the before/after plan evidence for
 optimization rounds (the judge checks plan claims against these files).
 
+NOTE: queries whose builders gather bounded frames eagerly
+(bm25_batch_pruned, bm25_topk_pruned, bm25_pruned_merged_bounds,
+bm25_batch_tiered_append, ann_tier_recall_summary, ...) EXECUTE those
+eager phases during snapshotting — building the plan runs their driver
+jobs. The snapshotted plan is therefore only the final lazy stage;
+read the eager jobs' shape from the code (they are all
+bounded_gather-guarded local-relation re-entries).
+
 Usage: python tools/plan_snapshot.py --tag r15 --suffix before [--sf DIR]
        [--queries a,b,c]
 """
