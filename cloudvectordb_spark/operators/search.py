@@ -3995,25 +3995,36 @@ def sharded_bm25_topk_batch_paths(
     stats on every call. Each shard root is fenced against an
     in-flight append's brief apply window first
     (``_await_stable_text_root``), so the frames always come from a
-    consistent artifact generation."""
-    shards = []
-    for p in shard_paths:
+    consistent artifact generation.
+
+    Round 16: with ``concurrent=True`` the per-shard setup (fence wait
+    + one-row stats job + parquet schema reads) submits from S driver
+    threads, like the gather legs already did — the fleet pays
+    max(per-shard setup) instead of the S× sequential sum of tiny-job
+    floors (guide §2.6). Frames and merged models are identical; the
+    shard order is preserved by pool.map."""
+
+    def _setup(p: str):
         _await_stable_text_root(p)
         srow = spark.read.parquet(f"{p}/stats").collect()[0]
-        shards.append(
-            (
-                spark.read.parquet(f"{p}/postings"),
-                spark.read.parquet(f"{p}/dl"),
-                srow,
-                # merged tier view: exact df across base + delta-vocab
-                # tiers (tier-free roots return the raw base scan);
-                # the stats row already in hand skips the view's own
-                # one-row avgdl job (round 15)
-                read_term_meta_merged(
-                    spark, p, avgdl_now=float(srow.avgdl or 0.0)
-                ),
-            )
+        return (
+            spark.read.parquet(f"{p}/postings"),
+            spark.read.parquet(f"{p}/dl"),
+            srow,
+            # merged tier view: exact df across base + delta-vocab
+            # tiers (tier-free roots return the raw base scan);
+            # the stats row already in hand skips the view's own
+            # one-row avgdl job (round 15)
+            read_term_meta_merged(spark, p, avgdl_now=float(srow.avgdl or 0.0)),
         )
+
+    if concurrent and len(shard_paths) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(shard_paths)) as pool:
+            shards = list(pool.map(_setup, shard_paths))
+    else:
+        shards = [_setup(p) for p in shard_paths]
     return _sharded_bm25_from_frames(spark, shards, batch, k, concurrent)
 
 
