@@ -79,3 +79,21 @@ def test_invalid_load_marks_artifact():
     assert out["valid"] is False
     assert "invalid_reason" in out
     assert len(json.dumps(out)) < bench.FINAL_LINE_BUDGET
+
+
+def test_mid_run_load_sample_rides_final_line_within_budget():
+    """Round-16 (r15 verdict #6): a co-tenant arriving MID-run must be
+    visible in the artifact — loadavg sampled between queries, max
+    reported — without blowing the driver's tail-capture budget."""
+    timings, serving, spreads = _synthetic_parts()
+    _, out = bench.build_output(
+        timings, serving, spreads, errors={}, runs=3, sf=0.1,
+        load0=(0.42, 0), mid_loads=[0.5, 7.52, 3.1],
+    )
+    assert out["load"]["loadavg_1m_mid_max"] == 7.52
+    assert len(json.dumps(out)) < bench.FINAL_LINE_BUDGET
+    # absent when not sampled (old callers / unit paths)
+    _, out2 = bench.build_output(
+        timings, serving, spreads, errors={}, runs=3, sf=0.1, load0=(0.42, 0)
+    )
+    assert "loadavg_1m_mid_max" not in out2["load"]
