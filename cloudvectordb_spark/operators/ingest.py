@@ -488,7 +488,13 @@ def index_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     postings, dl, _stats, term_meta = text_index_frames(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
-    tomb = _tombstones(dl)
+    # The tombstone set is referenced by SEVEN legs below (compacted ×3
+    # lineages, surv_docs, live_dl, s_tomb, removed) and each reference
+    # re-derived it — an md5 pass over the full dl artifact per leg.
+    # One lazy localCheckpoint (round 16) computes it once per
+    # invocation; ~6% of n_docs single-column rows is executor-storage
+    # cheap at any scale, and the blocks die with the returned plan.
+    tomb = _tombstones(dl).localCheckpoint(eager=False)
 
     compacted = postings.join(tomb, "doc_id", "left_anti").select(
         "term", "doc_id", "tf"
